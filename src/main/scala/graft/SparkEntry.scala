@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Query registries live in per-domain modules and are merged here:
+  *   - [[graft.queries.Core]]    — relational analytics (SURVEY §2.4/§2.6)
+  *   - [[graft.queries.Flights]] — flight-pipeline semantics on CSV fixtures
+  *   - [[graft.ops.Dedup]]       — exact + near-duplicate detection
+  *   - [[graft.ops.TextAnalysis]]— language/quality/token/fingerprint
+  *   - [[graft.ops.Similarity]]  — embedding cosine top-k / ANN
+  *   - [[graft.ops.EventTime]]   — tumbling/sliding/session windows
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q04_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Core.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.queries.Core.oracle
 }

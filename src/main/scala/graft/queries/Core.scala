@@ -1,0 +1,317 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational analytics surface: the KPI queries the reference's
+  * star schema exists to serve (SURVEY.md §2.4, K-1..K-5) re-expressed
+  * over the driver testdata star schema (FIXTURES.md §B role mapping),
+  * plus the standard operator families SURVEY.md §2.6 calls out
+  * (agg, join incl. broadcast/semi/anti, window, top-k, rollup,
+  * distinct, set ops, scalar functions).
+  *
+  * Every query is a lazy DataFrame plan — Catalyst pushes filters and
+  * column pruning into the parquet scans; small dimensions are
+  * broadcast explicitly. All outputs carry a total ordering so the
+  * dumped parquet is deterministic (the sort is eliminated by
+  * Catalyst's EliminateSorts under Bench's count()).
+  */
+object Core {
+  import Qx._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** K-1-shaped pricing summary (TPC-H Q1 analog): filter + grouped
+    * sums/averages/count with exact decimal arithmetic. */
+  private val q01: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(DoubleType).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q6 analog: tight filter (pushed to parquet) + scalar sum. */
+  private val q02: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.filter(
+        col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg((sum(col("l_extendedprice").cast(D6) * col("l_discount").cast(D6))).cast(DoubleType).as("revenue"))
+  }
+
+  /** K-1/K-2 analog: fact⋈dim join + per-group count/avg/max. */
+  private val q03: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        davg(col("o_totalprice")).as("avg_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_totalprice")).as("min_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Multi-way broadcast join chain: revenue by region/nation. */
+  private val q04: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val su = Tables.supplier(s, d)
+    val na = Tables.nation(s, d)
+    val re = Tables.region(s, d)
+    li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
+      .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** K-4 analog (route popularity): grouped count, fully-ordered top-k
+    * (ties broken on the group keys so LIMIT is deterministic). */
+  private val q05: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("n_name"), col("o_orderpriority"))
+      .limit(10)
+  }
+
+  /** Window function: highest-value order per customer (row_number with
+    * a deterministic tiebreak on the key). */
+  private val q06: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** K-5 analog: fare trend over time — daily order count + avg price. */
+  private val q07: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+      .agg(count(lit(1)).as("n_orders"), davg(col("o_totalprice")).as("avg_price"))
+      .orderBy(col("order_day"))
+  }
+
+  /** Anti join (NOT EXISTS): customers that never ordered, by segment. */
+  private val q08: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Semi join (EXISTS): customers with at least one finished order,
+    * aggregated per nation. */
+  private val q09: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+    val n = Tables.nation(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), davg(col("c_acctbal")).as("avg_acctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  /** ROLLUP over (returnflag, linestatus): subtotal + grand-total rows. */
+  private val q10: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Exact distinct aggregates per group. */
+  private val q11: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Conditional (CASE WHEN) aggregation — manual pivot by linestatus. */
+  private val q12: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_linestatus") === "F", col("l_quantity")).otherwise(0).cast(D6)).cast(DoubleType).as("qty_f"),
+        sum(when(col("l_linestatus") === "O", col("l_quantity")).otherwise(0).cast(D6)).cast(DoubleType).as("qty_o"),
+        count(when(col("l_linestatus") === "F", lit(1))).as("n_f"),
+        count(when(col("l_linestatus") === "O", lit(1))).as("n_o"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Scalar-function surface: string + date part extraction. The
+    * day-of-week convention is pinned to pandas (Mon=0..Sun=6), matching
+    * the reference's dim_date derivation (transformation.py:97). */
+  private val q13: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        ((dayofweek(col("o_orderdate")) + lit(5)) % 7).as("o_dow_mon0"),
+        upper(col("o_orderstatus")).as("status_u"),
+        substring(col("o_orderpriority"), 1, 1).cast(IntegerType).as("priority_rank"),
+        length(col("o_orderpriority")).as("priority_len"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Set operations: INTERSECT and EXCEPT over key projections. */
+  private val q14: Q = (s, d) => {
+    val c = Tables.customer(s, d).select(col("c_custkey"))
+    val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    val both = c.intersect(o).withColumn("tag", lit("with_orders"))
+    val none = c.except(o).withColumn("tag", lit("no_orders"))
+    both.unionByName(none)
+      .select(col("tag"), col("c_custkey"))
+      .orderBy(col("tag"), col("c_custkey"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_revenue_filter" -> q02,
+    "q03_segment_stats" -> q03,
+    "q04_revenue_by_nation" -> q04,
+    "q05_top_routes" -> q05,
+    "q06_top_order_per_cust" -> q06,
+    "q07_daily_trend" -> q07,
+    "q08_customers_no_orders" -> q08,
+    "q09_active_customers" -> q09,
+    "q10_rollup_qty" -> q10,
+    "q11_distinct_counts" -> q11,
+    "q12_case_pivot" -> q12,
+    "q13_scalar_funcs" -> q13,
+    "q14_setops" -> q14,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(sum($sqlDiscPrice) AS DOUBLE) AS sum_disc_price,
+         |  ${sqlDavg("l_quantity")} AS avg_qty,
+         |  ${sqlDavg("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_filter" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q03_segment_stats" ->
+      s"""SELECT c_mktsegment,
+         |  count(*) AS n_orders,
+         |  ${sqlDavg("o_totalprice")} AS avg_price,
+         |  max(o_totalprice) AS max_price,
+         |  min(o_totalprice) AS min_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin,
+    "q04_revenue_by_nation" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(sum($sqlDiscPrice) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+    "q05_top_routes" ->
+      """SELECT n_name, o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, o_orderpriority
+        |ORDER BY n_orders DESC, n_name, o_orderpriority
+        |LIMIT 10""".stripMargin,
+    "q06_top_order_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1""".stripMargin,
+    "q07_daily_trend" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+         |  count(*) AS n_orders,
+         |  ${sqlDavg("o_totalprice")} AS avg_price
+         |FROM orders GROUP BY 1""".stripMargin,
+    "q08_customers_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q09_active_customers" ->
+      s"""SELECT n_name, count(*) AS n_customers, ${sqlDavg("c_acctbal")} AS avg_acctbal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         |GROUP BY n_name""".stripMargin,
+    "q10_rollup_qty" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n_items
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q11_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q12_case_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS qty_f,
+        |  CAST(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS qty_o,
+        |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+        |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q13_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+        |  CAST((dayofweek(o_orderdate) + 6) % 7 AS INTEGER) AS o_dow_mon0,
+        |  upper(o_orderstatus) AS status_u,
+        |  CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS priority_rank,
+        |  CAST(length(o_orderpriority) AS INTEGER) AS priority_len
+        |FROM orders""".stripMargin,
+    "q14_setops" ->
+      """SELECT 'with_orders' AS tag, c_custkey
+        |FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders) a
+        |UNION ALL
+        |SELECT 'no_orders' AS tag, c_custkey
+        |FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) b""".stripMargin,
+  )
+}

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Oracle-parity helpers shared by every registered query.
+  *
+  * The driver hash-compares our parquet output against DuckDB running
+  * `SparkEntry.oracleSql` on the same tables. Floating-point SUMs are
+  * NOT reproducible across engines (partial-aggregation order differs),
+  * so every monetary/quantity aggregate goes through exact decimal
+  * arithmetic: cast inputs to DECIMAL(18,6) (source data has <= 2 dp, so
+  * the quantization is lossless), sum exactly, and emit DECIMAL(18,6).
+  * Both engines then produce bit-identical values regardless of
+  * partitioning. Averages divide the exact decimal sum (as double) by
+  * the exact count — one deterministic double op — then quantize.
+  */
+object Qx {
+  val D6: DecimalType = DecimalType(18, 6)
+
+  /** Exact, order-independent sum: DECIMAL(18,6) internally, emitted as
+    * DOUBLE (one correctly-rounded conversion of the exact total, so
+    * both engines produce identical bits; DuckDB's client also surfaces
+    * decimals as float64, so DOUBLE is the stable interchange type).
+    * DuckDB twin: CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) */
+  def dsum(c: Column): Column = sum(c.cast(D6)).cast(DoubleType)
+
+  /** Deterministic average via exact sum / exact count.
+    * DuckDB twin: CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/count(*) */
+  def davg(c: Column): Column =
+    sum(c.cast(D6)).cast(DoubleType) / count(lit(1))
+
+  /** l_extendedprice * (1 - l_discount) in exact decimal (<= 4 real dp). */
+  def discPrice(price: Column, discount: Column): Column =
+    (price.cast(D6) * (lit(1).cast(D6) - discount.cast(D6))).cast(D6)
+
+  /** SQL-side twins kept next to the Scala ones so the two stay in sync. */
+  def sqlDsum(x: String): String =
+    s"CAST(sum(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
+  def sqlDavg(x: String): String =
+    s"CAST(sum(CAST($x AS DECIMAL(18,6))) AS DOUBLE)/count(*)"
+  def sqlDiscPrice: String =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))"
+}
