@@ -1,0 +1,148 @@
+package graft.flights
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Star-schema construction (SURVEY.md §2.3: T-6, T-8a/b/c, T-9,
+  * T-11, T-12, T-13) over parquet directories that replace the
+  * reference's PostgreSQL warehouse.
+  *
+  * Surrogate keys are minted as `maxExistingId + row_number() over
+  * (ORDER BY natural_key)` — append-stable and deterministic across
+  * re-runs (deliberately NOT monotonically_increasing_id, which is
+  * partition-layout-dependent; SURVEY §2.3 T-9). The global-order
+  * window touches only the NEW dimension rows (dims are tiny relative
+  * to the fact), so the single-partition sort is not a scale hazard.
+  *
+  * Pinned semantics where the reference is order-dependent or buggy:
+  *  - T-8a: PG enforces UNIQUE(airport_code) (init_postgres.sql:11) but
+  *    the code dedups on (code,name) pairs — duplicate codes with
+  *    different spellings would crash the reference. We dedup by code,
+  *    keeping min(name) (deterministic).
+  *  - T-8c: seasonality per date is "last row wins" in arbitrary pandas
+  *    order; we pin max(seasonality) (deterministic), NULL -> 'Normal'.
+  *  - T-13: the reference re-appends the ENTIRE staging table to the
+  *    fact on every run (transformation.py:50,137), duplicating facts
+  *    on re-runs. We rebuild the fact deterministically from staging
+  *    (overwrite), making transform idempotent; the hash ledger already
+  *    guarantees staging itself is append-once.
+  */
+class StarWarehouse(spark: SparkSession, root: String) {
+  import StarWarehouse._
+
+  def dimAirlinesPath: String = s"$root/dim_airlines"
+  def dimAirportsPath: String = s"$root/dim_airports"
+  def dimDatePath: String     = s"$root/dim_date"
+  def factPath: String        = s"$root/fact_flights"
+
+  private def readOrEmpty(path: String, schema: StructType): DataFrame =
+    try {
+      val df = spark.read.schema(schema).parquet(path)
+      df.first() // force existence check
+      df
+    } catch {
+      case _: Throwable =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  def dimAirlines: DataFrame = readOrEmpty(dimAirlinesPath, FlightSchemas.dimAirlines)
+  def dimAirports: DataFrame = readOrEmpty(dimAirportsPath, FlightSchemas.dimAirports)
+  def dimDate: DataFrame     = readOrEmpty(dimDatePath, FlightSchemas.dimDate)
+  def fact: DataFrame        = spark.read.parquet(factPath)
+
+  /** T-9: incremental dim upsert with stable surrogate keys. Returns
+    * the post-upsert dimension. `rows` must be distinct on `nk`. */
+  private def upsertDim(path: String, schema: StructType, existing: DataFrame,
+                        rows: DataFrame, nk: String, idCol: String): DataFrame = {
+    val fresh = rows.join(existing.select(nk), Seq(nk), "left_anti")
+    val maxId = existing.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
+    val keyed = fresh
+      .withColumn(idCol, lit(maxId) + row_number().over(Window.orderBy(col(nk))))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    if (!keyed.isEmpty) keyed.write.mode(SaveMode.Append).parquet(path)
+    spark.read.schema(schema).parquet(path)
+  }
+
+  /** The transform stage (T-1..T-13): staging -> cleaned -> dims -> fact. */
+  def transform(staging: DataFrame): TransformStats = {
+    val rowsIn = staging.count()
+    val cleaned = Cleaning.clean(staging).cache()
+    val rowsClean = cleaned.count() // materializes the cache; T-5 drop count
+
+    // T-6: dim_airlines
+    val airlineRows = cleaned.select(col("airline").as("airline_name")).distinct()
+    val airlines = upsertDim(dimAirlinesPath, FlightSchemas.dimAirlines,
+      dimAirlines, airlineRows, "airline_name", "airline_id")
+
+    // T-8a: dim_airports — union of both roles, dedup by code.
+    val src = cleaned.select(col("source_code").as("airport_code"),
+      col("source_name").as("airport_name"))
+    val dst = cleaned.select(col("destination_code").as("airport_code"),
+      col("destination_name").as("airport_name"))
+    val airportRows = src.unionByName(dst)
+      .groupBy("airport_code").agg(min("airport_name").as("airport_name"))
+    val airports = upsertDim(dimAirportsPath, FlightSchemas.dimAirports,
+      dimAirports, airportRows, "airport_code", "airport_id")
+
+    // T-8b/T-8c: dim_date — calendar derivation + seasonality lookup.
+    // date_id is its own natural key (no minting).
+    val dateRows = StarBuild.dimDateRows(cleaned)
+    val freshDates = dateRows.join(dimDate.select("date_id"), Seq("date_id"), "left_anti")
+    if (!freshDates.isEmpty)
+      freshDates.write.mode(SaveMode.Append).parquet(dimDatePath)
+    val dates = spark.read.schema(FlightSchemas.dimDate).parquet(dimDatePath)
+
+    // T-11/T-12: FK resolution via broadcast joins (airports joined
+    // twice under role aliases), then inner-join semantics of dropna.
+    val fa = broadcast(airlines.select(col("airline_name"), col("airline_id")))
+    val fs = broadcast(airports.select(col("airport_code").as("source_code"),
+      col("airport_id").as("source_airport_id")))
+    val fd = broadcast(airports.select(col("airport_code").as("destination_code"),
+      col("airport_id").as("destination_airport_id")))
+    val factDf = cleaned
+      .withColumn("airline_name", col("airline"))
+      .join(fa, Seq("airline_name"), "left")
+      .join(fs, Seq("source_code"), "left")
+      .join(fd, Seq("destination_code"), "left")
+      .withColumn("departure_date_id", to_date(col("departure_dt")))
+      .withColumn("days_before_departure", col("days_before_departure").cast(IntegerType))
+      .na.drop("any", Seq("airline_id", "source_airport_id",
+        "destination_airport_id", "departure_date_id"))
+      .select(FlightSchemas.factColumns.map(col).toIndexedSeq: _*)
+
+    factDf.write.mode(SaveMode.Overwrite).parquet(factPath)
+    val factRows = spark.read.parquet(factPath).count()
+    cleaned.unpersist()
+    TransformStats(rowsIn, rowsIn - rowsClean, factRows)
+  }
+}
+
+object StarWarehouse {
+  /** rowsDropped = T-5 validity filter drops (logged by the reference,
+    * transformation.py:77-79). */
+  case class TransformStats(rowsIn: Long, rowsDropped: Long, factRows: Long)
+}
+
+/** Pure dim-derivation plans shared by the warehouse and the oracle
+  * query surface. */
+object StarBuild {
+  /** T-8b/T-8c over a cleaned frame (must carry departure_dt and
+    * standardized seasonality). */
+  def dimDateRows(cleaned: DataFrame): DataFrame =
+    cleaned
+      .filter(col("departure_dt").isNotNull)
+      .groupBy(to_date(col("departure_dt")).as("date_id"))
+      .agg(max(col("seasonality")).as("seasonality"))
+      .select(
+        col("date_id"),
+        year(col("date_id")).as("year"),
+        month(col("date_id")).as("month"),
+        dayofmonth(col("date_id")).as("day"),
+        quarter(col("date_id")).as("quarter"),
+        // pandas dayofweek: Mon=0..Sun=6; Spark dayofweek: Sun=1..Sat=7
+        ((dayofweek(col("date_id")) + lit(5)) % 7).as("day_of_week"),
+        (((dayofweek(col("date_id")) + lit(5)) % 7) >= 5).as("is_weekend"),
+        coalesce(col("seasonality"), lit("Normal")).as("seasonality"))
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.flights.FlightSchemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The idiomatic-Spark upgrade of the reference's hand-rolled
+  * incremental machinery (SURVEY.md §1.3, §2.6 "Streaming"): the
+  * offset Variable + shrink-reset + chunk loop (ingestion.py:27-64)
+  * IS a micro-batched file stream, so Structured Streaming's file
+  * source + checkpointing subsumes I-1..I-5 and I-9, and
+  * `dropDuplicates("row_hash")` over keyed state subsumes the hash
+  * ledger (I-6, I-8, I-10, I-11).
+  *
+  * At 100 TB this is the path that holds: new files land in a
+  * directory, each micro-batch processes only unseen files (exactly-
+  * once via checkpoint), and dedup state is partitioned by hash across
+  * executors rather than being one RDBMS table probed per chunk.
+  * State is unbounded by design here because the reference's ledger is
+  * global-forever; callers that can bound re-delivery should add
+  * `withWatermark` on load_time to let Spark expire state.
+  */
+object StreamingIngest {
+  /** The streaming staging plan: csv dir -> hashed -> deduped ->
+    * renamed staging layout (I-13). */
+  def plan(spark: SparkSession, csvDir: String): DataFrame = {
+    val raw = spark.readStream
+      .schema(FlightSchemas.rawCsv)
+      .option("header", true)
+      .csv(csvDir)
+    val parts = raw.columns.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+    val hashed = raw
+      .withColumn("row_hash", md5(concat_ws("\u0001", parts.toIndexedSeq: _*)))
+      .withColumn("load_time", current_timestamp())
+      .dropDuplicates("row_hash")
+    FlightSchemas.renameMap.foldLeft(hashed) {
+      case (df, (h, c)) => df.withColumnRenamed(h, c)
+    }
+  }
+
+  /** Start the ingest stream into a parquet staging directory.
+    * Trigger.AvailableNow drains everything currently in the source
+    * and stops — the streaming equivalent of one reference DAG run. */
+  def start(spark: SparkSession, csvDir: String, stagingDir: String,
+            checkpointDir: String): StreamingQuery =
+    plan(spark, csvDir).writeStream
+      .format("parquet")
+      .option("path", stagingDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,72 @@
+package graft.flights
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.SparkTestBase
+
+class IngestSpec extends SparkTestBase {
+  private def freshRoot(csv: String): (FlightIngest, String) = {
+    val root = tmpDir("ingest")
+    val live = s"$root/flights.csv"
+    Files.copy(Paths.get(resource(csv)), Paths.get(live),
+      StandardCopyOption.REPLACE_EXISTING)
+    (new FlightIngest(spark, root), live)
+  }
+
+  test("first load: all distinct rows land in staging, offset advances") {
+    val (ing, csv) = freshRoot("flights_small.csv")
+    val r = ing.ingest(csv)
+    assert(r.rowsScanned == 49)
+    assert(r.rowsLoaded == 49) // fixture has no exact duplicate rows
+    assert(r.newOffset == 49)
+    assert(ing.staging.count() == 49)
+    assert(ing.ledger.count() == 49)
+    // staging carries the renamed snake_case layout
+    assert(ing.staging.columns.toSeq == FlightSchemas.renameMap.map(_._2))
+  }
+
+  test("re-run with no new rows: early exit, nothing written") {
+    val (ing, csv) = freshRoot("flights_small.csv")
+    ing.ingest(csv)
+    val r2 = ing.ingest(csv)
+    assert(r2.rowsScanned == 0 && r2.rowsLoaded == 0)
+    assert(ing.staging.count() == 49)
+  }
+
+  test("file growth: only appended rows are scanned; exact dupes are dropped by the ledger") {
+    val (ing, csv) = freshRoot("flights_small.csv")
+    ing.ingest(csv)
+    // The file grows in place: flights_append.csv = small + 15 new + 3 dupes
+    Files.copy(Paths.get(resource("flights_append.csv")), Paths.get(csv),
+      StandardCopyOption.REPLACE_EXISTING)
+    val r2 = ing.ingest(csv)
+    assert(r2.rowsScanned == 18)
+    assert(r2.rowsLoaded == 15) // 3 dupes deduped via hash ledger
+    assert(ing.staging.count() == 64)
+    assert(ing.ledger.count() == 64)
+  }
+
+  test("shrink reset: smaller file is treated as brand-new (offset 0, overwrite)") {
+    val (ing, csv) = freshRoot("flights_append.csv")
+    ing.ingest(csv)
+    Files.copy(Paths.get(resource("flights_shrunk.csv")), Paths.get(csv),
+      StandardCopyOption.REPLACE_EXISTING)
+    val r2 = ing.ingest(csv)
+    assert(r2.rowsScanned == 10)
+    // shrunk rows are a subset of already-hashed rows => ledger drops all
+    assert(r2.rowsLoaded == 0)
+    assert(r2.newOffset == 10)
+  }
+
+  test("intra-batch duplicates collapse to one row") {
+    val root = tmpDir("ingest")
+    val csv = s"$root/flights.csv"
+    val lines = Files.readAllLines(Paths.get(resource("flights_small.csv")))
+    val dup = new java.util.ArrayList[String](lines)
+    dup.add(lines.get(1)) // duplicate first data row inside the same batch
+    Files.write(Paths.get(csv), dup)
+    val ing = new FlightIngest(spark, root)
+    val r = ing.ingest(csv)
+    assert(r.rowsScanned == 50 && r.rowsLoaded == 49)
+  }
+}
