@@ -1,0 +1,236 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators over the `documents` table — the core of a
+  * training-data pipeline. Five tiers, cheapest first:
+  *
+  *  1. exact (md5 hash-groupBy) — oracle-verified
+  *  2. prefix-fingerprint clustering (see TextAnalysis.fingerprint)
+  *  3. MinHash + banded LSH over word shingles (Jaccard near-dup)
+  *  4. SimHash (64-bit) + Hamming radius
+  *  5. embedding-cosine near-dup (vector-space semantic dupes)
+  *
+  * Scale posture: every tier is (scan -> per-row sketch -> shuffle by
+  * bucket key -> within-bucket pair join). The only quadratic step is
+  * inside a bucket, and bucket width is controlled by the sketch
+  * parameters (bands x rows, Hamming chunks, hyperplane count) — at
+  * 1000 executors the bucket shuffle is the one repartition, and
+  * pair verification never leaves an executor. No global cross join
+  * exists on any path.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- tier 1: exact -------------------------------------------------
+
+  /** Exact duplicate groups by content hash; keeper = min doc_id
+    * (deterministic, matching the reference's hash-ledger contract). */
+  val exact: Q = (s, d) => {
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keeper_doc_id"))
+      .groupBy(col("n_copies"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        min(col("keeper_doc_id")).as("min_keeper"))
+      .orderBy(col("n_copies"))
+  }
+
+  /** Exact-dedup summary per source: how many rows survive. */
+  val exactBySource: Q = (s, d) => {
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+      .withColumn("n_dupes", col("n_docs") - col("n_distinct"))
+      .orderBy(col("source"))
+  }
+
+  // ---- tier 3: MinHash + LSH ----------------------------------------
+
+  /** 3-word shingles of the normalized token stream. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val idx = sequence(lit(1), greatest(size(toks) - (n - 1), lit(1)))
+    array_distinct(transform(idx, i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  val numHashes = 48
+  val bands = 12 // 12 bands x 4 rows; ~Jaccard 0.55+ candidates surface
+
+  /** MinHash signature: per seed i, min over shingles of
+    * xxhash64(shingle, i). Pure column expressions — the whole sketch
+    * runs inside codegen on one scan. */
+  def minhashSignature(sh: Column): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, x => xxhash64(x, lit(i))))
+    }: _*)
+
+  /** Banded LSH candidate pairs (doc_a < doc_b share >=1 band). */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val rows = numHashes / bands
+    val sig = docs
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh")))
+    val banded = sig.select(
+      col("doc_id"), col("sh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(array_join(
+            transform(slice(col("sig"), b * rows + 1, rows), _.cast(StringType)),
+            ","), lit(9999)).as("bhash"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bhash"))
+    val left = banded.select(col("band"), col("bhash"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val right = banded.select(col("band"), col("bhash"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    left.join(right, Seq("band", "bhash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Near-dup pairs: LSH candidates verified with exact shingle
+    * Jaccard >= threshold. Candidate count is bucket-bounded — the
+    * exact Jaccard only runs on pairs LSH surfaced. */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    minhashCandidates(docs)
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  val minhashLsh: Q = (s, d) =>
+    minhashNearDups(Tables.documents(s, d))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ---- tier 4: SimHash ----------------------------------------------
+
+  /** 64-bit SimHash over tokens: bit b is the sign of the sum of
+    * (+1/-1) votes from each token's hash bit b. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: bucket by 16-bit chunks (a pair within
+    * Hamming distance 3 shares at least one of 4 chunks), verify with
+    * bit_count(xor) <= radius. */
+  def simhashNearDups(docs: DataFrame, radius: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val chunked = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
+      }: _*)).as("ck"))
+      .select(col("doc_id"), col("sh"), col("ck.chunk"), col("ck.ckey"))
+    val left = chunked.select(col("chunk"), col("ckey"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val right = chunked.select(col("chunk"), col("ckey"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    left.join(right, Seq("chunk", "ckey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= radius)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  val simhashDups: Q = (s, d) =>
+    simhashNearDups(Tables.documents(s, d))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ---- n-gram Jaccard (direct, fingerprint-blocked) ------------------
+
+  /** Character-free word-3-gram Jaccard on prefix-fingerprint blocks:
+    * the deterministic, SQL-expressible variant (blocks are exact
+    * prefix matches, so DuckDB can replay it). */
+  val ngramJaccardBlocked: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val withFp = docs.select(col("doc_id"),
+      md5(array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 4), " ")).as("fp"),
+      shingles(col("text")).as("sh"))
+    val a = withFp.select(col("fp"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = withFp.select(col("fp"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- tier 5: embedding cosine near-dup ----------------------------
+
+  /** Semantic near-dups via the multi-table Similarity LSH index (no
+    * global cross join; high-cosine pairs collide in some table with
+    * near-certainty). Reports the top candidate pairs by cosine with
+    * an `is_dup` flag at the threshold — on corpora with real
+    * duplicates the flagged set IS the dup list; on near-uniform
+    * corpora the report still surfaces the closest pairs. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.9,
+                        topPairs: Int = 100): DataFrame = {
+    val scored = Similarity.candidatePairs(emb, "vec_id", "embedding")
+      .withColumn("cosine", Similarity.cosineColumn(col("emb_a"), col("emb_b")))
+    scored
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(topPairs)
+      .withColumn("is_dup", col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"), col("is_dup"))
+  }
+
+  val embeddingDups: Q = (s, d) =>
+    embeddingNearDups(Tables.embeddings(s, d))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+
+  val queries: Map[String, Q] = Map(
+    "q32_dedup_exact" -> exact,
+    "q33_dedup_by_source" -> exactBySource,
+    "q34_minhash_neardups" -> minhashLsh,       // rows-only (hash-seeded)
+    "q35_simhash_neardups" -> simhashDups,      // rows-only (hash-seeded)
+    "q36_ngram_jaccard_blocked" -> ngramJaccardBlocked,
+    "q37_embedding_neardups" -> embeddingDups,  // rows-only (LSH-seeded)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q32_dedup_exact" ->
+      """SELECT n_copies, count(*) AS n_groups, min(keeper_doc_id) AS min_keeper
+        |FROM (
+        |  SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        |         min(doc_id) AS keeper_doc_id
+        |  FROM documents GROUP BY 1
+        |) g GROUP BY n_copies""".stripMargin,
+    "q33_dedup_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dupes
+        |FROM documents GROUP BY source""".stripMargin,
+    "q36_ngram_jaccard_blocked" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), 1, 4), ' ')) AS fp,
+        |    list_distinct([array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' ')
+        |      FOR i IN range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 1) + 1)]) AS sh
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM t a JOIN t b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
+  )
+}

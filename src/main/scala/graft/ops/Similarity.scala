@@ -1,0 +1,171 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two paths:
+  *  - [[bruteTopK]]: exact cosine top-k — the correctness baseline.
+  *    One broadcast of the (small) query set against a single scan of
+  *    the corpus; per-row dot products run inside codegen via
+  *    zip_with/aggregate. At 100 TB the corpus side stays partitioned
+  *    and never shuffles: cost is one pass + a per-query top-k.
+  *  - [[lshTopK]]: multi-table random-hyperplane LSH. L independent
+  *    tables of p sign bits each; a pair is a candidate if it collides
+  *    in ANY table. Recall ~ 1-(1-a^p)^L for per-bit agreement
+  *    a = 1-θ/π, tunable per corpus. Bucketing is one shuffle by
+  *    (table, bucket); candidate verification is bucket-local, so no
+  *    global cross join exists at any scale. On this driver corpus the
+  *    embeddings are near-uniform (top-10 cosine <= 0.4) — the hardest
+  *    regime for LSH; real training-data corpora cluster and
+  *    discriminate far better at the same parameters.
+  *
+  * Cosines are computed in double precision (float32 inputs upcast)
+  * and quantized to DECIMAL(10,6)->DOUBLE so ordering ties resolve
+  * identically across engines (see Qx).
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private[ops] def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private[ops] def normD(a: Column): Column = sqrt(dotD(a, a))
+
+  private def quant6(c: Column): Column =
+    c.cast(DecimalType(10, 6)).cast(DoubleType)
+
+  /** Cross-engine-stable cosine similarity (double math, 6-dp quantized). */
+  def cosineColumn(a: Column, b: Column): Column =
+    quant6(dotD(a, b) / (normD(a) * normD(b)))
+
+  val nQueries = 5
+  val k = 10
+
+  /** Exact cosine top-k for query vectors vec_id < nQueries. */
+  val bruteTopK: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosineColumn(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("vid"), col("cosine"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: nPlanes x dim, seed fixed so
+    * plans are reproducible across runs and sessions. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit bucket id from a plane slice. */
+  def bucketId(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(v => lit(v)).toIndexedSeq: _*)
+      when(dotD(emb, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  val nTables = 8
+  val bitsPerTable = 6
+
+  /** (row_key, table, bucket) exploded view: the multi-table index.
+    * One scan computes all L*p sign bits inside codegen; the explode
+    * fans each row into its L table entries. */
+  def lshIndex(df: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        bucketId(col(vecCol), planes.slice(t * bitsPerTable, (t + 1) * bitsPerTable)).as("bucket"))
+    }
+    df.withColumn("tb", explode(array(tables: _*)))
+      .withColumn("tbl", col("tb.tbl"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("tb")
+  }
+
+  /** ANN via multi-table LSH. No SQL oracle (approximate by
+    * construction; driver records the rows-only check); recall vs.
+    * bruteTopK is asserted in SimilaritySpec. */
+  val lshTopK: Q = (s, d) => {
+    val planes = hyperplanes(nTables * bitsPerTable, dim = 64)
+    val emb = Tables.embeddings(s, d)
+    val corpusIdx = lshIndex(emb, "embedding", planes)
+    val queryIdx = lshIndex(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      "qe", planes)
+      .select(col("qid"), col("qe"), col("tbl"), col("bucket"))
+    val candidates = corpusIdx.join(broadcast(queryIdx), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .dropDuplicates("qid", "vec_id")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    candidates
+      .withColumn("cosine", cosineColumn(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("vid"), col("cosine"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** All-pairs candidates from the multi-table index (used by the
+    * embedding near-dup tier in [[Dedup]]): bucket-local self-join,
+    * deduped across tables. */
+  def candidatePairs(emb: DataFrame, vecIdCol: String, vecCol: String): DataFrame = {
+    val planes = hyperplanes(nTables * bitsPerTable, dim = 64)
+    val idx = lshIndex(emb.select(col(vecIdCol), col(vecCol)), vecCol, planes)
+    val a = idx.select(col("tbl"), col("bucket"),
+      col(vecIdCol).as("vec_a"), col(vecCol).as("emb_a"))
+    val b = idx.select(col("tbl"), col("bucket"),
+      col(vecIdCol).as("vec_b"), col(vecCol).as("emb_b"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q30_cosine_topk" -> bruteTopK,
+    "q31_ann_lsh_topk" -> lshTopK, // rows-only check: approximate op
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q30_cosine_topk" ->
+      s"""WITH elems AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |), norms AS (
+         |  SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM elems GROUP BY vec_id
+         |), dots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.v * b.v) AS dot
+         |  FROM elems a JOIN elems b ON a.i = b.i
+         |  WHERE a.vec_id < $nQueries AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2
+         |), cos AS (
+         |  SELECT qid, vid,
+         |    CAST(CAST(dot / (na.nrm * nb.nrm) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
+         |  FROM dots
+         |  JOIN norms na ON na.vec_id = qid
+         |  JOIN norms nb ON nb.vec_id = vid
+         |), ranked AS (
+         |  SELECT qid, vid, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rn
+         |  FROM cos
+         |)
+         |SELECT qid, vid, cosine, CAST(rn AS INTEGER) AS rank
+         |FROM ranked WHERE rn <= $k""".stripMargin,
+  )
+}

@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.Tables
+import graft.queries.Qx
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over the `documents` table — the pieces a
+  * large-scale training-data pipeline runs before dedup/filtering:
+  * tokenization stats, quality scoring, stopword-profile language ID,
+  * and content fingerprinting. Everything is a codegen'd column
+  * expression over one pass of the table (no UDFs, no shuffles except
+  * the final per-language rollup), so at 100 TB this pipelines with
+  * the parquet scan itself.
+  *
+  * Regex classes are kept to ASCII (`[a-z]`, `[^\w\s]`) so Java and
+  * RE2 agree; ratios are int/int divisions (bit-identical across
+  * engines, no rounding step needed).
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace tokenization of trimmed, lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Stopword profiles for the corpus languages (SURVEY.md §7 step 8).
+    * zh is identified by Han characters in real pipelines; this corpus
+    * is Latin-script only, so the profile approach covers what the
+    * data can express. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"))
+
+  def stopwordMatches(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Per-document token statistics. */
+  val tokenStats: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    docs.select(
+        col("doc_id"),
+        col("lang"),
+        length(col("text")).as("n_chars"),
+        size(tokens(col("text"))).as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"))
+      .withColumn("type_token_ratio",
+        col("n_distinct_tokens").cast(DoubleType) / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length, punctuation density, stopword density,
+    * mean token length — the standard cheap pre-filters. */
+  val qualityScore: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = tokens(col("text"))
+    val enStops = stopwords.toMap.apply("en")
+    docs.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(toks).as("n_tokens"),
+        length(regexp_replace(col("text"), "[\\w\\s]", "")).as("n_punct"),
+        stopwordMatches(toks, enStops).as("n_stopwords"))
+      .withColumn("punct_ratio", col("n_punct").cast(DoubleType) / col("n_chars"))
+      .withColumn("stopword_ratio", col("n_stopwords").cast(DoubleType) / col("n_tokens"))
+      .withColumn("mean_token_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast(DoubleType) / col("n_tokens"))
+      .withColumn("keep",
+        col("n_tokens") >= 5 && col("punct_ratio") < 0.2 && col("stopword_ratio") > 0.0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stopword-profile language ID with a deterministic argmax
+    * preference order (en > de > es > fr on ties). */
+  val langId: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      (col("doc_id") +: col("lang").as("lang_actual") +:
+        stopwords.map { case (l, ws) => stopwordMatches(toks, ws).as(s"s_$l") }): _*)
+    scored
+      .withColumn("lang_pred",
+        when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), "en")
+          .when(col("s_de") >= greatest(col("s_es"), col("s_fr")), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprint: md5 over the 8-token normalized prefix —
+    * the cheap "same-ish leading content" key used for coarse
+    * clustering before expensive near-dup passes. */
+  val fingerprint: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    docs.select(
+        col("doc_id"),
+        md5(array_join(slice(tokens(col("text")), 1, 8), " ")).as("prefix_fp"),
+        md5(col("text")).as("full_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus rollup per language. */
+  val langStats: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Qx.davg(length(col("text"))).as("avg_chars"),
+        Qx.davg(size(tokens(col("text")))).as("avg_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q20_token_stats" -> tokenStats,
+    "q21_quality_score" -> qualityScore,
+    "q22_lang_id" -> langId,
+    "q23_fingerprint" -> fingerprint,
+    "q24_lang_stats" -> langStats,
+  )
+
+  private def sqlToks(x: String) = s"string_split_regex(lower(trim($x)), '\\s+')"
+  private def sqlStops(l: String): String = {
+    val ws = stopwords.toMap.apply(l).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(${sqlToks("text")}, t -> t IN ($ws)))"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q20_token_stats" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(length(text) AS INTEGER) AS n_chars,
+         |  CAST(len(${sqlToks("text")}) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(${sqlToks("text")})) AS INTEGER) AS n_distinct_tokens,
+         |  CAST(len(list_distinct(${sqlToks("text")})) AS DOUBLE) / len(${sqlToks("text")}) AS type_token_ratio
+         |FROM documents""".stripMargin,
+    "q21_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INTEGER) AS n_chars,
+         |  CAST(len(${sqlToks("text")}) AS INTEGER) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS INTEGER) AS n_punct,
+         |  CAST(${sqlStops("en")} AS INTEGER) AS n_stopwords,
+         |  CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+         |  CAST(${sqlStops("en")} AS DOUBLE) / len(${sqlToks("text")}) AS stopword_ratio,
+         |  CAST(length(text) - (len(${sqlToks("text")}) - 1) AS DOUBLE) / len(${sqlToks("text")}) AS mean_token_len,
+         |  (len(${sqlToks("text")}) >= 5
+         |    AND (CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) / length(text)) < 0.2
+         |    AND (CAST(${sqlStops("en")} AS DOUBLE) / len(${sqlToks("text")})) > 0.0) AS keep
+         |FROM documents""".stripMargin,
+    "q22_lang_id" ->
+      s"""SELECT doc_id, lang AS lang_actual,
+         |  CAST(${sqlStops("en")} AS INTEGER) AS s_en,
+         |  CAST(${sqlStops("de")} AS INTEGER) AS s_de,
+         |  CAST(${sqlStops("es")} AS INTEGER) AS s_es,
+         |  CAST(${sqlStops("fr")} AS INTEGER) AS s_fr,
+         |  CASE
+         |    WHEN ${sqlStops("en")} >= greatest(${sqlStops("de")}, ${sqlStops("es")}, ${sqlStops("fr")}) THEN 'en'
+         |    WHEN ${sqlStops("de")} >= greatest(${sqlStops("es")}, ${sqlStops("fr")}) THEN 'de'
+         |    WHEN ${sqlStops("es")} >= ${sqlStops("fr")} THEN 'es'
+         |    ELSE 'fr'
+         |  END AS lang_pred
+         |FROM documents""".stripMargin,
+    "q23_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_slice(${sqlToks("text")}, 1, 8), ' ')) AS prefix_fp,
+         |  md5(text) AS full_fp
+         |FROM documents""".stripMargin,
+    "q24_lang_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  ${Qx.sqlDavg("length(text)")} AS avg_chars,
+         |  ${Qx.sqlDavg(s"len(${sqlToks("text")})")} AS avg_tokens,
+         |  count(DISTINCT source) AS n_sources
+         |FROM documents GROUP BY lang""".stripMargin,
+  )
+}

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming forms of the event-time operators
+  * (graft.ops.EventTime gives the batch/oracle forms; these are the
+  * same logical plans under readStream, with watermarks bounding
+  * state — the piece batch can't express).
+  */
+object EventStreams {
+  /** Hourly tumbling counts with a watermark: late events beyond the
+    * threshold are dropped and their windows finalized (append mode). */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sessionization with state timeout via session_window + watermark. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Read the events parquet directory as a stream (test/demo entry). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+  }
+}
