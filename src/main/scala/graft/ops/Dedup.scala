@@ -65,15 +65,29 @@ object Dedup {
   val numHashes = 48
   val bands = 12 // 12 bands x 4 rows; ~Jaccard 0.55+ candidates surface
 
-  /** MinHash signature: per seed i, min over shingles of
-    * xxhash64(shingle, i). Pure column expressions — the whole sketch
-    * runs inside codegen on one scan. */
-  def minhashSignature(sh: Column): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, x => xxhash64(x, lit(i))))
-    }: _*)
+  /** Affine constants deriving the k hash families from one base
+    * xxhash64: h_i(x) = a_i * h(x) + b_i over Z/2^64 (odd a_i => a
+    * bijection, so min-stability is preserved). Hashing each shingle
+    * ONCE and deriving the family with long arithmetic is ~50x cheaper
+    * than k string hashes per shingle. */
+  private val affine: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(1234567L)
+    Array.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
 
-  /** Banded LSH candidate pairs (doc_a < doc_b share >=1 band). */
+  /** MinHash signature from per-shingle base hashes (one string hash
+    * per shingle, k affine variants, all inside codegen). */
+  def minhashSignature(sh: Column): Column = {
+    val base = transform(sh, x => xxhash64(x))
+    array(affine.map { case (a, b) =>
+      array_min(transform(base, h => h * lit(a) + lit(b)))
+    }.toIndexedSeq: _*)
+  }
+
+  /** Banded LSH candidate pairs (doc_a < doc_b share >=1 band). The
+    * banded view is cached: both sides of the bucket self-join read it,
+    * and recomputing the sketch twice would double the dominant cost
+    * (at cluster scale this is a persist-to-disk / checkpoint). */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val rows = numHashes / bands
     val sig = docs
@@ -88,6 +102,7 @@ object Dedup {
             ","), lit(9999)).as("bhash"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bhash"))
+      .cache()
     val left = banded.select(col("band"), col("bhash"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val right = banded.select(col("band"), col("bhash"),
@@ -115,10 +130,11 @@ object Dedup {
 
   // ---- tier 4: SimHash ----------------------------------------------
 
-  /** 64-bit SimHash over tokens: bit b is the sign of the sum of
-    * (+1/-1) votes from each token's hash bit b. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
+  /** 64-bit SimHash from a pre-hashed token array: bit b is the sign
+    * of the sum of (+1/-1) votes from each token-hash's bit b. Takes
+    * the hash ATTRIBUTE (not the text) so the string hashing runs once
+    * per row, not once per bit — see [[simhashNearDups]]. */
+  def simhashFromHashes(hashes: Column): Column = {
     val bits = (0 until 64).map { b =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
@@ -131,7 +147,11 @@ object Dedup {
     * Hamming distance 3 shares at least one of 4 chunks), verify with
     * bit_count(xor) <= radius. */
   def simhashNearDups(docs: DataFrame, radius: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val sh = docs
+      .select(col("doc_id"),
+        transform(split(lower(trim(col("text"))), "\\s+"), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), simhashFromHashes(col("th")).as("sh"))
+      .cache()
     val chunked = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

@@ -37,7 +37,17 @@ object TextAnalysis {
   def stopwordMatches(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))
 
-  /** Per-document token statistics. */
+  /** BPE-style pre-tokenization pattern (GPT-2-shaped, restricted to
+    * the lookahead-free subset both Java regex and RE2 accept):
+    * word runs, digit runs, punctuation runs, each with an optional
+    * leading space. Counting these is the standard cheap proxy for
+    * "how many tokens will the tokenizer emit". */
+  val bpePattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
+  /** Per-document token statistics (whitespace + BPE-ish counts). */
   val tokenStats: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     docs.select(
@@ -45,7 +55,8 @@ object TextAnalysis {
         col("lang"),
         length(col("text")).as("n_chars"),
         size(tokens(col("text"))).as("n_tokens"),
-        size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"))
+        size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"))
       .withColumn("type_token_ratio",
         col("n_distinct_tokens").cast(DoubleType) / col("n_tokens"))
       .orderBy(col("doc_id"))
@@ -133,6 +144,7 @@ object TextAnalysis {
          |  CAST(length(text) AS INTEGER) AS n_chars,
          |  CAST(len(${sqlToks("text")}) AS INTEGER) AS n_tokens,
          |  CAST(len(list_distinct(${sqlToks("text")})) AS INTEGER) AS n_distinct_tokens,
+         |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens,
          |  CAST(len(list_distinct(${sqlToks("text")})) AS DOUBLE) / len(${sqlToks("text")}) AS type_token_ratio
          |FROM documents""".stripMargin,
     "q21_quality_score" ->
