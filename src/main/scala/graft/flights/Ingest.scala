@@ -48,14 +48,10 @@ class FlightIngest(spark: SparkSession, root: String) {
   }
 
   def ledger: DataFrame =
-    try {
-      val df = spark.read.schema(FlightSchemas.ledger).parquet(ledgerPath)
-      df.first()
-      df
-    } catch {
-      case _: Throwable => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], FlightSchemas.ledger)
-    }
+    if (StarWarehouse.pathExists(spark, ledgerPath))
+      spark.read.schema(FlightSchemas.ledger).parquet(ledgerPath)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], FlightSchemas.ledger)
 
   def staging: DataFrame = spark.read.parquet(stagingPath)
 

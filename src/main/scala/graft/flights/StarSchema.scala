@@ -38,14 +38,10 @@ class StarWarehouse(spark: SparkSession, root: String) {
   def factPath: String        = s"$root/fact_flights"
 
   private def readOrEmpty(path: String, schema: StructType): DataFrame =
-    try {
-      val df = spark.read.schema(schema).parquet(path)
-      df.first() // force existence check
-      df
-    } catch {
-      case _: Throwable =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+    if (StarWarehouse.pathExists(spark, path))
+      spark.read.schema(schema).parquet(path)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   def dimAirlines: DataFrame = readOrEmpty(dimAirlinesPath, FlightSchemas.dimAirlines)
   def dimAirports: DataFrame = readOrEmpty(dimAirportsPath, FlightSchemas.dimAirports)
@@ -123,6 +119,12 @@ object StarWarehouse {
   /** rowsDropped = T-5 validity filter drops (logged by the reference,
     * transformation.py:77-79). */
   case class TransformStats(rowsIn: Long, rowsDropped: Long, factRows: Long)
+
+  /** Quiet existence probe (a speculative read would log exceptions). */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 }
 
 /** Pure dim-derivation plans shared by the warehouse and the oracle

@@ -77,40 +77,47 @@ object Dedup {
 
   /** MinHash signature from per-shingle base hashes (one string hash
     * per shingle, k affine variants, all inside codegen). */
-  def minhashSignature(sh: Column): Column = {
-    val base = transform(sh, x => xxhash64(x))
+  def minhashSignature(baseHashes: Column): Column =
     array(affine.map { case (a, b) =>
-      array_min(transform(base, h => h * lit(a) + lit(b)))
+      array_min(transform(baseHashes, h => h * lit(a) + lit(b)))
     }.toIndexedSeq: _*)
-  }
 
-  /** Banded LSH candidate pairs (doc_a < doc_b share >=1 band). The
-    * banded view is cached: both sides of the bucket self-join read it,
-    * and recomputing the sketch twice would double the dominant cost
-    * (at cluster scale this is a persist-to-disk / checkpoint). */
+  /** Banded LSH candidate pairs (doc_a < doc_b share >=1 band).
+    *
+    * Layout discipline for scale: the exploded banded view and the
+    * bucket self-join carry ONLY (doc_id, band, bhash) — never the
+    * shingle arrays — so the explode's 12x fan-out and the dedupe
+    * shuffle move a few bytes per row. The hashed shingle sets (one
+    * 64-bit hash per shingle; Jaccard over hash sets equals Jaccard
+    * over shingle sets modulo 2^-64 collisions) are joined back onto
+    * the surviving pairs only. The sketch table is cached because the
+    * self-join and both re-joins read it (cluster-scale: persist or
+    * checkpoint). */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val rows = numHashes / bands
     val sig = docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"),
+        transform(shingles(col("text")), x => xxhash64(x)).as("sh"))
       .withColumn("sig", minhashSignature(col("sh")))
+      .cache()
     val banded = sig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(array_join(
             transform(slice(col("sig"), b * rows + 1, rows), _.cast(StringType)),
             ","), lit(9999)).as("bhash"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bhash"))
-      .cache()
-    val left = banded.select(col("band"), col("bhash"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("band"), col("bhash"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    left.join(right, Seq("band", "bhash"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bhash"))
+    val pairs = banded.select(col("band"), col("bhash"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bhash"), col("doc_id").as("doc_b")),
+        Seq("band", "bhash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
   }
 
   /** Near-dup pairs: LSH candidates verified with exact shingle

@@ -31,9 +31,11 @@ import org.apache.spark.sql.types._
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Native codegen dot product (see [[graft.functions.VecDot]]);
+    * same sequential double summation as the higher-order-function
+    * form, so oracle parity is unchanged. */
   private[ops] def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.vec_dot(a, b)
 
   private[ops] def normD(a: Column): Column = sqrt(dotD(a, a))
 
@@ -126,14 +128,19 @@ object Similarity {
     * deduped across tables. */
   def candidatePairs(emb: DataFrame, vecIdCol: String, vecCol: String): DataFrame = {
     val planes = hyperplanes(nTables * bitsPerTable, dim = 64)
-    val idx = lshIndex(emb.select(col(vecIdCol), col(vecCol)), vecCol, planes)
-    val a = idx.select(col("tbl"), col("bucket"),
-      col(vecIdCol).as("vec_a"), col(vecCol).as("emb_a"))
-    val b = idx.select(col("tbl"), col("bucket"),
-      col(vecIdCol).as("vec_b"), col(vecCol).as("emb_b"))
-    a.join(b, Seq("tbl", "bucket"))
+    val base = emb.select(col(vecIdCol), col(vecCol))
+    // id-only bucket join + dedupe; vectors re-joined onto surviving
+    // pairs (the shuffles move ids, not 64-float arrays)
+    val idx = lshIndex(base, vecCol, planes).select(col(vecIdCol), col("tbl"), col("bucket"))
+    val pairs = idx.select(col("tbl"), col("bucket"), col(vecIdCol).as("vec_a"))
+      .join(idx.select(col("tbl"), col("bucket"), col(vecIdCol).as("vec_b")),
+        Seq("tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    pairs
+      .join(base.select(col(vecIdCol).as("vec_a"), col(vecCol).as("emb_a")), Seq("vec_a"))
+      .join(base.select(col(vecIdCol).as("vec_b"), col(vecCol).as("emb_b")), Seq("vec_b"))
   }
 
   val queries: Map[String, Q] = Map(
