@@ -79,11 +79,45 @@ object EventTime {
       .orderBy(col("user_id"), col("seq"))
   }
 
+  /** As-of join composed from built-ins (Spark has no native as-of):
+    * tag both streams, union, and carry the last left-side timestamp
+    * forward with last_value(ignoreNulls) over event time. One shuffle
+    * on the join key, no range explosion — the standard Spark shape
+    * for "match each right row to the latest prior left row".
+    * Here: each purchase matched to the user's most recent prior
+    * click. */
+  val asofClickPurchase: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast(LongType).as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast(LongType).as("event_id"), col("event_id").as("purchase_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("purchase_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_ts",
+        last(when(col("purchase_id").isNull, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("purchase_id").isNotNull)
+      .select(
+        col("user_id"),
+        col("purchase_id"),
+        date_format(col("ts"), tsFmt).as("purchase_ts"),
+        date_format(col("last_click_ts"), tsFmt).as("last_click_ts"),
+        when(col("last_click_ts").isNull, lit(null).cast(DoubleType))
+          .otherwise((unix_micros(col("ts")) - unix_micros(col("last_click_ts")))
+            .cast(DoubleType) / 60000000.0).as("minutes_since_click"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_events_hourly" -> hourly,
     "q26_events_sliding" -> sliding,
     "q27_events_sessions" -> sessions,
     "q28_user_activity" -> userActivity,
+    "q29_asof_click_purchase" -> asofClickPurchase,
   )
 
   val oracle: Map[String, String] = Map(
@@ -113,6 +147,24 @@ object EventTime {
          |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
          |  count(*) AS n_events, ${Qx.sqlDsum("value")} AS sum_value
          |FROM grp GROUP BY user_id, session_no""".stripMargin,
+    "q29_asof_click_purchase" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS purchase_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, CAST(NULL AS BIGINT), event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |), marked AS (
+        |  SELECT *, last_value(CASE WHEN purchase_id IS NULL THEN ts END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, purchase_id ASC NULLS FIRST
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        |  FROM tagged
+        |)
+        |SELECT user_id, purchase_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(last_click_ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts,
+        |  CAST(epoch_us(ts) - epoch_us(last_click_ts) AS DOUBLE) / 60000000.0 AS minutes_since_click
+        |FROM marked WHERE purchase_id IS NOT NULL""".stripMargin,
     "q28_user_activity" ->
       """SELECT user_id, event_id,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,

@@ -197,7 +197,22 @@ object Core {
       .orderBy(col("tag"), col("c_custkey"))
   }
 
+  /** Sketch aggregates (HLL distinct, quantile sketch) next to their
+    * exact forms — engine-specific algorithms, so rows-only under the
+    * driver (no SQL twin); CoreSketchSpec bounds the relative error. */
+  private val q19: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("median_price_sketch"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q19_sketches" -> q19,
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
     "q03_segment_stats" -> q03,
