@@ -38,6 +38,14 @@ object FlightDemo {
     Kpi.topRoutes(wh, 5).show(truncate = false)
     println("[demo] K-5 fare trend (first 10 days):")
     Kpi.fareTrend(wh).show(10, truncate = false)
+
+    // Partition-pruning proof: a date-bounded scan must touch only the
+    // in-range departure_date_id directories.
+    val ranged = wh.factForDateRange("2024-01-05", "2024-01-07")
+    val physical = ranged.queryExecution.executedPlan.toString
+    val pruned = physical.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    println(s"[demo] date-range scan rows=${ranged.count()}")
+    println(s"[demo] $pruned")
     spark.stop()
   }
 }

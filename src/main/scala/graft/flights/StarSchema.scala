@@ -46,7 +46,19 @@ class StarWarehouse(spark: SparkSession, root: String) {
   def dimAirlines: DataFrame = readOrEmpty(dimAirlinesPath, FlightSchemas.dimAirlines)
   def dimAirports: DataFrame = readOrEmpty(dimAirportsPath, FlightSchemas.dimAirports)
   def dimDate: DataFrame     = readOrEmpty(dimDatePath, FlightSchemas.dimDate)
-  def fact: DataFrame        = spark.read.parquet(factPath)
+
+  /** The fact is stored partitioned by departure_date_id (the
+    * time-series access path: K-3/K-5 and any date-range analysis
+    * prune partitions at the source). Reading re-orders columns to the
+    * canonical projection since partition columns surface last. */
+  def fact: DataFrame =
+    spark.read.parquet(factPath)
+      .select(FlightSchemas.factColumns.map(col).toIndexedSeq: _*)
+
+  /** Date-bounded fact scan — partition pruning makes this touch only
+    * the in-range directories (PartitionFilters in explain). */
+  def factForDateRange(from: String, to: String): DataFrame =
+    fact.filter(col("departure_date_id").between(from, to))
 
   /** T-9: incremental dim upsert with stable surrogate keys. Returns
     * the post-upsert dimension. `rows` must be distinct on `nk`. */
@@ -108,7 +120,8 @@ class StarWarehouse(spark: SparkSession, root: String) {
         "destination_airport_id", "departure_date_id"))
       .select(FlightSchemas.factColumns.map(col).toIndexedSeq: _*)
 
-    factDf.write.mode(SaveMode.Overwrite).parquet(factPath)
+    factDf.write.mode(SaveMode.Overwrite)
+      .partitionBy("departure_date_id").parquet(factPath)
     val factRows = spark.read.parquet(factPath).count()
     cleaned.unpersist()
     TransformStats(rowsIn, rowsIn - rowsClean, factRows)

@@ -93,11 +93,27 @@ object Dedup {
     * the surviving pairs only. The sketch table is cached because the
     * self-join and both re-joins read it (cluster-scale: persist or
     * checkpoint). */
+  /** Hashed n-gram shingles from a PRE-PROJECTED token-hash array
+    * column: hash n-tuples of token hashes by index. The input must be
+    * an attribute (not an inline expression) — expressions referenced
+    * inside lambda bodies are re-evaluated per element, which would
+    * make this O(tokens^2). Same Jaccard structure as string shingles
+    * with no per-shingle string building. */
+  def shinglesFromTokenHashes(th: Column, n: Int = 3): Column = {
+    val idx = sequence(lit(1), greatest(size(th) - (n - 1), lit(1)))
+    array_distinct(transform(idx, i =>
+      xxhash64((0 until n).map(o =>
+        coalesce(element_at(th, i + o), lit(0L))): _*)))
+  }
+
+  def tokenHashes(text: Column): Column =
+    transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
+
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val rows = numHashes / bands
     val sig = docs
-      .select(col("doc_id"),
-        transform(shingles(col("text")), x => xxhash64(x)).as("sh"))
+      .select(col("doc_id"), tokenHashes(col("text")).as("th"))
+      .select(col("doc_id"), shinglesFromTokenHashes(col("th")).as("sh"))
       .withColumn("sig", minhashSignature(col("sh")))
       .cache()
     val banded = sig.select(

@@ -211,8 +211,42 @@ object Core {
       .orderBy(col("l_returnflag"))
   }
 
+  /** CUBE: all grouping-set combinations over two keys. */
+  private val q39: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** The raw-SQL surface: the engine accepts SQL text over registered
+    * views (TPC-H Q3 shape). Exercises the full parse -> analyze ->
+    * optimize path rather than the DataFrame DSL. */
+  private val q40: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("v_customer")
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+        |  date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
+        |  o_orderpriority
+        |FROM v_customer
+        |JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q19_sketches" -> q19,
+    "q39_cube_agg" -> q39,
+    "q40_sql_surface" -> q40,
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
     "q03_segment_stats" -> q03,
@@ -230,6 +264,26 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
+    "q39_cube_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n_items
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q40_sql_surface" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
