@@ -33,7 +33,7 @@ object Core {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(DoubleType).as("sum_disc_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(D6).cast(DoubleType).as("sum_disc_price"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -48,7 +48,7 @@ object Core {
         col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
-      .agg((sum(col("l_extendedprice").cast(D6) * col("l_discount").cast(D6))).cast(DoubleType).as("revenue"))
+      .agg((sum(col("l_extendedprice").cast(D6) * col("l_discount").cast(D6))).cast(D6).cast(DoubleType).as("revenue"))
   }
 
   /** K-1/K-2 analog: fact⋈dim join + per-group count/avg/max. */
@@ -76,7 +76,7 @@ object Core {
       .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(DoubleType).as("revenue"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(D6).cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -162,8 +162,8 @@ object Core {
     val li = Tables.lineitem(s, d)
     li.groupBy(col("l_returnflag"))
       .agg(
-        sum(when(col("l_linestatus") === "F", col("l_quantity")).otherwise(0).cast(D6)).cast(DoubleType).as("qty_f"),
-        sum(when(col("l_linestatus") === "O", col("l_quantity")).otherwise(0).cast(D6)).cast(DoubleType).as("qty_o"),
+        sum(when(col("l_linestatus") === "F", col("l_quantity")).otherwise(0).cast(D6)).cast(D6).cast(DoubleType).as("qty_f"),
+        sum(when(col("l_linestatus") === "O", col("l_quantity")).otherwise(0).cast(D6)).cast(D6).cast(DoubleType).as("qty_o"),
         count(when(col("l_linestatus") === "F", lit(1))).as("n_f"),
         count(when(col("l_linestatus") === "O", lit(1))).as("n_o"))
       .orderBy(col("l_returnflag"))
@@ -228,8 +228,8 @@ object Core {
     Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
     s.sql(
       """SELECT o_orderkey,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |           (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
         |  date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
         |  o_orderpriority
         |FROM v_customer
@@ -271,8 +271,8 @@ object Core {
          |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q40_sql_surface" ->
       """SELECT o_orderkey,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |           (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
         |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  o_orderpriority
         |FROM customer
@@ -288,7 +288,7 @@ object Core {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
          |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
-         |  CAST(sum($sqlDiscPrice) AS DOUBLE) AS sum_disc_price,
+         |  CAST(CAST(sum($sqlDiscPrice) AS DECIMAL(18,6)) AS DOUBLE) AS sum_disc_price,
          |  ${sqlDavg("l_quantity")} AS avg_qty,
          |  ${sqlDavg("l_discount")} AS avg_disc,
          |  count(*) AS count_order
@@ -296,7 +296,7 @@ object Core {
          |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_revenue_filter" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -312,7 +312,7 @@ object Core {
          |GROUP BY c_mktsegment""".stripMargin,
     "q04_revenue_by_nation" ->
       s"""SELECT r_name, n_name,
-         |  CAST(sum($sqlDiscPrice) AS DOUBLE) AS revenue,
+         |  CAST(CAST(sum($sqlDiscPrice) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
          |  count(*) AS n_items
          |FROM lineitem
          |JOIN supplier ON l_suppkey = s_suppkey
@@ -361,8 +361,8 @@ object Core {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q12_case_pivot" ->
       """SELECT l_returnflag,
-        |  CAST(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS qty_f,
-        |  CAST(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS qty_o,
+        |  CAST(CAST(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS qty_f,
+        |  CAST(CAST(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS qty_o,
         |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
         |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,

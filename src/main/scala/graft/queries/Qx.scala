@@ -15,6 +15,15 @@ import org.apache.spark.sql.types._
   * Both engines then produce bit-identical values regardless of
   * partitioning. Averages divide the exact decimal sum (as double) by
   * the exact count — one deterministic double op — then quantize.
+  *
+  * The final decimal->double conversion must happen from a decimal
+  * whose SCALED integer fits in float64's exact range (<2^53): DuckDB
+  * converts via (double)int / 10^scale (two roundings for wide
+  * decimals), Spark via BigDecimal (one correct rounding). Rescaling
+  * the sum to DECIMAL(18,6) first (lossless: inputs have <=6 real dp)
+  * keeps both engines on a single correctly-rounded conversion for
+  * totals up to ~9e9 — found by the sf0.1 probe, where the scale-12
+  * product sums exceeded int64 and diverged by 1 ulp.
   */
 object Qx {
   val D6: DecimalType = DecimalType(18, 6)
@@ -24,12 +33,12 @@ object Qx {
     * both engines produce identical bits; DuckDB's client also surfaces
     * decimals as float64, so DOUBLE is the stable interchange type).
     * DuckDB twin: CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) */
-  def dsum(c: Column): Column = sum(c.cast(D6)).cast(DoubleType)
+  def dsum(c: Column): Column = sum(c.cast(D6)).cast(D6).cast(DoubleType)
 
   /** Deterministic average via exact sum / exact count.
     * DuckDB twin: CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/count(*) */
   def davg(c: Column): Column =
-    sum(c.cast(D6)).cast(DoubleType) / count(lit(1))
+    sum(c.cast(D6)).cast(D6).cast(DoubleType) / count(lit(1))
 
   /** l_extendedprice * (1 - l_discount) in exact decimal (<= 4 real dp). */
   def discPrice(price: Column, discount: Column): Column =
@@ -37,9 +46,9 @@ object Qx {
 
   /** SQL-side twins kept next to the Scala ones so the two stay in sync. */
   def sqlDsum(x: String): String =
-    s"CAST(sum(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST($x AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)"
   def sqlDavg(x: String): String =
-    s"CAST(sum(CAST($x AS DECIMAL(18,6))) AS DOUBLE)/count(*)"
+    s"CAST(CAST(sum(CAST($x AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)/count(*)"
   def sqlDiscPrice: String =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))"
 }
