@@ -64,14 +64,40 @@ object FlightSchemas {
 
   /** 13-column fact projection per transformation.py:128-132 (the code,
     * not the README ERD — SURVEY.md §1.2 discrepancy note). */
-  val factColumns: Seq[String] = Seq(
-    "airline_id", "source_airport_id", "destination_airport_id",
-    "departure_date_id", "aircraft_type", "class", "stopovers",
-    "booking_source", "duration_hours", "days_before_departure",
-    "base_fare", "tax_surcharge", "total_fare")
+  val factFlights: StructType = StructType(Seq(
+    StructField("airline_id", LongType),
+    StructField("source_airport_id", LongType),
+    StructField("destination_airport_id", LongType),
+    StructField("departure_date_id", DateType),
+    StructField("aircraft_type", StringType),
+    StructField("class", StringType),
+    StructField("stopovers", IntegerType),
+    StructField("booking_source", StringType),
+    StructField("duration_hours", DoubleType),
+    StructField("days_before_departure", IntegerType),
+    StructField("base_fare", DoubleType),
+    StructField("tax_surcharge", DoubleType),
+    StructField("total_fare", DoubleType)))
+
+  val factColumns: Seq[String] = factFlights.fieldNames.toIndexedSeq
 
   /** Hash-ledger layout (init_mysql.sql:27-30). */
   val ledger: StructType = StructType(Seq(
     StructField("row_hash", StringType, nullable = false),
     StructField("load_timestamp", TimestampType)))
+
+  /** I-13: CSV header layout -> staging snake_case layout. One shared
+    * implementation — the rename is part of the staging contract. */
+  def renameToStaging(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    renameMap.foldLeft(df) { case (d, (h, c)) => d.withColumnRenamed(h, c) }
+
+  /** I-10: the canonical row content hash — md5 over a null-sentineled,
+    * separator-joined concat of every column. This IS the cross-run
+    * dedup key shared by the batch ledger and streaming state; there
+    * must be exactly one definition. */
+  def rowHashColumn(columns: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val parts = columns.map(c => coalesce(col(c).cast(StringType), lit("\u0000")))
+    md5(concat_ws("\u0001", parts: _*))
+  }
 }

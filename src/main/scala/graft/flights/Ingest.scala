@@ -53,15 +53,13 @@ class FlightIngest(spark: SparkSession, root: String) {
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], FlightSchemas.ledger)
 
-  def staging: DataFrame = spark.read.parquet(stagingPath)
+  def staging: DataFrame =
+    spark.read.schema(FlightSchemas.staging).parquet(stagingPath)
 
-  /** I-10: canonical row hash — null-safe concat with dedicated
-    * separator/sentinel so distinct tuples can't collide on
-    * concatenation ambiguity. */
-  def rowHash(df: DataFrame): DataFrame = {
-    val parts = df.columns.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
-    df.withColumn("row_hash", md5(concat_ws("\u0001", parts.toIndexedSeq: _*)))
-  }
+  /** I-10: canonical row hash (shared definition — see
+    * FlightSchemas.rowHashColumn). */
+  def rowHash(df: DataFrame): DataFrame =
+    df.withColumn("row_hash", FlightSchemas.rowHashColumn(df.columns.toIndexedSeq))
 
   def ingest(csvPath: String): IngestResult = {
     // I-1: raw line count (includes header, like the reference's rb scan)
@@ -94,13 +92,18 @@ class FlightIngest(spark: SparkSession, root: String) {
       .cache()
     val freshCount = fresh.count()
 
-    if (freshCount > 0) {
-      // I-13 rename + I-12 drop helper column, then I-7 staging write.
-      val renamed = FlightSchemas.renameMap.foldLeft(fresh.drop("row_hash")) {
-        case (df, (h, c)) => df.withColumnRenamed(h, c)
-      }
+    // I-13 rename + I-12 drop helper column, then I-7 staging write.
+    // On a reset/first load (off == 0) the staging is REBUILT even when
+    // every row deduped away: a shrunk "new file" must not leave stale
+    // rows from the replaced file behind. (V-3 will still alarm when a
+    // shrunk file consists solely of already-seen rows — the same alarm
+    // the reference raises there; the ledger is global-forever.)
+    val renamed = FlightSchemas.renameToStaging(fresh.drop("row_hash"))
+    if (freshCount > 0 || off == 0) {
       val mode = if (off == 0) SaveMode.Overwrite else SaveMode.Append
       renamed.write.mode(mode).parquet(stagingPath)
+    }
+    if (freshCount > 0) {
       // I-8: ledger append with load timestamp.
       fresh.select(col("row_hash"))
         .withColumn("load_timestamp", current_timestamp())

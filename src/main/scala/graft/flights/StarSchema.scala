@@ -49,10 +49,12 @@ class StarWarehouse(spark: SparkSession, root: String) {
 
   /** The fact is stored partitioned by departure_date_id (the
     * time-series access path: K-3/K-5 and any date-range analysis
-    * prune partitions at the source). Reading re-orders columns to the
-    * canonical projection since partition columns surface last. */
+    * prune partitions at the source). Schema-pinned read: no
+    * inference, and a file-less directory (all-dropped batch) reads
+    * as empty instead of failing; columns re-ordered to the canonical
+    * projection since partition columns surface last. */
   def fact: DataFrame =
-    spark.read.parquet(factPath)
+    spark.read.schema(FlightSchemas.factFlights).parquet(factPath)
       .select(FlightSchemas.factColumns.map(col).toIndexedSeq: _*)
 
   /** Date-bounded fact scan — partition pruning makes this touch only
@@ -70,7 +72,9 @@ class StarWarehouse(spark: SparkSession, root: String) {
       .withColumn(idCol, lit(maxId) + row_number().over(Window.orderBy(col(nk))))
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     if (!keyed.isEmpty) keyed.write.mode(SaveMode.Append).parquet(path)
-    spark.read.schema(schema).parquet(path)
+    // readOrEmpty, not a bare read: on a first run where cleaning
+    // dropped every row, nothing was ever written to `path`.
+    readOrEmpty(path, schema)
   }
 
   /** The transform stage (T-1..T-13): staging -> cleaned -> dims -> fact. */
@@ -100,7 +104,7 @@ class StarWarehouse(spark: SparkSession, root: String) {
     val freshDates = dateRows.join(dimDate.select("date_id"), Seq("date_id"), "left_anti")
     if (!freshDates.isEmpty)
       freshDates.write.mode(SaveMode.Append).parquet(dimDatePath)
-    val dates = spark.read.schema(FlightSchemas.dimDate).parquet(dimDatePath)
+    val dates = readOrEmpty(dimDatePath, FlightSchemas.dimDate)
 
     // T-11/T-12: FK resolution via broadcast joins (airports joined
     // twice under role aliases), then inner-join semantics of dropna.
@@ -122,7 +126,9 @@ class StarWarehouse(spark: SparkSession, root: String) {
 
     factDf.write.mode(SaveMode.Overwrite)
       .partitionBy("departure_date_id").parquet(factPath)
-    val factRows = spark.read.parquet(factPath).count()
+    // count the plan, not a re-read: an all-dropped batch writes a
+    // file-less directory that a bare parquet read cannot infer.
+    val factRows = factDf.count()
     cleaned.unpersist()
     TransformStats(rowsIn, rowsIn - rowsClean, factRows)
   }

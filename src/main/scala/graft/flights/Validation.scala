@@ -14,9 +14,10 @@ object Validation {
              factPath: String): Counts = {
     // V-1: len(pd.read_csv(path)) — data rows, header excluded.
     val source = spark.read.option("header", true).csv(csvPath).count()
-    // V-2: SELECT COUNT(*) on staging and fact.
-    val staging = spark.read.parquet(stagingPath).count()
-    val fact = spark.read.parquet(factPath).count()
+    // V-2: SELECT COUNT(*) on staging and fact (schema-pinned so a
+    // file-less directory counts as 0 and the gate alarms properly).
+    val staging = spark.read.schema(FlightSchemas.staging).parquet(stagingPath).count()
+    val fact = spark.read.schema(FlightSchemas.factFlights).parquet(factPath).count()
     Counts(source, staging, fact)
   }
 

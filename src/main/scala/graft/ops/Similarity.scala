@@ -98,12 +98,17 @@ object Similarity {
       .drop("tb")
   }
 
+  /** Embedding dimensionality probed from the data (hyperplanes must
+    * cover every component or bucketing silently degrades). */
+  private def embDim(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol))).head().getInt(0)
+
   /** ANN via multi-table LSH. No SQL oracle (approximate by
     * construction; driver records the rows-only check); recall vs.
     * bruteTopK is asserted in SimilaritySpec. */
   val lshTopK: Q = (s, d) => {
-    val planes = hyperplanes(nTables * bitsPerTable, dim = 64)
     val emb = Tables.embeddings(s, d)
+    val planes = hyperplanes(nTables * bitsPerTable, embDim(emb, "embedding"))
     val corpusIdx = lshIndex(emb, "embedding", planes)
     val queryIdx = lshIndex(
       emb.filter(col("vec_id") < nQueries)
@@ -127,7 +132,7 @@ object Similarity {
     * embedding near-dup tier in [[Dedup]]): bucket-local self-join,
     * deduped across tables. */
   def candidatePairs(emb: DataFrame, vecIdCol: String, vecCol: String): DataFrame = {
-    val planes = hyperplanes(nTables * bitsPerTable, dim = 64)
+    val planes = hyperplanes(nTables * bitsPerTable, embDim(emb, vecCol))
     val base = emb.select(col(vecIdCol), col(vecCol))
     // id-only bucket join + dedupe; vectors re-joined onto surviving
     // pairs (the shuffles move ids, not 64-float arrays)

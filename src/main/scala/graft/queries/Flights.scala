@@ -21,13 +21,9 @@ object Flights {
 
   val fixturePath = "/root/repo/src/test/resources/flights_small.csv"
 
-  private def rawFixture(s: SparkSession): DataFrame = {
-    val renamed = FlightSchemas.renameMap.foldLeft(
-      s.read.schema(FlightSchemas.rawCsv).option("header", true).csv(fixturePath)) {
-      case (df, (h, c)) => df.withColumnRenamed(h, c)
-    }
-    renamed
-  }
+  private def rawFixture(s: SparkSession): DataFrame =
+    FlightSchemas.renameToStaging(
+      s.read.schema(FlightSchemas.rawCsv).option("header", true).csv(fixturePath))
 
   /** T-3 decision table (transformation.py:14-24) over literal rows,
     * verified against an independent SQL re-derivation. */

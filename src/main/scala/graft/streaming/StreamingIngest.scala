@@ -29,14 +29,11 @@ object StreamingIngest {
       .schema(FlightSchemas.rawCsv)
       .option("header", true)
       .csv(csvDir)
-    val parts = raw.columns.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
     val hashed = raw
-      .withColumn("row_hash", md5(concat_ws("\u0001", parts.toIndexedSeq: _*)))
-      .withColumn("load_time", current_timestamp())
+      .withColumn("row_hash", FlightSchemas.rowHashColumn(raw.columns.toIndexedSeq))
       .dropDuplicates("row_hash")
-    FlightSchemas.renameMap.foldLeft(hashed) {
-      case (df, (h, c)) => df.withColumnRenamed(h, c)
-    }
+      .drop("row_hash") // I-12: staging carries the 17 data columns only
+    FlightSchemas.renameToStaging(hashed)
   }
 
   /** Start the ingest stream into a parquet staging directory.

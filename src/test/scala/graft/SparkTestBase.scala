@@ -19,6 +19,8 @@ object SparkTestBase {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-wh").toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")

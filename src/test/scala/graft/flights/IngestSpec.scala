@@ -56,6 +56,9 @@ class IngestSpec extends SparkTestBase {
     // shrunk rows are a subset of already-hashed rows => ledger drops all
     assert(r2.rowsLoaded == 0)
     assert(r2.newOffset == 10)
+    // the reset REBUILDS staging: stale rows from the replaced file are
+    // gone (V-3 then alarms on source!=staging, as the reference would)
+    assert(ing.staging.count() == 0)
   }
 
   test("intra-batch duplicates collapse to one row") {

@@ -8,9 +8,9 @@ class StarSchemaSpec extends SparkTestBase {
   import spark.implicits._
 
   private def stagingFromCsv(name: String): DataFrame =
-    FlightSchemas.renameMap.foldLeft(
+    FlightSchemas.renameToStaging(
       spark.read.schema(FlightSchemas.rawCsv).option("header", true)
-        .csv(resource(name))) { case (df, (h, c)) => df.withColumnRenamed(h, c) }
+        .csv(resource(name)))
 
   test("transform builds the 13-column fact and three dims") {
     val wh = new StarWarehouse(spark, tmpDir("star"))

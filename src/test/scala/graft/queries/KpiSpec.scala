@@ -7,11 +7,9 @@ import org.apache.spark.sql.functions._
 class KpiSpec extends SparkTestBase {
   private lazy val wh: StarWarehouse = {
     val w = new StarWarehouse(spark, tmpDir("kpi"))
-    val staging = FlightSchemas.renameMap.foldLeft(
+    val staging = FlightSchemas.renameToStaging(
       spark.read.schema(FlightSchemas.rawCsv).option("header", true)
-        .csv(resource("flights_small.csv"))) {
-      case (df, (h, c)) => df.withColumnRenamed(h, c)
-    }
+        .csv(resource("flights_small.csv")))
     w.transform(staging)
     w
   }
