@@ -112,7 +112,23 @@ object EventTime {
       .orderBy(col("user_id"), col("purchase_id"))
   }
 
+  /** Semi-structured surface: JSON property extraction from the props
+    * column (schema-on-read over string payloads), aggregated per
+    * event type. */
+  val jsonExtract: Q = (s, d) => {
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k").cast(LongType)).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q41_json_extract" -> jsonExtract,
     "q25_events_hourly" -> hourly,
     "q26_events_sliding" -> sliding,
     "q27_events_sessions" -> sessions,
@@ -121,6 +137,12 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q41_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q25_events_hourly" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          |  event_type, count(*) AS n_events, ${Qx.sqlDsum("value")} AS sum_value

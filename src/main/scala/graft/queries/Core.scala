@@ -243,10 +243,39 @@ object Core {
         |LIMIT 20""".stripMargin)
   }
 
+  /** Relational pivot: one column per linestatus value (the native
+    * `.pivot()` operator; DuckDB mirrors with conditional aggregates). */
+  private val q42: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Unpivot (melt): wide per-group measures back to (measure, value)
+    * rows — Spark's native unpivot operator; the SQL twin stacks with
+    * UNION ALL. */
+  private val q43: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val wide = li.groupBy(col("l_returnflag"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q19_sketches" -> q19,
     "q39_cube_agg" -> q39,
     "q40_sql_surface" -> q40,
+    "q42_pivot" -> q42,
+    "q43_unpivot" -> q43,
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
     "q03_segment_stats" -> q03,
@@ -269,6 +298,21 @@ object Core {
          |  ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n_items
          |FROM lineitem
          |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q42_pivot" ->
+      s"""SELECT l_returnflag,
+         |  CAST(CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS DOUBLE) AS qty_f,
+         |  CAST(CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS DOUBLE) AS qty_o
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q43_unpivot" ->
+      s"""WITH wide AS (
+         |  SELECT l_returnflag,
+         |    ${sqlDsum("l_quantity")} AS sum_qty,
+         |    ${sqlDsum("l_extendedprice")} AS sum_price
+         |  FROM lineitem GROUP BY l_returnflag
+         |)
+         |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide""".stripMargin,
     "q40_sql_surface" ->
       """SELECT o_orderkey,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *

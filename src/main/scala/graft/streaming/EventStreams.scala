@@ -29,9 +29,18 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
-  /** Read the events parquet directory as a stream (test/demo entry). */
+  /** Read the events parquet directory as a stream (test/demo entry).
+    * events.parquet stores TIMESTAMP(NANOS): apply the same
+    * nanos-as-long + µs-conversion shim as graft.Tables.events, so the
+    * streamed `ts` is a real timestamp the window operators accept. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    // the streaming file source wants a directory; select the events
+    // file out of the shared testdata dir with a glob
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }
