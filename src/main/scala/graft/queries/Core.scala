@@ -270,12 +270,59 @@ object Core {
       .orderBy(col("l_returnflag"), col("measure"))
   }
 
+  /** Correlated scalar subquery (TPC-H Q17 shape): revenue from
+    * small-quantity orders, threshold = 0.2 * per-part average.
+    * Expressed decorrelated (per-part aggregate + join) — the plan
+    * Catalyst produces for the correlated SQL form anyway. The inner
+    * avg is exact across engines: integer-valued quantities sum
+    * exactly in double. */
+  private val q44: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val pa = Tables.part(s, d)
+    val perPart = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_threshold"))
+    li.join(broadcast(pa.filter(col("p_brand") === "Brand#4")),
+        li("l_partkey") === pa("p_partkey"))
+      .join(perPart, li("l_partkey") === perPart("t_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg(
+        (sum(col("l_extendedprice").cast(D6)).cast(D6).cast(DoubleType) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** Window frames: 7-row moving average and running cumulative sum
+    * over daily totals (ROWS BETWEEN frames, time-ordered). The frame
+    * aggregates stay DECIMAL until the final cast: DuckDB evaluates
+    * window sums with a segment tree (pairwise order), Spark
+    * sequentially — only exact decimal addition is order-independent.
+    * The running total rescales to DECIMAL(18,4) (bound ~9e11) since
+    * the cumulative sum outgrows the (18,6) exact-double range. */
+  private val q45: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val daily = o.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+      .agg(sum(col("o_totalprice").cast(D6)).cast(D6).as("day_total_dec"))
+    val byDay = Window.orderBy(col("order_day"))
+    daily
+      .withColumn("rn", row_number().over(byDay))
+      .withColumn("moving_avg_7d",
+        sum(col("day_total_dec")).over(byDay.rowsBetween(-6, 0))
+          .cast(D6).cast(DoubleType) / least(col("rn"), lit(7)))
+      .withColumn("running_total",
+        sum(col("day_total_dec")).over(byDay.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DecimalType(18, 4)).cast(DoubleType))
+      .select(col("order_day"), col("day_total_dec").cast(DoubleType).as("day_total"),
+        col("moving_avg_7d"), col("running_total"))
+      .orderBy(col("order_day"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q19_sketches" -> q19,
     "q39_cube_agg" -> q39,
     "q40_sql_surface" -> q40,
     "q42_pivot" -> q42,
     "q43_unpivot" -> q43,
+    "q44_correlated_subquery" -> q44,
+    "q45_window_frames" -> q45,
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
     "q03_segment_stats" -> q03,
@@ -298,6 +345,32 @@ object Core {
          |  ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n_items
          |FROM lineitem
          |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q44_correlated_subquery" ->
+      """SELECT
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q45_window_frames" ->
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS day_total_dec
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT order_day,
+        |  CAST(day_total_dec AS DOUBLE) AS day_total,
+        |  CAST(CAST(sum(day_total_dec) OVER w7 AS DECIMAL(18,6)) AS DOUBLE)
+        |    / least(row_number() OVER wo, 7) AS moving_avg_7d,
+        |  CAST(CAST(sum(day_total_dec) OVER wu AS DECIMAL(18,4)) AS DOUBLE) AS running_total
+        |FROM daily
+        |WINDOW
+        |  wo AS (ORDER BY order_day),
+        |  w7 AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |  wu AS (ORDER BY order_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q42_pivot" ->
       s"""SELECT l_returnflag,
          |  CAST(CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS DOUBLE) AS qty_f,
