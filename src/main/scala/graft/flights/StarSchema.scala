@@ -77,12 +77,10 @@ class StarWarehouse(spark: SparkSession, root: String) {
     readOrEmpty(path, schema)
   }
 
-  /** The transform stage (T-1..T-13): staging -> cleaned -> dims -> fact. */
-  def transform(staging: DataFrame): TransformStats = {
-    val rowsIn = staging.count()
-    val cleaned = Cleaning.clean(staging).cache()
-    val rowsClean = cleaned.count() // materializes the cache; T-5 drop count
-
+  /** T-6/T-8: upsert all three dims for a cleaned batch; returns the
+    * post-upsert dims. Shared by the batch transform and the streaming
+    * incremental build (foreachBatch). */
+  def upsertDimsFor(cleaned: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // T-6: dim_airlines
     val airlineRows = cleaned.select(col("airline").as("airline_name")).distinct()
     val airlines = upsertDim(dimAirlinesPath, FlightSchemas.dimAirlines,
@@ -105,15 +103,20 @@ class StarWarehouse(spark: SparkSession, root: String) {
     if (!freshDates.isEmpty)
       freshDates.write.mode(SaveMode.Append).parquet(dimDatePath)
     val dates = readOrEmpty(dimDatePath, FlightSchemas.dimDate)
+    (airlines, airports, dates)
+  }
 
-    // T-11/T-12: FK resolution via broadcast joins (airports joined
-    // twice under role aliases), then inner-join semantics of dropna.
+  /** T-11/T-12: the fact projection for a cleaned batch against the
+    * given dims — FK resolution via broadcast joins (airports joined
+    * twice under role aliases), then inner-join semantics of dropna. */
+  def factRowsFor(cleaned: DataFrame, airlines: DataFrame,
+                  airports: DataFrame): DataFrame = {
     val fa = broadcast(airlines.select(col("airline_name"), col("airline_id")))
     val fs = broadcast(airports.select(col("airport_code").as("source_code"),
       col("airport_id").as("source_airport_id")))
     val fd = broadcast(airports.select(col("airport_code").as("destination_code"),
       col("airport_id").as("destination_airport_id")))
-    val factDf = cleaned
+    cleaned
       .withColumn("airline_name", col("airline"))
       .join(fa, Seq("airline_name"), "left")
       .join(fs, Seq("source_code"), "left")
@@ -123,6 +126,22 @@ class StarWarehouse(spark: SparkSession, root: String) {
       .na.drop("any", Seq("airline_id", "source_airport_id",
         "destination_airport_id", "departure_date_id"))
       .select(FlightSchemas.factColumns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Append a fact increment (streaming micro-batches). */
+  def appendFact(factDf: DataFrame): Unit =
+    factDf.write.mode(SaveMode.Append)
+      .partitionBy("departure_date_id").parquet(factPath)
+
+  /** The batch transform stage (T-1..T-13): staging -> cleaned ->
+    * dims -> fact, with the fact rebuilt deterministically. */
+  def transform(staging: DataFrame): TransformStats = {
+    val rowsIn = staging.count()
+    val cleaned = Cleaning.clean(staging).cache()
+    val rowsClean = cleaned.count() // materializes the cache; T-5 drop count
+
+    val (airlines, airports, _) = upsertDimsFor(cleaned)
+    val factDf = factRowsFor(cleaned, airlines, airports)
 
     factDf.write.mode(SaveMode.Overwrite)
       .partitionBy("departure_date_id").parquet(factPath)
