@@ -54,7 +54,7 @@ class StarWarehouse(spark: SparkSession, root: String) {
     * as empty instead of failing; columns re-ordered to the canonical
     * projection since partition columns surface last. */
   def fact: DataFrame =
-    spark.read.schema(FlightSchemas.factFlights).parquet(factPath)
+    readOrEmpty(factPath, FlightSchemas.factFlights)
       .select(FlightSchemas.factColumns.map(col).toIndexedSeq: _*)
 
   /** Date-bounded fact scan — partition pruning makes this touch only
@@ -145,9 +145,9 @@ class StarWarehouse(spark: SparkSession, root: String) {
 
     factDf.write.mode(SaveMode.Overwrite)
       .partitionBy("departure_date_id").parquet(factPath)
-    // count the plan, not a re-read: an all-dropped batch writes a
-    // file-less directory that a bare parquet read cannot infer.
-    val factRows = factDf.count()
+    // count the committed files (schema-pinned read handles the
+    // file-less all-dropped case) — cheaper than re-running the plan
+    val factRows = fact.count()
     cleaned.unpersist()
     TransformStats(rowsIn, rowsIn - rowsClean, factRows)
   }

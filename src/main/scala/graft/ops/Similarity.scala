@@ -101,7 +101,7 @@ object Similarity {
   /** Embedding dimensionality probed from the data (hyperplanes must
     * cover every component or bucketing silently degrades). */
   private def embDim(emb: DataFrame, vecCol: String): Int =
-    emb.select(size(col(vecCol))).head().getInt(0)
+    emb.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(64)
 
   /** ANN via multi-table LSH. No SQL oracle (approximate by
     * construction; driver records the rows-only check); recall vs.

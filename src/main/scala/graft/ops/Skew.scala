@@ -16,25 +16,17 @@ import org.apache.spark.sql.functions._
   * `approx_count_distinct` in the sketches query.
   */
 object Skew {
-  /** Two-phase salted count+sum aggregation.
-    * Equivalent to `df.groupBy(key).agg(count, sum(valueCol))` but the
-    * first shuffle distributes each key over `salts` partitions. */
+  /** Two-phase salted count+sum aggregation — equivalent to
+    * `df.groupBy(key).agg(count, sum(valueCol))` with the first
+    * shuffle distributing each key over `salts` partitions.
+    *
+    * The salt MUST derive deterministically from row content
+    * (`saltSource`): a partition-dependent salt (spark_partition_id,
+    * monotonically_increasing_id) re-salts rows differently when a
+    * failed stage recomputes, silently double-counting or dropping
+    * rows (the nondeterministic-shuffle-key hazard). */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
-                     salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(spark_partition_id() +
-      monotonically_increasing_id(), lit(salts)))
-    salted
-      .groupBy(col(key), col("_salt"))
-      .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
-      .groupBy(col(key))
-      .agg(sum(col("_n")).as("n"), sum(col("_s")).as("sum_value"))
-  }
-
-  /** Deterministic variant: salt derived from a hash of stable
-    * columns (same result layout every run; use when the salt must be
-    * reproducible, e.g. for tests or retry-idempotent jobs). */
-  def saltedCountSumBy(df: DataFrame, key: String, valueCol: String,
-                       saltSource: Column, salts: Int = 16): DataFrame =
+                     saltSource: Column, salts: Int = 16): DataFrame =
     df.withColumn("_salt", pmod(xxhash64(saltSource), lit(salts.toLong)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))

@@ -32,8 +32,8 @@ object Core {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(D6).cast(DoubleType).as("sum_disc_price"),
+        dsum(col("l_extendedprice"), rescale = 2).as("sum_base_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(DecimalType(18, 4)).cast(DoubleType).as("sum_disc_price"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -48,7 +48,7 @@ object Core {
         col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
-      .agg((sum(col("l_extendedprice").cast(D6) * col("l_discount").cast(D6))).cast(D6).cast(DoubleType).as("revenue"))
+      .agg((sum(col("l_extendedprice").cast(D6) * col("l_discount").cast(D6))).cast(DecimalType(18, 4)).cast(DoubleType).as("revenue"))
   }
 
   /** K-1/K-2 analog: fact⋈dim join + per-group count/avg/max. */
@@ -76,7 +76,7 @@ object Core {
       .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(D6).cast(DoubleType).as("revenue"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(DecimalType(18, 4)).cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -229,7 +229,7 @@ object Core {
     s.sql(
       """SELECT o_orderkey,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |           (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+        |           (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
         |  date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
         |  o_orderpriority
         |FROM v_customer
@@ -262,7 +262,7 @@ object Core {
     val wide = li.groupBy(col("l_returnflag"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_price"))
+        dsum(col("l_extendedprice"), rescale = 2).as("sum_price"))
     wide.unpivot(
         Array(col("l_returnflag")),
         Array(col("sum_qty"), col("sum_price")),
@@ -286,7 +286,7 @@ object Core {
       .join(perPart, li("l_partkey") === perPart("t_partkey"))
       .filter(col("l_quantity") < col("qty_threshold"))
       .agg(
-        (sum(col("l_extendedprice").cast(D6)).cast(D6).cast(DoubleType) / 7.0).as("avg_yearly"),
+        (sum(col("l_extendedprice").cast(D6)).cast(DecimalType(18, 2)).cast(DoubleType) / 7.0).as("avg_yearly"),
         count(lit(1)).as("n_small"))
   }
 
@@ -347,7 +347,7 @@ object Core {
          |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q44_correlated_subquery" ->
       """SELECT
-        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS DOUBLE) / 7.0 AS avg_yearly,
         |  count(*) AS n_small
         |FROM lineitem
         |JOIN part ON p_partkey = l_partkey
@@ -380,7 +380,7 @@ object Core {
       s"""WITH wide AS (
          |  SELECT l_returnflag,
          |    ${sqlDsum("l_quantity")} AS sum_qty,
-         |    ${sqlDsum("l_extendedprice")} AS sum_price
+         |    ${sqlDsum("l_extendedprice", rescale = 2)} AS sum_price
          |  FROM lineitem GROUP BY l_returnflag
          |)
          |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
@@ -389,7 +389,7 @@ object Core {
     "q40_sql_surface" ->
       """SELECT o_orderkey,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |           (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+        |           (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
         |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  o_orderpriority
         |FROM customer
@@ -404,8 +404,8 @@ object Core {
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
-         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
-         |  CAST(CAST(sum($sqlDiscPrice) AS DECIMAL(18,6)) AS DOUBLE) AS sum_disc_price,
+         |  ${sqlDsum("l_extendedprice", rescale = 2)} AS sum_base_price,
+         |  CAST(CAST(sum($sqlDiscPrice) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
          |  ${sqlDavg("l_quantity")} AS avg_qty,
          |  ${sqlDavg("l_discount")} AS avg_disc,
          |  count(*) AS count_order
@@ -413,7 +413,7 @@ object Core {
          |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_revenue_filter" ->
-      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -429,7 +429,7 @@ object Core {
          |GROUP BY c_mktsegment""".stripMargin,
     "q04_revenue_by_nation" ->
       s"""SELECT r_name, n_name,
-         |  CAST(CAST(sum($sqlDiscPrice) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+         |  CAST(CAST(sum($sqlDiscPrice) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
          |  count(*) AS n_items
          |FROM lineitem
          |JOIN supplier ON l_suppkey = s_suppkey

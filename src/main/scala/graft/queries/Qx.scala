@@ -21,9 +21,18 @@ import org.apache.spark.sql.types._
   * converts via (double)int / 10^scale (two roundings for wide
   * decimals), Spark via BigDecimal (one correct rounding). Rescaling
   * the sum to DECIMAL(18,6) first (lossless: inputs have <=6 real dp)
-  * keeps both engines on a single correctly-rounded conversion for
-  * totals up to ~9e9 — found by the sf0.1 probe, where the scale-12
-  * product sums exceeded int64 and diverged by 1 ulp.
+  * keeps both engines on a single correctly-rounded conversion —
+  * found by the sf0.1 probe, where the scale-12 product sums exceeded
+  * int64 and diverged by 1 ulp.
+  *
+  * The rescale target must be LOSSLESS for the data family (rounding
+  * at the rescale would reintroduce tie ambiguity) and its scaled
+  * integer must stay under 2^53. The scale ladder: 2-dp money sums ->
+  * scale 2 (exact to 9e13 totals, SF100-safe); 4-dp product sums ->
+  * scale 4 (9e11); 6-dp quantized values (events) -> scale 6 (9e9,
+  * values are small). Beyond the bound, Spark's non-ANSI cast yields
+  * NULL while DuckDB errors — loud on the oracle side, silent on
+  * Spark's; a transactional overflow check is a next-round item.
   */
 object Qx {
   val D6: DecimalType = DecimalType(18, 6)
@@ -33,7 +42,8 @@ object Qx {
     * both engines produce identical bits; DuckDB's client also surfaces
     * decimals as float64, so DOUBLE is the stable interchange type).
     * DuckDB twin: CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) */
-  def dsum(c: Column): Column = sum(c.cast(D6)).cast(D6).cast(DoubleType)
+  def dsum(c: Column, rescale: Int = 6): Column =
+    sum(c.cast(D6)).cast(DecimalType(18, rescale)).cast(DoubleType)
 
   /** Deterministic average via exact sum / exact count.
     * DuckDB twin: CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/count(*) */
@@ -45,8 +55,8 @@ object Qx {
     (price.cast(D6) * (lit(1).cast(D6) - discount.cast(D6))).cast(D6)
 
   /** SQL-side twins kept next to the Scala ones so the two stay in sync. */
-  def sqlDsum(x: String): String =
-    s"CAST(CAST(sum(CAST($x AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)"
+  def sqlDsum(x: String, rescale: Int = 6): String =
+    s"CAST(CAST(sum(CAST($x AS DECIMAL(18,6))) AS DECIMAL(18,$rescale)) AS DOUBLE)"
   def sqlDavg(x: String): String =
     s"CAST(CAST(sum(CAST($x AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)/count(*)"
   def sqlDiscPrice: String =

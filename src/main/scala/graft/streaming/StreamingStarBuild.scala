@@ -11,12 +11,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * increment is APPENDED into the date-partitioned fact.
   *
   * foreachBatch is the right tool here (not a plain streaming sink):
-  * the dim upsert is a multi-table transactional-ish step that needs
-  * batch-DataFrame semantics per micro-batch, while checkpointing
-  * still guarantees each staged file is processed exactly once. At
-  * 100 TB this is the architecture that replaces the reference's
-  * daily full-table transform: dims converge incrementally and only
-  * the new facts are written per batch.
+  * the dim upsert is a multi-table step that needs batch-DataFrame
+  * semantics per micro-batch. foreachBatch itself is at-least-once, so
+  * a per-batch marker file guards against the common replay (batch
+  * applied, offset commit lost): a replayed batch whose marker exists
+  * is skipped. The remaining window — crash between the fact append
+  * and the marker write — needs a transactional table format
+  * (Delta/Iceberg) to close completely; with plain parquet this is
+  * effectively-once. At 100 TB this replaces the reference's daily
+  * full-table transform: dims converge incrementally and only new
+  * facts are written per batch.
   */
 object StreamingStarBuild {
   /** Stream a staging directory (layout: FlightSchemas.staging parquet,
@@ -24,16 +28,22 @@ object StreamingStarBuild {
   def start(spark: SparkSession, stagingDir: String, warehouseRoot: String,
             checkpointDir: String): StreamingQuery = {
     val wh = new StarWarehouse(spark, warehouseRoot)
+    val markers = new java.io.File(s"$warehouseRoot/_applied_batches")
+    markers.mkdirs()
     val staged = spark.readStream
       .schema(graft.flights.FlightSchemas.staging)
       .parquet(stagingDir)
     staged.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val cleaned = Cleaning.clean(batch).cache()
-        try {
-          val (airlines, airports, _) = wh.upsertDimsFor(cleaned)
-          wh.appendFact(wh.factRowsFor(cleaned, airlines, airports))
-        } finally cleaned.unpersist()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = new java.io.File(markers, batchId.toString)
+        if (!marker.exists()) { // replayed, already-applied batch: skip
+          val cleaned = Cleaning.clean(batch).cache()
+          try {
+            val (airlines, airports, _) = wh.upsertDimsFor(cleaned)
+            wh.appendFact(wh.factRowsFor(cleaned, airlines, airports))
+            marker.createNewFile()
+          } finally cleaned.unpersist()
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -8,7 +8,6 @@ class BucketingSpec extends SparkTestBase {
     val plan = joined.queryExecution.executedPlan.toString
     // the join itself must be exchange-free; the only exchange allowed
     // is the final single-partition one for the tiny grouped result
-    val joinSection = plan.split("SortMergeJoin|ShuffledHashJoin")
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
       s"expected a co-located join, plan:\n$plan")
     // no Exchange hashpartitioning on the join keys

@@ -14,7 +14,7 @@ class SkewSpec extends SparkTestBase {
     val direct = df.groupBy("key")
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
-    val salted = Skew.saltedCountSumBy(df, "key", "value", col("value"))
+    val salted = Skew.saltedCountSum(df, "key", "value", col("value"))
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
     assert(salted.keySet == direct.keySet)
     direct.foreach { case (k, (n, s)) =>
