@@ -109,15 +109,21 @@ object Similarity {
   val lshTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val planes = hyperplanes(nTables * bitsPerTable, embDim(emb, "embedding"))
-    val corpusIdx = lshIndex(emb, "embedding", planes)
-    val queryIdx = lshIndex(
-      emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe")),
-      "qe", planes)
-      .select(col("qid"), col("qe"), col("tbl"), col("bucket"))
-    val candidates = corpusIdx.join(broadcast(queryIdx), Seq("tbl", "bucket"))
+    // id-only through the bucket join and dedupe (same candidate-pair
+    // discipline as candidatePairs); vectors re-joined after
+    val corpusIdx = lshIndex(emb.select(col("vec_id"), col("embedding")),
+      "embedding", planes).select(col("vec_id"), col("tbl"), col("bucket"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val queryIdx = lshIndex(queries, "qe", planes)
+      .select(col("qid"), col("tbl"), col("bucket"))
+    val candidateIds = corpusIdx.join(broadcast(queryIdx), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
       .dropDuplicates("qid", "vec_id")
+    val candidates = candidateIds
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id"))
     candidates
