@@ -315,7 +315,21 @@ object Core {
       .orderBy(col("order_day"))
   }
 
+  /** Custom typed Aggregator surface: quantity-weighted average price
+    * per returnflag via the udaf bridge. Rows-only under the driver
+    * (double reduce order is partition-dependent, so no exact oracle;
+    * AggregatorsSpec pins the arithmetic). */
+  private val q46: Q = (s, d) => {
+    val wavg = udaf(graft.functions.Aggregators.WeightedAvg)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("qty_weighted_avg_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q46_weighted_avg" -> q46,
     "q19_sketches" -> q19,
     "q39_cube_agg" -> q39,
     "q40_sql_surface" -> q40,

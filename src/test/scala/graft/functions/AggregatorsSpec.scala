@@ -1,0 +1,33 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AggregatorsSpec extends SparkTestBase {
+  import spark.implicits._
+  import Aggregators._
+
+  test("WeightedAvg aggregates exactly on the typed Dataset path") {
+    val result = Seq(
+      WeightedValue(10.0, 1.0), WeightedValue(20.0, 3.0), WeightedValue(5.0, 2.0))
+      .toDS().groupByKey(_ => 0).agg(WeightedAvg.toColumn).collect()
+    assert(math.abs(result.head._2 - (10.0 * 1 + 20.0 * 3 + 5.0 * 2) / 6.0) < 1e-12)
+  }
+
+  test("WeightedAvg works as an untyped DataFrame udaf") {
+    val wavg = udaf(WeightedAvg)
+    val byKey = Seq(("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 2.0))
+      .toDF("k", "value", "weight")
+      .groupBy("k")
+      .agg(wavg(col("value"), col("weight")).as("wavg"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(byKey("a") - 70.0 / 4.0) < 1e-12)
+    assert(math.abs(byKey("b") - 5.0) < 1e-12)
+  }
+
+  test("WeightedAvg: zero total weight yields NaN, not a crash") {
+    val result = Seq(WeightedValue(1.0, 0.0)).toDS()
+      .groupByKey(_ => 0).agg(Aggregators.WeightedAvg.toColumn).collect()
+    assert(result.head._2.isNaN)
+  }
+}
