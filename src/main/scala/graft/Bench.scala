@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,17 +19,35 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // a failed query reports -1, not a deceptively fast elapsed time
+      // The timed action is a noop-sink WRITE, not count(): under
+      // count(1) Catalyst's ColumnPruning deletes every unreferenced
+      // per-row expression, so projection-only queries (scalar funcs,
+      // text analysis, cleaned-row dumps) would time the scan and skip
+      // the md5/regex/title-case work entirely. The noop sink
+      // materializes every output column through the full plan with no
+      // I/O cost. A failed query reports -1, not a deceptively fast
+      // elapsed time.
       val elapsed =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      graft.ops.Dedup.releaseSketchCaches()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.filter(_._2 >= 0)
+    val failed = results.count(_._2 < 0)
+    // Fixture-driven queries are sf-constant: their time does not scale
+    // with the data and would dilute the headline number, so they are
+    // reported under const_total and excluded from the sf-scaled total.
+    val (const, scaled) = ok.partition { case (k, _) => SparkEntry.constQueries(k) }
+    val total = scaled.map(_._2).sum
+    val constTotal = const.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"const_total":$constTotal,"total_all":${total + constTotal},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

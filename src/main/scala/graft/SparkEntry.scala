@@ -31,4 +31,9 @@ object SparkEntry {
       graft.ops.TextAnalysis.oracle ++ graft.ops.EventTime.oracle ++
       graft.ops.Similarity.oracle ++ graft.ops.Dedup.oracle ++
       graft.ops.Multimodal.oracle
+
+  /** Queries driven by checked-in fixtures rather than the sf-scaled
+    * testdata tables: their runtime is constant in SF, so Bench reports
+    * them separately from the sf-scaled headline total. */
+  def constQueries: Set[String] = graft.queries.Flights.queries.keySet
 }

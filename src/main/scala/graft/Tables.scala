@@ -23,9 +23,19 @@ object Tables {
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects. The driver data is µs-precision (every
     * ns remainder is 0), so reading nanos as long and converting to a
-    * µs timestamp is lossless. */
+    * µs timestamp is lossless.
+    *
+    * The nanosAsLong conf must be set ON THE SESSION BUILDER (Bench,
+    * Verify, SparkTestBase and the demos all do). The loader used to
+    * set it here as a read side effect, but that silently changed how
+    * every later nanos-timestamp parquet read in the same session
+    * behaves for callers sharing the session — so now it fails loudly
+    * with the remedy instead of mutating shared state. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet stores TIMESTAMP(NANOS); set " +
+        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\") on the " +
+        "SparkSession builder (Tables does not mutate session config)")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -65,7 +65,13 @@ class FlightIngest(spark: SparkSession, root: String) {
     // I-1: raw line count (includes header, like the reference's rb scan)
     val lineCount = spark.read.text(csvPath).count()
     var off = offset
-    // I-3: file shrank => new file, reset
+    // I-3: file shrank => new file, reset. PINNED REFERENCE BUG
+    // (ingestion.py:41: `if total_lines < offset`): lineCount includes
+    // the header while the offset counts data rows, so a file that
+    // shrinks by exactly one data row gives lineCount == off — the
+    // reset is skipped and the replaced file's tail is never ingested.
+    // Replicated deliberately for offset-state parity; the fix would be
+    // `lineCount - 1 < off`.
     if (lineCount < off) off = 0
     // I-4: early exit
     val rowsToProcess = lineCount - 1 - off
@@ -93,17 +99,28 @@ class FlightIngest(spark: SparkSession, root: String) {
     val freshCount = fresh.count()
 
     // I-13 rename + I-12 drop helper column, then I-7 staging write.
-    // On a reset/first load (off == 0) the staging is REBUILT even when
-    // every row deduped away: a shrunk "new file" must not leave stale
-    // rows from the replaced file behind. (V-3 will still alarm when a
-    // shrunk file consists solely of already-seen rows — the same alarm
-    // the reference raises there; the ledger is global-forever.)
+    // Staging is touched ONLY when the deduped batch is non-empty,
+    // exactly as the reference skips to_sql for an empty chunk
+    // (ingestion.py:117-119). This is also the crash-safety hinge: a
+    // run that staged + ledgered but died before the offset write is
+    // re-runnable — the retry re-scans, the ledger anti-join drops
+    // everything, freshCount == 0, staging is left INTACT, and only
+    // the offset advances. (The previous behavior overwrote staging
+    // with the empty frame on off == 0, permanently losing the staged
+    // rows — VERDICT r2 ADVICE.) Consequence on a shrink-reset whose
+    // "new" file is all already-seen rows: stale staging rows from the
+    // replaced file remain and V-3 alarms on source != staging — the
+    // reference behaves identically there (global-forever ledger).
+    //
+    // Remaining PINNED PARITY windows (both exist in the reference):
+    //  - crash between an off>0 staging append and the ledger append
+    //    re-appends the batch on retry (duplicate staging rows);
+    //  - off==0 + ledger non-empty + file grown while down: the
+    //    overwrite rebuilds staging from the fresh rows only.
     val renamed = FlightSchemas.renameToStaging(fresh.drop("row_hash"))
-    if (freshCount > 0 || off == 0) {
+    if (freshCount > 0) {
       val mode = if (off == 0) SaveMode.Overwrite else SaveMode.Append
       renamed.write.mode(mode).parquet(stagingPath)
-    }
-    if (freshCount > 0) {
       // I-8: ledger append with load timestamp.
       fresh.select(col("row_hash"))
         .withColumn("load_timestamp", current_timestamp())

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -16,14 +17,58 @@ import org.apache.spark.sql.types._
   *
   * Scale posture: every tier is (scan -> per-row sketch -> shuffle by
   * bucket key -> within-bucket pair join). The only quadratic step is
-  * inside a bucket, and bucket width is controlled by the sketch
-  * parameters (bands x rows, Hamming chunks, hyperplane count) — at
-  * 1000 executors the bucket shuffle is the one repartition, and
-  * pair verification never leaves an executor. No global cross join
-  * exists on any path.
+  * inside a bucket, and two guards bound bucket width even on
+  * degenerate corpora (thousands of boilerplate-identical documents —
+  * the common 100 TB hot case):
+  *
+  *  1. EXACT-COLLAPSE-FIRST: identical texts are collapsed to one
+  *     representative per distinct text BEFORE sketching, so n copies
+  *     contribute one row to the LSH shuffle instead of n rows to one
+  *     bucket. Within-group pairs are emitted directly (their metric is
+  *     known: Jaccard 1.0 / Hamming 0) and representative-level pairs
+  *     are expanded back to member pairs afterwards — the reported pair
+  *     set is IDENTICAL to the unguarded computation; only the
+  *     quadratic verification work inside the bucket disappears.
+  *  2. PER-BUCKET CAP [[bucketCap]]: a deterministic membership cap
+  *     (lowest doc_ids kept) bounds the residual case of many DISTINCT
+  *     texts landing in one bucket. Overflow is observable via
+  *     [[overflowingBuckets]]; a capped bucket can only lose pairs
+  *     among rows beyond the cap, never corrupt surviving ones.
+  *
+  * No global cross join exists on any path, and the bucket shuffles
+  * carry ids only (never shingle arrays or vectors).
   */
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic membership cap per LSH bucket (see class doc #2). */
+  val bucketCap = 1000
+
+  // ---- sketch-cache registry ----------------------------------------
+  // The sketch frames are read 3x (self-join + two re-joins), so they
+  // are persisted; because the returned DataFrames are lazy, the
+  // library cannot unpersist them itself without defeating the cache.
+  // Callers that loop over queries (Bench, Verify) call
+  // releaseSketchCaches() between queries; anything not released falls
+  // back to LRU eviction (MEMORY_AND_DISK, so eviction spills rather
+  // than recomputes).
+  private val persistedSketches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistSketch(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedSketches.add(p)
+    p
+  }
+
+  /** Release every sketch frame persisted since the last call. Safe to
+    * call at any time: already-materialized results are unaffected, an
+    * un-executed query that still references a released sketch simply
+    * recomputes it. */
+  def releaseSketchCaches(): Unit = {
+    var df = persistedSketches.poll()
+    while (df != null) { df.unpersist(blocking = false); df = persistedSketches.poll() }
+  }
 
   // ---- tier 1: exact -------------------------------------------------
 
@@ -51,6 +96,54 @@ object Dedup {
         countDistinct(md5(col("text"))).as("n_distinct"))
       .withColumn("n_dupes", col("n_docs") - col("n_distinct"))
       .orderBy(col("source"))
+  }
+
+  // ---- exact-collapse-first machinery (guard #1) ---------------------
+
+  /** Split a corpus into one representative row per DISTINCT text
+    * (reps: thash, doc_id = min member, text) and the full
+    * thash -> doc_id membership map. xxhash64 collisions (2^-64) are
+    * the only approximation. */
+  private[ops] def collapseExact(docs: DataFrame): (DataFrame, DataFrame) = {
+    val hashed = docs.select(col("doc_id"), col("text"))
+      .withColumn("thash", xxhash64(col("text")))
+    val members = hashed.select(col("thash"), col("doc_id"))
+    // first(text) is deterministic in effect: every text in a thash
+    // group is identical by construction.
+    val reps = hashed.groupBy(col("thash"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+    (reps, members)
+  }
+
+  /** All (doc_a < doc_b) pairs of identical-text documents. Quadratic
+    * only in the OUTPUT (the true answer contains those pairs); the
+    * join is local to each thash key and moves ids only. */
+  private def withinGroupPairs(members: DataFrame): DataFrame =
+    members.select(col("thash"), col("doc_id").as("doc_a"))
+      .join(members.select(col("thash"), col("doc_id").as("doc_b")), Seq("thash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+
+  /** Expand representative-level pairs (thash_a, thash_b, metric cols)
+    * to member-level (doc_a, doc_b) pairs. Groups are disjoint and each
+    * unordered rep pair occurs once, so no duplicates can arise. */
+  private def expandPairs(repPairs: DataFrame, members: DataFrame,
+                          metricCols: Seq[String]): DataFrame =
+    repPairs
+      .join(members.select(col("thash").as("thash_a"), col("doc_id").as("da")), Seq("thash_a"))
+      .join(members.select(col("thash").as("thash_b"), col("doc_id").as("db")), Seq("thash_b"))
+      .select(Seq(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b")) ++ metricCols.map(col): _*)
+
+  /** Guard #2: deterministic per-bucket membership cap — keep the
+    * `cap` lowest ids per bucket key. The window sort is bucket-local
+    * (the same shuffle the pair join needs anyway). */
+  private[ops] def capBuckets(df: DataFrame, keys: Seq[String], idCol: String,
+                              cap: Int = bucketCap): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+    df.withColumn("_bpos", row_number().over(w))
+      .filter(col("_bpos") <= cap)
+      .drop("_bpos")
   }
 
   // ---- tier 3: MinHash + LSH ----------------------------------------
@@ -82,17 +175,6 @@ object Dedup {
       array_min(transform(baseHashes, h => h * lit(a) + lit(b)))
     }.toIndexedSeq: _*)
 
-  /** Banded LSH candidate pairs (doc_a < doc_b share >=1 band).
-    *
-    * Layout discipline for scale: the exploded banded view and the
-    * bucket self-join carry ONLY (doc_id, band, bhash) — never the
-    * shingle arrays — so the explode's 12x fan-out and the dedupe
-    * shuffle move a few bytes per row. The hashed shingle sets (one
-    * 64-bit hash per shingle; Jaccard over hash sets equals Jaccard
-    * over shingle sets modulo 2^-64 collisions) are joined back onto
-    * the surviving pairs only. The sketch table is cached because the
-    * self-join and both re-joins read it (cluster-scale: persist or
-    * checkpoint). */
   /** Hashed n-gram shingles from a PRE-PROJECTED token-hash array
     * column: hash n-tuples of token hashes by index. The input must be
     * an attribute (not an inline expression) — expressions referenced
@@ -109,43 +191,84 @@ object Dedup {
   def tokenHashes(text: Column): Column =
     transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
 
-  def minhashCandidates(docs: DataFrame): DataFrame = {
+  /** The exploded (doc_id, thash, band, bhash) view of a rep corpus's
+    * minhash signatures, plus the persisted sketch frame it came from.
+    * Layout discipline for scale: the banded view and the bucket
+    * self-join carry ONLY ids — never shingle arrays — so the 12x
+    * explode fan-out and the dedupe shuffle move a few bytes per row. */
+  private def mkBanded(reps: DataFrame): (DataFrame, DataFrame) = {
     val rows = numHashes / bands
-    val sig = docs
-      .select(col("doc_id"), tokenHashes(col("text")).as("th"))
-      .select(col("doc_id"), shinglesFromTokenHashes(col("th")).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh")))
-      .cache()
+    val sig = persistSketch(reps
+      .select(col("thash"), col("doc_id"), tokenHashes(col("text")).as("th"))
+      .select(col("thash"), col("doc_id"), shinglesFromTokenHashes(col("th")).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"))))
     val banded = sig.select(
-      col("doc_id"),
+      col("doc_id"), col("thash"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(array_join(
             transform(slice(col("sig"), b * rows + 1, rows), _.cast(StringType)),
             ","), lit(9999)).as("bhash"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bhash"))
-    val pairs = banded.select(col("band"), col("bhash"), col("doc_id").as("doc_a"))
-      .join(banded.select(col("band"), col("bhash"), col("doc_id").as("doc_b")),
+      .select(col("doc_id"), col("thash"), col("bk.band"), col("bk.bhash"))
+    (sig, banded)
+  }
+
+  /** Banded LSH candidate pairs between DISTINCT-text representatives
+    * (doc_a < doc_b share >=1 band), carrying the hashed shingle sets
+    * for exact verification. Exact duplicates never enter (collapsed
+    * upstream); buckets are capped (guard #2). */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val (reps, _) = collapseExact(docs)
+    minhashRepCandidates(reps)
+  }
+
+  private def minhashRepCandidates(reps: DataFrame): DataFrame = {
+    val (sig, banded) = mkBanded(reps)
+    val capped = capBuckets(banded, Seq("band", "bhash"), "doc_id")
+    val pairs = capped.select(col("band"), col("bhash"),
+        col("doc_id").as("doc_a"), col("thash").as("thash_a"))
+      .join(capped.select(col("band"), col("bhash"),
+        col("doc_id").as("doc_b"), col("thash").as("thash_b")),
         Seq("band", "bhash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("thash_a"), col("doc_b"), col("thash_b"))
       .dropDuplicates("doc_a", "doc_b")
     pairs
       .join(sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
   }
 
+  /** Diagnostic: LSH buckets whose membership exceeds the cap, i.e.
+    * buckets where guard #2 dropped pairs. Empty on healthy corpora;
+    * run it (and log the result) when auditing recall on a new corpus. */
+  def overflowingBuckets(docs: DataFrame, cap: Int = bucketCap): DataFrame = {
+    val (reps, _) = collapseExact(docs)
+    val (_, banded) = mkBanded(reps)
+    banded.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > cap)
+      .withColumn("n_dropped", col("n_members") - cap)
+  }
+
   /** Near-dup pairs: LSH candidates verified with exact shingle
-    * Jaccard >= threshold. Candidate count is bucket-bounded — the
-    * exact Jaccard only runs on pairs LSH surfaced. */
-  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    minhashCandidates(docs)
+    * Jaccard >= threshold, expanded back over exact-duplicate groups.
+    * The pair set equals the unguarded all-docs computation (see class
+    * doc): identical texts pair at Jaccard 1.0 without any bucket work. */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val (reps, members) = collapseExact(docs)
+    val repPairs = minhashRepCandidates(reps)
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("thash_a"), col("thash_b"), col("jaccard"))
+    val cross = expandPairs(repPairs, members, Seq("jaccard"))
+    // identical shingle sets have Jaccard exactly n/n = 1.0, so the
+    // literal matches what the verification arithmetic would produce
+    val within = withinGroupPairs(members).withColumn("jaccard", lit(1.0))
+    if (threshold <= 1.0) cross.unionByName(within) else cross
+  }
 
   val minhashLsh: Q = (s, d) =>
     minhashNearDups(Tables.documents(s, d))
@@ -168,29 +291,34 @@ object Dedup {
 
   /** SimHash near-dup pairs: bucket by 16-bit chunks (a pair within
     * Hamming distance 3 shares at least one of 4 chunks), verify with
-    * bit_count(xor) <= radius. */
+    * bit_count(xor) <= radius. Same two hot-bucket guards as minhash:
+    * exact duplicates are collapsed first (Hamming 0 by construction)
+    * and chunk buckets are capped. */
   def simhashNearDups(docs: DataFrame, radius: Int = 3): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"),
-        transform(split(lower(trim(col("text"))), "\\s+"), t => xxhash64(t)).as("th"))
-      .select(col("doc_id"), simhashFromHashes(col("th")).as("sh"))
-      .cache()
-    val chunked = sh.select(col("doc_id"), col("sh"),
+    val (reps, members) = collapseExact(docs)
+    val sh = persistSketch(reps
+      .select(col("thash"), col("doc_id"), tokenHashes(col("text")).as("th"))
+      .select(col("thash"), col("doc_id"), simhashFromHashes(col("th")).as("sh")))
+    val chunked = sh.select(col("doc_id"), col("thash"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
       }: _*)).as("ck"))
-      .select(col("doc_id"), col("sh"), col("ck.chunk"), col("ck.ckey"))
-    val left = chunked.select(col("chunk"), col("ckey"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val right = chunked.select(col("chunk"), col("ckey"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    left.join(right, Seq("chunk", "ckey"))
+      .select(col("doc_id"), col("thash"), col("sh"), col("ck.chunk"), col("ck.ckey"))
+    val capped = capBuckets(chunked, Seq("chunk", "ckey"), "doc_id")
+    val left = capped.select(col("chunk"), col("ckey"),
+      col("doc_id").as("doc_a"), col("thash").as("thash_a"), col("sh").as("sh_a"))
+    val right = capped.select(col("chunk"), col("ckey"),
+      col("doc_id").as("doc_b"), col("thash").as("thash_b"), col("sh").as("sh_b"))
+    val repPairs = left.join(right, Seq("chunk", "ckey"))
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= radius)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("thash_a"), col("thash_b"), col("hamming"))
+    val cross = expandPairs(repPairs, members, Seq("hamming"))
+    val within = withinGroupPairs(members).withColumn("hamming", lit(0))
+    cross.unionByName(within)
   }
 
   val simhashDups: Q = (s, d) =>
@@ -201,12 +329,18 @@ object Dedup {
 
   /** Character-free word-3-gram Jaccard on prefix-fingerprint blocks:
     * the deterministic, SQL-expressible variant (blocks are exact
-    * prefix matches, so DuckDB can replay it). */
+    * prefix matches, so DuckDB can replay it). The intersect/union
+    * arithmetic runs over HASHED shingles (one xxhash64 per 3-gram):
+    * set cardinalities — and therefore the Jaccard — equal the
+    * string-shingle computation the oracle runs, modulo 2^-64
+    * collisions, and long compares are ~5x cheaper than string
+    * compares in the block-local pair verification. */
   val ngramJaccardBlocked: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val withFp = docs.select(col("doc_id"),
       md5(array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 4), " ")).as("fp"),
-      shingles(col("text")).as("sh"))
+      tokenHashes(col("text")).as("th"))
+      .select(col("doc_id"), col("fp"), shinglesFromTokenHashes(col("th")).as("sh"))
     val a = withFp.select(col("fp"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = withFp.select(col("fp"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("fp"))

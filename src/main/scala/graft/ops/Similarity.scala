@@ -99,9 +99,15 @@ object Similarity {
   }
 
   /** Embedding dimensionality probed from the data (hyperplanes must
-    * cover every component or bucketing silently degrades). */
+    * cover every component or bucketing silently degrades). The 1-row
+    * probe is memoized per logical plan so repeated invocations over
+    * the same source don't re-run a driver job. */
+  private val dimCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Int]()
   private def embDim(emb: DataFrame, vecCol: String): Int =
-    emb.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(64)
+    dimCache.computeIfAbsent(
+      (emb.queryExecution.analyzed.semanticHash(), vecCol),
+      _ => emb.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(64))
 
   /** ANN via multi-table LSH. No SQL oracle (approximate by
     * construction; driver records the rows-only check); recall vs.
@@ -110,9 +116,14 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val planes = hyperplanes(nTables * bitsPerTable, embDim(emb, "embedding"))
     // id-only through the bucket join and dedupe (same candidate-pair
-    // discipline as candidatePairs); vectors re-joined after
-    val corpusIdx = lshIndex(emb.select(col("vec_id"), col("embedding")),
-      "embedding", planes).select(col("vec_id"), col("tbl"), col("bucket"))
+    // discipline as candidatePairs); vectors re-joined after. Buckets
+    // are capped (deterministic lowest-id membership) so a degenerate
+    // bucket — e.g. every zero vector hashing identically — bounds the
+    // per-query candidate fan-out instead of dragging in the corpus.
+    val corpusIdx = Dedup.capBuckets(
+      lshIndex(emb.select(col("vec_id"), col("embedding")),
+        "embedding", planes).select(col("vec_id"), col("tbl"), col("bucket")),
+      Seq("tbl", "bucket"), "vec_id")
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val queryIdx = lshIndex(queries, "qe", planes)
@@ -136,20 +147,50 @@ object Similarity {
 
   /** All-pairs candidates from the multi-table index (used by the
     * embedding near-dup tier in [[Dedup]]): bucket-local self-join,
-    * deduped across tables. */
+    * deduped across tables.
+    *
+    * Hot-bucket guards mirror [[Dedup]]: identical vectors are
+    * collapsed to one representative before indexing (n copies of a
+    * vector — or the degenerate all-zero embedding — contribute ONE
+    * index row instead of an O(n^2) bucket), rep pairs are expanded
+    * back to member pairs afterwards, and residual buckets are capped
+    * at [[Dedup.bucketCap]] lowest ids. Vectors are re-joined onto
+    * surviving pairs only, and the cosine is computed uniformly after
+    * the re-join, so the scored output is identical to the unguarded
+    * computation on any corpus whose buckets fit the cap. */
   def candidatePairs(emb: DataFrame, vecIdCol: String, vecCol: String): DataFrame = {
     val planes = hyperplanes(nTables * bitsPerTable, embDim(emb, vecCol))
     val base = emb.select(col(vecIdCol), col(vecCol))
+    val hashed = base.withColumn("vhash", xxhash64(col(vecCol)))
+    val members = hashed.select(col("vhash"), col(vecIdCol))
+    val reps = hashed.groupBy(col("vhash"))
+      .agg(min(col(vecIdCol)).as(vecIdCol), first(col(vecCol)).as(vecCol))
     // id-only bucket join + dedupe; vectors re-joined onto surviving
     // pairs (the shuffles move ids, not 64-float arrays)
-    val idx = lshIndex(base, vecCol, planes).select(col(vecIdCol), col("tbl"), col("bucket"))
-    val pairs = idx.select(col("tbl"), col("bucket"), col(vecIdCol).as("vec_a"))
-      .join(idx.select(col("tbl"), col("bucket"), col(vecIdCol).as("vec_b")),
+    val idx = Dedup.capBuckets(
+      lshIndex(reps, vecCol, planes)
+        .select(col(vecIdCol), col("vhash"), col("tbl"), col("bucket")),
+      Seq("tbl", "bucket"), vecIdCol)
+    val repPairs = idx.select(col("tbl"), col("bucket"),
+        col(vecIdCol).as("ra"), col("vhash").as("vhash_a"))
+      .join(idx.select(col("tbl"), col("bucket"),
+        col(vecIdCol).as("rb"), col("vhash").as("vhash_b")),
         Seq("tbl", "bucket"))
+      .filter(col("ra") < col("rb"))
+      .select(col("ra"), col("vhash_a"), col("rb"), col("vhash_b"))
+      .dropDuplicates("ra", "rb")
+      .select(col("vhash_a"), col("vhash_b"))
+    // cross-group member pairs + all within-group (identical-vector) pairs
+    val cross = repPairs
+      .join(members.select(col("vhash").as("vhash_a"), col(vecIdCol).as("ma")), Seq("vhash_a"))
+      .join(members.select(col("vhash").as("vhash_b"), col(vecIdCol).as("mb")), Seq("vhash_b"))
+      .select(least(col("ma"), col("mb")).as("vec_a"),
+        greatest(col("ma"), col("mb")).as("vec_b"))
+    val within = members.select(col("vhash"), col(vecIdCol).as("vec_a"))
+      .join(members.select(col("vhash"), col(vecIdCol).as("vec_b")), Seq("vhash"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
-    pairs
+    cross.unionByName(within)
       .join(base.select(col(vecIdCol).as("vec_a"), col(vecCol).as("emb_a")), Seq("vec_a"))
       .join(base.select(col(vecIdCol).as("vec_b"), col(vecCol).as("emb_b")), Seq("vec_b"))
   }

@@ -37,18 +37,47 @@ import org.apache.spark.sql.types._
 object Qx {
   val D6: DecimalType = DecimalType(18, 6)
 
+  /** The scaled-integer exactness bound: a decimal whose scaled
+    * integer exceeds 2^53 no longer converts to DOUBLE exactly, and
+    * the cross-engine bit-identity contract breaks. As BigDecimal per
+    * rescale: 2^53 / 10^rescale. */
+  private def exactBound(rescale: Int): java.math.BigDecimal =
+    new java.math.BigDecimal(1L << 53).movePointLeft(rescale)
+
+  /** Overflow guard (transactional, not advisory): Spark's non-ANSI
+    * decimal downcast yields NULL on overflow while DuckDB ERRORS — a
+    * silent/loud asymmetry where past the scale ladder's bound our
+    * side would quietly emit NULL and the oracle side would fail the
+    * round. raise_error makes the failure loud on BOTH engines; the
+    * 2^53 check additionally catches totals that still fit the decimal
+    * but no longer round-trip through DOUBLE exactly. */
+  private def guarded(total: Column, rescaled: Column, rescale: Int): Column = {
+    val bad = (total.isNotNull && rescaled.isNull) ||
+      abs(rescaled) >= lit(exactBound(rescale))
+    when(bad, raise_error(concat(
+      lit(s"graft.Qx: exact-sum overflow past DECIMAL(18,$rescale)/2^53 bound; total="),
+      total.cast(StringType))).cast(DecimalType(18, rescale)))
+      .otherwise(rescaled)
+  }
+
   /** Exact, order-independent sum: DECIMAL(18,6) internally, emitted as
     * DOUBLE (one correctly-rounded conversion of the exact total, so
     * both engines produce identical bits; DuckDB's client also surfaces
     * decimals as float64, so DOUBLE is the stable interchange type).
+    * Throws past the exactness bound instead of silently nulling — see
+    * [[guarded]].
     * DuckDB twin: CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) */
-  def dsum(c: Column, rescale: Int = 6): Column =
-    sum(c.cast(D6)).cast(DecimalType(18, rescale)).cast(DoubleType)
+  def dsum(c: Column, rescale: Int = 6): Column = {
+    val total = sum(c.cast(D6))
+    guarded(total, total.cast(DecimalType(18, rescale)), rescale).cast(DoubleType)
+  }
 
   /** Deterministic average via exact sum / exact count.
     * DuckDB twin: CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/count(*) */
-  def davg(c: Column): Column =
-    sum(c.cast(D6)).cast(D6).cast(DoubleType) / count(lit(1))
+  def davg(c: Column): Column = {
+    val total = sum(c.cast(D6))
+    guarded(total, total.cast(D6), 6).cast(DoubleType) / count(lit(1))
+  }
 
   /** l_extendedprice * (1 - l_discount) in exact decimal (<= 4 real dp). */
   def discPrice(price: Column, discount: Column): Column =

@@ -32,9 +32,14 @@ object EventStreams {
   /** Read the events parquet directory as a stream (test/demo entry).
     * events.parquet stores TIMESTAMP(NANOS): apply the same
     * nanos-as-long + µs-conversion shim as graft.Tables.events, so the
-    * streamed `ts` is a real timestamp the window operators accept. */
+    * streamed `ts` is a real timestamp the window operators accept.
+    * Like Tables.events, requires nanosAsLong on the session BUILDER —
+    * no session-wide config mutation as a read side effect. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet stores TIMESTAMP(NANOS); set " +
+        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\") on the " +
+        "SparkSession builder (EventStreams does not mutate session config)")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the streaming file source wants a directory; select the events
     // file out of the shared testdata dir with a glob

@@ -46,7 +46,7 @@ class IngestSpec extends SparkTestBase {
     assert(ing.ledger.count() == 64)
   }
 
-  test("shrink reset: smaller file is treated as brand-new (offset 0, overwrite)") {
+  test("shrink reset: smaller all-seen file leaves staging intact (reference parity)") {
     val (ing, csv) = freshRoot("flights_append.csv")
     ing.ingest(csv)
     Files.copy(Paths.get(resource("flights_shrunk.csv")), Paths.get(csv),
@@ -56,9 +56,24 @@ class IngestSpec extends SparkTestBase {
     // shrunk rows are a subset of already-hashed rows => ledger drops all
     assert(r2.rowsLoaded == 0)
     assert(r2.newOffset == 10)
-    // the reset REBUILDS staging: stale rows from the replaced file are
-    // gone (V-3 then alarms on source!=staging, as the reference would)
-    assert(ing.staging.count() == 0)
+    // empty deduped batch => staging untouched, like the reference's
+    // skipped to_sql; stale rows remain and V-3 alarms source!=staging
+    assert(ing.staging.count() == 64)
+  }
+
+  test("crash retry after ledger commit but before offset write keeps staging") {
+    val (ing, csv) = freshRoot("flights_small.csv")
+    ing.ingest(csv)
+    // Simulate the torn run: staging + ledger committed, offset LOST.
+    Files.delete(Paths.get(s"${ing.stagingPath}/../state/flight_csv_offset").normalize())
+    assert(ing.offset == 0)
+    val r2 = ing.ingest(csv)
+    // Retry re-scans from 0; every row is already in the ledger, so the
+    // batch dedupes to empty — staging must survive, offset must heal.
+    assert(r2.rowsScanned == 49 && r2.rowsLoaded == 0)
+    assert(ing.offset == 49)
+    assert(ing.staging.count() == 49)
+    assert(ing.ledger.count() == 49)
   }
 
   test("intra-batch duplicates collapse to one row") {

@@ -45,6 +45,43 @@ class DedupSpec extends SparkTestBase {
       assert(r.getAs[Boolean]("is_dup") == (r.getAs[Double]("cosine") >= 0.9)))
   }
 
+  test("hot-bucket guard: 1k identical docs collapse to one representative") {
+    val docs = spark.range(1000).select(col("id").as("doc_id"),
+      lit("the same boilerplate paragraph repeated across every single document").as("text"))
+    // One distinct text => zero representative-level LSH candidates:
+    // nothing quadratic ever reaches a bucket.
+    assert(Dedup.minhashCandidates(docs).count() == 0)
+    assert(Dedup.overflowingBuckets(docs).count() == 0)
+    // ...but the reported pair set is still the full true answer.
+    val pairs = Dedup.minhashNearDups(docs)
+    assert(pairs.count() == 1000L * 999 / 2)
+    assert(pairs.filter(col("jaccard") =!= 1.0).count() == 0)
+    val sim = Dedup.simhashNearDups(docs)
+    assert(sim.count() == 1000L * 999 / 2)
+    assert(sim.filter(col("hamming") =!= 0).count() == 0)
+  }
+
+  test("hot-bucket guard: exact-dup groups still pair with outside near-dups") {
+    // two identical docs + one near-copy + one unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "completely different words with nothing shared here at all"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDups(docs, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // (1,2) within-group; (1,3)/(2,3) via rep-pair expansion
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("bucket cap keeps the lowest ids and drops overflow deterministically") {
+    val df = spark.range(30).select(lit(0).as("k"), col("id").as("doc_id"))
+    val kept = Dedup.capBuckets(df, Seq("k"), "doc_id", cap = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (0L until 10L).toSet)
+  }
+
   test("shingles: distinct 3-gram windows, short docs degrade gracefully") {
     val df = Seq("a b c d", "a b", "x").toDF("text")
       .select(Dedup.shingles(col("text")).as("sh"))
