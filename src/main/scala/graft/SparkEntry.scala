@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++ graft.queries.Flights.queries ++
+      graft.queries.StarQueries.queries ++
       graft.ops.TextAnalysis.queries ++ graft.ops.EventTime.queries ++
       graft.ops.Similarity.queries ++ graft.ops.Dedup.queries ++
       graft.ops.Multimodal.queries
@@ -28,6 +29,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracle ++ graft.queries.Flights.oracle ++
+      graft.queries.StarQueries.oracle ++
       graft.ops.TextAnalysis.oracle ++ graft.ops.EventTime.oracle ++
       graft.ops.Similarity.oracle ++ graft.ops.Dedup.oracle ++
       graft.ops.Multimodal.oracle
@@ -35,5 +37,6 @@ object SparkEntry {
   /** Queries driven by checked-in fixtures rather than the sf-scaled
     * testdata tables: their runtime is constant in SF, so Bench reports
     * them separately from the sf-scaled headline total. */
-  def constQueries: Set[String] = graft.queries.Flights.queries.keySet
+  def constQueries: Set[String] =
+    graft.queries.Flights.queries.keySet ++ graft.queries.StarQueries.queries.keySet
 }

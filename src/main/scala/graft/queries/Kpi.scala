@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   * relative to the fact, so each KPI is one fact scan + hash
   * aggregation, no shuffle on the join side.
   *
+  * Averages go through [[Qx.davg]] (exact decimal sum / exact count):
+  * deterministic under any partitioning AND replayable bit-identically
+  * by the DuckDB oracle (see [[StarQueries]]), where a plain double
+  * avg would drift with aggregation order.
+  *
   * K-1 intentionally returns BOTH avg(total_fare) and avg(base_fare):
   * the report's prose and its dashboard disagree (SURVEY §1.2), so the
   * engine serves both.
@@ -20,8 +25,8 @@ object Kpi {
     wh.fact.join(broadcast(wh.dimAirlines), Seq("airline_id"))
       .groupBy(col("airline_name"))
       .agg(
-        avg(col("total_fare")).as("avg_total_fare"),
-        avg(col("base_fare")).as("avg_base_fare"),
+        Qx.davg(col("total_fare")).as("avg_total_fare"),
+        Qx.davg(col("base_fare")).as("avg_base_fare"),
         count(lit(1)).as("n_flights"))
       .orderBy(col("airline_name"))
 
@@ -38,7 +43,7 @@ object Kpi {
     val dates = wh.dimDate
     fact.join(broadcast(dates), fact("departure_date_id") === dates("date_id"))
       .groupBy(col("seasonality"))
-      .agg(avg(col("total_fare")).as("avg_total_fare"),
+      .agg(Qx.davg(col("total_fare")).as("avg_total_fare"),
         count(lit(1)).as("n_flights"))
       .orderBy(col("seasonality"))
   }
@@ -63,7 +68,7 @@ object Kpi {
   /** K-5: fare trend over departure date. */
   def fareTrend(wh: StarWarehouse): DataFrame =
     wh.fact.groupBy(col("departure_date_id"))
-      .agg(avg(col("total_fare")).as("avg_total_fare"),
+      .agg(Qx.davg(col("total_fare")).as("avg_total_fare"),
         count(lit(1)).as("n_flights"))
       .orderBy(col("departure_date_id"))
 }

@@ -1,0 +1,226 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.flights.{FlightIngest, StarWarehouse}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference pipeline ITSELF under the DuckDB oracle (VERDICT r1
+  * "Next round #1"): these queries run the real ingest -> star-build
+  * machinery — [[FlightIngest.ingest]] on the fixture CSV, then
+  * [[StarWarehouse.transform]] into a scratch warehouse — and expose
+  * the results in natural-key form so the oracle can replay the whole
+  * of ingestion.py + transformation.py + project_report.md:88-115 from
+  * the same CSV with plain SQL:
+  *
+  *  - q47: the 13-column fact projection (T-1..T-13 end-to-end),
+  *    surrogate keys re-mapped to natural keys so append-order ids
+  *    don't leak into the hash compare
+  *  - q48..q52: K-1..K-5 exactly as [[Kpi]] serves them from the
+  *    warehouse (star joins against the dims, not a cleaning shortcut)
+  *
+  * Key-normalization contract: title-cased display strings (T-2) are
+  * emitted as lower(x) — DuckDB cannot express pandas str.title(), but
+  * title-casing only changes letter case, so lower(title(trim(x))) ==
+  * lower(trim(x)) and the comparison loses nothing except the casing
+  * itself (which CleaningSpec/TitleCase tests pin on the Scala side).
+  *
+  * The warehouse is built once per JVM (all six queries and repeated
+  * Bench iterations reuse it); the build goes through the REAL
+  * incremental-ingest path including the hash ledger, intra-batch
+  * dedup, dim upserts and the partitioned fact write.
+  */
+object StarQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val lock = new Object
+  @volatile private var warehouseRoot: String = _
+
+  /** Build (once) and open the fixture-backed warehouse. */
+  def warehouse(s: SparkSession): StarWarehouse = {
+    lock.synchronized {
+      if (warehouseRoot == null) {
+        val root = Files.createTempDirectory("graft-star-oracle").toString
+        val ingest = new FlightIngest(s, root)
+        ingest.ingest(Flights.fixturePath)
+        val wh = new StarWarehouse(s, s"$root/warehouse")
+        wh.transform(ingest.staging)
+        warehouseRoot = s"$root/warehouse"
+      }
+    }
+    new StarWarehouse(s, warehouseRoot)
+  }
+
+  /** Fact rows with surrogate keys resolved back to natural keys via
+    * the dims (airports joined twice under role aliases, as in T-11). */
+  private def factNatural(wh: StarWarehouse): DataFrame = {
+    val airlines = broadcast(wh.dimAirlines)
+    val src = broadcast(wh.dimAirports.select(
+      col("airport_id").as("source_airport_id"),
+      col("airport_code").as("source_code")))
+    val dst = broadcast(wh.dimAirports.select(
+      col("airport_id").as("destination_airport_id"),
+      col("airport_code").as("destination_code")))
+    wh.fact
+      .join(airlines, Seq("airline_id"))
+      .join(src, Seq("source_airport_id"))
+      .join(dst, Seq("destination_airport_id"))
+  }
+
+  /** T-1..T-13: the full fact projection in natural keys. */
+  private val q47: Q = (s, _) => {
+    factNatural(warehouse(s)).select(
+        lower(col("airline_name")).as("airline_key"),
+        col("source_code"),
+        col("destination_code"),
+        date_format(col("departure_date_id"), "yyyy-MM-dd").as("departure_date"),
+        lower(col("aircraft_type")).as("aircraft_type_key"),
+        lower(col("class")).as("class_key"),
+        col("stopovers"),
+        lower(col("booking_source")).as("booking_source_key"),
+        col("duration_hours"),
+        col("days_before_departure"),
+        col("base_fare"),
+        col("tax_surcharge"),
+        col("total_fare"))
+      .orderBy(col("airline_key"), col("departure_date"), col("source_code"),
+        col("destination_code"), col("total_fare"))
+  }
+
+  /** K-1 in its warehouse form. */
+  private val q48: Q = (s, _) =>
+    Kpi.avgFareByAirline(warehouse(s))
+      .select(lower(col("airline_name")).as("airline_key"),
+        col("avg_total_fare"), col("avg_base_fare"), col("n_flights"))
+      .orderBy(col("airline_key"))
+
+  /** K-2 in its warehouse form. */
+  private val q49: Q = (s, _) =>
+    Kpi.bookingsByAirline(warehouse(s))
+      .select(lower(col("airline_name")).as("airline_key"), col("n_bookings"))
+      .orderBy(col("n_bookings").desc, col("airline_key"))
+
+  /** K-3 in its warehouse form — the query that exercises the T-8b/c
+    * seasonality derivation through dim_date. */
+  private val q50: Q = (s, _) =>
+    Kpi.seasonalFares(warehouse(s))
+
+  /** K-4 in its warehouse form (top-k with pinned tie-break). */
+  private val q51: Q = (s, _) =>
+    Kpi.topRoutes(warehouse(s), k = 10)
+
+  /** K-5 in its warehouse form. */
+  private val q52: Q = (s, _) =>
+    Kpi.fareTrend(warehouse(s))
+      .select(date_format(col("departure_date_id"), "yyyy-MM-dd").as("departure_date"),
+        col("avg_total_fare"), col("n_flights"))
+      .orderBy(col("departure_date"))
+
+  val queries: Map[String, Q] = Map(
+    "q47_star_fact_rows" -> q47,
+    "q48_kpi_fares_by_airline" -> q48,
+    "q49_kpi_bookings_by_airline" -> q49,
+    "q50_kpi_seasonal_fares" -> q50,
+    "q51_kpi_top_routes" -> q51,
+    "q52_kpi_fare_trend" -> q52,
+  )
+
+  // ---- DuckDB twins --------------------------------------------------
+  // The SQL replays the PIPELINE, not the queries: DISTINCT over the
+  // raw CSV (the ingest ledger's intra-batch dedup — identical row <=>
+  // identical hash), T-2..T-7 cleaning, the T-5 validity filter, and
+  // the T-12 FK null-drop (a fact row survives iff airline, both
+  // airport codes and the departure date parse are non-null — the dims
+  // are built from the same batch, so FK resolution can only miss on
+  // null keys).
+
+  private val fixture = Flights.fixturePath
+
+  private val sqlPipeline =
+    s"""WITH raw AS (
+       |  SELECT DISTINCT * FROM read_csv('$fixture', header=true, all_varchar=true)
+       |), cleaned AS (
+       |  SELECT
+       |    "Airline" AS airline,
+       |    "Source" AS source_code,
+       |    "Destination" AS destination_code,
+       |    try_cast("Departure Date & Time" AS TIMESTAMP) AS departure_dt,
+       |    (CASE
+       |      WHEN "Stopovers" IS NULL THEN 0
+       |      WHEN contains(lower(trim("Stopovers")), 'direct') OR contains(lower(trim("Stopovers")), 'non-stop') THEN 0
+       |      WHEN contains(lower(trim("Stopovers")), 'stop')
+       |        THEN coalesce(try_cast(regexp_replace(lower(trim("Stopovers")), '[^0-9]', '', 'g') AS INTEGER), 0)
+       |      ELSE 0
+       |    END) AS stopovers,
+       |    "Aircraft Type" AS aircraft_type,
+       |    "Class" AS class_name,
+       |    "Booking Source" AS booking_source,
+       |    round(coalesce(try_cast("Duration (hrs)" AS DOUBLE), 0), 2) AS duration_hours,
+       |    round(coalesce(try_cast("Base Fare (BDT)" AS DOUBLE), 0), 2) AS base_fare,
+       |    round(coalesce(try_cast("Tax & Surcharge (BDT)" AS DOUBLE), 0), 2) AS tax_surcharge,
+       |    round(coalesce(try_cast("Total Fare (BDT)" AS DOUBLE), 0), 2) AS total_fare,
+       |    nullif(trim("Seasonality"), '') AS seasonality,
+       |    try_cast("Days Before Departure" AS INTEGER) AS days_before_departure
+       |  FROM raw
+       |), valid AS (
+       |  SELECT * FROM cleaned WHERE total_fare > 0 AND duration_hours > 0
+       |), factrows AS (
+       |  SELECT * FROM valid
+       |  WHERE airline IS NOT NULL AND source_code IS NOT NULL
+       |    AND destination_code IS NOT NULL AND departure_dt IS NOT NULL
+       |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q47_star_fact_rows" ->
+      s"""$sqlPipeline
+         |SELECT lower(trim(airline)) AS airline_key,
+         |  source_code, destination_code,
+         |  strftime(CAST(departure_dt AS DATE), '%Y-%m-%d') AS departure_date,
+         |  lower(trim(aircraft_type)) AS aircraft_type_key,
+         |  lower(trim(class_name)) AS class_key,
+         |  stopovers,
+         |  lower(trim(booking_source)) AS booking_source_key,
+         |  duration_hours, days_before_departure,
+         |  base_fare, tax_surcharge, total_fare
+         |FROM factrows""".stripMargin,
+    "q48_kpi_fares_by_airline" ->
+      s"""$sqlPipeline
+         |SELECT lower(trim(airline)) AS airline_key,
+         |  ${Qx.sqlDavg("total_fare")} AS avg_total_fare,
+         |  ${Qx.sqlDavg("base_fare")} AS avg_base_fare,
+         |  count(*) AS n_flights
+         |FROM factrows GROUP BY 1""".stripMargin,
+    "q49_kpi_bookings_by_airline" ->
+      s"""$sqlPipeline
+         |SELECT lower(trim(airline)) AS airline_key, count(*) AS n_bookings
+         |FROM factrows GROUP BY 1""".stripMargin,
+    "q50_kpi_seasonal_fares" ->
+      s"""$sqlPipeline
+         |, dimdate AS (
+         |  SELECT CAST(departure_dt AS DATE) AS date_id,
+         |    coalesce(max(seasonality), 'Normal') AS seasonality
+         |  FROM valid WHERE departure_dt IS NOT NULL GROUP BY 1
+         |)
+         |SELECT dd.seasonality,
+         |  ${Qx.sqlDavg("f.total_fare")} AS avg_total_fare,
+         |  count(*) AS n_flights
+         |FROM factrows f
+         |JOIN dimdate dd ON CAST(f.departure_dt AS DATE) = dd.date_id
+         |GROUP BY 1""".stripMargin,
+    "q51_kpi_top_routes" ->
+      s"""$sqlPipeline
+         |SELECT source_code AS source_airport,
+         |  destination_code AS destination_airport,
+         |  count(*) AS n_flights
+         |FROM factrows GROUP BY 1, 2
+         |ORDER BY n_flights DESC, source_airport, destination_airport
+         |LIMIT 10""".stripMargin,
+    "q52_kpi_fare_trend" ->
+      s"""$sqlPipeline
+         |SELECT strftime(CAST(departure_dt AS DATE), '%Y-%m-%d') AS departure_date,
+         |  ${Qx.sqlDavg("total_fare")} AS avg_total_fare,
+         |  count(*) AS n_flights
+         |FROM factrows GROUP BY 1""".stripMargin,
+  )
+}
