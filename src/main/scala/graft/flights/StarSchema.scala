@@ -52,10 +52,30 @@ class StarWarehouse(spark: SparkSession, root: String) {
     * prune partitions at the source). Schema-pinned read: no
     * inference, and a file-less directory (all-dropped batch) reads
     * as empty instead of failing; columns re-ordered to the canonical
-    * projection since partition columns surface last. */
-  def fact: DataFrame =
-    readOrEmpty(factPath, FlightSchemas.factFlights)
+    * projection since partition columns surface last.
+    *
+    * Two layouts are understood: the batch transform's flat
+    * `departure_date_id=` partitioning, and the streaming build's
+    * `ingest_batch=N/departure_date_id=` increments (see
+    * [[commitFactIncrement]]); the increment column never escapes. */
+  def fact: DataFrame = {
+    val schema =
+      if (hasIncrementLayout)
+        org.apache.spark.sql.types.StructType(
+          FlightSchemas.factFlights.fields :+
+            org.apache.spark.sql.types.StructField(
+              "ingest_batch", org.apache.spark.sql.types.LongType))
+      else FlightSchemas.factFlights
+    readOrEmpty(factPath, schema)
       .select(FlightSchemas.factColumns.map(col).toIndexedSeq: _*)
+  }
+
+  private def hasIncrementLayout: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(factPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("ingest_batch="))
+  }
 
   /** Date-bounded fact scan — partition pruning makes this touch only
     * the in-range directories (PartitionFilters in explain). */
@@ -128,10 +148,23 @@ class StarWarehouse(spark: SparkSession, root: String) {
       .select(FlightSchemas.factColumns.map(col).toIndexedSeq: _*)
   }
 
-  /** Append a fact increment (streaming micro-batches). */
-  def appendFact(factDf: DataFrame): Unit =
-    factDf.write.mode(SaveMode.Append)
-      .partitionBy("departure_date_id").parquet(factPath)
+  /** Commit a fact increment under an `ingest_batch=N` partition with
+    * DYNAMIC partition overwrite — the streaming micro-batch sink.
+    *
+    * This is what makes the foreachBatch star build effectively
+    * exactly-once on plain parquet: a micro-batch's content is pinned
+    * by the checkpoint's offset log, so a crash-replayed batch N
+    * rewrites exactly the `ingest_batch=N` subtree it wrote before
+    * (dynamic overwrite replaces only the touched partitions) instead
+    * of appending a second copy. The previous design appended into the
+    * shared date partitions, leaving an unclosable duplicate window
+    * between the append and any applied-marker write. */
+  def commitFactIncrement(batchId: Long, factDf: DataFrame): Unit =
+    factDf.withColumn("ingest_batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "departure_date_id")
+      .parquet(factPath)
 
   /** The batch transform stage (T-1..T-13): staging -> cleaned ->
     * dims -> fact, with the fact rebuilt deterministically. */

@@ -195,9 +195,28 @@ object Similarity {
       .join(base.select(col(vecIdCol).as("vec_b"), col(vecCol).as("emb_b")), Seq("vec_b"))
   }
 
+  /** ANN quality as DATA: per-query recall of [[lshTopK]] against the
+    * exact [[bruteTopK]] baseline, so every round's CORRECTNESS record
+    * carries the measured number instead of a one-off spec assertion.
+    * (Rows-only: the ANN side is hash-seeded, so no SQL twin — the
+    * recall quality bar lives in SimilaritySpec.) */
+  val annRecall: Q = (s, d) => {
+    val exact = bruteTopK(s, d).select(col("qid"), col("vid"))
+    val ann = lshTopK(s, d).select(col("qid"), col("vid"))
+    val hits = exact.join(ann, Seq("qid", "vid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall",
+        quant6(col("n_hits").cast(DoubleType) / col("n_exact")))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_cosine_topk" -> bruteTopK,
     "q31_ann_lsh_topk" -> lshTopK, // rows-only check: approximate op
+    "q31b_ann_recall" -> annRecall, // rows-only: measured ANN quality
   )
 
   val oracle: Map[String, String] = Map(

@@ -43,9 +43,11 @@ object Connectors {
       df.write.mode(saveMode(ifExists)).parquet(s"$root/$table")
   }
 
-  /** JDBC sink preserving the reference's staging/warehouse contract.
-    * Untested in this environment (no database available) but kept to
-    * the stock `DataFrameWriter.jdbc` surface. */
+  /** JDBC sink preserving the reference's staging/warehouse contract
+    * (MySQL staging / PostgreSQL warehouse via SQLAlchemy in the
+    * reference; any JDBC url here). Round-trip semantics — replace /
+    * append / fail — are exercised against embedded Derby in
+    * ConnectorsSpec. */
   final case class JdbcSink(url: String, props: java.util.Properties) extends TableSink {
     def write(df: DataFrame, table: String, ifExists: String): Unit =
       df.write.mode(saveMode(ifExists)).jdbc(url, table, props)

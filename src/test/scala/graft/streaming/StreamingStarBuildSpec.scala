@@ -52,4 +52,31 @@ class StreamingStarBuildSpec extends SparkTestBase {
     val wh = new StarWarehouse(spark, s"$root/wh")
     assert(wh.fact.count() == 50)
   }
+
+  test("crash between fact commit and marker write replays without duplicates") {
+    val root = tmpDir("sstar")
+    val stagingDir = s"$root/staging"
+    stage("flights_clean.csv", stagingDir)
+    StreamingStarBuild.start(spark, stagingDir, s"$root/wh", s"$root/ckpt")
+      .awaitTermination()
+    val wh = new StarWarehouse(spark, s"$root/wh")
+    assert(wh.fact.count() == 50)
+    val dimRows = wh.dimAirlines.count()
+
+    // Simulate the torn run: the fact increment landed but BOTH the
+    // applied-marker and the checkpoint's commit record were lost, so
+    // the restarted stream re-delivers batch 0 and re-executes the
+    // full foreachBatch body against already-committed state.
+    Files.delete(Paths.get(s"$root/wh/_applied_batches/0"))
+    Files.delete(Paths.get(s"$root/ckpt/commits/0"))
+    Files.deleteIfExists(Paths.get(s"$root/ckpt/commits/.0.crc"))
+    StreamingStarBuild.start(spark, stagingDir, s"$root/wh", s"$root/ckpt")
+      .awaitTermination()
+
+    // dynamic overwrite of ingest_batch=0 + anti-join dim upserts:
+    // the replay rewrites, never duplicates
+    assert(wh.fact.count() == 50)
+    assert(wh.dimAirlines.count() == dimRows)
+    assert(Files.exists(Paths.get(s"$root/wh/_applied_batches/0"))) // healed
+  }
 }
