@@ -251,6 +251,30 @@ object Dedup {
       .withColumn("n_dropped", col("n_members") - cap)
   }
 
+  /** Bucket-health observability as DATA (one row per LSH tier): how
+    * wide the widest bucket is, how many buckets there are, and how
+    * many members the cap dropped. Recorded by the correctness gate
+    * every round, so a corpus change that starts overflowing buckets
+    * (= losing candidate pairs) surfaces as a changed n_overflow
+    * instead of silent recall loss. */
+  val lshBucketStats: Q = (s, d) => {
+    val (reps, _) = collapseExact(Tables.documents(s, d))
+    def stats(tier: String, view: DataFrame, keys: Seq[String]): DataFrame =
+      view.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          max(col("n")).as("max_bucket"),
+          sum(when(col("n") > bucketCap, col("n") - bucketCap)
+            .otherwise(0L)).as("n_overflow_dropped"))
+        .select(lit(tier).as("tier"), col("n_buckets"), col("max_bucket"),
+          col("n_overflow_dropped"))
+    val (_, banded) = mkBanded(reps)
+    val chunked = mkChunked(reps)._2
+    stats("minhash_bands", banded, Seq("band", "bhash"))
+      .unionByName(stats("simhash_chunks", chunked, Seq("chunk", "ckey")))
+      .orderBy(col("tier"))
+  }
+
   /** Near-dup pairs: LSH candidates verified with exact shingle
     * Jaccard >= threshold, expanded back over exact-duplicate groups.
     * The pair set equals the unguarded all-docs computation (see class
@@ -294,8 +318,9 @@ object Dedup {
     * bit_count(xor) <= radius. Same two hot-bucket guards as minhash:
     * exact duplicates are collapsed first (Hamming 0 by construction)
     * and chunk buckets are capped. */
-  def simhashNearDups(docs: DataFrame, radius: Int = 3): DataFrame = {
-    val (reps, members) = collapseExact(docs)
+  /** (sketch frame, exploded 16-bit-chunk bucket view) for a rep
+    * corpus — shared by the pair search and the bucket diagnostics. */
+  private def mkChunked(reps: DataFrame): (DataFrame, DataFrame) = {
     val sh = persistSketch(reps
       .select(col("thash"), col("doc_id"), tokenHashes(col("text")).as("th"))
       .select(col("thash"), col("doc_id"), simhashFromHashes(col("th")).as("sh")))
@@ -305,6 +330,12 @@ object Dedup {
           shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
       }: _*)).as("ck"))
       .select(col("doc_id"), col("thash"), col("sh"), col("ck.chunk"), col("ck.ckey"))
+    (sh, chunked)
+  }
+
+  def simhashNearDups(docs: DataFrame, radius: Int = 3): DataFrame = {
+    val (reps, members) = collapseExact(docs)
+    val (_, chunked) = mkChunked(reps)
     val capped = capBuckets(chunked, Seq("chunk", "ckey"), "doc_id")
     val left = capped.select(col("chunk"), col("ckey"),
       col("doc_id").as("doc_a"), col("thash").as("thash_a"), col("sh").as("sh_a"))
@@ -379,6 +410,7 @@ object Dedup {
     "q32_dedup_exact" -> exact,
     "q33_dedup_by_source" -> exactBySource,
     "q34_minhash_neardups" -> minhashLsh,       // rows-only (hash-seeded)
+    "q34b_lsh_bucket_stats" -> lshBucketStats,  // rows-only: bucket-health record
     "q35_simhash_neardups" -> simhashDups,      // rows-only (hash-seeded)
     "q36_ngram_jaccard_blocked" -> ngramJaccardBlocked,
     "q37_embedding_neardups" -> embeddingDups,  // rows-only (LSH-seeded)

@@ -145,6 +145,79 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---- IVF (k-means coarse quantizer) ANN ---------------------------
+
+  /** Train the IVF coarse quantizer: spark.ml KMeans (seeded, so index
+    * layout is reproducible) over the corpus; the centroids come back
+    * to the driver as plain arrays — k*dim doubles, a few KB — so the
+    * per-row ASSIGNMENT step below stays literal column arithmetic
+    * inside whole-stage codegen, with no ml transformer or UDF in the
+    * scan path. At 100 TB: train on a sample (k-means|| already
+    * subsamples), assignment is the only full-scan step.
+    * Memoized per (plan, column, k) like [[embDim]]. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), Array[Array[Double]]]()
+  def ivfCentroids(emb: DataFrame, vecCol: String, k: Int,
+                   seed: Long = 42L): Array[Array[Double]] =
+    centroidCache.computeIfAbsent(
+      (emb.queryExecution.analyzed.semanticHash(), vecCol, k), _ => {
+        val feats = emb.select(org.apache.spark.ml.functions
+          .array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(k).setSeed(seed).setMaxIter(10)
+          .fit(feats).clusterCenters.map(_.toArray)
+      })
+
+  /** Per-centroid (distance-rank, cid) structs for a vector column:
+    * argmin ||x-c||^2 == argmin (||c||^2 - 2*x.c) — the ||x||^2 term
+    * is constant per row, so it never needs computing. */
+  private def ivfScores(v: Column, centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      val cNorm2 = c.map(x => x * x).sum
+      struct((lit(cNorm2) - lit(2.0) * dotD(v, cLit)).as("d"), lit(i).as("cid"))
+    }.toIndexedSeq
+
+  /** Nearest-centroid cell id (corpus side). */
+  def ivfAssign(v: Column, centroids: Array[Array[Double]]): Column =
+    least(ivfScores(v, centroids): _*).getField("cid")
+
+  /** The `nprobe` nearest cell ids (query side). */
+  def ivfProbes(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    transform(slice(array_sort(array(ivfScores(v, centroids): _*)), 1, nprobe),
+      _.getField("cid"))
+
+  val nCells = 16
+  val nProbe = 4
+
+  /** ANN via an IVF index — the scale path for CLUSTERED corpora,
+    * complementing [[lshTopK]] (data-independent hyperplanes): corpus
+    * vectors partition into k-means cells, each query searches only
+    * its `nProbe` nearest cells (~nProbe/nCells of the corpus). Same
+    * output shape as q30/q31; rows-only under the driver (approximate,
+    * hash/seed-dependent), recall asserted vs bruteTopK in
+    * SimilaritySpec. */
+  val ivfTopK: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val centroids = ivfCentroids(emb, "embedding", nCells)
+    val corpusIdx = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", ivfAssign(col("embedding"), centroids))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probes = queries.select(col("qid"),
+      explode(ivfProbes(col("qe"), centroids, nProbe)).as("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpusIdx.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("cosine", cosineColumn(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("vid"), col("cosine"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** All-pairs candidates from the multi-table index (used by the
     * embedding near-dup tier in [[Dedup]]): bucket-local self-join,
     * deduped across tables.
@@ -217,6 +290,7 @@ object Similarity {
     "q30_cosine_topk" -> bruteTopK,
     "q31_ann_lsh_topk" -> lshTopK, // rows-only check: approximate op
     "q31b_ann_recall" -> annRecall, // rows-only: measured ANN quality
+    "q31c_ann_ivf_topk" -> ivfTopK, // rows-only: IVF scale path
   )
 
   val oracle: Map[String, String] = Map(

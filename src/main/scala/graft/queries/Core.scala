@@ -199,15 +199,24 @@ object Core {
 
   /** Sketch aggregates (HLL distinct, quantile sketch) next to their
     * exact forms — engine-specific algorithms, so rows-only under the
-    * driver (no SQL twin); CoreSketchSpec bounds the relative error. */
+    * driver (no SQL twin); CoreSketchSpec bounds the relative error.
+    *
+    * The quantile sketch runs in its OWN aggregation, joined back on
+    * the (tiny) group key: combined with countDistinct, Spark's
+    * distinct rewrite keys the partial aggregate by (flag, partkey),
+    * which would build and merge one QuantileSummaries per distinct
+    * part (~2x slower at sf0.1, worse with more parts). Two pruned
+    * scans beat one scan with a per-key sketch explosion. */
   private val q19: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
-    li.groupBy(col("l_returnflag"))
+    val counts = li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("median_price_sketch"))
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    val quantiles = li.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+        .as("median_price_sketch"))
+    counts.join(quantiles, Seq("l_returnflag"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -25,6 +25,18 @@ object Connectors {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** JDBC source (the read half of the staging/warehouse contract).
+    * For large tables pass a partition column + bounds so the scan
+    * parallelizes across executors instead of one connection. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               props: java.util.Properties,
+               partitionCol: Option[(String, Long, Long, Int)] = None): DataFrame =
+    partitionCol match {
+      case Some((colName, lower, upper, numParts)) =>
+        spark.read.jdbc(url, table, colName, lower, upper, numParts, props)
+      case None => spark.read.jdbc(url, table, props)
+    }
+
   /** The reference's `if_exists` vocabulary. */
   def saveMode(ifExists: String): SaveMode = ifExists match {
     case "replace" => SaveMode.Overwrite

@@ -75,6 +75,17 @@ class DedupSpec extends SparkTestBase {
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("bucket stats report per-tier health; healthy corpus has zero overflow") {
+    val rows = Dedup.lshBucketStats(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("tier")).toSeq ==
+      Seq("minhash_bands", "simhash_chunks"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_buckets") > 0)
+      assert(r.getAs[Long]("n_overflow_dropped") == 0)
+      assert(r.getAs[Long]("max_bucket") <= Dedup.bucketCap)
+    }
+  }
+
   test("bucket cap keeps the lowest ids and drops overflow deterministically") {
     val df = spark.range(30).select(lit(0).as("k"), col("id").as("doc_id"))
     val kept = Dedup.capBuckets(df, Seq("k"), "doc_id", cap = 10)

@@ -29,6 +29,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.15, s"recall $recall too low — LSH bucketing broken")
   }
 
+  test("IVF ANN: valid top-k shape, usable recall, bounded search fraction") {
+    val rows = Similarity.ivfTopK(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      assert(rs.length <= Similarity.k)
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      val cosines = byRank.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+    val exact = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"))).toSet
+    val approx = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // nProbe/nCells = 1/4 of the corpus searched; on this near-uniform
+    // corpus expected recall ~ searched fraction. Chance at k=10/500
+    // would be 0.02.
+    assert(recall >= 0.15, s"IVF recall $recall too low — cell routing broken")
+
+    // the index must actually bound the search: cells partition the
+    // corpus, probes only touch nProbe of nCells
+    val emb = graft.Tables.embeddings(spark, sf)
+    val centroids = Similarity.ivfCentroids(emb, "embedding", Similarity.nCells)
+    val cells = emb.select(Similarity.ivfAssign(
+        org.apache.spark.sql.functions.col("embedding"), centroids).as("cell"))
+      .groupBy("cell").count().collect()
+    assert(cells.length > 1 && cells.length <= Similarity.nCells)
+  }
+
   test("LSH candidates prune the corpus (no global cross join)") {
     val emb = graft.Tables.embeddings(spark, sf)
     val n = emb.count()

@@ -39,6 +39,11 @@ class ConnectorsSpec extends SparkTestBase {
     sink.write(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), "staging_append", "append")
     val got = readBack("staging_append").as[(Long, String)].collect().toSet
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the partitioned read path splits the scan into parallel range queries
+    val par = Connectors.readJdbc(spark, url, "staging_append", props,
+      partitionCol = Some(("id", 1L, 3L, 2)))
+    assert(par.rdd.getNumPartitions == 2)
+    assert(par.as[(Long, String)].collect().toSet == got)
   }
 
   test("fail errors when the table already exists (reference if_exists='fail')") {
