@@ -166,6 +166,44 @@ class StarWarehouse(spark: SparkSession, root: String) {
       .partitionBy("ingest_batch", "departure_date_id")
       .parquet(factPath)
 
+  /** Compact the streaming increment layout: merge every
+    * `ingest_batch=N` subtree into a single `ingest_batch=-1` base
+    * (micro-batches accumulate many small files — the classic 100 TB
+    * streaming-sink problem; compaction restores scan efficiency and
+    * keeps the layout increment-compatible so later batches land
+    * beside the base).
+    *
+    * MAINTENANCE OP — single writer, stream stopped (AvailableNow
+    * drained): after compaction the applied-batch markers are what
+    * stops a hypothetically replayed old batch from re-adding
+    * compacted rows, so markers must be retained alongside the fact.
+    * Crash-safe via build-aside + swap: the new dir is fully written
+    * before the old one is touched, and a torn swap is healed on the
+    * next call (the `.pre-compact` backup is restored first). */
+  def compactFact(): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(factPath)
+    val fs = p.getFileSystem(conf)
+    val bak = new org.apache.hadoop.fs.Path(factPath + ".pre-compact")
+    val tmp = new org.apache.hadoop.fs.Path(factPath + ".compact-tmp")
+    // heal a torn previous swap (fact dir missing, backup present)
+    if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p)
+    // nothing to do unless some increment OTHER than the compacted
+    // base exists
+    val hasWork = fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("ingest_batch=") &&
+        s.getPath.getName != "ingest_batch=-1")
+    if (!hasWork) { fs.delete(tmp, true); return }
+    fact.withColumn("ingest_batch", lit(-1L))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("ingest_batch", "departure_date_id")
+      .parquet(tmp.toString)
+    fs.delete(bak, true)
+    fs.rename(p, bak)
+    fs.rename(tmp, p)
+    fs.delete(bak, true)
+  }
+
   /** The batch transform stage (T-1..T-13): staging -> cleaned ->
     * dims -> fact, with the fact rebuilt deterministically. */
   def transform(staging: DataFrame): TransformStats = {

@@ -53,6 +53,31 @@ class StreamingStarBuildSpec extends SparkTestBase {
     assert(wh.fact.count() == 50)
   }
 
+  test("compaction merges increments into one base; later batches land beside it") {
+    val root = tmpDir("sstar")
+    val stagingDir = s"$root/staging"
+    val wh = new StarWarehouse(spark, s"$root/wh")
+    stage("flights_clean.csv", stagingDir)
+    StreamingStarBuild.start(spark, stagingDir, s"$root/wh", s"$root/ckpt")
+      .awaitTermination()
+    assert(wh.fact.count() == 50)
+
+    wh.compactFact()
+    assert(wh.fact.count() == 50) // same data, one base partition
+    val subdirs = new java.io.File(s"$root/wh/fact_flights").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs == Set("ingest_batch=-1"))
+    // idempotent when there is nothing to merge
+    wh.compactFact()
+    assert(wh.fact.count() == 50)
+
+    // the next micro-batch appends a fresh increment beside the base
+    stage("flights_small.csv", stagingDir)
+    StreamingStarBuild.start(spark, stagingDir, s"$root/wh", s"$root/ckpt")
+      .awaitTermination()
+    assert(wh.fact.count() == 94)
+  }
+
   test("crash between fact commit and marker write replays without duplicates") {
     val root = tmpDir("sstar")
     val stagingDir = s"$root/staging"
