@@ -383,6 +383,55 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---- keeper assignment (connected components) ----------------------
+
+  /** Turn a near-dup PAIR graph into dedup DECISIONS: every document
+    * maps to the smallest doc_id reachable through the pair edges (its
+    * cluster's "keeper"); singletons keep themselves. Downstream
+    * dedup = `filter(doc_id === keeper)`.
+    *
+    * Distributed min-label propagation: each round every node adopts
+    * the minimum keeper among itself and its neighbors — one shuffle
+    * join + one aggregation per round, lineage cut with
+    * localCheckpoint. Rounds needed = cluster diameter, and near-dup
+    * clusters are near-cliques (LSH/blocking only pairs similar docs),
+    * so convergence is a handful of rounds even at 100 TB; the loop
+    * runs to an exact fixpoint (exiting early would mislabel, and the
+    * oracle replays the exact closure). */
+  def dupKeepers(docs: DataFrame, pairs: DataFrame, maxIter: Int = 100): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("keeper"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      require(rounds < maxIter, s"dupKeepers did not converge in $maxIter rounds")
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"), col("keeper"))
+      val updated = labels.unionByName(fromNeighbors)
+        .groupBy(col("doc_id")).agg(min(col("keeper")).as("keeper"))
+        .localCheckpoint()
+      changed = updated.join(labels.withColumnRenamed("keeper", "prev"), Seq("doc_id"))
+        .filter(col("keeper") =!= col("prev")).count()
+      labels = updated
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Keeper assignment over the DETERMINISTIC blocked n-gram Jaccard
+    * graph (>= 0.5), so DuckDB can replay the whole thing — pair
+    * generation AND transitive closure — with a recursive CTE. */
+  val ngramDupKeepers: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = ngramJaccardBlocked(s, d).filter(col("jaccard") >= 0.5)
+    dupKeepers(docs.select(col("doc_id")), pairs)
+      .orderBy(col("doc_id"))
+  }
+
   // ---- tier 5: embedding cosine near-dup ----------------------------
 
   /** Semantic near-dups via the multi-table Similarity LSH index (no
@@ -413,8 +462,25 @@ object Dedup {
     "q34b_lsh_bucket_stats" -> lshBucketStats,  // rows-only: bucket-health record
     "q35_simhash_neardups" -> simhashDups,      // rows-only (hash-seeded)
     "q36_ngram_jaccard_blocked" -> ngramJaccardBlocked,
+    "q36b_dedup_keepers" -> ngramDupKeepers,
     "q37_embedding_neardups" -> embeddingDups,  // rows-only (LSH-seeded)
   )
+
+  /** Shared DuckDB CTE: blocked word-3-gram pair generation (the q36
+    * body), reused by the keeper-closure oracle. */
+  private val sqlBlockedPairs =
+    """t AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), 1, 4), ' ')) AS fp,
+      |    list_distinct([array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' ')
+      |      FOR i IN range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 1) + 1)]) AS sh
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |  FROM t a JOIN t b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q32_dedup_exact" ->
@@ -430,16 +496,24 @@ object Dedup {
         |  count(*) - count(DISTINCT md5(text)) AS n_dupes
         |FROM documents GROUP BY source""".stripMargin,
     "q36_ngram_jaccard_blocked" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    md5(array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), 1, 4), ' ')) AS fp,
-        |    list_distinct([array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' ')
-        |      FOR i IN range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 1) + 1)]) AS sh
-        |  FROM documents
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-        |FROM t a JOIN t b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
+      s"""WITH $sqlBlockedPairs
+         |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+    "q36b_dedup_keepers" ->
+      s"""WITH RECURSIVE $sqlBlockedPairs,
+         |strong AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM strong
+         |  UNION ALL SELECT doc_b, doc_a FROM strong
+         |),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(least(k.mn, d.doc_id), d.doc_id) AS keeper
+         |FROM documents d
+         |LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) k
+         |  ON k.src = d.doc_id""".stripMargin,
   )
 }

@@ -75,6 +75,24 @@ class DedupSpec extends SparkTestBase {
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("dupKeepers: transitive closure assigns the min id across chains") {
+    val docs = (1L to 6L).toDF("doc_id")
+    // chain 1-2-3 (no direct 1-3 edge), pair 4-5, singleton 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupKeepers(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("q36b keepers agree with q36 pairs at >= 0.5") {
+    val keepers = Dedup.ngramDupKeepers(spark, sf)
+    val merged = keepers.filter(col("doc_id") =!= col("keeper")).count()
+    val strongPairs = Dedup.ngramJaccardBlocked(spark, sf)
+      .filter(col("jaccard") >= 0.5).count()
+    // every strong pair merges at least its larger member into a keeper
+    assert(merged > 0 && merged <= strongPairs)
+  }
+
   test("bucket stats report per-tier health; healthy corpus has zero overflow") {
     val rows = Dedup.lshBucketStats(spark, sf).collect()
     assert(rows.map(_.getAs[String]("tier")).toSeq ==
