@@ -35,22 +35,29 @@ object StarQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val lock = new Object
-  @volatile private var warehouseRoot: String = _
+  @volatile private var builtRoot: String = _
 
-  /** Build (once) and open the fixture-backed warehouse. */
-  def warehouse(s: SparkSession): StarWarehouse = {
+  private def built(s: SparkSession): String = {
     lock.synchronized {
-      if (warehouseRoot == null) {
+      if (builtRoot == null) {
         val root = Files.createTempDirectory("graft-star-oracle").toString
         val ingest = new FlightIngest(s, root)
         ingest.ingest(Flights.fixturePath)
         val wh = new StarWarehouse(s, s"$root/warehouse")
         wh.transform(ingest.staging)
-        warehouseRoot = s"$root/warehouse"
+        builtRoot = root
       }
     }
-    new StarWarehouse(s, warehouseRoot)
+    builtRoot
   }
+
+  /** Build (once) and open the fixture-backed warehouse. */
+  def warehouse(s: SparkSession): StarWarehouse =
+    new StarWarehouse(s, s"${built(s)}/warehouse")
+
+  /** The ingest-produced staging table behind [[warehouse]]. */
+  def staging(s: SparkSession): DataFrame =
+    new FlightIngest(s, built(s)).staging
 
   /** Fact rows with surrogate keys resolved back to natural keys via
     * the dims (airports joined twice under role aliases, as in T-11). */
@@ -117,6 +124,24 @@ object StarQueries {
         col("avg_total_fare"), col("n_flights"))
       .orderBy(col("departure_date"))
 
+  /** V-1/V-2 count accounting as data: source file rows, deduped
+    * staging rows, post-cleaning valid rows, and committed fact rows —
+    * the inputs to the reference's validation gates (V-3 equality and
+    * V-4 tolerance remain assertions in [[graft.flights.Validation]]). */
+  private val q53: Q = (s, _) => {
+    val wh = warehouse(s)
+    val stg = staging(s)
+    def metric(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(name).as("metric"), col("n_rows"))
+    metric("source_rows", s.read.text(Flights.fixturePath))
+      .withColumn("n_rows", col("n_rows") - 1) // header
+      .unionByName(metric("staging_rows", stg))
+      .unionByName(metric("valid_rows", graft.flights.Cleaning.clean(stg)))
+      .unionByName(metric("fact_rows", wh.fact))
+      .orderBy(col("metric"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q47_star_fact_rows" -> q47,
     "q48_kpi_fares_by_airline" -> q48,
@@ -124,6 +149,7 @@ object StarQueries {
     "q50_kpi_seasonal_fares" -> q50,
     "q51_kpi_top_routes" -> q51,
     "q52_kpi_fare_trend" -> q52,
+    "q53_validation_report" -> q53,
   )
 
   // ---- DuckDB twins --------------------------------------------------
@@ -222,5 +248,12 @@ object StarQueries {
          |  ${Qx.sqlDavg("total_fare")} AS avg_total_fare,
          |  count(*) AS n_flights
          |FROM factrows GROUP BY 1""".stripMargin,
+    "q53_validation_report" ->
+      s"""$sqlPipeline
+         |, raw0 AS (SELECT * FROM read_csv('$fixture', header=true, all_varchar=true))
+         |SELECT 'source_rows' AS metric, count(*) AS n_rows FROM raw0
+         |UNION ALL SELECT 'staging_rows', count(*) FROM raw
+         |UNION ALL SELECT 'valid_rows', count(*) FROM valid
+         |UNION ALL SELECT 'fact_rows', count(*) FROM factrows""".stripMargin,
   )
 }
