@@ -268,22 +268,28 @@ object Similarity {
       .join(base.select(col(vecIdCol).as("vec_b"), col(vecCol).as("emb_b")), Seq("vec_b"))
   }
 
-  /** ANN quality as DATA: per-query recall of [[lshTopK]] against the
-    * exact [[bruteTopK]] baseline, so every round's CORRECTNESS record
-    * carries the measured number instead of a one-off spec assertion.
-    * (Rows-only: the ANN side is hash-seeded, so no SQL twin — the
-    * recall quality bar lives in SimilaritySpec.) */
+  /** ANN quality as DATA: per-query recall of both approximate paths
+    * ([[lshTopK]] and [[ivfTopK]]) against the exact [[bruteTopK]]
+    * baseline, so every round's CORRECTNESS record carries the
+    * measured numbers instead of a one-off spec assertion.
+    * (Rows-only: the ANN sides are hash/seed-dependent, so no SQL
+    * twin — the recall quality bars live in SimilaritySpec.) */
   val annRecall: Q = (s, d) => {
     val exact = bruteTopK(s, d).select(col("qid"), col("vid"))
-    val ann = lshTopK(s, d).select(col("qid"), col("vid"))
-    val hits = exact.join(ann, Seq("qid", "vid"), "left_semi")
-      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
-    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("qid"), "left")
-      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
-      .withColumn("recall",
-        quant6(col("n_hits").cast(DoubleType) / col("n_exact")))
-      .orderBy(col("qid"))
+    def recallOf(method: String, ann: DataFrame): DataFrame = {
+      val hits = exact.join(ann.select(col("qid"), col("vid")),
+          Seq("qid", "vid"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .select(lit(method).as("method"), col("qid"), col("n_exact"),
+          col("n_hits"),
+          quant6(col("n_hits").cast(DoubleType) / col("n_exact")).as("recall"))
+    }
+    recallOf("lsh", lshTopK(s, d))
+      .unionByName(recallOf("ivf", ivfTopK(s, d)))
+      .orderBy(col("method"), col("qid"))
   }
 
   val queries: Map[String, Q] = Map(
