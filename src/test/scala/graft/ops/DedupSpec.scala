@@ -84,6 +84,31 @@ class DedupSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("dupKeepers property: matches union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n), rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b).toLong, math.max(a, b).toLong) }
+        .distinct
+      // reference union-find; attaching the larger root under the
+      // smaller keeps every root the component minimum
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.dupKeepers(
+          (0L until n).toDF("doc_id"), edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: distributed CC != union-find")
+    }
+  }
+
   test("q36b keepers agree with q36 pairs at >= 0.5") {
     val keepers = Dedup.ngramDupKeepers(spark, sf)
     val merged = keepers.filter(col("doc_id") =!= col("keeper")).count()
