@@ -1,5 +1,10 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -11,12 +16,15 @@ import org.apache.spark.sql.types._
   * iterator-of-batches out; the executor never materializes the whole
   * partition).
   *
-  * The actual codec step is STUBBED (this container carries no
-  * image/audio libraries): [[FakeCodec.decode]] is a deterministic
-  * stand-in keyed on the bytes, clearly marked, swappable for a real
-  * JNI/library call. Everything around it — the binary schema, the
-  * typed Dataset boundary, partition-wise batching, the feature
-  * column layout — is real and tested (MultimodalSpec).
+  * The codec boundary is REAL, using only JDK-shipped codecs (no
+  * external libraries): PNG and JPEG rows are encoded/decoded with
+  * `javax.imageio.ImageIO`, WAV rows with `javax.sound.sampled`
+  * (PCM 16-bit mono). The media table stages genuine encoded bytes
+  * (PNG magic `\x89PNG`, JPEG `\xFFD8`, RIFF/WAVE headers) rendered
+  * deterministically from each document's text, and feature
+  * extraction decodes those bytes back to pixels/samples before
+  * computing histograms — so q38 exercises an actual
+  * bytes→codec→features path end-to-end, executor-side.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
@@ -27,49 +35,184 @@ object Multimodal {
   case class MediaRow(doc_id: Long, format: String, width: Int, height: Int,
                       media: Array[Byte])
 
+  /** Decoded features. For images `decoded_w/decoded_h` are the pixel
+    * dimensions read back from the codec; for audio `decoded_w` is the
+    * sample count and `decoded_h` is 1. */
   case class MediaFeatures(doc_id: Long, format: String, n_bytes: Int,
+                           decoded_w: Int, decoded_h: Int,
                            histogram: Array[Double], mean_byte: Double)
 
-  /** STUB boundary: a real build links an image/audio codec here.
-    * Deterministic byte-level "decode" keeps the pipeline testable. */
-  object FakeCodec {
+  /** JDK-only codecs. Image side: `ImageIO` (PNG lossless, JPEG
+    * lossy); audio side: `javax.sound.sampled` WAV (PCM 16-bit LE
+    * mono, 8 kHz). All encode/decode calls are per-row, thread-safe
+    * (fresh reader/writer per call), and run on executors inside
+    * mapPartitions. `ImageIO.setUseCache(false)` keeps the codec off
+    * the executor's local disk. */
+  object Codecs {
     val bins = 16
-    def decode(bytes: Array[Byte]): (Array[Double], Double) = {
+    locally {
+      // BufferedImage needs no display, but pin headless so the AWT
+      // toolkit never probes for one on an executor.
+      System.setProperty("java.awt.headless", "true")
+      ImageIO.setUseCache(false)
+    }
+    private val wavFormat = new AudioFormat(8000f, 16, 1, true, false)
+
+    /** Deterministic pixel pattern: the document's text bytes tiled
+      * across the raster, mixed with the coordinates so the histogram
+      * is non-degenerate. Pure function of (text, w, h). */
+    def renderImage(text: Array[Byte], w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val n = math.max(text.length, 1)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val t = if (text.isEmpty) 0 else text((y * w + x) % n) & 0xFF
+          val r = t
+          val g = (t + x * 7) & 0xFF
+          val b = (t + y * 13) & 0xFF
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    def encodeImage(img: BufferedImage, fmt: String): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      require(ImageIO.write(img, fmt, out), s"no ImageIO writer for $fmt")
+      out.toByteArray
+    }
+
+    /** Deterministic PCM samples: a doc-keyed sine carrier modulated
+      * by the text bytes. Pure function of (text, nSamples, seed). */
+    def renderSamples(text: Array[Byte], nSamples: Int, seed: Long): Array[Short] = {
+      val n = math.max(text.length, 1)
+      Array.tabulate(nSamples) { i =>
+        val t = if (text.isEmpty) 0 else text(i % n) & 0xFF
+        val phase = 2.0 * math.Pi * i * ((seed % 37) + 3) / 128.0
+        ((math.sin(phase) * 12000) + (t - 128) * 64).toInt
+          .max(Short.MinValue).min(Short.MaxValue).toShort
+      }
+    }
+
+    def encodeWav(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xFF).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(pcm), wavFormat, samples.length.toLong)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode an image via ImageIO and reduce to a normalized 16-bin
+      * luminance histogram + mean luminance (0..255). */
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Double], Double) = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "ImageIO could not decode media bytes")
+      val (w, h) = (img.getWidth, img.getHeight)
       val hist = new Array[Double](bins)
       var sum = 0.0
-      bytes.foreach { b =>
-        val u = b & 0xFF
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+            114 * (rgb & 0xFF)) / 1000
+          hist(lum * bins / 256) += 1.0
+          sum += lum
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      ((w, h, hist.map(_ / n), sum / n))
+    }
+
+    /** Decode a WAV via javax.sound and reduce to a normalized 16-bin
+      * amplitude histogram + mean, with samples mapped to 0..255 via
+      * the high byte (so image and audio features share a scale). */
+    def decodeWav(bytes: Array[Byte]): (Int, Array[Double], Double) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val pcm = ais.readAllBytes()
+      ais.close()
+      val nSamples = pcm.length / 2
+      val hist = new Array[Double](bins)
+      var sum = 0.0
+      var i = 0
+      while (i < nSamples) {
+        val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xFF)).toShort
+        val u = (s >> 8) + 128 // 0..255
         hist(u * bins / 256) += 1.0
         sum += u
+        i += 1
       }
-      val n = math.max(bytes.length, 1)
-      ((0 until bins).map(hist(_) / n).toArray, sum / n)
+      val n = math.max(nSamples, 1)
+      ((nSamples, hist.map(_ / n), sum / n))
     }
   }
 
-  /** Stage the documents table as a media table: utf-8 bytes play the
-    * media blob; metadata derives deterministically from doc_id. */
+  /** Stage the documents table as a media table holding REAL encoded
+    * media: each row's text renders to a tiny deterministic image
+    * (PNG or JPEG via ImageIO) or waveform (WAV via javax.sound),
+    * cycling formats by doc_id. Dimensions stay small (≤63×47 px /
+    * ≤1023 samples) so the table is cheap at bench scale while the
+    * codec path stays genuine. Encoding happens executor-side in the
+    * same mapPartitions shape the decode uses. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
-          (col("doc_id") % 3 + 1).cast(IntegerType)).as("format"),
-        (col("doc_id") % 640 + 32).cast(IntegerType).as("width"),
-        (col("doc_id") % 480 + 32).cast(IntegerType).as("height"),
-        encode(col("text"), "UTF-8").as("media"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val fmt = (id % 3) match {
+            case 0 => "png"
+            case 1 => "jpeg"
+            case _ => "wav"
+          }
+          val textBytes = text.getBytes("UTF-8")
+          fmt match {
+            case "wav" =>
+              val nSamples = (id % 768 + 256).toInt
+              val bytes = Codecs.encodeWav(
+                Codecs.renderSamples(textBytes, nSamples, id))
+              MediaRow(id, fmt, nSamples, 1, bytes)
+            case imgFmt =>
+              val w = (id % 48 + 16).toInt
+              val h = (id % 32 + 16).toInt
+              val bytes = Codecs.encodeImage(
+                Codecs.renderImage(textBytes, w, h), imgFmt)
+              MediaRow(id, imgFmt, w, h, bytes)
+          }
+        }
+      }
   }
 
   /** Partition-wise feature extraction — the mapInPandas analog:
-    * one JVM call per partition, streaming through the iterator. */
+    * one JVM call per partition, streaming through the iterator.
+    * Dispatches to the real codec per format. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (hist, mean) = FakeCodec.decode(r.media)
-        MediaFeatures(r.doc_id, r.format, r.media.length, hist, mean)
+        r.format match {
+          case "wav" =>
+            val (n, hist, mean) = Codecs.decodeWav(r.media)
+            MediaFeatures(r.doc_id, r.format, r.media.length, n, 1, hist, mean)
+          case _ =>
+            val (w, h, hist, mean) = Codecs.decodeImage(r.media)
+            MediaFeatures(r.doc_id, r.format, r.media.length, w, h, hist, mean)
+        }
       }
     }
   }
@@ -87,19 +230,22 @@ object Multimodal {
     }.toDF("doc_id", "frame_no", "frame_bytes", "frame")
   }
 
-  /** Registered (rows-only) query: feature extraction end-to-end.
-    * The mean_byte/histogram values are deterministic, so ScalaTest
-    * pins them; no SQL oracle (binary ops aren't expressible). */
+  /** Registered (rows-only) query: encode→decode→featurize
+    * end-to-end through the real JDK codecs. Deterministic (pure
+    * functions of doc text + id), so ScalaTest pins round-trip
+    * exactness for the lossless legs; no SQL oracle (codec ops
+    * aren't expressible). */
   val features: Q = (s, d) => {
     extractFeatures(mediaTable(s, d)).toDF()
       .select(col("doc_id"), col("format"), col("n_bytes"),
+        col("decoded_w"), col("decoded_h"),
         round(col("mean_byte"), 4).as("mean_byte"),
         round(element_at(col("histogram"), 1), 4).as("hist_bin0"))
       .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, Q] = Map(
-    "q38_multimodal_features" -> features, // rows-only: binary stub path
+    "q38_multimodal_features" -> features, // rows-only: codec path not SQL-expressible
   )
 
   val oracle: Map[String, String] = Map.empty
