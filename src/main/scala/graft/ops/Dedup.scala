@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -391,36 +391,73 @@ object Dedup {
     * dedup = `filter(doc_id === keeper)`.
     *
     * Distributed min-label propagation: each round every node adopts
-    * the minimum keeper among itself and its neighbors — one shuffle
-    * join + one aggregation per round, lineage cut with
-    * localCheckpoint. Rounds needed = cluster diameter, and near-dup
-    * clusters are near-cliques (LSH/blocking only pairs similar docs),
-    * so convergence is a handful of rounds even at 100 TB; the loop
-    * runs to an exact fixpoint (exiting early would mislabel, and the
-    * oracle replays the exact closure). */
-  def dupKeepers(docs: DataFrame, pairs: DataFrame, maxIter: Int = 100): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("keeper"))
-      .localCheckpoint()
+    * the minimum keeper among itself and its neighbors — ONE job per
+    * round: the convergence count rides the same action as the label
+    * update via `Dataset.observe` (each doc's previous keeper is
+    * folded through the aggregation, so no extra join/count job).
+    * Rounds needed = cluster diameter, and near-dup clusters are
+    * near-cliques (LSH/blocking only pairs similar docs), so
+    * convergence is a handful of rounds even at 100 TB; the loop runs
+    * to an exact fixpoint (exiting early would mislabel, and the
+    * oracle replays the exact closure).
+    *
+    * Fault tolerance: lineage is cut every round (the iterated plan
+    * would otherwise grow without bound). When the SparkContext has a
+    * reliable checkpoint dir set (`setCheckpointDir`), the edge set
+    * and every `reliableEvery`-th round's labels go to reliable
+    * storage, so an executor-loss-induced job retry restarts from
+    * durable state instead of failing (localCheckpoint blocks die
+    * with their executor); rounds in between use localCheckpoint as
+    * the fast path. With no checkpoint dir (local runs), everything
+    * stays on localCheckpoint. */
+  def dupKeepers(docs: DataFrame, pairs: DataFrame, maxIter: Int = 100,
+                 reliableEvery: Int = 5): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def cut(df: DataFrame, durable: Boolean): DataFrame =
+      if (reliable && durable) df.checkpoint() else df.localCheckpoint()
+    val edges = cut(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      durable = true)
+    var labels = cut(docs.select(col("doc_id"), col("doc_id").as("keeper")),
+      durable = true)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
       require(rounds < maxIter, s"dupKeepers did not converge in $maxIter rounds")
+      // Self rows carry their previous keeper; neighbor rows carry a
+      // +inf sentinel, so min(prev) per doc recovers exactly the
+      // previous label (every doc has one self row) and `changed`
+      // falls out of the same aggregation that computes the update.
+      val self = labels.select(col("doc_id"), col("keeper"),
+        col("keeper").as("prev"))
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .select(col("dst").as("doc_id"), col("keeper"))
-      val updated = labels.unionByName(fromNeighbors)
-        .groupBy(col("doc_id")).agg(min(col("keeper")).as("keeper"))
-        .localCheckpoint()
-      changed = updated.join(labels.withColumnRenamed("keeper", "prev"), Seq("doc_id"))
-        .filter(col("keeper") =!= col("prev")).count()
-      labels = updated
+        .select(col("dst").as("doc_id"), col("keeper"),
+          lit(Long.MaxValue).as("prev"))
+      val obs = Observation(s"dupKeepers_round_$rounds")
+      val updated = self.unionByName(fromNeighbors)
+        .groupBy(col("doc_id"))
+        .agg(min(col("keeper")).as("keeper"), min(col("prev")).as("prev"))
+        .observe(obs,
+          sum((col("keeper") =!= col("prev")).cast(LongType)).as("changed"))
+        .select(col("doc_id"), col("keeper"))
+      // the checkpoint IS the round's one action; observe rides it
+      labels = cut(updated, durable = rounds % reliableEvery == reliableEvery - 1)
+      changed = obs.get.get("changed") match {
+        case Some(n: Number) => n.longValue()
+        case _ => 0L // all-false sum is 0, null only on an empty corpus
+      }
       rounds += 1
     }
+    lastPropagationRounds = rounds
     labels
   }
+
+  /** Rounds the last [[dupKeepers]] call took to reach its fixpoint —
+    * observability for the diameter-tracking property test. */
+  @volatile private[graft] var lastPropagationRounds: Int = -1
 
   /** Keeper assignment over the DETERMINISTIC blocked n-gram Jaccard
     * graph (>= 0.5), so DuckDB can replay the whole thing — pair

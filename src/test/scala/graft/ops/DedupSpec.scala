@@ -109,6 +109,63 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("dupKeepers under a reliable checkpoint dir: path graph (diameter 50) " +
+       "converges in ~diameter rounds with identical labels") {
+    val sc = spark.sparkContext
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val prevDir = sc.getCheckpointDir
+    sc.setCheckpointDir(ckDir)
+    try {
+      val n = 51 // path 0-1-2-...-50: worst-case diameter for min-label spread
+      val docs = (0L until n).toDF("doc_id")
+      val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val got = Dedup.dupKeepers(docs, pairs, maxIter = 60, reliableEvery = 5)
+        .as[(Long, Long)].collect().toMap
+      assert(got == (0L until n).map(_ -> 0L).toMap,
+        "reliable-checkpoint path must produce the same closure")
+      // label 0 travels one hop per round: rounds tracks diameter
+      // (+1 fixpoint-detection round), not some quadratic blow-up
+      val rounds = Dedup.lastPropagationRounds
+      assert(rounds >= 50 && rounds <= 52, s"rounds=$rounds should track diameter 50")
+      // reliable snapshots actually landed in the checkpoint dir
+      val ckFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(ckFiles > 0, "expected reliable checkpoint files on disk")
+    } finally {
+      prevDir match {
+        case Some(d) => sc.setCheckpointDir(d)
+        case None => sc.setCheckpointDir(null)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir))
+    }
+  }
+
+  test("dupKeepers propagation uses one action per round (observe-folded convergence)") {
+    // Count Dataset ACTIONS (QueryExecutionListener fires once per
+    // withAction), which is AQE-job-count-proof: the old shape ran 2
+    // actions per round (checkpoint + convergence count), the folded
+    // shape runs exactly 1 (the checkpoint, with observe riding it).
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val docs = (1L to 6L).toDF("doc_id")
+      val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+      Dedup.dupKeepers(docs, pairs)
+      Thread.sleep(1000) // listener delivery is async
+      val rounds = Dedup.lastPropagationRounds
+      assert(rounds > 0)
+      assert(actions.get == 2 + rounds,
+        s"actions=${actions.get} for rounds=$rounds: expected 2 setup checkpoints + 1/round")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("q36b keepers agree with q36 pairs at >= 0.5") {
     val keepers = Dedup.ngramDupKeepers(spark, sf)
     val merged = keepers.filter(col("doc_id") =!= col("keeper")).count()
