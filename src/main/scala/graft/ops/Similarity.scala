@@ -84,6 +84,17 @@ object Similarity {
   val nTables = 8
   val bitsPerTable = 6
 
+  /** Extra single-bit-flip probes per table on the QUERY side
+    * (multiprobe LSH): each query also searches the buckets reached by
+    * flipping its 1..extraProbes lowest-|margin| sign bits — the bits
+    * whose hyperplane the query sits closest to, i.e. the buckets its
+    * true neighbors most likely fell into when the sign disagreed.
+    * Corpus-side indexing is unchanged (one bucket per table), so the
+    * index stays the same size; only the per-query probe fan-out grows
+    * (1+extraProbes)x, which buys multi-table recall without the
+    * memory of more tables. */
+  val extraProbes = 2
+
   /** (row_key, table, bucket) exploded view: the multi-table index.
     * One scan computes all L*p sign bits inside codegen; the explode
     * fans each row into its L table entries. */
@@ -98,6 +109,41 @@ object Similarity {
       .drop("tb")
   }
 
+  /** Multiprobe bucket list for ONE table: [base, base^bit_i1,
+    * base^bit_i2, ...] where i1, i2, ... are the sign bits with the
+    * smallest |dot| margin. Pure column arithmetic (array_sort over
+    * (|margin|, bit) structs), stays inside codegen. */
+  private def tableProbeBuckets(v: Column, tablePlanes: Array[Array[Double]],
+                                extra: Int): Column = {
+    val dots = tablePlanes.map { p =>
+      dotD(v, array(p.map(x => lit(x)).toIndexedSeq: _*))
+    }
+    val base = dots.zipWithIndex.map { case (d, i) =>
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val margins = array(dots.zipWithIndex.map { case (d, i) =>
+      struct(abs(d).as("m"), lit(1L << i).as("bit"))
+    }.toIndexedSeq: _*)
+    val flips = transform(slice(array_sort(margins), 1, extra),
+      s => base.bitwiseXOR(s.getField("bit")))
+    concat(array(base), flips)
+  }
+
+  /** Query-side multiprobe index: (qid, tbl, bucket) with
+    * (1+extraProbes) buckets per table per query. */
+  def lshQueryIndex(queries: DataFrame, vecCol: String,
+                    planes: Array[Array[Double]], extra: Int = extraProbes): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        tableProbeBuckets(col(vecCol),
+          planes.slice(t * bitsPerTable, (t + 1) * bitsPerTable), extra).as("buckets"))
+    }
+    queries
+      .withColumn("tp", explode(array(tables: _*)))
+      .select(col("qid"), col("tp.tbl").as("tbl"),
+        explode(col("tp.buckets")).as("bucket"))
+  }
+
   /** Embedding dimensionality probed from the data (hyperplanes must
     * cover every component or bucketing silently degrades). The 1-row
     * probe is memoized per logical plan so repeated invocations over
@@ -109,11 +155,15 @@ object Similarity {
       (emb.queryExecution.analyzed.semanticHash(), vecCol),
       _ => emb.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(64))
 
-  /** ANN via multi-table LSH. No SQL oracle (approximate by
-    * construction; driver records the rows-only check); recall vs.
-    * bruteTopK is asserted in SimilaritySpec. */
-  val lshTopK: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
+  private def queryVecs(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+
+  /** The (qid, vec_id) candidate set the LSH path scores: corpus rows
+    * colliding with any of the query's multiprobe buckets in any
+    * table. Exposed so q31b can record candidates-scanned alongside
+    * recall. */
+  def lshCandidateIds(emb: DataFrame): DataFrame = {
     val planes = hyperplanes(nTables * bitsPerTable, embDim(emb, "embedding"))
     // id-only through the bucket join and dedupe (same candidate-pair
     // discipline as candidatePairs); vectors re-joined after. Buckets
@@ -124,25 +174,34 @@ object Similarity {
       lshIndex(emb.select(col("vec_id"), col("embedding")),
         "embedding", planes).select(col("vec_id"), col("tbl"), col("bucket")),
       Seq("tbl", "bucket"), "vec_id")
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val queryIdx = lshIndex(queries, "qe", planes)
-      .select(col("qid"), col("tbl"), col("bucket"))
-    val candidateIds = corpusIdx.join(broadcast(queryIdx), Seq("tbl", "bucket"))
+    val queryIdx = lshQueryIndex(queryVecs(emb), "qe", planes)
+    corpusIdx.join(broadcast(queryIdx), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
       .dropDuplicates("qid", "vec_id")
-    val candidates = candidateIds
-      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .join(broadcast(queries), Seq("qid"))
+  }
+
+  private def scoreTopK(emb: DataFrame, candidateIds: DataFrame): DataFrame = {
+    val queries = queryVecs(emb)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    candidates
+    candidateIds
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
       .withColumn("cosine", cosineColumn(col("qe"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id").as("vid"), col("cosine"), col("rank"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** ANN via multi-table multiprobe LSH. No SQL oracle (approximate by
+    * construction; driver records the rows-only check); recall vs.
+    * bruteTopK is asserted in SimilaritySpec and recorded per-round by
+    * q31b. */
+  val lshTopK: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    scoreTopK(emb, lshCandidateIds(emb))
   }
 
   // ---- IVF (k-means coarse quantizer) ANN ---------------------------
@@ -199,23 +258,21 @@ object Similarity {
     * SimilaritySpec. */
   val ivfTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
+    scoreTopK(emb, ivfCandidateIds(emb))
+  }
+
+  /** The (qid, vec_id) candidate set the IVF path scores: corpus rows
+    * in any of the query's nProbe nearest cells. A corpus row lives in
+    * exactly one cell, so the set is duplicate-free by construction. */
+  def ivfCandidateIds(emb: DataFrame): DataFrame = {
     val centroids = ivfCentroids(emb, "embedding", nCells)
     val corpusIdx = emb.select(col("vec_id"), col("embedding"))
       .withColumn("cell", ivfAssign(col("embedding"), centroids))
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val probes = queries.select(col("qid"),
+    val probes = queryVecs(emb).select(col("qid"),
       explode(ivfProbes(col("qe"), centroids, nProbe)).as("cell"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id"))
     corpusIdx.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .join(broadcast(queries), Seq("qid"))
-      .withColumn("cosine", cosineColumn(col("qe"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("vid"), col("cosine"), col("rank"))
-      .orderBy(col("qid"), col("rank"))
+      .select(col("qid"), col("vec_id"))
   }
 
   /** All-pairs candidates from the multi-table index (used by the
@@ -275,20 +332,26 @@ object Similarity {
     * (Rows-only: the ANN sides are hash/seed-dependent, so no SQL
     * twin — the recall quality bars live in SimilaritySpec.) */
   val annRecall: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
     val exact = bruteTopK(s, d).select(col("qid"), col("vid"))
-    def recallOf(method: String, ann: DataFrame): DataFrame = {
+    def recallOf(method: String, candidateIds: DataFrame): DataFrame = {
+      val ann = scoreTopK(emb, candidateIds)
       val hits = exact.join(ann.select(col("qid"), col("vid")),
           Seq("qid", "vid"), "left_semi")
         .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      val scanned = candidateIds.groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_candidates"))
       exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
         .join(hits, Seq("qid"), "left")
+        .join(scanned, Seq("qid"), "left")
         .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
         .select(lit(method).as("method"), col("qid"), col("n_exact"),
-          col("n_hits"),
+          col("n_hits"), col("n_candidates"),
           quant6(col("n_hits").cast(DoubleType) / col("n_exact")).as("recall"))
     }
-    recallOf("lsh", lshTopK(s, d))
-      .unionByName(recallOf("ivf", ivfTopK(s, d)))
+    recallOf("lsh", lshCandidateIds(emb))
+      .unionByName(recallOf("ivf", ivfCandidateIds(emb)))
       .orderBy(col("method"), col("qid"))
   }
 

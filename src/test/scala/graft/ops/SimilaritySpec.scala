@@ -24,9 +24,11 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     // This corpus is near-uniform (top-10 cosine <= 0.4) — the LSH
-    // worst case. Theoretical recall at cos~0.3 with 8 tables x 6 bits
-    // is ~0.3; chance would be k/corpus = 0.02.
-    assert(recall >= 0.15, s"recall $recall too low — LSH bucketing broken")
+    // worst case. Multiprobe (2 extra single-bit-flip probes per
+    // table on the query side) measures 0.72 pooled here and >= 0.60
+    // at every SF (seed-fixed hyperplanes, so deterministic); chance
+    // would be k/corpus = 0.02.
+    assert(recall >= 0.6, s"recall $recall too low — multiprobe LSH degraded")
   }
 
   test("IVF ANN: valid top-k shape, usable recall, bounded search fraction") {
@@ -42,9 +44,10 @@ class SimilaritySpec extends SparkTestBase {
     val approx = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     // nProbe/nCells = 1/4 of the corpus searched; on this near-uniform
-    // corpus expected recall ~ searched fraction. Chance at k=10/500
+    // corpus expected recall ~ searched fraction (measures 0.58 pooled
+    // here, seeded k-means so deterministic). Chance at k=10/500
     // would be 0.02.
-    assert(recall >= 0.15, s"IVF recall $recall too low — cell routing broken")
+    assert(recall >= 0.4, s"IVF recall $recall too low — cell routing broken")
 
     // the index must actually bound the search: cells partition the
     // corpus, probes only touch nProbe of nCells
