@@ -60,4 +60,30 @@ object StreamingStarBuild {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** MARKER-RETENTION RULE (load-bearing once compaction exists): a
+    * marker for batch N may be deleted ONLY while the fact still
+    * carries an `ingest_batch=N` partition — replaying N without its
+    * marker merely dynamic-overwrites that subtree, which is
+    * idempotent. Once [[graft.flights.StarWarehouse.compactFact]] has
+    * folded batch N into the `ingest_batch=-1` base, the marker is
+    * the ONLY thing standing between a replayed batch N (e.g. after
+    * checkpoint loss) and re-adding its rows BESIDE the compacted
+    * copy, so it must be retained as long as the compacted base
+    * lives. This GC implements exactly that rule; it never deletes a
+    * marker whose batch partition is gone. Markers are tiny (one
+    * empty file per batch), so retaining the compacted ones forever
+    * is cheap; the deletable set is the uncompacted tail.
+    * Returns (deleted, retained). */
+  def gcMarkers(warehouseRoot: String): (Int, Int) = {
+    val markers = new java.io.File(s"$warehouseRoot/_applied_batches")
+    val factDir = new java.io.File(s"$warehouseRoot/fact_flights")
+    val livePartitions = Option(factDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSet
+    val (deletable, retained) =
+      Option(markers.listFiles()).getOrElse(Array.empty)
+        .partition(f => livePartitions.contains(s"ingest_batch=${f.getName}"))
+    deletable.foreach(_.delete())
+    (deletable.length, retained.length)
+  }
 }

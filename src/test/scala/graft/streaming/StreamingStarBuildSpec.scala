@@ -78,6 +78,65 @@ class StreamingStarBuildSpec extends SparkTestBase {
     assert(wh.fact.count() == 94)
   }
 
+  test("replay after compaction does not resurrect compacted rows (marker coupling)") {
+    val root = tmpDir("sstar")
+    val stagingDir = s"$root/staging"
+    val wh = new StarWarehouse(spark, s"$root/wh")
+    stage("flights_clean.csv", stagingDir)
+    StreamingStarBuild.start(spark, stagingDir, s"$root/wh", s"$root/ckpt")
+      .awaitTermination()
+    wh.compactFact()
+    assert(wh.fact.count() == 50)
+
+    // Checkpoint loss: a fresh checkpoint re-delivers every staged
+    // file as batch 0 — the exact replay compaction must survive.
+    // The retained marker skips the body, so nothing lands beside the
+    // compacted base.
+    StreamingStarBuild.start(spark, stagingDir, s"$root/wh", s"$root/ckpt2")
+      .awaitTermination()
+    assert(wh.fact.count() == 50, "replayed batch resurrected compacted rows")
+    val subdirs = new java.io.File(s"$root/wh/fact_flights").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs == Set("ingest_batch=-1"), s"increment reappeared: $subdirs")
+  }
+
+  test("marker GC retains compacted batches' markers and deletes only replay-safe ones") {
+    val root = tmpDir("sstar")
+    val stagingDir = s"$root/staging"
+    val wh = new StarWarehouse(spark, s"$root/wh")
+    stage("flights_clean.csv", stagingDir)
+    StreamingStarBuild.start(spark, stagingDir, s"$root/wh", s"$root/ckpt")
+      .awaitTermination()
+
+    // BEFORE compaction ingest_batch=0 still exists: its marker is
+    // replay-safe to drop (dynamic overwrite is idempotent), so GC
+    // may delete it...
+    val (deleted0, retained0) = StreamingStarBuild.gcMarkers(s"$root/wh")
+    assert(deleted0 == 1 && retained0 == 0)
+    // ...and a marker-less replay (fresh checkpoint) rewrites the
+    // batch-0 subtree instead of duplicating it.
+    StreamingStarBuild.start(spark, stagingDir, s"$root/wh", s"$root/ckpt2")
+      .awaitTermination()
+    assert(wh.fact.count() == 50)
+    assert(Files.exists(Paths.get(s"$root/wh/_applied_batches/0"))) // re-marked
+
+    // AFTER compaction the partition is gone: the marker is
+    // load-bearing and GC must retain it.
+    wh.compactFact()
+    val (deleted1, retained1) = StreamingStarBuild.gcMarkers(s"$root/wh")
+    assert(deleted1 == 0 && retained1 == 1,
+      "GC deleted a compacted batch's marker — replay would resurrect rows")
+
+    // Prove the rule is load-bearing: violating it (deleting the
+    // marker by hand post-compaction) makes the same replay duplicate
+    // every compacted row.
+    Files.delete(Paths.get(s"$root/wh/_applied_batches/0"))
+    StreamingStarBuild.start(spark, stagingDir, s"$root/wh", s"$root/ckpt3")
+      .awaitTermination()
+    assert(wh.fact.count() == 100,
+      "expected the rule violation to resurrect rows — test premise broken")
+  }
+
   test("crash between fact commit and marker write replays without duplicates") {
     val root = tmpDir("sstar")
     val stagingDir = s"$root/staging"
