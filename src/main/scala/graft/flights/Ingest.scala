@@ -61,7 +61,34 @@ class FlightIngest(spark: SparkSession, root: String) {
   def rowHash(df: DataFrame): DataFrame =
     df.withColumn("row_hash", FlightSchemas.rowHashColumn(df.columns.toIndexedSeq))
 
+  /** The batch offset contract ("resume at data row N") is defined by
+    * ONE file's row order — the reference's contract too
+    * (ingestion.py:16 hard-codes a single CSV path). Across multiple
+    * files there is no stable global row order (Spark splits and
+    * lists files in no contractual sequence), so a glob/directory
+    * input would make the persisted offset silently ambiguous.
+    * Reject it loudly; multi-file directories are the streaming
+    * path's job ([[graft.streaming.StreamingIngest]] tracks per-FILE
+    * offsets in its checkpoint, which is the correct unit). */
+  private def requireSingleFile(csvPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(csvPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(p)).getOrElse(Array.empty).flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).filter(_.isFile)
+          .filterNot(s => s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith("."))
+      else Array(st)
+    }
+    require(files.length == 1,
+      s"FlightIngest.ingest requires exactly one CSV file; '$csvPath' resolves to " +
+        s"${files.length} files. The row-offset resume contract has no defined " +
+        "order across files — use graft.streaming.StreamingIngest for " +
+        "directories (per-file offsets via the stream checkpoint).")
+  }
+
   def ingest(csvPath: String): IngestResult = {
+    requireSingleFile(csvPath)
     // I-1: raw line count (includes header, like the reference's rb scan)
     val lineCount = spark.read.text(csvPath).count()
     var off = offset

@@ -76,6 +76,27 @@ class IngestSpec extends SparkTestBase {
     assert(ing.ledger.count() == 49)
   }
 
+  test("multi-file directory input is rejected loudly (offset order undefined)") {
+    val root = tmpDir("ingest")
+    val dir = s"$root/csvdir"
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(Paths.get(resource("flights_small.csv")), Paths.get(s"$dir/a.csv"))
+    Files.copy(Paths.get(resource("flights_clean.csv")), Paths.get(s"$dir/b.csv"))
+    val ing = new FlightIngest(spark, root)
+    val e = intercept[IllegalArgumentException](ing.ingest(dir))
+    assert(e.getMessage.contains("exactly one CSV file"))
+    assert(e.getMessage.contains("StreamingIngest"))
+    // nothing was written: state, staging, ledger all untouched
+    assert(ing.offset == 0L)
+    assert(!Files.exists(Paths.get(ing.stagingPath)))
+    assert(!Files.exists(Paths.get(ing.ledgerPath)))
+
+    // a single file INSIDE a directory still has a well-defined row
+    // order — directory-of-one is accepted
+    Files.delete(Paths.get(s"$dir/b.csv"))
+    assert(ing.ingest(dir).rowsLoaded == 49)
+  }
+
   test("intra-batch duplicates collapse to one row") {
     val root = tmpDir("ingest")
     val csv = s"$root/flights.csv"
