@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus curation: the end-to-end keep/drop decision a training-data
+  * pipeline derives from the component operators — exact dedup
+  * (md5 keeper), near-dup dedup (blocked n-gram Jaccard pairs closed
+  * into connected-component keepers), quality gating, and language ID
+  * — composed into ONE auditable per-document verdict with the first
+  * failing rule as the drop reason. This is the query a user actually
+  * runs over 100 TB before tokenization; everything upstream of it in
+  * this package exists to feed it.
+  *
+  * Precedence (cheapest-to-run first, so the reason reflects the
+  * earliest gate that would have dropped the doc): exact_dup >
+  * near_dup > low_quality > kept.
+  *
+  * Scale posture: one hash aggregation (exact), the propagation loop
+  * over id-only edges (near — see [[Dedup.dupKeepers]]), two
+  * codegen'd projections (quality, lang), then id-only joins. The
+  * oracle twin replays the whole composition in DuckDB, recursive
+  * closure included, so the verdict column itself is hash-checked —
+  * not just its ingredients. */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  val corpusFilter: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val exactKeeper = hashed
+      .join(hashed.groupBy("h").agg(min("doc_id").as("exact_keeper")), Seq("h"))
+      .select(col("doc_id"), col("exact_keeper"))
+    val nearKeeper = Dedup.ngramDupKeepers(s, d)
+      .withColumnRenamed("keeper", "near_keeper")
+    val quality = TextAnalysis.qualityScore(s, d)
+      .select(col("doc_id"), col("keep").as("quality_keep"))
+    val lang = TextAnalysis.langId(s, d)
+      .select(col("doc_id"), col("lang_pred"))
+    exactKeeper
+      .join(nearKeeper, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .withColumn("verdict",
+        when(col("doc_id") =!= col("exact_keeper"), "exact_dup")
+          .when(col("doc_id") =!= col("near_keeper"), "near_dup")
+          .when(!col("quality_keep"), "low_quality")
+          .otherwise("kept"))
+      .withColumn("keep", col("verdict") === "kept")
+      .select(col("doc_id"), col("lang_pred"), col("exact_keeper"),
+        col("near_keeper"), col("keep"), col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rollup of the same decision: corpus survival accounting by
+    * verdict and predicted language — the number a pipeline owner
+    * watches per ingestion round. */
+  val corpusFilterStats: Q = (s, d) =>
+    corpusFilter(s, d)
+      .groupBy(col("verdict"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("verdict"), col("lang_pred"))
+
+  val queries: Map[String, Q] = Map(
+    "q54_corpus_filter" -> corpusFilter,
+    "q54b_corpus_filter_stats" -> corpusFilterStats,
+  )
+
+  import TextAnalysis.{sqlStops, sqlToks}
+
+  private val sqlLangPred =
+    s"""CASE
+       |    WHEN ${sqlStops("en")} >= greatest(${sqlStops("de")}, ${sqlStops("es")}, ${sqlStops("fr")}) THEN 'en'
+       |    WHEN ${sqlStops("de")} >= greatest(${sqlStops("es")}, ${sqlStops("fr")}) THEN 'de'
+       |    WHEN ${sqlStops("es")} >= ${sqlStops("fr")} THEN 'es'
+       |    ELSE 'fr'
+       |  END""".stripMargin
+
+  private val sqlQualityKeep =
+    s"""(len(${sqlToks("text")}) >= 5
+       |    AND (CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) / length(text)) < 0.2
+       |    AND (CAST(${sqlStops("en")} AS DOUBLE) / len(${sqlToks("text")})) > 0.0)""".stripMargin
+
+  private val sqlVerdictBody =
+    s"""strong AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM strong
+       |  UNION ALL SELECT doc_b, doc_a FROM strong
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |),
+       |nk AS (
+       |  SELECT d.doc_id,
+       |    coalesce(least(k.mn, d.doc_id), d.doc_id) AS near_keeper
+       |  FROM documents d
+       |  LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) k
+       |    ON k.src = d.doc_id
+       |),
+       |ek AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS exact_keeper
+       |  FROM documents
+       |),
+       |ql AS (
+       |  SELECT doc_id, $sqlQualityKeep AS quality_keep, $sqlLangPred AS lang_pred
+       |  FROM documents
+       |),
+       |verdicts AS (
+       |  SELECT d.doc_id, ql.lang_pred, ek.exact_keeper, nk.near_keeper,
+       |    CASE
+       |      WHEN d.doc_id <> ek.exact_keeper THEN 'exact_dup'
+       |      WHEN d.doc_id <> nk.near_keeper THEN 'near_dup'
+       |      WHEN NOT ql.quality_keep THEN 'low_quality'
+       |      ELSE 'kept'
+       |    END AS verdict
+       |  FROM documents d
+       |  JOIN ek ON ek.doc_id = d.doc_id
+       |  JOIN nk ON nk.doc_id = d.doc_id
+       |  JOIN ql ON ql.doc_id = d.doc_id
+       |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q54_corpus_filter" ->
+      s"""WITH RECURSIVE ${Dedup.sqlBlockedPairs},
+         |$sqlVerdictBody
+         |SELECT doc_id, lang_pred, exact_keeper, near_keeper,
+         |  (verdict = 'kept') AS keep, verdict
+         |FROM verdicts""".stripMargin,
+    "q54b_corpus_filter_stats" ->
+      s"""WITH RECURSIVE ${Dedup.sqlBlockedPairs},
+         |$sqlVerdictBody
+         |SELECT verdict, lang_pred, count(*) AS n_docs
+         |FROM verdicts GROUP BY verdict, lang_pred""".stripMargin,
+  )
+}

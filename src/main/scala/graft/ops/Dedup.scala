@@ -505,7 +505,7 @@ object Dedup {
 
   /** Shared DuckDB CTE: blocked word-3-gram pair generation (the q36
     * body), reused by the keeper-closure oracle. */
-  private val sqlBlockedPairs =
+  private[ops] val sqlBlockedPairs =
     """t AS (
       |  SELECT doc_id,
       |    md5(array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), 1, 4), ' ')) AS fp,

@@ -118,8 +118,8 @@ object TextAnalysis {
     docs.groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        Qx.davg(length(col("text"))).as("avg_chars"),
-        Qx.davg(size(tokens(col("text")))).as("avg_tokens"),
+        Qx.davg(length(col("text")), rescale = 0).as("avg_chars"),
+        Qx.davg(size(tokens(col("text"))), rescale = 0).as("avg_tokens"),
         countDistinct(col("source")).as("n_sources"))
       .orderBy(col("lang"))
   }
@@ -132,8 +132,8 @@ object TextAnalysis {
     "q24_lang_stats" -> langStats,
   )
 
-  private def sqlToks(x: String) = s"string_split_regex(lower(trim($x)), '\\s+')"
-  private def sqlStops(l: String): String = {
+  private[ops] def sqlToks(x: String) = s"string_split_regex(lower(trim($x)), '\\s+')"
+  private[ops] def sqlStops(l: String): String = {
     val ws = stopwords.toMap.apply(l).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(${sqlToks("text")}, t -> t IN ($ws)))"
   }
@@ -180,8 +180,8 @@ object TextAnalysis {
          |FROM documents""".stripMargin,
     "q24_lang_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
-         |  ${Qx.sqlDavg("length(text)")} AS avg_chars,
-         |  ${Qx.sqlDavg(s"len(${sqlToks("text")})")} AS avg_tokens,
+         |  ${Qx.sqlDavg("length(text)", rescale = 0)} AS avg_chars,
+         |  ${Qx.sqlDavg(s"len(${sqlToks("text")})", rescale = 0)} AS avg_tokens,
          |  count(DISTINCT source) AS n_sources
          |FROM documents GROUP BY lang""".stripMargin,
   )

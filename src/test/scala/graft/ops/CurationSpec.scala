@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("corpus filter: verdict precedence and keeper consistency") {
+    val rows = Curation.corpusFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, exact, near, keep, verdict) =
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("exact_keeper"),
+          r.getAs[Long]("near_keeper"), r.getAs[Boolean]("keep"),
+          r.getAs[String]("verdict"))
+      if (id != exact) assert(verdict == "exact_dup")
+      else if (id != near) assert(verdict == "near_dup")
+      if (keep) {
+        assert(verdict == "kept")
+        assert(id == exact && id == near, "a kept doc must be its own keeper")
+      }
+    }
+    // no two kept docs share identical text
+    val keptIds = rows.filter(_.getAs[Boolean]("keep"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val keptHashes = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(keptIds.toSeq: _*))
+      .select(md5(col("text"))).collect().map(_.getString(0))
+    assert(keptHashes.length == keptHashes.distinct.length,
+      "kept set still contains exact duplicates")
+  }
+
+  test("corpus filter stats roll up to the corpus size") {
+    val total = graft.Tables.documents(spark, sf).count()
+    val stats = Curation.corpusFilterStats(spark, sf).collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == total)
+    // the fixture corpus has no exact-duplicate texts (q32: all
+    // n_copies = 1), but near-dups and quality drops must both fire
+    val verdicts = stats.map(_.getAs[String]("verdict")).toSet
+    assert(verdicts.contains("kept") && verdicts.contains("near_dup") &&
+      verdicts.contains("low_quality"))
+  }
+}
