@@ -51,7 +51,7 @@ object Bucketing {
     bl.hint("merge").join(bo, bl("l_orderkey") === bo("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
-        graft.queries.Qx.dsum(col("l_extendedprice")).as("sum_price"))
+        graft.queries.Qx.dsum(col("l_extendedprice"), rescale = 2).as("sum_price"))
       .orderBy(col("o_orderpriority"))
   }
 }

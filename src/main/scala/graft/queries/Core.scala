@@ -31,11 +31,11 @@ object Core {
     li.filter(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_quantity"), rescale = 2).as("sum_qty"),
         dsum(col("l_extendedprice"), rescale = 2).as("sum_base_price"),
         sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(DecimalType(18, 4)).cast(DoubleType).as("sum_disc_price"),
-        davg(col("l_quantity")).as("avg_qty"),
-        davg(col("l_discount")).as("avg_disc"),
+        davg(col("l_quantity"), rescale = 2).as("avg_qty"),
+        davg(col("l_discount"), rescale = 2).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -59,7 +59,7 @@ object Core {
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_orders"),
-        davg(col("o_totalprice")).as("avg_price"),
+        davg(col("o_totalprice"), rescale = 2).as("avg_price"),
         max(col("o_totalprice")).as("max_price"),
         min(col("o_totalprice")).as("min_price"))
       .orderBy(col("c_mktsegment"))
@@ -111,7 +111,7 @@ object Core {
   private val q07: Q = (s, d) => {
     val o = Tables.orders(s, d)
     o.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
-      .agg(count(lit(1)).as("n_orders"), davg(col("o_totalprice")).as("avg_price"))
+      .agg(count(lit(1)).as("n_orders"), davg(col("o_totalprice"), rescale = 2).as("avg_price"))
       .orderBy(col("order_day"))
   }
 
@@ -134,7 +134,7 @@ object Core {
     c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("n_customers"), davg(col("c_acctbal")).as("avg_acctbal"))
+      .agg(count(lit(1)).as("n_customers"), davg(col("c_acctbal"), rescale = 2).as("avg_acctbal"))
       .orderBy(col("n_name"))
   }
 
@@ -142,7 +142,7 @@ object Core {
   private val q10: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     li.rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      .agg(dsum(col("l_quantity"), rescale = 2).as("sum_qty"), count(lit(1)).as("n_items"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
@@ -224,7 +224,7 @@ object Core {
   private val q39: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     li.cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      .agg(dsum(col("l_quantity"), rescale = 2).as("sum_qty"), count(lit(1)).as("n_items"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
@@ -258,7 +258,7 @@ object Core {
     val li = Tables.lineitem(s, d)
     li.groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("F", "O"))
-      .agg(dsum(col("l_quantity")))
+      .agg(dsum(col("l_quantity"), rescale = 2))
       .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
       .orderBy(col("l_returnflag"))
   }
@@ -270,7 +270,7 @@ object Core {
     val li = Tables.lineitem(s, d)
     val wide = li.groupBy(col("l_returnflag"))
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_quantity"), rescale = 2).as("sum_qty"),
         dsum(col("l_extendedprice"), rescale = 2).as("sum_price"))
     wide.unpivot(
         Array(col("l_returnflag")),
@@ -365,7 +365,7 @@ object Core {
   val oracle: Map[String, String] = Map(
     "q39_cube_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n_items
+         |  ${sqlDsum("l_quantity", rescale = 2)} AS sum_qty, count(*) AS n_items
          |FROM lineitem
          |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q44_correlated_subquery" ->
@@ -402,7 +402,7 @@ object Core {
     "q43_unpivot" ->
       s"""WITH wide AS (
          |  SELECT l_returnflag,
-         |    ${sqlDsum("l_quantity")} AS sum_qty,
+         |    ${sqlDsum("l_quantity", rescale = 2)} AS sum_qty,
          |    ${sqlDsum("l_extendedprice", rescale = 2)} AS sum_price
          |  FROM lineitem GROUP BY l_returnflag
          |)
@@ -426,11 +426,11 @@ object Core {
         |LIMIT 20""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_quantity", rescale = 2)} AS sum_qty,
          |  ${sqlDsum("l_extendedprice", rescale = 2)} AS sum_base_price,
          |  CAST(CAST(sum($sqlDiscPrice) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
-         |  ${sqlDavg("l_quantity")} AS avg_qty,
-         |  ${sqlDavg("l_discount")} AS avg_disc,
+         |  ${sqlDavg("l_quantity", rescale = 2)} AS avg_qty,
+         |  ${sqlDavg("l_discount", rescale = 2)} AS avg_disc,
          |  count(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -445,7 +445,7 @@ object Core {
     "q03_segment_stats" ->
       s"""SELECT c_mktsegment,
          |  count(*) AS n_orders,
-         |  ${sqlDavg("o_totalprice")} AS avg_price,
+         |  ${sqlDavg("o_totalprice", rescale = 2)} AS avg_price,
          |  max(o_totalprice) AS max_price,
          |  min(o_totalprice) AS min_price
          |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -476,7 +476,7 @@ object Core {
     "q07_daily_trend" ->
       s"""SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
          |  count(*) AS n_orders,
-         |  ${sqlDavg("o_totalprice")} AS avg_price
+         |  ${sqlDavg("o_totalprice", rescale = 2)} AS avg_price
          |FROM orders GROUP BY 1""".stripMargin,
     "q08_customers_no_orders" ->
       """SELECT c_mktsegment, count(*) AS n_customers
@@ -484,13 +484,13 @@ object Core {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment""".stripMargin,
     "q09_active_customers" ->
-      s"""SELECT n_name, count(*) AS n_customers, ${sqlDavg("c_acctbal")} AS avg_acctbal
+      s"""SELECT n_name, count(*) AS n_customers, ${sqlDavg("c_acctbal", rescale = 2)} AS avg_acctbal
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
          |GROUP BY n_name""".stripMargin,
     "q10_rollup_qty" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n_items
+         |  ${sqlDsum("l_quantity", rescale = 2)} AS sum_qty, count(*) AS n_items
          |FROM lineitem
          |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q11_distinct_counts" ->

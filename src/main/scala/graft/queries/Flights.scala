@@ -55,9 +55,9 @@ object Flights {
       .groupBy(lower(trim(col("airline"))).as("airline_key"))
       .agg(
         count(lit(1)).as("n_flights"),
-        Qx.dsum(col("total_fare")).as("sum_total_fare"),
-        Qx.davg(col("total_fare")).as("avg_total_fare"),
-        Qx.davg(col("base_fare")).as("avg_base_fare"))
+        Qx.dsum(col("total_fare"), rescale = 2).as("sum_total_fare"),
+        Qx.davg(col("total_fare"), rescale = 2).as("avg_total_fare"),
+        Qx.davg(col("base_fare"), rescale = 2).as("avg_base_fare"))
       .orderBy(col("airline_key"))
   }
 
@@ -147,9 +147,9 @@ object Flights {
       s"""$sqlCleaned
          |SELECT lower(trim(airline)) AS airline_key,
          |  count(*) AS n_flights,
-         |  ${Qx.sqlDsum("total_fare")} AS sum_total_fare,
-         |  ${Qx.sqlDavg("total_fare")} AS avg_total_fare,
-         |  ${Qx.sqlDavg("base_fare")} AS avg_base_fare
+         |  ${Qx.sqlDsum("total_fare", rescale = 2)} AS sum_total_fare,
+         |  ${Qx.sqlDavg("total_fare", rescale = 2)} AS avg_total_fare,
+         |  ${Qx.sqlDavg("base_fare", rescale = 2)} AS avg_base_fare
          |FROM valid GROUP BY 1""".stripMargin,
     "q18_flight_cleaned_rows" ->
       s"""$sqlCleaned

@@ -25,8 +25,8 @@ object Kpi {
     wh.fact.join(broadcast(wh.dimAirlines), Seq("airline_id"))
       .groupBy(col("airline_name"))
       .agg(
-        Qx.davg(col("total_fare")).as("avg_total_fare"),
-        Qx.davg(col("base_fare")).as("avg_base_fare"),
+        Qx.davg(col("total_fare"), rescale = 2).as("avg_total_fare"),
+        Qx.davg(col("base_fare"), rescale = 2).as("avg_base_fare"),
         count(lit(1)).as("n_flights"))
       .orderBy(col("airline_name"))
 
@@ -43,7 +43,7 @@ object Kpi {
     val dates = wh.dimDate
     fact.join(broadcast(dates), fact("departure_date_id") === dates("date_id"))
       .groupBy(col("seasonality"))
-      .agg(Qx.davg(col("total_fare")).as("avg_total_fare"),
+      .agg(Qx.davg(col("total_fare"), rescale = 2).as("avg_total_fare"),
         count(lit(1)).as("n_flights"))
       .orderBy(col("seasonality"))
   }
@@ -68,7 +68,7 @@ object Kpi {
   /** K-5: fare trend over departure date. */
   def fareTrend(wh: StarWarehouse): DataFrame =
     wh.fact.groupBy(col("departure_date_id"))
-      .agg(Qx.davg(col("total_fare")).as("avg_total_fare"),
+      .agg(Qx.davg(col("total_fare"), rescale = 2).as("avg_total_fare"),
         count(lit(1)).as("n_flights"))
       .orderBy(col("departure_date_id"))
 }

@@ -72,11 +72,16 @@ object Qx {
     guarded(total, total.cast(DecimalType(18, rescale)), rescale).cast(DoubleType)
   }
 
-  /** Deterministic average via exact sum / exact count.
+  /** Deterministic average via exact sum / exact count. `rescale`
+    * follows the scale ladder (class doc): pass the data family's
+    * real decimal places (2 for money, 0 for integer counts) to buy
+    * sum headroom — the sf1 probe overflowed a global money average
+    * at the default scale 6.
     * DuckDB twin: CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/count(*) */
-  def davg(c: Column): Column = {
+  def davg(c: Column, rescale: Int = 6): Column = {
     val total = sum(c.cast(D6))
-    guarded(total, total.cast(D6), 6).cast(DoubleType) / count(lit(1))
+    guarded(total, total.cast(DecimalType(18, rescale)), rescale)
+      .cast(DoubleType) / count(lit(1))
   }
 
   /** l_extendedprice * (1 - l_discount) in exact decimal (<= 4 real dp). */
@@ -86,8 +91,8 @@ object Qx {
   /** SQL-side twins kept next to the Scala ones so the two stay in sync. */
   def sqlDsum(x: String, rescale: Int = 6): String =
     s"CAST(CAST(sum(CAST($x AS DECIMAL(18,6))) AS DECIMAL(18,$rescale)) AS DOUBLE)"
-  def sqlDavg(x: String): String =
-    s"CAST(CAST(sum(CAST($x AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)/count(*)"
+  def sqlDavg(x: String, rescale: Int = 6): String =
+    s"CAST(CAST(sum(CAST($x AS DECIMAL(18,6))) AS DECIMAL(18,$rescale)) AS DOUBLE)/count(*)"
   def sqlDiscPrice: String =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))"
 }

@@ -213,8 +213,8 @@ object StarQueries {
     "q48_kpi_fares_by_airline" ->
       s"""$sqlPipeline
          |SELECT lower(trim(airline)) AS airline_key,
-         |  ${Qx.sqlDavg("total_fare")} AS avg_total_fare,
-         |  ${Qx.sqlDavg("base_fare")} AS avg_base_fare,
+         |  ${Qx.sqlDavg("total_fare", rescale = 2)} AS avg_total_fare,
+         |  ${Qx.sqlDavg("base_fare", rescale = 2)} AS avg_base_fare,
          |  count(*) AS n_flights
          |FROM factrows GROUP BY 1""".stripMargin,
     "q49_kpi_bookings_by_airline" ->
@@ -229,7 +229,7 @@ object StarQueries {
          |  FROM valid WHERE departure_dt IS NOT NULL GROUP BY 1
          |)
          |SELECT dd.seasonality,
-         |  ${Qx.sqlDavg("f.total_fare")} AS avg_total_fare,
+         |  ${Qx.sqlDavg("f.total_fare", rescale = 2)} AS avg_total_fare,
          |  count(*) AS n_flights
          |FROM factrows f
          |JOIN dimdate dd ON CAST(f.departure_dt AS DATE) = dd.date_id
@@ -245,7 +245,7 @@ object StarQueries {
     "q52_kpi_fare_trend" ->
       s"""$sqlPipeline
          |SELECT strftime(CAST(departure_dt AS DATE), '%Y-%m-%d') AS departure_date,
-         |  ${Qx.sqlDavg("total_fare")} AS avg_total_fare,
+         |  ${Qx.sqlDavg("total_fare", rescale = 2)} AS avg_total_fare,
          |  count(*) AS n_flights
          |FROM factrows GROUP BY 1""".stripMargin,
     "q53_validation_report" ->
