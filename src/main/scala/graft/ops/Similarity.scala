@@ -97,17 +97,52 @@ object Similarity {
 
   /** (row_key, table, bucket) exploded view: the multi-table index.
     * One scan computes all L*p sign bits inside codegen; the explode
-    * fans each row into its L table entries. */
-  def lshIndex(df: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame = {
+    * fans each row into its L table entries. `bits` defaults to the
+    * recall-oriented ANN resolution; the near-dup tier passes the
+    * corpus-adaptive value (see [[dedupBitsPerTable]]). */
+  def lshIndex(df: DataFrame, vecCol: String, planes: Array[Array[Double]],
+               bits: Int = bitsPerTable): DataFrame = {
     val tables = (0 until nTables).map { t =>
       struct(lit(t).as("tbl"),
-        bucketId(col(vecCol), planes.slice(t * bitsPerTable, (t + 1) * bitsPerTable)).as("bucket"))
+        bucketId(col(vecCol), planes.slice(t * bits, (t + 1) * bits)).as("bucket"))
     }
     df.withColumn("tb", explode(array(tables: _*)))
       .withColumn("tbl", col("tb.tbl"))
       .withColumn("bucket", col("tb.bucket"))
       .drop("tb")
   }
+
+  /** Corpus-adaptive sign bits per table for the NEAR-DUP tier.
+    *
+    * With FIXED bits the bucket count per table is constant, so
+    * average occupancy — and the within-bucket quadratic pair work —
+    * grows linearly with the corpus and total candidate pairs grow
+    * ~n² (the sf1 probe measured exactly that: 10x corpus -> 100x
+    * pairs at 6 bits). Holding expected occupancy ~constant instead
+    * (bits = ceil(log2(n / target))) keeps total candidate work ~n.
+    * The near-dup regime tolerates the resolution: at cosine >= 0.9
+    * per-bit agreement is >= 0.86, so even 9 bits keeps 8-table
+    * recall ~0.9, and the planted-family regime (cosine ~1) stays
+    * ~1.0. ANN keeps the fixed low resolution ([[bitsPerTable]]) —
+    * its targets sit near cosine 0.3 where every extra bit costs
+    * real recall, and its per-query fan-out is already capped.
+    * Clamped to [bitsPerTable, 20]: 20 bits = 1M buckets/table,
+    * enough for ~67M-row corpora at the default target; beyond
+    * that, raise nTables/cap rather than resolution. */
+  private[ops] def dedupBitsPerTable(n: Long, targetPerBucket: Long = 64L): Int = {
+    val buckets = math.max(1L, (n + targetPerBucket - 1) / targetPerBucket)
+    val needed = 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1) // ceil(log2)
+    math.min(20, math.max(bitsPerTable, needed))
+  }
+
+  /** Corpus row count, memoized per logical plan like [[embDim]]
+    * (one cheap count job; negligible next to the pair work it
+    * right-sizes). */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+  private def corpusCount(emb: DataFrame): Long =
+    countCache.computeIfAbsent(
+      emb.queryExecution.analyzed.semanticHash(), _ => emb.count())
 
   /** Multiprobe bucket list for ONE table: [base, base^bit_i1,
     * base^bit_i2, ...] where i1, i2, ... are the sign bits with the
@@ -289,7 +324,8 @@ object Similarity {
     * the re-join, so the scored output is identical to the unguarded
     * computation on any corpus whose buckets fit the cap. */
   def candidatePairs(emb: DataFrame, vecIdCol: String, vecCol: String): DataFrame = {
-    val planes = hyperplanes(nTables * bitsPerTable, embDim(emb, vecCol))
+    val bits = dedupBitsPerTable(corpusCount(emb))
+    val planes = hyperplanes(nTables * bits, embDim(emb, vecCol))
     val base = emb.select(col(vecIdCol), col(vecCol))
     val hashed = base.withColumn("vhash", xxhash64(col(vecCol)))
     val members = hashed.select(col("vhash"), col(vecIdCol))
@@ -298,7 +334,7 @@ object Similarity {
     // id-only bucket join + dedupe; vectors re-joined onto surviving
     // pairs (the shuffles move ids, not 64-float arrays)
     val idx = Dedup.capBuckets(
-      lshIndex(reps, vecCol, planes)
+      lshIndex(reps, vecCol, planes, bits)
         .select(col(vecIdCol), col("vhash"), col("tbl"), col("bucket")),
       Seq("tbl", "bucket"), vecIdCol)
     val repPairs = idx.select(col("tbl"), col("bucket"),

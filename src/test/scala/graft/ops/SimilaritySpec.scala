@@ -59,6 +59,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(cells.length > 1 && cells.length <= Similarity.nCells)
   }
 
+  test("dedup LSH resolution scales with corpus size (constant bucket occupancy)") {
+    // pure ladder: fixed 6 bits until ~4k rows, then +1 bit per
+    // doubling, capped at 20 (1M buckets/table)
+    assert(Similarity.dedupBitsPerTable(500) == 6)
+    assert(Similarity.dedupBitsPerTable(4096) == 6)
+    assert(Similarity.dedupBitsPerTable(20000) == 9)
+    assert(Similarity.dedupBitsPerTable(200000) == 12)
+    assert(Similarity.dedupBitsPerTable(1L << 40) == 20)
+    // monotone: more corpus never means coarser buckets
+    val ns = Seq(100L, 1000L, 10000L, 100000L, 10000000L)
+    val bits = ns.map(Similarity.dedupBitsPerTable(_))
+    assert(bits == bits.sorted)
+  }
+
   test("LSH candidates prune the corpus (no global cross join)") {
     val emb = graft.Tables.embeddings(spark, sf)
     val n = emb.count()
