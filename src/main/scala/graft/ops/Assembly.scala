@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset assembly: the steps between curation and tokenization in a
+  * training-data pipeline — deterministic split assignment and
+  * sequential context-window packing. Both are pure column/window
+  * expressions with exact DuckDB twins, so the assignments themselves
+  * sit under the oracle.
+  */
+object Assembly {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic, content-independent train/val/test assignment:
+    * bucket on the first hex nibble of md5(doc_id || salt) —
+    * 0-b -> train (75%), c-d -> val (12.5%), e-f -> test (12.5%).
+    *
+    * Keyed on doc_id (not text) so an edited document never migrates
+    * across splits between pipeline runs — the property that prevents
+    * silent test-set leakage over time; the salt versions the split.
+    * md5's nibble distribution makes the buckets uniform in
+    * expectation at any corpus size; assignment is a per-row codegen'd
+    * expression, no shuffle, so it pipelines with the scan at 100 TB. */
+  def splitColumn(docId: org.apache.spark.sql.Column,
+                  salt: String = "v1"): org.apache.spark.sql.Column = {
+    val nibble = substring(md5(concat(docId.cast(StringType), lit(":" + salt))), 1, 1)
+    when(nibble.between("0", "b"), "train")
+      .when(nibble.between("c", "d"), "val")
+      .otherwise("test")
+  }
+
+  val datasetSplit: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        splitColumn(col("doc_id")).as("split"))
+      .orderBy(col("doc_id"))
+
+  /** Split balance as data: per-(split, lang) doc and token totals —
+    * the sanity numbers checked before any training run. */
+  val splitStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), splitColumn(col("doc_id")).as("split"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("split"), col("lang"))
+
+  /** Context-window budget for [[sequencePacking]] (whitespace-token
+    * units; a real pipeline would use the BPE count — same plan). */
+  val packBudget = 2048
+
+  /** Sequential concatenation packing: within each (lang, source)
+    * stream, documents are concatenated in doc_id order and chunked
+    * into fixed context windows; `pack_id` is the window a document
+    * STARTS in (`floor(tokens_before / budget)`). This is the
+    * standard streaming approximation of bin packing — one running
+    * sum, no iteration, deterministic — and exactly expressible in
+    * SQL, so the assignment is oracle-checked.
+    *
+    * Scale posture: the window partitions by (lang, source), so
+    * parallelism is the stream count, which a 100 TB pipeline widens
+    * by adding a hash-range shard key to the partition spec (the
+    * plan shape is unchanged); the running sum is one shuffle by
+    * partition key, no global sort. */
+  val sequencePacking: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("tokens_before") / packBudget))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q55_sequence_packing" -> sequencePacking,
+    "q56_dataset_split" -> datasetSplit,
+    "q56b_split_stats" -> splitStats,
+  )
+
+  import TextAnalysis.sqlToks
+
+  private def sqlSplit(salt: String = "v1") =
+    s"""CASE
+       |    WHEN substr(md5(concat(CAST(doc_id AS VARCHAR), ':$salt')), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+       |    WHEN substr(md5(concat(CAST(doc_id AS VARCHAR), ':$salt')), 1, 1) BETWEEN 'c' AND 'd' THEN 'val'
+       |    ELSE 'test'
+       |  END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q55_sequence_packing" ->
+      s"""SELECT doc_id, lang, source,
+         |  CAST(len(${sqlToks("text")}) AS INTEGER) AS n_tokens,
+         |  CAST(coalesce(sum(len(${sqlToks("text")})) OVER (
+         |    PARTITION BY lang, source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before,
+         |  CAST(floor(coalesce(sum(len(${sqlToks("text")})) OVER (
+         |    PARTITION BY lang, source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $packBudget) AS BIGINT) AS pack_id
+         |FROM documents""".stripMargin,
+    "q56_dataset_split" ->
+      s"""SELECT doc_id, lang, ${sqlSplit()} AS split FROM documents""".stripMargin,
+    "q56b_split_stats" ->
+      s"""SELECT ${sqlSplit()} AS split, lang,
+         |  count(*) AS n_docs, CAST(sum(len(${sqlToks("text")})) AS BIGINT) AS sum_tokens
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+  )
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AssemblySpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dataset split is deterministic, id-keyed, and roughly 75/12.5/12.5") {
+    val a = Assembly.datasetSplit(spark, sf).collect()
+    val b = Assembly.datasetSplit(spark, sf).collect()
+    assert(a.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      b.map(r => (r.getLong(0), r.getString(2))).toSeq)
+    val byrSplit = a.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    val n = a.length.toDouble
+    assert(byrSplit.keySet == Set("train", "val", "test"))
+    // md5 nibbles are uniform: generous bounds for a small corpus
+    assert(byrSplit("train") / n > 0.6 && byrSplit("train") / n < 0.9)
+    assert(byrSplit("val") / n > 0.04 && byrSplit("test") / n > 0.04)
+    // changing the salt re-deals the split (versioning works)
+    val resalted = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), Assembly.splitColumn(col("doc_id"), salt = "v2").as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val orig = a.map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(orig.exists { case (id, s) => resalted(id) != s })
+  }
+
+  test("sequence packing: windows fill in doc order and never skip a pack") {
+    val rows = Assembly.sequencePacking(spark, sf).collect()
+    rows.groupBy(r => (r.getString(1), r.getString(2))).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getLong(0))
+      // tokens_before is the exact running sum in doc order
+      var cum = 0L
+      ordered.foreach { r =>
+        assert(r.getLong(4) == cum, s"doc ${r.getLong(0)}: running sum broken")
+        assert(r.getLong(5) == cum / Assembly.packBudget)
+        cum += r.getInt(3)
+      }
+      // pack ids are contiguous from 0 (concatenation leaves no gaps)
+      val packs = ordered.map(_.getLong(5)).distinct.toSeq
+      assert(packs == (0L to packs.max).toSeq)
+    }
+  }
+}
