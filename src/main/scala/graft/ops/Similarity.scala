@@ -93,7 +93,7 @@ object Similarity {
     * index stays the same size; only the per-query probe fan-out grows
     * (1+extraProbes)x, which buys multi-table recall without the
     * memory of more tables. */
-  val extraProbes = 2
+  val extraProbes = 3
 
   /** (row_key, table, bucket) exploded view: the multi-table index.
     * One scan computes all L*p sign bits inside codegen; the explode
