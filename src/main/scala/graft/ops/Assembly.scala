@@ -79,8 +79,60 @@ object Assembly {
       .orderBy(col("doc_id"))
   }
 
+  /** The 100 TB form of [[sequencePacking]]: a distributed prefix
+    * sum. The plain version's window serializes each (lang, source)
+    * stream through one task — fine for dozens of streams, a
+    * straggler at petabyte scale. This variant shards each stream
+    * into contiguous doc_id ranges and computes the running sum in
+    * two phases:
+    *
+    *  1. per-(stream, shard) token totals — one small aggregation —
+    *     turned into EXCLUSIVE per-shard offsets by a window over the
+    *     tiny (streams x shards) frame, broadcast back;
+    *  2. a within-shard running sum (window partitioned by
+    *     (lang, source, shard) — parallelism x nShards) plus the
+    *     shard's offset.
+    *
+    * Because shards are contiguous in doc_id and the offset is the
+    * exact sum of everything before the shard, the result is
+    * IDENTICAL to the serial computation — which is exactly how it
+    * is checked: q55b shares q55's oracle SQL (the naive DuckDB
+    * running sum), so the distributed algorithm is hash-verified
+    * against the sequential definition. */
+  def sequencePackingSharded(s: SparkSession, d: String,
+                             nShards: Int = 8): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+    // contiguous id-range shards: every doc in shard k precedes every
+    // doc in shard k+1, per stream (ids are globally ordered)
+    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+    val shardWidth = math.max(1L, maxId / nShards + 1)
+    val sharded = base.withColumn("shard", (col("doc_id") / shardWidth).cast(LongType))
+    val offsetW = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("lang"), col("source"), col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("shard_offset",
+        coalesce(sum(col("shard_tokens")).over(offsetW), lit(0L)))
+      .select(col("lang"), col("source"), col("shard"), col("shard_offset"))
+    val innerW = Window.partitionBy(col("lang"), col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .join(broadcast(offsets), Seq("lang", "source", "shard"))
+      .withColumn("tokens_before",
+        col("shard_offset") + coalesce(sum(col("n_tokens")).over(innerW), lit(0L)))
+      .withColumn("pack_id", floor(col("tokens_before") / packBudget))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("tokens_before"), col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q55_sequence_packing" -> sequencePacking,
+    "q55b_sequence_packing_sharded" -> ((s, d) => sequencePackingSharded(s, d)),
     "q56_dataset_split" -> datasetSplit,
     "q56b_split_stats" -> splitStats,
   )
@@ -94,17 +146,23 @@ object Assembly {
        |    ELSE 'test'
        |  END""".stripMargin
 
+  /** The sequential-definition oracle, shared by q55 AND q55b: the
+    * sharded two-phase prefix sum must hash-match the naive serial
+    * running sum exactly. */
+  private val sqlPacking =
+    s"""SELECT doc_id, lang, source,
+       |  CAST(len(${sqlToks("text")}) AS INTEGER) AS n_tokens,
+       |  CAST(coalesce(sum(len(${sqlToks("text")})) OVER (
+       |    PARTITION BY lang, source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before,
+       |  CAST(floor(coalesce(sum(len(${sqlToks("text")})) OVER (
+       |    PARTITION BY lang, source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $packBudget) AS BIGINT) AS pack_id
+       |FROM documents""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q55_sequence_packing" ->
-      s"""SELECT doc_id, lang, source,
-         |  CAST(len(${sqlToks("text")}) AS INTEGER) AS n_tokens,
-         |  CAST(coalesce(sum(len(${sqlToks("text")})) OVER (
-         |    PARTITION BY lang, source ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before,
-         |  CAST(floor(coalesce(sum(len(${sqlToks("text")})) OVER (
-         |    PARTITION BY lang, source ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $packBudget) AS BIGINT) AS pack_id
-         |FROM documents""".stripMargin,
+    "q55_sequence_packing" -> sqlPacking,
+    "q55b_sequence_packing_sharded" -> sqlPacking,
     "q56_dataset_split" ->
       s"""SELECT doc_id, lang, ${sqlSplit()} AS split FROM documents""".stripMargin,
     "q56b_split_stats" ->

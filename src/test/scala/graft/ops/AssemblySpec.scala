@@ -25,6 +25,19 @@ class AssemblySpec extends SparkTestBase {
     assert(orig.exists { case (id, s) => resalted(id) != s })
   }
 
+  test("sharded two-phase prefix sum equals the serial running sum exactly") {
+    val serial = Assembly.sequencePacking(spark, sf).collect().toSeq
+    // a shard count that does NOT divide the corpus evenly, to
+    // exercise ragged shard boundaries
+    val sharded = Assembly.sequencePackingSharded(spark, sf, nShards = 7)
+      .collect().toSeq
+    assert(sharded == serial)
+    // the heavy window really is shard-parallel
+    val plan = Assembly.sequencePackingSharded(spark, sf, nShards = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("shard"), s"shard key missing from plan:\n$plan")
+  }
+
   test("sequence packing: windows fill in doc order and never skip a pack") {
     val rows = Assembly.sequencePacking(spark, sf).collect()
     rows.groupBy(r => (r.getString(1), r.getString(2))).foreach { case (_, rs) =>
