@@ -130,19 +130,52 @@ object Assembly {
       .orderBy(col("doc_id"))
   }
 
+  /** Split decontamination: eval-split documents that are near-dups
+    * of a train-split document — the leakage a held-out set must not
+    * contain. Composes the deterministic near-dup pair graph
+    * (blocked n-gram Jaccard >= 0.5, the q36 operator) with the
+    * split assignment (q56): any pair straddling train and val/test
+    * flags the EVAL side, with its closest train contaminator and
+    * the similarity. At 100 TB this is the same bucket-blocked pair
+    * join q36 runs — no new shuffle shape — plus two per-row split
+    * expressions; a pipeline runs it after every split re-deal. */
+  val splitContamination: Q = (s, d) => {
+    val pairs = Dedup.ngramJaccardBlocked(s, d)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .withColumn("split_a", splitColumn(col("doc_a")))
+      .withColumn("split_b", splitColumn(col("doc_b")))
+    // normalize to (eval doc, train contaminator); a pair can flag
+    // both directions only if both ends are eval docs, which is not
+    // contamination — exactly one end must be train
+    val aEval = pairs.filter(col("split_a") =!= "train" && col("split_b") === "train")
+      .select(col("doc_a").as("eval_doc"), col("split_a").as("eval_split"),
+        col("doc_b").as("train_doc"), col("jaccard"))
+    val bEval = pairs.filter(col("split_b") =!= "train" && col("split_a") === "train")
+      .select(col("doc_b").as("eval_doc"), col("split_b").as("eval_split"),
+        col("doc_a").as("train_doc"), col("jaccard"))
+    aEval.unionByName(bEval)
+      .groupBy(col("eval_doc"), col("eval_split"))
+      .agg(count(lit(1)).as("n_contaminators"),
+        max(col("jaccard")).as("max_jaccard"),
+        min(col("train_doc")).as("example_train_doc"))
+      .orderBy(col("eval_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q55_sequence_packing" -> sequencePacking,
     "q55b_sequence_packing_sharded" -> ((s, d) => sequencePackingSharded(s, d)),
     "q56_dataset_split" -> datasetSplit,
     "q56b_split_stats" -> splitStats,
+    "q57_split_contamination" -> splitContamination,
   )
 
   import TextAnalysis.sqlToks
 
-  private def sqlSplit(salt: String = "v1") =
+  private def sqlSplit(idExpr: String = "doc_id", salt: String = "v1") =
     s"""CASE
-       |    WHEN substr(md5(concat(CAST(doc_id AS VARCHAR), ':$salt')), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
-       |    WHEN substr(md5(concat(CAST(doc_id AS VARCHAR), ':$salt')), 1, 1) BETWEEN 'c' AND 'd' THEN 'val'
+       |    WHEN substr(md5(concat(CAST($idExpr AS VARCHAR), ':$salt')), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+       |    WHEN substr(md5(concat(CAST($idExpr AS VARCHAR), ':$salt')), 1, 1) BETWEEN 'c' AND 'd' THEN 'val'
        |    ELSE 'test'
        |  END""".stripMargin
 
@@ -169,5 +202,23 @@ object Assembly {
       s"""SELECT ${sqlSplit()} AS split, lang,
          |  count(*) AS n_docs, CAST(sum(len(${sqlToks("text")})) AS BIGINT) AS sum_tokens
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q57_split_contamination" ->
+      s"""WITH ${Dedup.sqlBlockedPairs},
+         |strong AS (
+         |  SELECT doc_a, doc_b, jaccard,
+         |    ${sqlSplit("doc_a")} AS split_a,
+         |    ${sqlSplit("doc_b")} AS split_b
+         |  FROM pairs WHERE jaccard >= 0.5
+         |),
+         |flagged AS (
+         |  SELECT doc_a AS eval_doc, split_a AS eval_split, doc_b AS train_doc, jaccard
+         |  FROM strong WHERE split_a <> 'train' AND split_b = 'train'
+         |  UNION ALL
+         |  SELECT doc_b, split_b, doc_a, jaccard
+         |  FROM strong WHERE split_b <> 'train' AND split_a = 'train'
+         |)
+         |SELECT eval_doc, eval_split, count(*) AS n_contaminators,
+         |  max(jaccard) AS max_jaccard, min(train_doc) AS example_train_doc
+         |FROM flagged GROUP BY eval_doc, eval_split""".stripMargin,
   )
 }

@@ -38,6 +38,31 @@ class AssemblySpec extends SparkTestBase {
     assert(plan.contains("shard"), s"shard key missing from plan:\n$plan")
   }
 
+  test("split contamination flags only eval docs with a train-side near-dup") {
+    val rows = Assembly.splitContamination(spark, sf).collect()
+    val splits = Assembly.datasetSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    rows.foreach { r =>
+      val (evalDoc, evalSplit) = (r.getLong(0), r.getString(1))
+      assert(splits(evalDoc) == evalSplit && evalSplit != "train")
+      assert(splits(r.getAs[Long]("example_train_doc")) == "train")
+      assert(r.getAs[Double]("max_jaccard") >= 0.5)
+    }
+    // cross-check against the raw pair graph: every >= 0.5 pair that
+    // straddles train and eval must be represented
+    val pairs = Dedup.ngramJaccardBlocked(spark, sf)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.flatMap { case (a, b) =>
+      (splits(a), splits(b)) match {
+        case ("train", sb) if sb != "train" => Some(b)
+        case (sa, "train") if sa != "train" => Some(a)
+        case _ => None
+      }
+    }.toSet
+    assert(rows.map(_.getLong(0)).toSet == expected)
+  }
+
   test("sequence packing: windows fill in doc order and never skip a pack") {
     val rows = Assembly.sequencePacking(spark, sf).collect()
     rows.groupBy(r => (r.getString(1), r.getString(2))).foreach { case (_, rs) =>
