@@ -145,20 +145,25 @@ object Assembly {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .withColumn("split_a", splitColumn(col("doc_a")))
       .withColumn("split_b", splitColumn(col("doc_b")))
-    // normalize to (eval doc, train contaminator); a pair can flag
-    // both directions only if both ends are eval docs, which is not
-    // contamination — exactly one end must be train
-    val aEval = pairs.filter(col("split_a") =!= "train" && col("split_b") === "train")
-      .select(col("doc_a").as("eval_doc"), col("split_a").as("eval_split"),
-        col("doc_b").as("train_doc"), col("jaccard"))
-    val bEval = pairs.filter(col("split_b") =!= "train" && col("split_a") === "train")
-      .select(col("doc_b").as("eval_doc"), col("split_b").as("eval_split"),
-        col("doc_a").as("train_doc"), col("jaccard"))
-    aEval.unionByName(bEval)
-      .groupBy(col("eval_doc"), col("eval_split"))
+    // Normalize to (eval doc, train contaminator) in ONE pass: a
+    // union of two filtered readings would duplicate the whole
+    // blocked-pair join subtree in the plan (Spark does not share
+    // common subplans across a union), doubling the expensive work —
+    // instead explode both orientations of each pair and filter.
+    // Exactly one end must be train; an eval-eval pair is not
+    // contamination and a train-train pair flags nothing.
+    pairs
+      .select(col("jaccard"), explode(array(
+        struct(col("doc_a").as("eval_doc"), col("split_a").as("eval_split"),
+          col("doc_b").as("train_doc"), col("split_b").as("other_split")),
+        struct(col("doc_b").as("eval_doc"), col("split_b").as("eval_split"),
+          col("doc_a").as("train_doc"), col("split_a").as("other_split"))))
+        .as("o"))
+      .filter(col("o.eval_split") =!= "train" && col("o.other_split") === "train")
+      .groupBy(col("o.eval_doc").as("eval_doc"), col("o.eval_split").as("eval_split"))
       .agg(count(lit(1)).as("n_contaminators"),
         max(col("jaccard")).as("max_jaccard"),
-        min(col("train_doc")).as("example_train_doc"))
+        min(col("o.train_doc")).as("example_train_doc"))
       .orderBy(col("eval_doc"))
   }
 
