@@ -27,21 +27,21 @@ object Curation {
   type Q = (SparkSession, String) => DataFrame
 
   val corpusFilter: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
-    val exactKeeper = hashed
-      .join(hashed.groupBy("h").agg(min("doc_id").as("exact_keeper")), Seq("h"))
-      .select(col("doc_id"), col("exact_keeper"))
+    // ONE projection computes the content hash, quality gate, and
+    // language prediction (all pure column expressions over the same
+    // scan — separate derived frames would each re-scan documents and
+    // add a join); only the exact-keeper aggregation and the near-dup
+    // closure need their own dataflows.
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        TextAnalysis.qualityKeepColumn(col("text")).as("quality_keep"),
+        TextAnalysis.langPredColumn(col("text")).as("lang_pred"))
+    val exactKeeper = base.groupBy(col("h")).agg(min("doc_id").as("exact_keeper"))
     val nearKeeper = Dedup.ngramDupKeepers(s, d)
       .withColumnRenamed("keeper", "near_keeper")
-    val quality = TextAnalysis.qualityScore(s, d)
-      .select(col("doc_id"), col("keep").as("quality_keep"))
-    val lang = TextAnalysis.langId(s, d)
-      .select(col("doc_id"), col("lang_pred"))
-    exactKeeper
+    base
+      .join(exactKeeper, Seq("h"))
       .join(nearKeeper, Seq("doc_id"))
-      .join(quality, Seq("doc_id"))
-      .join(lang, Seq("doc_id"))
       .withColumn("verdict",
         when(col("doc_id") =!= col("exact_keeper"), "exact_dup")
           .when(col("doc_id") =!= col("near_keeper"), "near_dup")

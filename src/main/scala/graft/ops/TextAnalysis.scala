@@ -64,6 +64,30 @@ object TextAnalysis {
 
   /** Quality scoring: length, punctuation density, stopword density,
     * mean token length — the standard cheap pre-filters. */
+
+  /** The quality keep-gate as one reusable column expression (the
+    * same predicate qualityScore derives via intermediate columns;
+    * Curation fuses it into a single documents scan). */
+  def qualityKeepColumn(text: Column): Column = {
+    val toks = tokens(text)
+    val punctRatio =
+      length(regexp_replace(text, "[\\w\\s]", "")).cast(DoubleType) / length(text)
+    val stopRatio =
+      stopwordMatches(toks, stopwords.toMap.apply("en")).cast(DoubleType) / size(toks)
+    size(toks) >= 5 && punctRatio < 0.2 && stopRatio > 0.0
+  }
+
+  /** The language-ID argmax as one reusable column expression (same
+    * deterministic en > de > es > fr tie order as langId). */
+  def langPredColumn(text: Column): Column = {
+    val toks = tokens(text)
+    val s = stopwords.toMap.view.mapValues(ws => stopwordMatches(toks, ws)).toMap
+    when(s("en") >= greatest(s("de"), s("es"), s("fr")), "en")
+      .when(s("de") >= greatest(s("es"), s("fr")), "de")
+      .when(s("es") >= s("fr"), "es")
+      .otherwise("fr")
+  }
+
   val qualityScore: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val toks = tokens(col("text"))
