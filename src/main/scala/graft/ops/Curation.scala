@@ -62,9 +62,43 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("verdict"), col("lang_pred"))
 
+  /** PII pattern set, restricted to the lookahead-free regex subset
+    * Java and RE2/DuckDB agree on. Email first, then phone: the
+    * phone pattern could otherwise eat digits inside an address. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** PII scrubbing (q58): redact emails and phone numbers, counting
+    * what was removed — the privacy pass every shipped corpus runs.
+    * The fixture corpus carries no PII, so a deterministic fake
+    * contact line is planted on every 10th document INSIDE the query
+    * (same expression on both engines) — the oracle then checks that
+    * redaction actually fired, not just that a no-op hashed equal.
+    * Pure per-row expressions: pipelines with the scan, no shuffle.
+    * Output carries md5(scrubbed) rather than the scrubbed text to
+    * keep the comparison row small. */
+  val piiScrub: Q = (s, d) => {
+    val planted = when(col("doc_id") % 10 === 0,
+      concat(col("text"),
+        lit(" contact me at user"), col("doc_id"), lit("@example.com or +1 (555) 010-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+    val scrubbed = regexp_replace(
+      regexp_replace(planted, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(planted, lit(emailPattern), lit(0))).as("n_emails"),
+        size(regexp_extract_all(planted, lit(phonePattern), lit(0))).as("n_phones"),
+        md5(scrubbed).as("scrubbed_md5"),
+        (md5(scrubbed) =!= md5(planted)).as("was_redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q54_corpus_filter" -> corpusFilter,
     "q54b_corpus_filter_stats" -> corpusFilterStats,
+    "q58_pii_scrub" -> piiScrub,
   )
 
   import TextAnalysis.{sqlStops, sqlToks}
@@ -134,5 +168,26 @@ object Curation {
          |$sqlVerdictBody
          |SELECT verdict, lang_pred, count(*) AS n_docs
          |FROM verdicts GROUP BY verdict, lang_pred""".stripMargin,
+    "q58_pii_scrub" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0
+         |      THEN concat(text, ' contact me at user', CAST(doc_id AS VARCHAR),
+         |                  '@example.com or +1 (555) 010-',
+         |                  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+         |      ELSE text END AS t
+         |  FROM documents
+         |), scrubbed AS (
+         |  SELECT doc_id, t,
+         |    regexp_replace(regexp_replace(t, '$emailPattern', '<EMAIL>', 'g'),
+         |                   '$phonePattern', '<PHONE>', 'g') AS st
+         |  FROM planted
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$emailPattern')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$phonePattern')) AS INTEGER) AS n_phones,
+         |  md5(st) AS scrubbed_md5,
+         |  (md5(st) <> md5(t)) AS was_redacted
+         |FROM scrubbed""".stripMargin,
   )
 }

@@ -31,6 +31,17 @@ class CurationSpec extends SparkTestBase {
       "kept set still contains exact duplicates")
   }
 
+  test("pii scrub redacts exactly the planted contacts") {
+    val rows = Curation.piiScrub(spark, sf).collect()
+    rows.foreach { r =>
+      val planted = r.getLong(0) % 10 == 0
+      assert(r.getAs[Int]("n_emails") == (if (planted) 1 else 0))
+      assert(r.getAs[Int]("n_phones") == (if (planted) 1 else 0))
+      assert(r.getAs[Boolean]("was_redacted") == planted,
+        s"doc ${r.getLong(0)}: redaction fired=${r.getAs[Boolean]("was_redacted")}")
+    }
+  }
+
   test("corpus filter stats roll up to the corpus size") {
     val total = graft.Tables.documents(spark, sf).count()
     val stats = Curation.corpusFilterStats(spark, sf).collect()
