@@ -25,6 +25,34 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$root/staging").count() == 64)
   }
 
+  test("bounded-state ingest dedups within the watermark window") {
+    val root = tmpDir("sstream")
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    Files.copy(Paths.get(resource("flights_small.csv")),
+      Paths.get(s"$in/a.csv"), StandardCopyOption.REPLACE_EXISTING)
+
+    def drain(): Unit =
+      StreamingIngest.planBounded(spark, in, dedupWindow = "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", s"$root/staging")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+
+    drain()
+    assert(spark.read.parquet(s"$root/staging").count() == 49)
+    // re-delivery well inside the window: the duplicate file adds nothing
+    Files.copy(Paths.get(resource("flights_small.csv")),
+      Paths.get(s"$in/b.csv"), StandardCopyOption.REPLACE_EXISTING)
+    drain()
+    assert(spark.read.parquet(s"$root/staging").count() == 49,
+      "within-watermark duplicates must drop")
+    // staging layout matches the unbounded path's contract
+    assert(spark.read.parquet(s"$root/staging").columns.toSeq ==
+      graft.flights.FlightSchemas.renameMap.map(_._2))
+  }
+
   test("restarting with no new files emits nothing") {
     val root = tmpDir("sstream")
     val in = s"$root/in"; Files.createDirectories(Paths.get(in))
