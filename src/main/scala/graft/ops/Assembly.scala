@@ -167,12 +167,48 @@ object Assembly {
       .orderBy(col("eval_doc"))
   }
 
+  /** Source-mixture rebalancing (q59): deterministic downsampling
+    * toward a uniform target across sources — the "data mixing" step
+    * that keeps one crawl from dominating the training mix. Per
+    * source, the keep probability is `target_n / n_source` (capped
+    * at 1), quantized to a 256-bucket grid computed in exact integer
+    * arithmetic so both engines derive the identical threshold; a
+    * document is kept iff its salted md5 byte falls below the
+    * threshold — the same id-keyed determinism as the split (a doc's
+    * fate never changes across runs; re-salt to re-deal). Scale
+    * shape: one tiny per-source count aggregate broadcast back onto
+    * a scan; no data-sized shuffle. */
+  val sourceMixture: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+    val total = counts.agg(sum(col("n_source")).as("n_total"),
+      count(lit(1)).as("n_sources"))
+    // keep_buckets in [0,256]: (256 * n_total) div (n_sources * n_source),
+    // exact integer arithmetic on both engines (no float rounding to
+    // disagree on); the comparison below is lexicographic on 2-char
+    // lowercase hex, which orders identically to the numeric value.
+    val withRates = counts.crossJoin(broadcast(total))
+      .withColumn("keep_buckets",
+        least(lit(256L), expr("(256 * n_total) div (n_sources * n_source)")))
+      .withColumn("threshold_hex",
+        lpad(lower(hex(col("keep_buckets"))), 2, "0"))
+      .select(col("source"), col("keep_buckets"), col("threshold_hex"))
+    val bucketHex = substring(
+      md5(concat(col("doc_id").cast(StringType), lit(":mix-v1"))), 1, 2)
+    docs.join(broadcast(withRates), Seq("source"))
+      .withColumn("sampled",
+        col("keep_buckets") === 256L || bucketHex < col("threshold_hex"))
+      .select(col("doc_id"), col("source"), col("keep_buckets"), col("sampled"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q55_sequence_packing" -> sequencePacking,
     "q55b_sequence_packing_sharded" -> ((s, d) => sequencePackingSharded(s, d)),
     "q56_dataset_split" -> datasetSplit,
     "q56b_split_stats" -> splitStats,
     "q57_split_contamination" -> splitContamination,
+    "q59_source_mixture" -> sourceMixture,
   )
 
   import TextAnalysis.sqlToks
@@ -207,6 +243,21 @@ object Assembly {
       s"""SELECT ${sqlSplit()} AS split, lang,
          |  count(*) AS n_docs, CAST(sum(len(${sqlToks("text")})) AS BIGINT) AS sum_tokens
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q59_source_mixture" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n_source FROM documents GROUP BY source
+         |), total AS (
+         |  SELECT sum(n_source) AS n_total, count(*) AS n_sources FROM counts
+         |), rates AS (
+         |  SELECT source,
+         |    CAST(least(256, (256 * n_total) // (n_sources * n_source)) AS BIGINT) AS keep_buckets
+         |  FROM counts, total
+         |)
+         |SELECT d.doc_id, d.source, r.keep_buckets,
+         |  (r.keep_buckets = 256 OR
+         |   substr(md5(concat(CAST(d.doc_id AS VARCHAR), ':mix-v1')), 1, 2) <
+         |     lpad(to_hex(r.keep_buckets), 2, '0')) AS sampled
+         |FROM documents d JOIN rates r ON r.source = d.source""".stripMargin,
     "q57_split_contamination" ->
       s"""WITH ${Dedup.sqlBlockedPairs},
          |strong AS (

@@ -63,6 +63,28 @@ class AssemblySpec extends SparkTestBase {
     assert(rows.map(_.getLong(0)).toSet == expected)
   }
 
+  test("source mixture downsamples toward uniform and is deterministic") {
+    val rows = Assembly.sourceMixture(spark, sf).collect()
+    val again = Assembly.sourceMixture(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getBoolean(3))).toSeq ==
+      again.map(r => (r.getLong(0), r.getBoolean(3))).toSeq)
+    val bySource = rows.groupBy(_.getString(1))
+    val total = rows.length
+    val targetN = total.toDouble / bySource.size
+    bySource.foreach { case (src, rs) =>
+      val buckets = rs.head.getLong(2)
+      // exact integer threshold: (256 * total) div (K * n_source), capped
+      val expected = math.min(256L, 256L * total / (bySource.size.toLong * rs.length))
+      assert(buckets == expected, s"$src: keep_buckets $buckets != $expected")
+      val sampled = rs.count(_.getBoolean(3))
+      // an UNDER-represented source keeps everything; an over-represented
+      // one lands near its target (md5 bytes are uniform; generous bounds)
+      if (rs.length <= targetN) assert(sampled == rs.length)
+      else assert(math.abs(sampled - targetN) < targetN * 0.5,
+        s"$src: sampled $sampled vs target ~$targetN")
+    }
+  }
+
   test("sequence packing: windows fill in doc order and never skip a pack") {
     val rows = Assembly.sequencePacking(spark, sf).collect()
     rows.groupBy(r => (r.getString(1), r.getString(2))).foreach { case (_, rs) =>
