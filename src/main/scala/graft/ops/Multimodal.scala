@@ -217,6 +217,50 @@ object Multimodal {
     }
   }
 
+  /** Decode → bilinear-resize → re-encode, the thumbnailing step of
+    * an image pipeline, on real JDK machinery (Graphics2D drawImage
+    * with bilinear interpolation; deterministic for a given JDK).
+    * Aspect ratio is preserved and images already within bounds pass
+    * through unscaled. Audio rows pass through untouched. */
+  case class Thumb(doc_id: Long, format: String, orig_w: Int, orig_h: Int,
+                   thumb_w: Int, thumb_h: Int, thumb_bytes: Int,
+                   thumb: Array[Byte])
+
+  def resizeImage(img: BufferedImage, maxW: Int, maxH: Int): BufferedImage = {
+    val scale = math.min(1.0,
+      math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+    if (scale >= 1.0) img
+    else {
+      val w = math.max(1, math.round(img.getWidth * scale).toInt)
+      val h = math.max(1, math.round(img.getHeight * scale).toInt)
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      out
+    }
+  }
+
+  /** Partition-wise thumbnailing of the image rows (PNG output for
+    * lossless downstream reads regardless of input format). */
+  def thumbnails(media: Dataset[MediaRow], maxW: Int = 16,
+                 maxH: Int = 16): Dataset[Thumb] = {
+    import media.sparkSession.implicits._
+    media.filter(r => r.format != "wav").mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media))
+        require(img != null, s"undecodable media for doc ${r.doc_id}")
+        val small = resizeImage(img, maxW, maxH)
+        val bytes = Codecs.encodeImage(small, "png")
+        Thumb(r.doc_id, r.format, img.getWidth, img.getHeight,
+          small.getWidth, small.getHeight, bytes.length, bytes)
+      }
+    }
+  }
+
   /** Frame sampling: slice the blob into fixed-size "frames" and keep
     * every k-th — the video-pipeline access pattern (explode keeps it
     * one row per frame, partition-local). */
@@ -244,8 +288,27 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Registered (rows-only) query: decode→resize→re-encode through
+    * the real codec, reporting dims and re-decoded thumbnail stats
+    * (decoding our own thumbnail proves the re-encode leg). */
+  val thumbs: Q = (s, d) => {
+    import s.implicits._
+    thumbnails(mediaTable(s, d)).mapPartitions { rows =>
+      rows.map { t =>
+        val (w, h, _, mean) = Codecs.decodeImage(t.thumb)
+        (t.doc_id, t.format, t.orig_w, t.orig_h, w, h, t.thumb_bytes, mean)
+      }
+    }.toDF("doc_id", "format", "orig_w", "orig_h", "thumb_w", "thumb_h",
+        "thumb_bytes", "thumb_mean")
+      .select(col("doc_id"), col("format"), col("orig_w"), col("orig_h"),
+        col("thumb_w"), col("thumb_h"), col("thumb_bytes"),
+        round(col("thumb_mean"), 4).as("thumb_mean"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q38_multimodal_features" -> features, // rows-only: codec path not SQL-expressible
+    "q38b_multimodal_thumbnails" -> thumbs, // rows-only: resize leg
   )
 
   val oracle: Map[String, String] = Map.empty

@@ -65,6 +65,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(n == samples.length && math.abs(mean - f.mean_byte) < 1e-12)
   }
 
+  test("thumbnails preserve aspect ratio, bound dims, and re-encode as real PNG") {
+    val thumbs = Multimodal.thumbnails(Multimodal.mediaTable(spark, sf),
+      maxW = 16, maxH = 16).collect()
+    assert(thumbs.nonEmpty)
+    thumbs.foreach { t =>
+      assert(t.format != "wav")
+      assert(t.thumb_w <= 16 && t.thumb_h <= 16 && t.thumb_w >= 1 && t.thumb_h >= 1)
+      // aspect preserved within integer rounding
+      val origRatio = t.orig_w.toDouble / t.orig_h
+      val thumbRatio = t.thumb_w.toDouble / t.thumb_h
+      assert(math.abs(origRatio - thumbRatio) / origRatio < 0.35,
+        s"doc ${t.doc_id}: ratio drifted $origRatio -> $thumbRatio")
+      // output is genuinely PNG and decodable at the reported dims
+      assert(magic(t.thumb, "png"))
+      val (w, h, _, _) = Multimodal.Codecs.decodeImage(t.thumb)
+      assert(w == t.thumb_w && h == t.thumb_h)
+    }
+    // images already inside the bounds pass through unscaled
+    val big = Multimodal.thumbnails(Multimodal.mediaTable(spark, sf),
+      maxW = 4096, maxH = 4096).collect()
+    big.foreach(t => assert(t.thumb_w == t.orig_w && t.thumb_h == t.orig_h))
+  }
+
   test("partition-wise feature extraction is deterministic and normalized") {
     val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))
       .collect().sortBy(_.doc_id)
