@@ -148,8 +148,26 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Vocabulary top-k (q60): corpus-wide token frequencies with doc
+    * frequency — the vocab-building/Zipf-audit pass. One explode
+    * (Generate, pipelined with the scan) into a hash aggregation on
+    * the token; the only shuffle carries (token, partial counts), and
+    * top-k plans as TakeOrderedAndProject — no global sort
+    * materializes the full vocabulary. Ties break on the token for
+    * cross-engine determinism. */
+  val vocabTopK: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
     "q20_token_stats" -> tokenStats,
+    "q60_vocab_topk" -> vocabTopK,
     "q21_quality_score" -> qualityScore,
     "q22_lang_id" -> langId,
     "q23_fingerprint" -> fingerprint,
@@ -202,6 +220,15 @@ object TextAnalysis {
          |  md5(array_to_string(list_slice(${sqlToks("text")}, 1, 8), ' ')) AS prefix_fp,
          |  md5(text) AS full_fp
          |FROM documents""".stripMargin,
+    "q60_vocab_topk" ->
+      s"""SELECT token, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM (
+         |  SELECT doc_id, unnest(${sqlToks("text")}) AS token FROM documents
+         |)
+         |GROUP BY token
+         |ORDER BY n_occurrences DESC, token
+         |LIMIT 100""".stripMargin,
     "q24_lang_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          |  ${Qx.sqlDavg("length(text)", rescale = 0)} AS avg_chars,
