@@ -366,21 +366,53 @@ object Dedup {
     * string-shingle computation the oracle runs, modulo 2^-64
     * collisions, and long compares are ~5x cheaper than string
     * compares in the block-local pair verification. */
-  val ngramJaccardBlocked: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val withFp = docs.select(col("doc_id"),
+  /** (doc_id, fp, sh): the prefix-fingerprint block key + hashed
+    * shingle set per document — the shared index projection of the
+    * blocked-Jaccard tier. */
+  private def fpShingleIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       md5(array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 4), " ")).as("fp"),
       tokenHashes(col("text")).as("th"))
       .select(col("doc_id"), col("fp"), shinglesFromTokenHashes(col("th")).as("sh"))
+
+  private def jaccardOf(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+
+  val ngramJaccardBlocked: Q = (s, d) => {
+    val withFp = fpShingleIndex(Tables.documents(s, d))
     val a = withFp.select(col("fp"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = withFp.select(col("fp"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", jaccardOf(col("sh_a"), col("sh_b")))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Incremental near-dup (q61): dedup an ingest DELTA against the
+    * standing corpus — the 100 TB operating mode, where re-pairing
+    * the whole corpus with itself per ingest round would be O(corpus)
+    * work for an O(delta) question. The pair join here is
+    * delta-index × corpus-index (no delta×delta, no corpus×corpus),
+    * so cost scales with the delta's bucket collisions only; the
+    * standing index is exactly [[fpShingleIndex]], which a real
+    * pipeline persists and appends to. The delta is modeled as the
+    * newest id quintile via a watermark computed in exact integer
+    * arithmetic, identically on both engines, so the whole operator —
+    * split included — sits under the oracle. */
+  val ngramJaccardIncremental: Q = (s, d) => {
+    val withFp = fpShingleIndex(Tables.documents(s, d))
+    val wm = withFp.agg(expr("(max(doc_id) * 4) div 5").as("wm"))
+    val tagged = withFp.crossJoin(broadcast(wm))
+    val corpus = tagged.filter(col("doc_id") <= col("wm"))
+      .select(col("fp"), col("doc_id").as("old_doc"), col("sh").as("sh_o"))
+    val delta = tagged.filter(col("doc_id") > col("wm"))
+      .select(col("fp"), col("doc_id").as("new_doc"), col("sh").as("sh_n"))
+    delta.join(corpus, Seq("fp"))
+      .withColumn("jaccard", jaccardOf(col("sh_n"), col("sh_o")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("new_doc"), col("old_doc"), col("jaccard"))
+      .orderBy(col("new_doc"), col("old_doc"))
   }
 
   // ---- keeper assignment (connected components) ----------------------
@@ -499,6 +531,7 @@ object Dedup {
     "q34b_lsh_bucket_stats" -> lshBucketStats,  // rows-only: bucket-health record
     "q35_simhash_neardups" -> simhashDups,      // rows-only (hash-seeded)
     "q36_ngram_jaccard_blocked" -> ngramJaccardBlocked,
+    "q61_incremental_neardups" -> ngramJaccardIncremental,
     "q36b_dedup_keepers" -> ngramDupKeepers,
     "q37_embedding_neardups" -> embeddingDups,  // rows-only (LSH-seeded)
   )
@@ -535,6 +568,16 @@ object Dedup {
     "q36_ngram_jaccard_blocked" ->
       s"""WITH $sqlBlockedPairs
          |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+    "q61_incremental_neardups" ->
+      s"""WITH $sqlBlockedPairs,
+         |w AS (SELECT (max(doc_id) * 4) // 5 AS wm FROM documents)
+         |SELECT n.doc_id AS new_doc, o.doc_id AS old_doc,
+         |  CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(n.sh, o.sh))) AS jaccard
+         |FROM t n, t o, w
+         |WHERE n.doc_id > w.wm AND o.doc_id <= w.wm AND n.fp = o.fp
+         |  AND CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(n.sh, o.sh))) >= 0.5""".stripMargin,
     "q36b_dedup_keepers" ->
       s"""WITH RECURSIVE $sqlBlockedPairs,
          |strong AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),

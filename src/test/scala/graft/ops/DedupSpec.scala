@@ -166,6 +166,26 @@ class DedupSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("incremental near-dups pair the delta against the corpus only") {
+    val rows = Dedup.ngramJaccardIncremental(spark, sf).collect()
+    val maxId = graft.Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
+    val wm = maxId * 4 / 5
+    rows.foreach { r =>
+      assert(r.getLong(0) > wm, "new_doc must be in the delta")
+      assert(r.getLong(1) <= wm, "old_doc must be in the standing corpus")
+      assert(r.getDouble(2) >= 0.5)
+    }
+    // the incremental answer is exactly the full answer restricted to
+    // delta-corpus pairs (no pair lost by the split)
+    val full = Dedup.ngramJaccardBlocked(spark, sf)
+      .filter(col("jaccard") >= 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a > wm) != (b > wm) }
+      .map { case (a, b) => (math.max(a, b), math.min(a, b)) }.toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == full)
+  }
+
   test("q36b keepers agree with q36 pairs at >= 0.5") {
     val keepers = Dedup.ngramDupKeepers(spark, sf)
     val merged = keepers.filter(col("doc_id") =!= col("keeper")).count()
