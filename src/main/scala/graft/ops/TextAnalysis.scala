@@ -165,9 +165,38 @@ object TextAnalysis {
       .limit(100)
   }
 
+  /** Repetition scoring (q62): the fraction of a document's bigrams
+    * taken by its single most frequent bigram — the cheap
+    * within-document repetition signal (boilerplate, keyword
+    * stuffing, degenerate generations) that length/stopword ratios
+    * miss. Shape: explode bigrams → per-(doc, bigram) count →
+    * per-doc max/sum — two hash aggregations keyed by doc, shuffles
+    * carry (doc_id, bigram-hash, count) only. The keep gate (< 0.2,
+    * docs shorter than 8 bigrams exempt) mirrors the published
+    * repetition-filter family. */
+  val repetitionScores: Q = (s, d) => {
+    val toks = tokens(col("text"))
+    val idx = sequence(lit(1), greatest(size(toks) - 1, lit(1)))
+    val bigrams = transform(idx, i => array_join(slice(toks, i, lit(2)), " "))
+    val exploded = Tables.documents(s, d)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+    exploded.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_n"))
+      .withColumn("top_bigram_frac",
+        col("top_n").cast(DoubleType) / col("n_bigrams"))
+      .withColumn("keep",
+        col("n_bigrams") < 8 || col("top_bigram_frac") < 0.2)
+      .select(col("doc_id"), col("n_bigrams"), col("top_n"),
+        col("top_bigram_frac"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q20_token_stats" -> tokenStats,
     "q60_vocab_topk" -> vocabTopK,
+    "q62_repetition_scores" -> repetitionScores,
     "q21_quality_score" -> qualityScore,
     "q22_lang_id" -> langId,
     "q23_fingerprint" -> fingerprint,
@@ -220,6 +249,21 @@ object TextAnalysis {
          |  md5(array_to_string(list_slice(${sqlToks("text")}, 1, 8), ' ')) AS prefix_fp,
          |  md5(text) AS full_fp
          |FROM documents""".stripMargin,
+    "q62_repetition_scores" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+         |      FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)]) AS bg
+         |  FROM (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents)
+         |), c AS (
+         |  SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg
+         |)
+         |SELECT doc_id,
+         |  CAST(sum(n) AS BIGINT) AS n_bigrams,
+         |  CAST(max(n) AS BIGINT) AS top_n,
+         |  CAST(max(n) AS DOUBLE) / sum(n) AS top_bigram_frac,
+         |  (sum(n) < 8 OR CAST(max(n) AS DOUBLE) / sum(n) < 0.2) AS keep
+         |FROM c GROUP BY doc_id""".stripMargin,
     "q60_vocab_topk" ->
       s"""SELECT token, count(*) AS n_occurrences,
          |  count(DISTINCT doc_id) AS n_docs
