@@ -177,7 +177,14 @@ object TextAnalysis {
   val repetitionScores: Q = (s, d) => {
     val toks = tokens(col("text"))
     val idx = sequence(lit(1), greatest(size(toks) - 1, lit(1)))
-    val bigrams = transform(idx, i => array_join(slice(toks, i, lit(2)), " "))
+    // hash each bigram to a long BEFORE the explode: the shuffle then
+    // carries (doc_id, int64) instead of strings — same counts (the
+    // q36 hashed-shingle argument; xxhash64 collisions are 2^-64).
+    // Local sf0.1 timing is within noise (explode row count dominates
+    // there); the narrower shuffle row is for cluster scale, where
+    // bigram strings would be the payload.
+    val bigrams = transform(idx,
+      i => xxhash64(array_join(slice(toks, i, lit(2)), " ")))
     val exploded = Tables.documents(s, d)
       .select(col("doc_id"), explode(bigrams).as("bg"))
     exploded.groupBy(col("doc_id"), col("bg"))
