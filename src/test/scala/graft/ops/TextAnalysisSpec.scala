@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("vocab top-k ranks by frequency with deterministic ties and true doc freq") {
+    val rows = TextAnalysis.vocabTopK(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // ordering contract: count desc, token asc on ties
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (ca, cb) = (a.getLong(1), b.getLong(1))
+        assert(ca > cb || (ca == cb && a.getString(0) < b.getString(0)))
+      case _ =>
+    }
+    // doc frequency can never exceed occurrences
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    // spot-check the head against a direct recount
+    val top = rows.head
+    val recount = graft.Tables.documents(spark, sf)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .filter(col("t") === top.getString(0)).count()
+    assert(recount == top.getLong(1))
+  }
+
+  test("repetition score flags a planted repetitive doc and passes varied text") {
+    val docs = Seq(
+      (1L, "buy now " * 50),                             // one bigram dominates
+      (2L, (1 to 100).map(i => s"word$i").mkString(" ")), // all bigrams unique
+      (3L, "short text only"),                           // < 8 bigrams: exempt
+    ).toDF("doc_id", "text")
+    val orig = graft.Tables.documents(spark, sf)
+    // run the same plan over literal docs by substituting the source
+    val toks = TextAnalysis.tokens(col("text"))
+    val idx = sequence(lit(1), greatest(size(toks) - 1, lit(1)))
+    val bigrams = transform(idx, i => xxhash64(array_join(slice(toks, i, lit(2)), " ")))
+    val got = docs.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_n"))
+      .withColumn("frac", col("top_n").cast("double") / col("n_bigrams"))
+      .withColumn("keep", col("n_bigrams") < 8 || col("frac") < 0.2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(!got(1L), "repetitive doc must be dropped")
+    assert(got(2L), "varied doc must pass")
+    assert(got(3L), "short doc must be exempt")
+    // and the registered query stays consistent on the real corpus
+    val real = TextAnalysis.repetitionScores(spark, sf).collect()
+    assert(real.length == orig.count())
+    real.foreach { r =>
+      val frac = r.getAs[Double]("top_bigram_frac")
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+  }
+}
