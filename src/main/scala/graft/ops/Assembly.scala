@@ -105,8 +105,12 @@ object Assembly {
       .select(col("doc_id"), col("lang"), col("source"),
         size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
     // contiguous id-range shards: every doc in shard k precedes every
-    // doc in shard k+1, per stream (ids are globally ordered)
-    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+    // doc in shard k+1, per stream (ids are globally ordered).
+    // max over an empty table is NULL: mirror the serial plan's empty
+    // result instead of unboxing it.
+    val maxRow = base.agg(max(col("doc_id"))).head()
+    if (maxRow.isNullAt(0)) return sequencePacking(s, d)
+    val maxId = maxRow.getLong(0)
     val shardWidth = math.max(1L, maxId / nShards + 1)
     val sharded = base.withColumn("shard", (col("doc_id") / shardWidth).cast(LongType))
     val offsetW = Window.partitionBy(col("lang"), col("source"))
@@ -178,8 +182,10 @@ object Assembly {
     * fate never changes across runs; re-salt to re-deal). Scale
     * shape: one tiny per-source count aggregate broadcast back onto
     * a scan; no data-sized shuffle. */
-  val sourceMixture: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+  val sourceMixture: Q = (s, d) =>
+    mixtureOf(Tables.documents(s, d).select(col("doc_id"), col("source")))
+
+  def mixtureOf(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
     val total = counts.agg(sum(col("n_source")).as("n_total"),
       count(lit(1)).as("n_sources"))
@@ -256,7 +262,7 @@ object Assembly {
          |SELECT d.doc_id, d.source, r.keep_buckets,
          |  (r.keep_buckets = 256 OR
          |   substr(md5(concat(CAST(d.doc_id AS VARCHAR), ':mix-v1')), 1, 2) <
-         |     lpad(to_hex(r.keep_buckets), 2, '0')) AS sampled
+         |     lpad(lower(to_hex(r.keep_buckets)), 2, '0')) AS sampled
          |FROM documents d JOIN rates r ON r.source = d.source""".stripMargin,
     "q57_split_contamination" ->
       s"""WITH ${Dedup.sqlBlockedPairs},

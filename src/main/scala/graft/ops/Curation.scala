@@ -37,10 +37,15 @@ object Curation {
         TextAnalysis.qualityKeepColumn(col("text")).as("quality_keep"),
         TextAnalysis.langPredColumn(col("text")).as("lang_pred"))
     val exactKeeper = base.groupBy(col("h")).agg(min("doc_id").as("exact_keeper"))
+      .withColumnRenamed("h", "hk")
     val nearKeeper = Dedup.ngramDupKeepers(s, d)
       .withColumnRenamed("keeper", "near_keeper")
     base
-      .join(exactKeeper, Seq("h"))
+      // null-safe on the hash: md5(NULL text) is NULL, and DuckDB's
+      // window twin groups NULL keys together — a plain equi-join
+      // would silently drop null-text docs and break row parity
+      .join(exactKeeper, col("h") <=> col("hk"))
+      .drop("hk")
       .join(nearKeeper, Seq("doc_id"))
       .withColumn("verdict",
         when(col("doc_id") =!= col("exact_keeper"), "exact_dup")

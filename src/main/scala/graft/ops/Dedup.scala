@@ -434,26 +434,31 @@ object Dedup {
     * oracle replays the exact closure).
     *
     * Fault tolerance: lineage is cut every round (the iterated plan
-    * would otherwise grow without bound). When the SparkContext has a
-    * reliable checkpoint dir set (`setCheckpointDir`), the edge set
-    * and every `reliableEvery`-th round's labels go to reliable
-    * storage, so an executor-loss-induced job retry restarts from
-    * durable state instead of failing (localCheckpoint blocks die
-    * with their executor); rounds in between use localCheckpoint as
-    * the fast path. With no checkpoint dir (local runs), everything
-    * stays on localCheckpoint. */
-  def dupKeepers(docs: DataFrame, pairs: DataFrame, maxIter: Int = 100,
-                 reliableEvery: Int = 5): DataFrame = {
+    * would otherwise grow without bound), which makes the cut medium
+    * the whole recovery story — there is nothing upstream to
+    * recompute from. With no checkpoint dir (local runs) every cut
+    * is a localCheckpoint: fast, but its blocks die with their
+    * executor. When the SparkContext has a reliable checkpoint dir
+    * set (`setCheckpointDir`), EVERY cut — edges and each round's
+    * labels — goes to reliable storage, so a lost executor's
+    * partitions are re-read from durable files by the stage retry
+    * and the loop keeps going. (Durable only every k-th round would
+    * be fault-tolerance theater: the in-between localCheckpoint
+    * blocks have truncated lineage, so their loss still kills the
+    * job, and no resume path reads an old snapshot.) Cost: one
+    * durable write per round, each O(|docs|) ids — the right trade
+    * on preemptible clusters; leave the dir unset for speed
+    * locally. */
+  def dupKeepers(docs: DataFrame, pairs: DataFrame,
+                 maxIter: Int = 100): DataFrame = {
     val sc = docs.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
-    def cut(df: DataFrame, durable: Boolean): DataFrame =
-      if (reliable && durable) df.checkpoint() else df.localCheckpoint()
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val edges = cut(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
-      durable = true)
-    var labels = cut(docs.select(col("doc_id"), col("doc_id").as("keeper")),
-      durable = true)
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = cut(docs.select(col("doc_id"), col("doc_id").as("keeper")))
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -476,7 +481,7 @@ object Dedup {
           sum((col("keeper") =!= col("prev")).cast(LongType)).as("changed"))
         .select(col("doc_id"), col("keeper"))
       // the checkpoint IS the round's one action; observe rides it
-      labels = cut(updated, durable = rounds % reliableEvery == reliableEvery - 1)
+      labels = cut(updated)
       changed = obs.get.get("changed") match {
         case Some(n: Number) => n.longValue()
         case _ => 0L // all-false sum is 0, null only on an empty corpus

@@ -396,8 +396,8 @@ object Core {
         |  wu AS (ORDER BY order_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q42_pivot" ->
       s"""SELECT l_returnflag,
-         |  CAST(CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS DOUBLE) AS qty_f,
-         |  CAST(CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS DOUBLE) AS qty_o
+         |  CAST(CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DECIMAL(18,2)) AS DOUBLE) AS qty_f,
+         |  CAST(CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DECIMAL(18,2)) AS DOUBLE) AS qty_o
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q43_unpivot" ->
       s"""WITH wide AS (

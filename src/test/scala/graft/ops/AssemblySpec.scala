@@ -85,6 +85,24 @@ class AssemblySpec extends SparkTestBase {
     }
   }
 
+  test("mixture thresholds with hex-letter buckets sample correctly on skewed sources") {
+    import spark.implicits._
+    // 300 'big' docs vs 50 'small': keep_buckets(big) =
+    // (256*350) div (2*300) = 149 (0x95 — exercises a letter nibble
+    // in the hex comparison, which balanced fixtures never do)
+    val docs = ((0L until 300L).map(i => (i, "big")) ++
+      (1000L until 1050L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val rows = Assembly.mixtureOf(docs).collect()
+    val bySource = rows.groupBy(_.getString(1))
+    assert(bySource("small").forall(_.getBoolean(3)), "under-represented keeps all")
+    val bigBuckets = bySource("big").head.getLong(2)
+    assert(bigBuckets == 256L * 350 / (2 * 300), s"got $bigBuckets")
+    val sampled = bySource("big").count(_.getBoolean(3))
+    val expectedRate = bigBuckets / 256.0
+    assert(math.abs(sampled - 300 * expectedRate) < 300 * expectedRate * 0.35,
+      s"sampled $sampled of 300 at rate $expectedRate")
+  }
+
   test("sequence packing: windows fill in doc order and never skip a pack") {
     val rows = Assembly.sequencePacking(spark, sf).collect()
     rows.groupBy(r => (r.getString(1), r.getString(2))).foreach { case (_, rs) =>

@@ -119,7 +119,7 @@ class DedupSpec extends SparkTestBase {
       val n = 51 // path 0-1-2-...-50: worst-case diameter for min-label spread
       val docs = (0L until n).toDF("doc_id")
       val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-      val got = Dedup.dupKeepers(docs, pairs, maxIter = 60, reliableEvery = 5)
+      val got = Dedup.dupKeepers(docs, pairs, maxIter = 60)
         .as[(Long, Long)].collect().toMap
       assert(got == (0L until n).map(_ -> 0L).toMap,
         "reliable-checkpoint path must produce the same closure")
