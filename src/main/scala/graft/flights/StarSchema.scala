@@ -177,6 +177,10 @@ class StarWarehouse(spark: SparkSession, root: String) {
     * drained): after compaction the applied-batch markers are what
     * stops a hypothetically replayed old batch from re-adding
     * compacted rows, so markers must be retained alongside the fact.
+    * Compaction therefore RE-CREATES the marker for every batch it
+    * folds (gcMarkers may have deleted it while the partition was
+    * live), making the marker invariant hold under any interleaving
+    * of GC and compaction.
     * Crash-safe via build-aside + swap: the new dir is fully written
     * before the old one is touched, and a torn swap is healed on the
     * next call (the `.pre-compact` backup is restored first). */
@@ -190,10 +194,25 @@ class StarWarehouse(spark: SparkSession, root: String) {
     if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p)
     // nothing to do unless some increment OTHER than the compacted
     // base exists
-    val hasWork = fs.exists(p) && fs.listStatus(p).exists(s =>
-      s.isDirectory && s.getPath.getName.startsWith("ingest_batch=") &&
-        s.getPath.getName != "ingest_batch=-1")
-    if (!hasWork) { fs.delete(tmp, true); return }
+    val increments = if (!fs.exists(p)) Array.empty[String] else
+      fs.listStatus(p).collect {
+        case s if s.isDirectory && s.getPath.getName.startsWith("ingest_batch=") &&
+          s.getPath.getName != "ingest_batch=-1" =>
+          s.getPath.getName.stripPrefix("ingest_batch=")
+      }
+    if (increments.isEmpty) { fs.delete(tmp, true); return }
+    // Re-create the applied-marker for every batch about to be folded,
+    // BEFORE any destructive step. gcMarkers may legitimately delete a
+    // live batch's marker (replay stays idempotent while the
+    // ingest_batch=N partition exists), but once this compaction folds
+    // the partition the marker is again the only replay guard — without
+    // this, the GC -> compact -> checkpoint-loss-replay ordering
+    // re-adds the batch's rows beside the compacted base. Restoring
+    // markers first is crash-safe: a marker for a still-live partition
+    // is always harmless (it only short-circuits an idempotent rewrite).
+    val markers = new java.io.File(s"$root/_applied_batches")
+    markers.mkdirs()
+    increments.foreach(id => new java.io.File(markers, id).createNewFile())
     fact.withColumn("ingest_batch", lit(-1L))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("ingest_batch", "departure_date_id")

@@ -83,18 +83,28 @@ object Curation {
     * Output carries md5(scrubbed) rather than the scrubbed text to
     * keep the comparison row small. */
   val piiScrub: Q = (s, d) => {
+    // coalesce before planting: Spark's concat is NULL if ANY argument
+    // is NULL while DuckDB's concat skips NULLs, so planting onto a
+    // null-text doc would diverge between the engines. The corpus
+    // contract admits null text (corpusFilter handles it above), so
+    // both sides plant onto the empty string instead.
     val planted = when(col("doc_id") % 10 === 0,
-      concat(col("text"),
+      concat(coalesce(col("text"), lit("")),
         lit(" contact me at user"), col("doc_id"), lit("@example.com or +1 (555) 010-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
       .otherwise(col("text"))
     val scrubbed = regexp_replace(
       regexp_replace(planted, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
+    // size() alone would return -1 on NULL input (Spark's legacy
+    // sizeOfNull default) where DuckDB's len() returns NULL — guard so
+    // a non-planted null-text doc is NULL on both engines.
+    def nMatches(pat: String) = when(planted.isNotNull,
+      size(regexp_extract_all(planted, lit(pat), lit(0))))
     Tables.documents(s, d)
       .select(col("doc_id"),
-        size(regexp_extract_all(planted, lit(emailPattern), lit(0))).as("n_emails"),
-        size(regexp_extract_all(planted, lit(phonePattern), lit(0))).as("n_phones"),
+        nMatches(emailPattern).as("n_emails"),
+        nMatches(phonePattern).as("n_phones"),
         md5(scrubbed).as("scrubbed_md5"),
         (md5(scrubbed) =!= md5(planted)).as("was_redacted"))
       .orderBy(col("doc_id"))
@@ -177,7 +187,7 @@ object Curation {
       s"""WITH planted AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 10 = 0
-         |      THEN concat(text, ' contact me at user', CAST(doc_id AS VARCHAR),
+         |      THEN concat(coalesce(text, ''), ' contact me at user', CAST(doc_id AS VARCHAR),
          |                  '@example.com or +1 (555) 010-',
          |                  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
          |      ELSE text END AS t

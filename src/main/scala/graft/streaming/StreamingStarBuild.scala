@@ -71,9 +71,15 @@ object StreamingStarBuild {
     * checkpoint loss) and re-adding its rows BESIDE the compacted
     * copy, so it must be retained as long as the compacted base
     * lives. This GC implements exactly that rule; it never deletes a
-    * marker whose batch partition is gone. Markers are tiny (one
-    * empty file per batch), so retaining the compacted ones forever
-    * is cheap; the deletable set is the uncompacted tail.
+    * marker whose batch partition is gone. The rule alone is necessary
+    * but not sufficient: compaction can fold a partition AFTER its
+    * marker was (legitimately) deleted, so
+    * [[graft.flights.StarWarehouse.compactFact]] re-creates the marker
+    * for every batch it folds — the two ops are coupled, and the
+    * GC -> compact -> checkpoint-loss-replay ordering cannot duplicate
+    * rows. Markers are tiny (one empty file per batch), so retaining
+    * the compacted ones forever is cheap; the deletable set is the
+    * uncompacted tail.
     * Returns (deleted, retained). */
   def gcMarkers(warehouseRoot: String): (Int, Int) = {
     val markers = new java.io.File(s"$warehouseRoot/_applied_batches")

@@ -42,6 +42,32 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("pii scrub tolerates null-text docs (plants onto empty string, both engines)") {
+    // ADVICE r3: Spark concat is NULL-propagating, DuckDB concat is
+    // NULL-skipping — a null-text doc at a planted id would diverge
+    // without the coalesce. The sf fixtures carry no null text, so
+    // build a corpus that does (ids 0 and 10 planted, 10 null-text).
+    import spark.implicits._
+    val dir = tmpDir("pii-null")
+    Seq[(Long, Option[String], String, String, Long)](
+      (0L, Some("plain text here"), "en", "web", 15L),
+      (10L, None, "en", "web", 0L),
+      (11L, None, "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Curation.piiScrub(spark, dir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // planted null-text doc: the contact line IS the text -> redacted
+    assert(byId(10L).getAs[Int]("n_emails") == 1)
+    assert(byId(10L).getAs[Int]("n_phones") == 1)
+    assert(byId(10L).getAs[Boolean]("was_redacted"))
+    // non-planted null-text doc stays NULL end-to-end on BOTH engines
+    // (size(NULL)/len(NULL), md5(NULL), NULL<>NULL are all NULL):
+    // no crash, no row loss, no cross-engine divergence
+    assert(byId(11L).isNullAt(1) && byId(11L).isNullAt(3) && byId(11L).isNullAt(4))
+    assert(rows.length == 3)
+  }
+
   test("corpus filter stats roll up to the corpus size") {
     val total = graft.Tables.documents(spark, sf).count()
     val stats = Curation.corpusFilterStats(spark, sf).collect()

@@ -137,6 +137,37 @@ class StreamingStarBuildSpec extends SparkTestBase {
       "expected the rule violation to resurrect rows — test premise broken")
   }
 
+  test("GC then compaction then checkpoint-loss replay does not duplicate (ops coupled)") {
+    // ADVICE r3: gcMarkers' retention rule alone is necessary but not
+    // sufficient — GC may delete the marker of a still-live batch, and
+    // a LATER compaction folds that partition. Without compactFact
+    // re-creating the folded batches' markers, the subsequent
+    // checkpoint-loss replay has neither marker nor partition and
+    // re-adds its rows beside the base. This is that exact ordering.
+    val root = tmpDir("sstar")
+    val stagingDir = s"$root/staging"
+    val wh = new StarWarehouse(spark, s"$root/wh")
+    stage("flights_clean.csv", stagingDir)
+    StreamingStarBuild.start(spark, stagingDir, s"$root/wh", s"$root/ckpt")
+      .awaitTermination()
+
+    // 1. GC: batch 0's partition is live, so its marker is deletable.
+    val (deleted, _) = StreamingStarBuild.gcMarkers(s"$root/wh")
+    assert(deleted == 1 && !Files.exists(Paths.get(s"$root/wh/_applied_batches/0")))
+    // 2. Compaction folds ingest_batch=0 — and must restore its marker.
+    wh.compactFact()
+    assert(Files.exists(Paths.get(s"$root/wh/_applied_batches/0")),
+      "compactFact did not re-create the folded batch's marker")
+    // 3. Checkpoint loss: a fresh checkpoint re-delivers everything as
+    // batch 0. The restored marker must stop it.
+    StreamingStarBuild.start(spark, stagingDir, s"$root/wh", s"$root/ckpt2")
+      .awaitTermination()
+    assert(wh.fact.count() == 50, "GC->compact->replay duplicated compacted rows")
+    val subdirs = new java.io.File(s"$root/wh/fact_flights").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs == Set("ingest_batch=-1"), s"increment reappeared: $subdirs")
+  }
+
   test("crash between fact commit and marker write replays without duplicates") {
     val root = tmpDir("sstar")
     val stagingDir = s"$root/staging"
