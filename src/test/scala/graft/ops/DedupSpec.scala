@@ -75,6 +75,69 @@ class DedupSpec extends SparkTestBase {
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("q34c recall-vs-truth: per-tier bars hold on the planted corpus") {
+    val rows = Dedup.nearDupRecall(spark, sf).collect()
+    info(rows.map(r => s"${r.getAs[String]("tier")}: truth=${r.getAs[Long]("n_truth")} " +
+      s"found=${r.getAs[Long]("n_found")} reported=${r.getAs[Long]("n_reported")} " +
+      s"recall=${r.getAs[Double]("recall")}").mkString("; "))
+    val byTier = rows.map(r => r.getAs[String]("tier") -> r).toMap
+    assert(byTier.keySet == Set("minhash_lsh", "simhash_hamming", "ngram_blocked"))
+    // every tier has located, non-trivial truth to measure against
+    rows.foreach(r => assert(r.getAs[Long]("n_truth") > 0,
+      s"${r.getAs[String]("tier")}: no truth pairs located — planting convention changed?"))
+    // simhash within radius 3 is STRUCTURALLY total: <= 3 differing
+    // bits cannot miss all four 16-bit chunks (pigeonhole)
+    assert(byTier("simhash_hamming").getAs[Double]("recall") == 1.0)
+    // appending " dup" preserves the 4-token block prefix, so the
+    // blocked tier's only loss mode (prefix break) never fires here
+    assert(byTier("ngram_blocked").getAs[Double]("recall") == 1.0)
+    // banded minhash is probabilistic; at the planted similarity the
+    // 12x4 banding collides with near-certainty
+    assert(byTier("minhash_lsh").getAs[Double]("recall") >= 0.9)
+  }
+
+  test("q34b bucket stats run exactly one documents scan (shared sketch input)") {
+    // VERDICT r3 #2: the union's two tier branches must both read the
+    // one persisted token-hash frame — a second FileScan of documents
+    // would mean a full redundant corpus scan at 100 TB.
+    Dedup.releaseSketchCaches()
+    val df = Dedup.lshBucketStats(spark, sf)
+    df.collect()
+    val scans = deepDocumentScans(df.queryExecution.executedPlan)
+    assert(scans == 1, s"expected exactly 1 documents FileScan, found $scans")
+    Dedup.releaseSketchCaches()
+  }
+
+  /** Count FileScans of documents.parquet reachable from `root`,
+    * descending through AQE stages and into each DISTINCT cached
+    * relation's plan once (a relation materializes once, so its inner
+    * scan runs once no matter how many branches read the cache). */
+  private def deepDocumentScans(root: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    var n = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec        => walk(q.plan)
+      case r: ReusedExchangeExec    => walk(r.child)
+      case m: InMemoryTableScanExec =>
+        // key on the shared cacheBuilder: InMemoryRelation is
+        // re-instanced (fresh output attrs) per plan occurrence, but
+        // all occurrences of one cache share the builder and its
+        // materialized buffers — the inner scan runs once per BUILDER
+        if (seen.add(m.relation.cacheBuilder)) walk(m.relation.cachedPlan)
+      case s: FileSourceScanExec =>
+        if (s.relation.location.rootPaths.exists(_.toString.contains("documents"))) n += 1
+      case other => other.children.foreach(walk)
+    }
+    walk(root)
+    n
+  }
+
   test("dupKeepers: transitive closure assigns the min id across chains") {
     val docs = (1L to 6L).toDF("doc_id")
     // chain 1-2-3 (no direct 1-3 edge), pair 4-5, singleton 6
@@ -131,6 +194,24 @@ class DedupSpec extends SparkTestBase {
       val ckFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(ckFiles > 0, "expected reliable checkpoint files on disk")
+      // ADVICE r3 retention: superseded round snapshots are deleted as
+      // the loop advances — after 51 rounds the run dir holds exactly
+      // {edges, labels-<final>}, not 52 accumulated label snapshots.
+      // setCheckpointDir nests a session UUID dir; walk to the run dir
+      val runRoot = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        try s.filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("dupkeepers-"))
+          .map[java.io.File](_.toFile).toArray(new Array[java.io.File](_))
+        finally s.close()
+      }
+      assert(runRoot.length == 1, s"expected one dupkeepers run dir, got ${runRoot.length}")
+      val snaps = runRoot.head.listFiles().filter(_.isDirectory).map(_.getName).sorted
+      assert(snaps.count(_.startsWith("labels-")) == 1,
+        s"superseded label snapshots were retained: ${snaps.mkString(",")}")
+      assert(snaps.contains("edges"), s"edges snapshot missing: ${snaps.mkString(",")}")
+      // the returned frame stays readable off the retained snapshot
+      assert(got.size == n)
     } finally {
       prevDir match {
         case Some(d) => sc.setCheckpointDir(d)
