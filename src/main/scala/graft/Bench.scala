@@ -17,6 +17,15 @@ object Bench {
     // so the first timed query isn't charged for JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Const-bucket warm-up (VERDICT r3 #7): the fixture warehouse is
+    // built once per JVM, and without this it lands in whichever star
+    // query's cold window happens to run first (q47 cold 5.69 s vs
+    // 0.45 s warm in r3). The build is real work, so it is timed as
+    // its own metric (star_build) rather than hidden in — or deleted
+    // from — a query's cold column.
+    val tBuild = System.nanoTime()
+    graft.queries.StarQueries.warehouse(spark)
+    val starBuildSec = (System.nanoTime() - tBuild) / 1e9
     // The timed action is a noop-sink WRITE, not count(): under
     // count(1) Catalyst's ColumnPruning deletes every unreferenced
     // per-row expression, so projection-only queries (scalar funcs,
@@ -71,7 +80,7 @@ object Bench {
     val total = scaled.map(_._3).sum
     val constTotal = const.map(_._3).sum
     val coldTotal = scaled.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._3)},"queries_cold":${jsonMap(_._2)},"cold_total":$coldTotal,"const_total":$constTotal,"total_all":${total + constTotal},"failed":$failed,"runs_per_query":2,"timed_run":"steady_state","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._3)},"queries_cold":${jsonMap(_._2)},"cold_total":$coldTotal,"const_total":$constTotal,"star_build":$starBuildSec,"total_all":${total + constTotal},"failed":$failed,"runs_per_query":2,"timed_run":"steady_state","sf":"$sfDir"}""")
     spark.stop()
   }
 }

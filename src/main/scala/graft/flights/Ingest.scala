@@ -35,6 +35,7 @@ class FlightIngest(spark: SparkSession, root: String) {
   def stagingPath: String = s"$root/staging"
   def ledgerPath: String  = s"$root/ledger"
   private def statePath   = Paths.get(s"$root/state/flight_csv_offset")
+  private def inflightPath = Paths.get(s"$root/state/flight_inflight")
 
   /** I-2: Airflow `Variable.get("flight_csv_offset", 0)` equivalent. */
   def offset: Long =
@@ -50,11 +51,13 @@ class FlightIngest(spark: SparkSession, root: String) {
   def ledger: DataFrame =
     if (StarWarehouse.pathExists(spark, ledgerPath))
       spark.read.schema(FlightSchemas.ledger).parquet(ledgerPath)
+        .drop("ingest_batch")
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], FlightSchemas.ledger)
 
   def staging: DataFrame =
     spark.read.schema(FlightSchemas.staging).parquet(stagingPath)
+      .drop("ingest_batch")
 
   /** I-10: canonical row hash (shared definition — see
     * FlightSchemas.rowHashColumn). */
@@ -87,8 +90,63 @@ class FlightIngest(spark: SparkSession, root: String) {
         "directories (per-file offsets via the stream checkpoint).")
   }
 
+  /** Batch commit protocol (VERDICT r3 #3 — the streaming path's
+    * marked-increment pattern applied to the batch path). The two
+    * reference crash windows this closes (both previously pinned as
+    * parity at this spot):
+    *
+    *  (a) crash between the staging write and the ledger append
+    *      re-appended the batch on retry (duplicate staging rows);
+    *  (b) first-load crash after the ledger append but before the
+    *      offset write, with the file growing while down: the retry's
+    *      off==0 overwrite rebuilt staging from the NEW rows only,
+    *      losing the staged batch.
+    *
+    * Mechanism — each batch is one marked, idempotently re-runnable
+    * increment:
+    *
+    *  1. INTENT marker first. Before any data write, the batch's
+    *     extent (seq, off, end) is recorded in `state/flight_inflight`.
+    *     A retry that finds a marker matching its offset re-runs
+    *     EXACTLY the recorded extent — even if the file grew in
+    *     between — so the recomputed batch is bit-identical to the
+    *     crashed one (same file rows, same hashes). This closes (b):
+    *     the retry's anti-join finds every hash already ledgered,
+    *     leaves staging intact, and only then advances the offset;
+    *     the grown tail becomes the NEXT batch in the same call.
+    *  2. Partition-keyed idempotent writes. Staging and ledger rows
+    *     carry `ingest_batch = seq` (a sequence unique across file
+    *     replaces, max existing partition + 1), and both writes are
+    *     dynamic-partition OVERWRITES of exactly that partition — a
+    *     retry REPLACES the crashed attempt's rows instead of
+    *     appending beside them. This closes (a). The reference's
+    *     replace-on-first-load contract (I-7) is kept: off == 0 is a
+    *     full overwrite (new file => staging rebuilt).
+    *  3. Commit order: staging -> ledger -> offset -> clear marker.
+    *     Every prefix crash re-runs idempotently; after the ledger
+    *     write the batch is logically committed (a retry computes
+    *     freshCount == 0 and just advances the offset).
+    *
+    * The ledger is still global-forever across file replaces (its
+    * partitions are never full-overwritten), and an ingest() call
+    * still drains the file: a resumed crashed batch and the file's
+    * grown tail are committed as separate increments in one call. */
   def ingest(csvPath: String): IngestResult = {
     requireSingleFile(csvPath)
+    var total = IngestResult(0, 0, offset)
+    var again = true
+    while (again) {
+      val (r, resumed) = ingestBatch(csvPath)
+      total = IngestResult(total.rowsScanned + r.rowsScanned,
+        total.rowsLoaded + r.rowsLoaded, r.newOffset)
+      // a resumed batch was pinned to the crashed extent; the file may
+      // hold a tail beyond it — drain with a fresh batch
+      again = resumed && r.rowsScanned > 0
+    }
+    total
+  }
+
+  private def ingestBatch(csvPath: String): (IngestResult, Boolean) = {
     // I-1: raw line count (includes header, like the reference's rb scan)
     val lineCount = spark.read.text(csvPath).count()
     var off = offset
@@ -100,20 +158,27 @@ class FlightIngest(spark: SparkSession, root: String) {
     // Replicated deliberately for offset-state parity; the fix would be
     // `lineCount - 1 < off`.
     if (lineCount < off) off = 0
+    // resume iff an intent marker pins an unfinished extent at OUR
+    // offset; markers from other offsets (superseded by a completed
+    // commit or a shrink-reset) are dead and get overwritten/cleared
+    val resume = readInflight().filter(m => m.off == off && m.end > off)
+    val end = resume.map(_.end).getOrElse(lineCount - 1)
     // I-4: early exit
-    val rowsToProcess = lineCount - 1 - off
-    if (rowsToProcess <= 0) return IngestResult(0, 0, off)
+    val rowsToProcess = end - off
+    if (rowsToProcess <= 0) { clearInflight(); return (IngestResult(0, 0, off), false) }
+    val seq = resume.map(_.seq).getOrElse(nextBatchSeq())
+    writeInflight(Inflight(seq, off, end))
 
-    // I-5: header-aware resume — skip the first `off` data rows in file
-    // order. zipWithIndex preserves file order for a single CSV file
-    // (the reference's contract is also a single growing file).
+    // I-5: header-aware resume — skip data rows outside [off, end) in
+    // file order. zipWithIndex preserves file order for a single CSV
+    // file (the reference's contract is also a single growing file).
     val raw = spark.read.schema(FlightSchemas.rawCsv)
       .option("header", true).csv(csvPath)
     val batch: DataFrame =
-      if (off == 0) raw
+      if (off == 0 && end == lineCount - 1) raw
       else {
         val rdd = raw.rdd.zipWithIndex()
-          .filter(_._2 >= off).map(_._1)
+          .filter { case (_, i) => i >= off && i < end }.map(_._1)
         spark.createDataFrame(rdd, FlightSchemas.rawCsv)
       }
 
@@ -128,36 +193,77 @@ class FlightIngest(spark: SparkSession, root: String) {
     // I-13 rename + I-12 drop helper column, then I-7 staging write.
     // Staging is touched ONLY when the deduped batch is non-empty,
     // exactly as the reference skips to_sql for an empty chunk
-    // (ingestion.py:117-119). This is also the crash-safety hinge: a
-    // run that staged + ledgered but died before the offset write is
-    // re-runnable — the retry re-scans, the ledger anti-join drops
-    // everything, freshCount == 0, staging is left INTACT, and only
-    // the offset advances. (The previous behavior overwrote staging
-    // with the empty frame on off == 0, permanently losing the staged
-    // rows — VERDICT r2 ADVICE.) Consequence on a shrink-reset whose
-    // "new" file is all already-seen rows: stale staging rows from the
+    // (ingestion.py:117-119): a fully-committed batch whose retry
+    // recomputes freshCount == 0 leaves staging INTACT and only
+    // advances the offset. Consequence on a shrink-reset whose "new"
+    // file is all already-seen rows: stale staging rows from the
     // replaced file remain and V-3 alarms on source != staging — the
     // reference behaves identically there (global-forever ledger).
-    //
-    // Remaining PINNED PARITY windows (both exist in the reference):
-    //  - crash between an off>0 staging append and the ledger append
-    //    re-appends the batch on retry (duplicate staging rows);
-    //  - off==0 + ledger non-empty + file grown while down: the
-    //    overwrite rebuilds staging from the fresh rows only.
     val renamed = FlightSchemas.renameToStaging(fresh.drop("row_hash"))
     if (freshCount > 0) {
-      val mode = if (off == 0) SaveMode.Overwrite else SaveMode.Append
-      renamed.write.mode(mode).parquet(stagingPath)
-      // I-8: ledger append with load timestamp.
+      val staged = renamed.withColumn("ingest_batch", lit(seq))
+        .write.partitionBy("ingest_batch").mode(SaveMode.Overwrite)
+      if (off == 0) staged.parquet(stagingPath) // I-7 replace: new file
+      else staged.option("partitionOverwriteMode", "dynamic").parquet(stagingPath)
+      afterStagingWrite() // crash-injection seam (no-op in production)
+      // I-8: ledger append with load timestamp — as an idempotent
+      // overwrite of this batch's own partition.
       fresh.select(col("row_hash"))
         .withColumn("load_timestamp", current_timestamp())
-        .write.mode(SaveMode.Append).parquet(ledgerPath)
+        .withColumn("ingest_batch", lit(seq))
+        .write.partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite).parquet(ledgerPath)
+      afterLedgerWrite() // crash-injection seam (no-op in production)
     }
     fresh.unpersist()
     // I-9: offset advances by rows *scanned* (incl. dupes), as in the
     // reference (ingestion.py:126: offset + rows_processed).
-    writeOffset(off + rowsToProcess)
-    IngestResult(rowsToProcess, freshCount, off + rowsToProcess)
+    writeOffset(end)
+    clearInflight()
+    (IngestResult(rowsToProcess, freshCount, end), resume.isDefined)
+  }
+
+  /** Crash-injection seams for the IngestSpec torn-commit tests: a
+    * test subclass overrides one to throw mid-protocol. Production
+    * no-ops (and monomorphic, so the JIT erases them). */
+  protected def afterStagingWrite(): Unit = ()
+  protected def afterLedgerWrite(): Unit = ()
+
+  // ---- intent-marker state -------------------------------------------
+
+  private case class Inflight(seq: Long, off: Long, end: Long)
+
+  private def readInflight(): Option[Inflight] =
+    if (!Files.exists(inflightPath)) None
+    else new String(Files.readAllBytes(inflightPath), StandardCharsets.UTF_8)
+      .trim.split(':') match {
+        case Array(s, o, e) => Some(Inflight(s.toLong, o.toLong, e.toLong))
+        case _ => None // torn marker write: treat as absent (fresh batch)
+      }
+
+  private def writeInflight(m: Inflight): Unit = {
+    Files.createDirectories(inflightPath.getParent)
+    Files.write(inflightPath, s"${m.seq}:${m.off}:${m.end}".getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def clearInflight(): Unit = Files.deleteIfExists(inflightPath)
+
+  /** Next batch sequence: one past the highest `ingest_batch=` partition
+    * either sink has ever committed (ledger partitions are never
+    * removed, so the sequence never repeats across file replaces —
+    * a staging full-overwrite cannot make an old seq reusable). */
+  private def nextBatchSeq(): Long = {
+    def maxPart(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) -1L
+      else fs.listStatus(p).collect {
+        case s if s.isDirectory && s.getPath.getName.startsWith("ingest_batch=") =>
+          s.getPath.getName.stripPrefix("ingest_batch=").toLong
+      }.foldLeft(-1L)(math.max)
+    }
+    math.max(maxPart(stagingPath), maxPart(ledgerPath)) + 1L
   }
 }
 

@@ -76,6 +76,73 @@ class IngestSpec extends SparkTestBase {
     assert(ing.ledger.count() == 49)
   }
 
+  test("crash between staging and ledger writes: retry does not duplicate staging rows") {
+    // VERDICT r3 #3, window (a): the old append-mode staging write
+    // meant a retry re-APPENDED the whole batch beside the crashed
+    // attempt's rows. The marked-increment protocol overwrites the
+    // batch's own ingest_batch partition instead.
+    val root = tmpDir("ingest")
+    val csv = s"$root/flights.csv"
+    Files.copy(Paths.get(resource("flights_small.csv")), Paths.get(csv),
+      StandardCopyOption.REPLACE_EXISTING)
+    val ing = new FlightIngest(spark, root)
+    ing.ingest(csv)
+    // grow the file with the append fixture's DISTINCT lines (its 3
+    // planted dupe rows would fail V-3 even without a crash — the
+    // reference's validation.py has the same property), then crash the
+    // append batch right after its staging write commits (ledger +
+    // offset + marker-clear all lost)
+    val distinct = new java.util.ArrayList[String](new java.util.LinkedHashSet[String](
+      Files.readAllLines(Paths.get(resource("flights_append.csv")))))
+    Files.write(Paths.get(csv), distinct) // header + 64 data rows
+    val crashing = new FlightIngest(spark, root) {
+      override protected def afterStagingWrite(): Unit =
+        throw new RuntimeException("injected crash: staging committed, ledger lost")
+    }
+    intercept[RuntimeException](crashing.ingest(csv))
+    // the torn batch IS on disk (that's the hazard being healed)
+    assert(ing.staging.count() == 64)
+    assert(ing.ledger.count() == 49)
+    // retry with a healthy instance: the intent marker pins the same
+    // extent, the partition overwrite replaces (not duplicates) the
+    // crashed attempt, and the ledger/offset catch up
+    val r = ing.ingest(csv)
+    assert(r.rowsLoaded == 15 && r.newOffset == 64)
+    assert(ing.staging.count() == 64, "retry duplicated the crashed batch's staging rows")
+    assert(ing.ledger.count() == 64)
+    // V-3 stays green: staging reconciles exactly against the source
+    Validation.validate(Validation.Counts(source = 64, staging = ing.staging.count(), fact = 64))
+  }
+
+  test("first-load crash after ledger write + file growth: staged rows survive the retry") {
+    // VERDICT r3 #3, window (b): with off==0 and a non-empty ledger,
+    // the old retry rebuilt staging from the fresh (new-tail) rows
+    // only, silently dropping the crashed batch's staged rows. The
+    // intent marker pins the crashed extent, so the retry re-runs THAT
+    // batch (freshCount == 0 -> staging intact, offset heals) and then
+    // drains the grown tail as its own increment in the same call.
+    val root = tmpDir("ingest")
+    val csv = s"$root/flights.csv"
+    Files.copy(Paths.get(resource("flights_small.csv")), Paths.get(csv),
+      StandardCopyOption.REPLACE_EXISTING)
+    val crashing = new FlightIngest(spark, root) {
+      override protected def afterLedgerWrite(): Unit =
+        throw new RuntimeException("injected crash: ledger committed, offset lost")
+    }
+    intercept[RuntimeException](crashing.ingest(csv))
+    val ing = new FlightIngest(spark, root)
+    assert(ing.offset == 0 && ing.staging.count() == 49)
+    // the file grows while the pipeline is down
+    Files.copy(Paths.get(resource("flights_append.csv")), Paths.get(csv),
+      StandardCopyOption.REPLACE_EXISTING)
+    val r = ing.ingest(csv)
+    // one call: resumed pinned batch (49 scanned, 0 fresh) + grown tail
+    // (18 scanned, 15 fresh after ledger dedup)
+    assert(r.rowsScanned == 67 && r.rowsLoaded == 15 && r.newOffset == 67)
+    assert(ing.staging.count() == 64, "retry lost the crashed batch's staged rows")
+    assert(ing.ledger.count() == 64)
+  }
+
   test("multi-file directory input is rejected loudly (offset order undefined)") {
     val root = tmpDir("ingest")
     val dir = s"$root/csvdir"
