@@ -413,12 +413,18 @@ object Dedup {
     * tiers. Rows-only oracle: the found-sets are hash-seeded. */
   val nearDupRecall: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val dups = docs.filter(col("text").endsWith(" dup"))
+    // The planted set is a tiny filter-pushed slice of the corpus:
+    // BROADCAST it and join on the text HASH (the same 2^-64
+    // approximation collapseExact already accepts), so locating truth
+    // at 100 TB is one broadcast-hash probe riding the corpus scan —
+    // never a shuffle keyed on full text.
+    val dups = broadcast(docs.filter(col("text").endsWith(" dup"))
       .select(col("doc_id").as("dup_id"),
-        expr("substring(text, 1, length(text) - 4)").as("base_text"),
-        col("text").as("dup_text"))
-    val origs = docs.select(col("doc_id").as("orig_id"), col("text").as("orig_text"))
-    val located = dups.join(origs, col("orig_text") === col("base_text"))
+        xxhash64(expr("substring(text, 1, length(text) - 4)")).as("base_hash"),
+        col("text").as("dup_text")))
+    val origs = docs.select(col("doc_id").as("orig_id"),
+      xxhash64(col("text")).as("orig_hash"), col("text").as("orig_text"))
+    val located = origs.join(dups, col("orig_hash") === col("base_hash"))
       .filter(col("orig_id") =!= col("dup_id"))
       .select(least(col("orig_id"), col("dup_id")).as("doc_a"),
         greatest(col("orig_id"), col("dup_id")).as("doc_b"),

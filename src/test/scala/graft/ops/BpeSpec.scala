@@ -52,6 +52,14 @@ class BpeSpec extends SparkTestBase {
     assert(units.exists(_.length > 1), "no merged unit reached the top-k — merges dead?")
   }
 
+  test("vocab top-k plans as TakeOrderedAndProject, not a global sort") {
+    val df = Bpe.vocabTopK(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected orderBy+limit to plan as top-k, got:\n$plan")
+  }
+
   test("packing starts each (lang, source) stream at tokens_before 0") {
     val firsts = Bpe.bpePacking(spark, sf)
       .withColumn("rn", row_number().over(
