@@ -64,7 +64,13 @@ object Bpe {
     * adjacent units in rank order. Whitespace separates words, so
     * merges never cross word boundaries. */
   def encode(text: Column): Column = {
-    val spaced = regexp_replace(lower(trim(text)), "(\\S)", s"$L$$1$R")
+    // the bracket codepoints are RESERVED as unit delimiters: strip
+    // them from input first (identically in sqlEncode), otherwise a
+    // text containing one would corrupt unit boundaries. Deterministic
+    // and cross-engine identical either way; stripping keeps the
+    // count/extraction semantics honest.
+    val cleaned = replace(replace(lower(trim(text)), lit(L), lit("")), lit(R), lit(""))
+    val spaced = regexp_replace(cleaned, "(\\S)", s"$L$$1$R")
     merges.foldLeft(spaced) { case (c, (a, b)) =>
       replace(c, lit(s"$L$a$R$L$b$R"), lit(s"$L$a$b$R"))
     }
@@ -78,7 +84,8 @@ object Bpe {
 
   /** The identical rewrite chain as DuckDB SQL over `colExpr`. */
   def sqlEncode(colExpr: String): String = {
-    val spaced = s"regexp_replace(lower(trim($colExpr)), '(\\S)', '$L\\1$R', 'g')"
+    val cleaned = s"replace(replace(lower(trim($colExpr)), '$L', ''), '$R', '')"
+    val spaced = s"regexp_replace($cleaned, '(\\S)', '$L\\1$R', 'g')"
     merges.foldLeft(spaced) { case (e, (a, b)) =>
       s"replace($e, '$L$a$R$L$b$R', '$L$a$b$R')"
     }

@@ -499,6 +499,34 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Asymmetric containment near-dup (q36c): |A∩B| / |A| over the
+    * same blocked hashed-shingle index as q36. Jaccard misses the
+    * quote/subset case — a short document wholly CONTAINED in a long
+    * one has tiny Jaccard but containment ~1.0, and training-data
+    * pipelines dedup exactly that (quotes, boilerplate inclusions,
+    * partial scrapes). Directional, so both orientations of a pair
+    * are evaluated (doc_a ≠ doc_b, not <); the prefix-fingerprint
+    * block is shared with q36 (a contained prefix-slice pairs within
+    * its block; mid-document quotes need the minhash tier). Same
+    * exact-integer-sizes + one double division arithmetic as q36, so
+    * the whole operator sits under the hash oracle. */
+  def containmentNearDups(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val withFp = fpShingleIndex(docs)
+    val a = withFp.select(col("fp"), col("doc_id").as("contained_doc"), col("sh").as("sh_a"))
+    val b = withFp.select(col("fp"), col("doc_id").as("container_doc"), col("sh").as("sh_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("contained_doc") =!= col("container_doc"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("contained_doc"), col("container_doc"), col("containment"))
+  }
+
+  val ngramContainmentBlocked: Q = (s, d) =>
+    containmentNearDups(Tables.documents(s, d))
+      .orderBy(col("contained_doc"), col("container_doc"))
+
   /** Incremental near-dup (q61): dedup an ingest DELTA against the
     * standing corpus — the 100 TB operating mode, where re-pairing
     * the whole corpus with itself per ingest round would be O(corpus)
@@ -698,6 +726,7 @@ object Dedup {
     "q34c_neardup_recall" -> nearDupRecall,     // rows-only: recall-vs-truth record
     "q35_simhash_neardups" -> simhashDups,      // rows-only (hash-seeded)
     "q36_ngram_jaccard_blocked" -> ngramJaccardBlocked,
+    "q36c_ngram_containment" -> ngramContainmentBlocked,
     "q61_incremental_neardups" -> ngramJaccardIncremental,
     "q36b_dedup_keepers" -> ngramDupKeepers,
     "q37_embedding_neardups" -> embeddingDups,  // rows-only (LSH-seeded)
@@ -735,6 +764,12 @@ object Dedup {
     "q36_ngram_jaccard_blocked" ->
       s"""WITH $sqlBlockedPairs
          |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+    "q36c_ngram_containment" ->
+      s"""WITH $sqlBlockedPairs
+         |SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
+         |FROM t a JOIN t b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8""".stripMargin,
     "q61_incremental_neardups" ->
       s"""WITH $sqlBlockedPairs,
          |w AS (SELECT (max(doc_id) * 4) // 5 AS wm FROM documents)

@@ -200,10 +200,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-rarity scoring (q63): per document, the mean CORPUS
+    * frequency of its tokens — the expected corpus count of a token
+    * drawn from the doc, normalized by corpus size. Low = rare/
+    * specialist text, high = boilerplate built from the corpus's most
+    * common words; the coarse unigram-LM quality signal that needs no
+    * transcendental math (a log-prob variant would hash-diverge on
+    * libm ulps across engines; this is exact-integer sums with ONE
+    * int/int double division, the q36 pattern, so it hash-compares).
+    *
+    * Shape: explode -> vocab count agg -> BROADCAST the vocab onto
+    * the re-exploded scan -> per-doc sum. The broadcast makes the
+    * frequency lookup skew-immune (hot tokens like stopwords never
+    * shuffle); it assumes a vocab-bounded corpus — for an open 100 TB
+    * vocab, swap the broadcast for the repo's salted skew-join
+    * pattern (ops/Skew.scala), same plan otherwise. */
+  def rarityOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+    val total = counts.agg(sum(col("n_tok")).as("n_total"))
+    toks.join(broadcast(counts), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_tok")).as("sum_freq"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_freq").cast(DoubleType) / (col("n_tokens") * col("n_total")))
+          .as("mean_corpus_freq"))
+  }
+
+  val rarityScores: Q = (s, d) =>
+    rarityOf(Tables.documents(s, d)).orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "q20_token_stats" -> tokenStats,
     "q60_vocab_topk" -> vocabTopK,
     "q62_repetition_scores" -> repetitionScores,
+    "q63_rarity_scores" -> rarityScores,
     "q21_quality_score" -> qualityScore,
     "q22_lang_id" -> langId,
     "q23_fingerprint" -> fingerprint,
@@ -286,5 +318,17 @@ object TextAnalysis {
          |  ${Qx.sqlDavg(s"len(${sqlToks("text")})", rescale = 0)} AS avg_tokens,
          |  count(DISTINCT source) AS n_sources
          |FROM documents GROUP BY lang""".stripMargin,
+    "q63_rarity_scores" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${sqlToks("text")}) AS token FROM documents
+         |), counts AS (
+         |  SELECT token, count(*) AS n_tok FROM toks GROUP BY token
+         |), total AS (
+         |  SELECT sum(n_tok) AS n_total FROM counts
+         |)
+         |SELECT t.doc_id, count(*) AS n_tokens,
+         |  CAST(sum(c.n_tok) AS DOUBLE) / (count(*) * (SELECT n_total FROM total)) AS mean_corpus_freq
+         |FROM toks t JOIN counts c USING (token)
+         |GROUP BY t.doc_id""".stripMargin,
   )
 }

@@ -21,6 +21,9 @@ class BpeSpec extends SparkTestBase {
     assert(encodeOne("zq") == "⟨z⟩⟨q⟩")
     // merges never cross word boundaries
     assert(encodeOne("s low") == "⟨s⟩ ⟨low⟩")
+    // the bracket codepoints are reserved delimiters: stripped from
+    // input (identically in the DuckDB twin), never unit content
+    assert(encodeOne("a⟨b⟩c") == "⟨a⟩⟨b⟩⟨c⟩")
   }
 
   test("encoding is lossless: stripping brackets recovers the normalized text") {

@@ -75,6 +75,25 @@ class DedupSpec extends SparkTestBase {
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("containment flags a contained quote that jaccard misses") {
+    // doc 1 (4 distinct shingles) is wholly contained in doc 2 (10):
+    // containment 1.0 while jaccard is only 4/10 — below the 0.5
+    // near-dup bar. The reverse orientation (10 shingles, 4 shared)
+    // is 0.4 and must NOT flag.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (3L, "unrelated words occupy this entirely different document here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentNearDups(docs)
+      .select("contained_doc", "container_doc", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0)), s"got $got")
+    // and the jaccard tier indeed does not reach 0.5 on this pair
+    assert(Dedup.minhashNearDups(docs, threshold = 0.5)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L).count() == 0)
+  }
+
   test("q34c recall-vs-truth: per-tier bars hold on the planted corpus") {
     val rows = Dedup.nearDupRecall(spark, sf).collect()
     info(rows.map(r => s"${r.getAs[String]("tier")}: truth=${r.getAs[Long]("n_truth")} " +

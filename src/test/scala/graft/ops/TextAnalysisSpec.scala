@@ -8,6 +8,20 @@ class TextAnalysisSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("rarity score is the exact mean corpus frequency") {
+    import spark.implicits._
+    // corpus: a x5, b/c/d x1 each, N=8.
+    // doc 1 = "a a a a": (5+5+5+5)/(4*8) = 0.625
+    // doc 2 = "a b c d": (5+1+1+1)/(4*8) = 0.25
+    val docs = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.rarityOf(docs)
+      .select("doc_id", "n_tokens", "mean_corpus_freq")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((4L, 0.625)))
+    assert(got(2L) == ((4L, 0.25)))
+  }
+
   test("vocab top-k ranks by frequency with deterministic ties and true doc freq") {
     val rows = TextAnalysis.vocabTopK(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
