@@ -39,8 +39,15 @@ object Bench {
     // whichever query ran first. Set SPARK_GRAFT_PREPASS=off for the
     // old behavior.
     val prepassDir = sys.env.getOrElse("SPARK_GRAFT_PREPASS", "/root/testdata/sf0.001")
+    val prepassMissing = prepassDir != "off" && !new java.io.File(prepassDir).isDirectory
+    if (prepassMissing)
+      // loud, not silent: without the pre-pass the cold column
+      // re-absorbs the JIT tax and cross-round comparisons break
+      System.err.println(s"[bench] WARNING: pre-pass dir '$prepassDir' does not exist — " +
+        "JIT pre-pass SKIPPED; queries_cold will include codegen compilation time " +
+        "(prepass_sec:-1 marks this run)")
     val prepassSec =
-      if (prepassDir == "off" || !new java.io.File(prepassDir).isDirectory) -1.0
+      if (prepassDir == "off" || prepassMissing) -1.0
       else {
         val t = System.nanoTime()
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

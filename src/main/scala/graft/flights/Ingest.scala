@@ -157,17 +157,33 @@ class FlightIngest(spark: SparkSession, root: String) {
     // reset is skipped and the replaced file's tail is never ingested.
     // Replicated deliberately for offset-state parity; the fix would be
     // `lineCount - 1 < off`.
-    if (lineCount < off) off = 0
+    if (lineCount < off) {
+      off = 0
+      // the marker (if any) pins an extent of the REPLACED file; the
+      // new file's rows at those positions are different data, so
+      // resuming it would commit wrong rows under a committed batch's
+      // seq (overwriting its ledger partition). Shrink-reset kills it.
+      clearInflight()
+    }
     // resume iff an intent marker pins an unfinished extent at OUR
-    // offset; markers from other offsets (superseded by a completed
-    // commit or a shrink-reset) are dead and get overwritten/cleared
-    val resume = readInflight().filter(m => m.off == off && m.end > off)
+    // offset that FITS the current file; markers from other offsets
+    // (superseded by a completed commit) are dead and get overwritten,
+    // and an extent past the current EOF means the file was replaced
+    // under an offset-0 marker (no shrink signal exists at off == 0) —
+    // also dead, the replacement is a fresh first load.
+    val resume = readInflight().filter(m =>
+      m.off == off && m.end > off && m.end <= lineCount - 1)
     val end = resume.map(_.end).getOrElse(lineCount - 1)
     // I-4: early exit
     val rowsToProcess = end - off
     if (rowsToProcess <= 0) { clearInflight(); return (IngestResult(0, 0, off), false) }
     val seq = resume.map(_.seq).getOrElse(nextBatchSeq())
-    writeInflight(Inflight(seq, off, end))
+    // on a resume the marker on disk already records exactly this
+    // extent — do NOT rewrite it (a crash mid-rewrite would tear the
+    // file AFTER the crashed attempt's partitions exist; the torn
+    // marker then reads as fresh-batch and a new seq would duplicate
+    // the extent's rows beside the orphaned partition)
+    if (resume.isEmpty) writeInflight(Inflight(seq, off, end))
 
     // I-5: header-aware resume — skip data rows outside [off, end) in
     // file order. zipWithIndex preserves file order for a single CSV
@@ -242,9 +258,16 @@ class FlightIngest(spark: SparkSession, root: String) {
         case _ => None // torn marker write: treat as absent (fresh batch)
       }
 
+  /** Atomic via temp-file + rename: a crash mid-write must never leave
+    * a torn marker (it would read as "no marker" and a retry would
+    * re-run the extent under a NEW seq beside the old partitions). */
   private def writeInflight(m: Inflight): Unit = {
     Files.createDirectories(inflightPath.getParent)
-    Files.write(inflightPath, s"${m.seq}:${m.off}:${m.end}".getBytes(StandardCharsets.UTF_8))
+    val tmp = inflightPath.resolveSibling(inflightPath.getFileName.toString + ".tmp")
+    Files.write(tmp, s"${m.seq}:${m.off}:${m.end}".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, inflightPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def clearInflight(): Unit = Files.deleteIfExists(inflightPath)

@@ -143,6 +143,62 @@ class IngestSpec extends SparkTestBase {
     assert(ing.ledger.count() == 64)
   }
 
+  test("shrink-reset kills a stale marker: the dead extent is never resumed") {
+    // Self-review r4: a crash between writeOffset and clearInflight
+    // leaves a marker for a fully-committed batch. If the file is then
+    // REPLACED by a shorter one, the shrink-reset puts the offset back
+    // at the marker's offset — without invalidation the dead extent
+    // would be resumed against the new file's different rows, and its
+    // ledger partition (a committed batch!) dynamically overwritten.
+    val (ing, csv) = freshRoot("flights_small.csv")
+    ing.ingest(csv)
+    assert(ing.ledger.count() == 49)
+    // simulate the lost clearInflight: marker for the committed batch
+    val marker = Paths.get(s"${ing.stagingPath}/../state/flight_inflight").normalize()
+    Files.createDirectories(marker.getParent)
+    Files.write(marker, "0:0:49".getBytes)
+    // file replaced by a shorter one
+    Files.copy(Paths.get(resource("flights_shrunk.csv")), Paths.get(csv),
+      StandardCopyOption.REPLACE_EXISTING)
+    val r = ing.ingest(csv)
+    // fresh batch over the new file's real extent — not the dead one
+    assert(r.rowsScanned == 10 && r.newOffset == 10)
+    // the committed batch's ledger history survives intact
+    assert(ing.ledger.count() >= 49)
+    assert(!Files.exists(marker) || !new String(Files.readAllBytes(marker)).startsWith("0:0:49"))
+  }
+
+  test("resume never rewrites the intent marker (torn-rewrite hazard)") {
+    // Self-review r4: rewriting the marker on every attempt means a
+    // crash mid-rewrite tears it AFTER the crashed attempt's staging
+    // partition exists; the torn marker reads as fresh-batch, a new
+    // seq is allocated, and the extent's rows land twice. The fix is
+    // to leave a matching marker untouched — prove it stays
+    // byte-identical across repeated crashed resumes.
+    val root = tmpDir("ingest")
+    val csv = s"$root/flights.csv"
+    Files.copy(Paths.get(resource("flights_small.csv")), Paths.get(csv),
+      StandardCopyOption.REPLACE_EXISTING)
+    new FlightIngest(spark, root).ingest(csv)
+    val distinct = new java.util.ArrayList[String](new java.util.LinkedHashSet[String](
+      Files.readAllLines(Paths.get(resource("flights_append.csv")))))
+    Files.write(Paths.get(csv), distinct)
+    def crashing() = new FlightIngest(spark, root) {
+      override protected def afterStagingWrite(): Unit =
+        throw new RuntimeException("injected crash")
+    }
+    intercept[RuntimeException](crashing().ingest(csv))
+    val marker = Paths.get(s"$root/state/flight_inflight")
+    val c1 = new String(Files.readAllBytes(marker))
+    intercept[RuntimeException](crashing().ingest(csv)) // crashed RESUME
+    assert(new String(Files.readAllBytes(marker)) == c1,
+      "resume rewrote the marker — torn-rewrite window reopened")
+    // healthy retry heals with no duplicates
+    val ing = new FlightIngest(spark, root)
+    ing.ingest(csv)
+    assert(ing.staging.count() == 64 && ing.ledger.count() == 64)
+  }
+
   test("multi-file directory input is rejected loudly (offset order undefined)") {
     val root = tmpDir("ingest")
     val dir = s"$root/csvdir"
