@@ -208,7 +208,42 @@ object Assembly {
       .orderBy(col("doc_id"))
   }
 
+  /** Split token-distribution drift (q64): for the top-k tokens of
+    * the train split, how far the val split's relative frequency
+    * diverges — the audit run after every split re-deal to catch a
+    * salt/bucketing bug skewing content across splits (doc-level
+    * balance, q56b, cannot see token-level skew). Per token the
+    * scaled L1 term is |n_train·T_val − n_val·T_train| — EXACT
+    * integer arithmetic (a KL/log formulation would hash-diverge on
+    * libm ulps) — with one int/int double division for the
+    * human-readable rate; at corpus sizes where the cross product
+    * nears 2^63 both engines fail loudly rather than wrap, and the
+    * expression moves to DECIMAL(38,0). Shape: explode → one hash agg
+    * on token → tiny totals broadcast → TakeOrderedAndProject. */
+  val splitTokenDrift: Q = (s, d) => {
+    val k = 50
+    val toks = Tables.documents(s, d)
+      .select(splitColumn(col("doc_id")).as("split"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("split").isin("train", "val"))
+    val counts = toks.groupBy(col("token"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+    val totals = counts.agg(sum(col("n_train")).as("tot_train"),
+      sum(col("n_val")).as("tot_val"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("drift_num",
+        abs(col("n_train") * col("tot_val") - col("n_val") * col("tot_train")))
+      .withColumn("drift",
+        col("drift_num").cast(DoubleType) / (col("tot_train") * col("tot_val")))
+      .select(col("token"), col("n_train"), col("n_val"),
+        col("drift_num"), col("drift"))
+      .orderBy(col("n_train").desc, col("token"))
+      .limit(k)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q64_split_token_drift" -> splitTokenDrift,
     "q55_sequence_packing" -> sequencePacking,
     "q55b_sequence_packing_sharded" -> ((s, d) => sequencePackingSharded(s, d)),
     "q56_dataset_split" -> datasetSplit,
@@ -241,6 +276,28 @@ object Assembly {
        |FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q64_split_token_drift" ->
+      s"""WITH toks AS (
+         |  SELECT ${sqlSplit()} AS split, unnest(${sqlToks("text")}) AS token
+         |  FROM documents
+         |), st AS (
+         |  SELECT * FROM toks WHERE split IN ('train', 'val')
+         |), counts AS (
+         |  SELECT token,
+         |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+         |  FROM st GROUP BY token
+         |), totals AS (
+         |  SELECT CAST(sum(n_train) AS BIGINT) AS tot_train,
+         |         CAST(sum(n_val) AS BIGINT) AS tot_val
+         |  FROM counts
+         |)
+         |SELECT token, n_train, n_val,
+         |  CAST(abs(n_train * tot_val - n_val * tot_train) AS BIGINT) AS drift_num,
+         |  CAST(abs(n_train * tot_val - n_val * tot_train) AS DOUBLE) /
+         |    (tot_train * tot_val) AS drift
+         |FROM counts, totals
+         |ORDER BY n_train DESC, token LIMIT 50""".stripMargin,
     "q55_sequence_packing" -> sqlPacking,
     "q55b_sequence_packing_sharded" -> sqlPacking,
     "q56_dataset_split" ->

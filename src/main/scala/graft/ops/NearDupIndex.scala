@@ -45,11 +45,18 @@ class NearDupIndexStore(spark: SparkSession, val path: String) {
   /** Near-dup pairs between an ingest DELTA and the standing corpus:
     * the delta is indexed on the fly (it is the data in hand); the
     * corpus side comes from the stored artifact only. Returns
-    * (new_doc, old_doc, jaccard >= threshold). */
-  def newPairsAgainst(delta: DataFrame, threshold: Double = 0.5): DataFrame = {
+    * (new_doc, old_doc, jaccard >= threshold).
+    *
+    * `beforeRound` restricts the corpus side to rounds strictly below
+    * it — the replay guard for streaming use: a re-delivered micro-
+    * batch whose own round already landed must not pair against
+    * itself (partition pruning makes the bound free). */
+  def newPairsAgainst(delta: DataFrame, threshold: Double = 0.5,
+                      beforeRound: Option[Long] = None): DataFrame = {
     val deltaIdx = Dedup.fpShingleIndex(delta.select(col("doc_id"), col("text")))
       .select(col("fp"), col("doc_id").as("new_doc"), col("sh").as("sh_n"))
-    val corpusIdx = index
+    val corpusIdx = beforeRound.foldLeft(index)((ix, r) =>
+        ix.filter(col("ingest_round") < r))
       .select(col("fp"), col("doc_id").as("old_doc"), col("sh").as("sh_o"))
     deltaIdx.join(corpusIdx, Seq("fp"))
       .withColumn("jaccard", Dedup.jaccardOf(col("sh_n"), col("sh_o")))

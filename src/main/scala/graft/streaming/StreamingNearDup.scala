@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.ops.NearDupIndexStore
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** The streaming half of incremental near-dup: documents arrive as
+  * parquet files, and every micro-batch (1) pairs its documents
+  * against the STANDING stored index — strictly prior rounds only —
+  * and (2) commits its own index rows as the batch's `ingest_round`
+  * partition. This is the q61 operator running continuously: cost
+  * per batch is O(delta × bucket collisions), the standing corpus is
+  * never re-sketched, and the index artifact (`NearDupIndexStore`)
+  * grows one partition per batch.
+  *
+  * Exactly-once discipline, same as the fact sink: foreachBatch is
+  * at-least-once, so BOTH writes are keyed by the deterministic
+  * streaming batchId and are dynamic-partition OVERWRITES — a
+  * re-delivered batch replaces its own pairs partition and its own
+  * index round instead of appending beside them, and the pairing
+  * reads only rounds < batchId so a replay whose index round already
+  * landed never pairs the batch against itself. Commit order (pairs,
+  * then index round) means a crash between the two replays cleanly:
+  * the pairs rewrite is identical, and the index round lands on the
+  * retry. */
+object StreamingNearDup {
+
+  /** testdata `documents` layout (streaming sources need an explicit
+    * schema; only doc_id + text are semantic to the operator). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** One micro-batch: emit (new_doc, old_doc, jaccard, ingest_round)
+    * pairs vs prior rounds, then commit the batch's index round.
+    * Public and deterministic in (batch, batchId) so the replay
+    * contract is directly testable. */
+  def processBatch(batch: DataFrame, batchId: Long,
+                   storePath: String, pairsDir: String): Unit = {
+    val spark = batch.sparkSession
+    val store = new NearDupIndexStore(spark, storePath)
+    val pairs =
+      if (store.exists)
+        store.newPairsAgainst(batch, threshold = 0.5, beforeRound = Some(batchId))
+      else // first batch: nothing standing to pair against
+        spark.range(0)
+          .select(col("id").as("new_doc"), col("id").as("old_doc"),
+            col("id").cast(DoubleType).as("jaccard"))
+    pairs.withColumn("ingest_round", lit(batchId))
+      .write.partitionBy("ingest_round")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).parquet(pairsDir)
+    store.appendRound(batch, batchId)
+  }
+
+  /** Drain everything currently in `docsDir` (one AvailableNow run =
+    * one ingest round per micro-batch), writing near-dup pairs to
+    * `pairsDir` and maintaining the index at `storePath`. */
+  def start(spark: SparkSession, docsDir: String, storePath: String,
+            pairsDir: String, checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, storePath, pairsDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -103,6 +103,21 @@ class AssemblySpec extends SparkTestBase {
       s"sampled $sampled of 300 at rate $expectedRate")
   }
 
+  test("split token drift: exact-integer terms, zero iff proportions match") {
+    val rows = Assembly.splitTokenDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // ranked by train count, deterministic ties
+    val trainCounts = rows.map(_.getAs[Long]("n_train"))
+    assert(trainCounts.zip(trainCounts.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val drift = r.getAs[Double]("drift")
+      assert(drift >= 0.0 && drift <= 2.0)
+      // drift_num == 0 exactly when the rate is 0 (integer arithmetic
+      // means no epsilon cases)
+      assert((r.getAs[Long]("drift_num") == 0L) == (drift == 0.0))
+    }
+  }
+
   test("sequence packing: windows fill in doc order and never skip a pack") {
     val rows = Assembly.sequencePacking(spark, sf).collect()
     rows.groupBy(r => (r.getString(1), r.getString(2))).foreach { case (_, rs) =>
