@@ -208,6 +208,105 @@ object Assembly {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-smoothed source mixture with upsampling (q59b): the
+    * standard alpha=0.5 resampling that flattens a skewed source
+    * distribution without going fully uniform — each source's target
+    * share is proportional to sqrt(n_source), so a 100x bigger crawl
+    * gets only 10x the slots and rare, high-value sources are
+    * UPSAMPLED (emitted more than once). Per document the output is
+    * `n_copies`: `target div n_source` whole copies for everyone in
+    * the source, plus one fractional copy dealt by the same salted
+    * md5-byte threshold as q59.
+    *
+    * Cross-engine exactness: sqrt of a BIGINT is the one non-integer
+    * step, and `floor(sqrt(n))` is exact for n < 2^52 (IEEE sqrt is
+    * correctly rounded and never rounds across an integer boundary
+    * there), so `isqrt` is identical in Spark and DuckDB and
+    * everything after it — allocation, whole copies, 256-bucket
+    * fractional threshold — is integer arithmetic. Per-source sums of
+    * isqrt are integer sums, so no float-addition-order hazard.
+    * Scale shape: identical to q59 — one tiny per-source aggregate
+    * broadcast onto the scan; no data-sized shuffle. */
+  val temperatureMixture: Q = (s, d) =>
+    temperatureMixtureOf(Tables.documents(s, d).select(col("doc_id"), col("source")))
+
+  def temperatureMixtureOf(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+      .withColumn("isqrt",
+        floor(sqrt(col("n_source").cast(DoubleType))).cast(LongType))
+    val totals = counts.agg(sum(col("n_source")).as("n_total"),
+      sum(col("isqrt")).as("tot_isqrt"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("target_n", expr("(n_total * isqrt) div tot_isqrt"))
+      .withColumn("n_base", expr("target_n div n_source"))
+      // rem_buckets < 256 always (target_n % n_source < n_source), so
+      // the 2-char hex threshold never truncates
+      .withColumn("rem_buckets", expr("(256 * (target_n % n_source)) div n_source"))
+      .withColumn("threshold_hex", lpad(lower(hex(col("rem_buckets"))), 2, "0"))
+      .select(col("source"), col("target_n"), col("n_base"), col("threshold_hex"))
+    val bucketHex = substring(
+      md5(concat(col("doc_id").cast(StringType), lit(":temp-v1"))), 1, 2)
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("n_copies",
+        col("n_base") + when(bucketHex < col("threshold_hex"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"), col("target_n"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic shard assignment within a split: md5 nibble value
+    * mod nShards — id-keyed like the split itself, so a document's
+    * shard is stable across runs; uniform because md5 nibbles are. */
+  def shardColumn(docId: org.apache.spark.sql.Column, nShards: Int = 8,
+                  salt: String = "shard-v1"): org.apache.spark.sql.Column = {
+    val nibble = substring(md5(concat(docId.cast(StringType), lit(":" + salt))), 1, 1)
+    conv(nibble, 16, 10).cast(IntegerType) % nShards
+  }
+
+  /** Corpus manifest (q65): the end-cap of the whole pipeline — for
+    * the documents that SURVIVE curation (q54's composed verdict),
+    * grouped by (split, shard), the doc/token/byte totals plus id
+    * range a training job consumes to plan its data loading. This is
+    * the table a dataset release ships next to the parquet files; the
+    * oracle twin replays curation (recursive near-dup closure
+    * included), split, and shard, so the manifest itself is
+    * hash-checked. [[materializeCorpus]] writes the matching physical
+    * layout. Scale: curation's own dataflow + one per-row projection
+    * + a (splits x shards)-sized aggregate. */
+  val corpusManifest: Q = (s, d) => {
+    val kept = Curation.corpusFilter(s, d).filter(col("keep")).select(col("doc_id"))
+    val enriched = Tables.documents(s, d)
+      .select(col("doc_id"), splitColumn(col("doc_id")).as("split"),
+        shardColumn(col("doc_id")).as("shard"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+        octet_length(col("text")).as("n_bytes"))
+    kept.join(enriched, Seq("doc_id"))
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_bytes")).as("sum_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("split"), col("shard"))
+  }
+
+  /** Write the curated corpus in the layout [[corpusManifest]]
+    * describes: parquet partitioned by (split, shard), one file per
+    * leaf via an explicit repartition on the partition keys — the
+    * consumer-facing sink of the pipeline. At 100 TB the repartition
+    * gains a salt column inside each shard (more writers per leaf,
+    * same directory layout); here one writer per leaf keeps the
+    * output exactly one file per manifest row. */
+  def materializeCorpus(s: SparkSession, d: String, outDir: String,
+                        nShards: Int = 8): Unit = {
+    val kept = Curation.corpusFilter(s, d).filter(col("keep")).select(col("doc_id"))
+    Tables.documents(s, d)
+      .join(kept, Seq("doc_id"))
+      .withColumn("split", splitColumn(col("doc_id")))
+      .withColumn("shard", shardColumn(col("doc_id"), nShards))
+      .repartition(col("split"), col("shard"))
+      .write.mode("overwrite").partitionBy("split", "shard").parquet(outDir)
+  }
+
   /** Split token-distribution drift (q64): for the top-k tokens of
     * the train split, how far the val split's relative frequency
     * diverges — the audit run after every split re-deal to catch a
@@ -243,7 +342,9 @@ object Assembly {
   }
 
   val queries: Map[String, Q] = Map(
+    "q59b_temperature_mixture" -> temperatureMixture,
     "q64_split_token_drift" -> splitTokenDrift,
+    "q65_corpus_manifest" -> corpusManifest,
     "q55_sequence_packing" -> sequencePacking,
     "q55b_sequence_packing_sharded" -> ((s, d) => sequencePackingSharded(s, d)),
     "q56_dataset_split" -> datasetSplit,
@@ -275,7 +376,56 @@ object Assembly {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $packBudget) AS BIGINT) AS pack_id
        |FROM documents""".stripMargin
 
+  /** DuckDB's spelling of [[shardColumn]] (strpos-based nibble value
+    * instead of Spark's conv(,16,10) — same exact integer). */
+  private def sqlShard(idExpr: String = "doc_id", nShards: Int = 8,
+                       salt: String = "shard-v1") =
+    s"CAST((strpos('0123456789abcdef', substr(md5(concat(CAST($idExpr AS VARCHAR), ':$salt')), 1, 1)) - 1) % $nShards AS INTEGER)"
+
   val oracle: Map[String, String] = Map(
+    "q59b_temperature_mixture" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n_source FROM documents GROUP BY source
+         |), c2 AS (
+         |  SELECT source, n_source,
+         |    CAST(floor(sqrt(CAST(n_source AS DOUBLE))) AS BIGINT) AS isqrt
+         |  FROM counts
+         |), totals AS (
+         |  SELECT CAST(sum(n_source) AS BIGINT) AS n_total,
+         |         CAST(sum(isqrt) AS BIGINT) AS tot_isqrt
+         |  FROM c2
+         |), rates AS (
+         |  SELECT source, n_source,
+         |    CAST((n_total * isqrt) // tot_isqrt AS BIGINT) AS target_n
+         |  FROM c2, totals
+         |), r2 AS (
+         |  SELECT source, target_n,
+         |    CAST(target_n // n_source AS BIGINT) AS n_base,
+         |    CAST((256 * (target_n % n_source)) // n_source AS BIGINT) AS rem_buckets
+         |  FROM rates
+         |)
+         |SELECT d.doc_id, d.source, r.target_n,
+         |  CAST(r.n_base + CASE
+         |    WHEN substr(md5(concat(CAST(d.doc_id AS VARCHAR), ':temp-v1')), 1, 2) <
+         |         lpad(lower(to_hex(r.rem_buckets)), 2, '0')
+         |    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         |FROM documents d JOIN r2 r USING (source)""".stripMargin,
+    "q65_corpus_manifest" ->
+      s"""WITH RECURSIVE ${Dedup.sqlBlockedPairs},
+         |${Curation.sqlVerdictBody},
+         |kept AS (SELECT doc_id FROM verdicts WHERE verdict = 'kept'),
+         |enr AS (
+         |  SELECT doc_id, ${sqlSplit()} AS split, ${sqlShard()} AS shard,
+         |    CAST(len(${sqlToks("text")}) AS INTEGER) AS n_tokens,
+         |    CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
+         |  FROM documents
+         |)
+         |SELECT split, shard, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM kept JOIN enr USING (doc_id)
+         |GROUP BY split, shard""".stripMargin,
     "q64_split_token_drift" ->
       s"""WITH toks AS (
          |  SELECT ${sqlSplit()} AS split, unnest(${sqlToks("text")}) AS token

@@ -110,10 +110,62 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Linear quality-model weights (milli-units so every sum stays in
+    * exact integer arithmetic): fluent-prose function words score
+    * positive, boilerplate/spam markers negative — the shape of a
+    * fastText/CCNet-style document-quality classifier with the
+    * learned weights replaced by a small checked-in table. The values
+    * are illustrative; the OPERATOR is the point: per-document
+    * `bias + sum(w(token))` over a broadcast-sized model. */
+  val modelWeights: Seq[(String, Long)] = Seq(
+    "the" -> 40L, "and" -> 35L, "of" -> 30L, "to" -> 25L, "is" -> 25L,
+    "a" -> 20L, "in" -> 20L, "that" -> 20L, "it" -> 15L, "was" -> 15L,
+    "for" -> 15L, "with" -> 15L, "on" -> 10L, "as" -> 10L, "are" -> 10L,
+    "click" -> -80L, "subscribe" -> -80L, "buy" -> -100L, "free" -> -90L,
+    "winner" -> -100L, "cheap" -> -70L, "offer" -> -60L, "deal" -> -50L,
+    "www" -> -40L, "http" -> -40L)
+  val modelBias = -50L
+
+  /** Model-based quality scoring (q66): the classifier pass a
+    * curation pipeline runs AFTER the cheap q21 heuristics — score
+    * every document against a (tiny, broadcastable) linear model over
+    * token features and gate on the sign.
+    *
+    * Engine shape: the model is a LITERAL map and the score a per-row
+    * `aggregate(transform(tokens, ...))` fold — zero shuffle, zero
+    * joins, pipelines with the scan; at 100 TB this is the difference
+    * between a free column and an explode of ~10^13 token rows. The
+    * DuckDB twin deliberately uses the OTHER algorithm (unnest +
+    * relational join against a VALUES table + re-aggregate), so the
+    * hash check is cross-algorithm evidence, like q44/q45.
+    * Multiplicity counts: a token contributes once per occurrence on
+    * both paths. Null-text docs yield NULL score/keep on both engines
+    * (Spark's fold over a NULL array is NULL; the twin pins it with a
+    * CASE). */
+  val qualityModel: Q = (s, d) => qualityModelOf(Tables.documents(s, d))
+
+  def qualityModelOf(docs: DataFrame): DataFrame = {
+    val wMap = map(modelWeights.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val toks = TextAnalysis.tokens(col("text"))
+    val scoreMilli = aggregate(toks, lit(modelBias),
+      (acc, t) => acc + coalesce(element_at(wMap, t), lit(0L)))
+    val nHits = when(col("text").isNotNull,
+      size(filter(toks, t => element_at(wMap, t).isNotNull)))
+    docs.select(
+        col("doc_id"),
+        nHits.as("n_hits"),
+        scoreMilli.as("score_milli"),
+        (scoreMilli.cast(org.apache.spark.sql.types.DoubleType) / size(toks))
+          .as("score_per_token"),
+        (scoreMilli > 0L).as("model_keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q54_corpus_filter" -> corpusFilter,
     "q54b_corpus_filter_stats" -> corpusFilterStats,
     "q58_pii_scrub" -> piiScrub,
+    "q66_quality_model" -> qualityModel,
   )
 
   import TextAnalysis.{sqlStops, sqlToks}
@@ -131,7 +183,9 @@ object Curation {
        |    AND (CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) / length(text)) < 0.2
        |    AND (CAST(${sqlStops("en")} AS DOUBLE) / len(${sqlToks("text")})) > 0.0)""".stripMargin
 
-  private val sqlVerdictBody =
+  /** Shared with Assembly's q65 manifest oracle, which filters the
+    * same verdicts down to the shipped (kept) corpus. */
+  private[ops] val sqlVerdictBody =
     s"""strong AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM strong
@@ -183,6 +237,31 @@ object Curation {
          |$sqlVerdictBody
          |SELECT verdict, lang_pred, count(*) AS n_docs
          |FROM verdicts GROUP BY verdict, lang_pred""".stripMargin,
+    "q66_quality_model" -> {
+      val valuesList = modelWeights
+        .map { case (k, v) => s"('$k', $v)" }.mkString(",\n    ")
+      s"""WITH w(token, w_milli) AS (VALUES
+         |    $valuesList
+         |), tok AS (
+         |  SELECT doc_id, unnest(${sqlToks("text")}) AS token
+         |  FROM documents WHERE text IS NOT NULL
+         |), hits AS (
+         |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_hits,
+         |         CAST(sum(w_milli) AS BIGINT) AS s
+         |  FROM tok JOIN w USING (token) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE CAST(coalesce(h.n_hits, 0) AS INTEGER) END AS n_hits,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE CAST($modelBias + coalesce(h.s, 0) AS BIGINT) END AS score_milli,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE CAST($modelBias + coalesce(h.s, 0) AS DOUBLE) /
+         |            len(${sqlToks("text")}) END AS score_per_token,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE ($modelBias + coalesce(h.s, 0) > 0) END AS model_keep
+         |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin
+    },
     "q58_pii_scrub" ->
       s"""WITH planted AS (
          |  SELECT doc_id,

@@ -103,6 +103,56 @@ class AssemblySpec extends SparkTestBase {
       s"sampled $sampled of 300 at rate $expectedRate")
   }
 
+  test("temperature mixture flattens skew: big source down, rare source up") {
+    import spark.implicits._
+    // isqrt(400)=20, isqrt(25)=5 -> targets 340 / 85 of 425 total:
+    // the big source loses ~15%, the rare one is ~3.4x upsampled
+    val docs = ((0L until 400L).map(i => (i, "big")) ++
+      (1000L until 1025L).map(i => (i, "rare"))).toDF("doc_id", "source")
+    val rows = Assembly.temperatureMixtureOf(docs).collect()
+    val bySource = rows.groupBy(_.getString(1))
+    assert(bySource("big").head.getLong(2) == 340L)   // (425*20) div 25
+    assert(bySource("rare").head.getLong(2) == 85L)   // (425*5) div 25
+    val bigCopies = bySource("big").map(_.getLong(3))
+    val rareCopies = bySource("rare").map(_.getLong(3))
+    // copies are n_base or n_base+1, never anything else
+    assert(bigCopies.forall(c => c == 0L || c == 1L))
+    assert(rareCopies.forall(c => c == 3L || c == 4L))
+    // per-source totals land near the temperature targets (md5 uniform)
+    assert(math.abs(bigCopies.sum - 340L) < 60, s"big total ${bigCopies.sum}")
+    assert(math.abs(rareCopies.sum - 85L) < 15, s"rare total ${rareCopies.sum}")
+    // deterministic across runs
+    val again = Assembly.temperatureMixtureOf(docs).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(3))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(3))).toSeq)
+  }
+
+  test("corpus manifest matches the materialized layout exactly") {
+    val manifest = Assembly.corpusManifest(spark, sf).collect()
+    assert(manifest.nonEmpty)
+    val out = tmpDir("graft-corpus")
+    Assembly.materializeCorpus(spark, sf, out)
+    val back = spark.read.parquet(out)
+    // every manifest row is a real (split, shard) leaf with the same count
+    val backCounts = back.groupBy(col("split"), col("shard"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val manCounts = manifest
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Long]("n_docs")).toMap
+    assert(backCounts == manCounts)
+    // the materialized corpus is exactly the kept set
+    val keptIds = Curation.corpusFilter(spark, sf)
+      .filter(col("keep")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val backIds = back.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(backIds == keptIds)
+    // id ranges in the manifest bound their groups
+    manifest.foreach { r =>
+      assert(r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc"))
+      assert(r.getAs[Long]("n_docs") > 0L)
+    }
+  }
+
   test("split token drift: exact-integer terms, zero iff proportions match") {
     val rows = Assembly.splitTokenDrift(spark, sf).collect()
     assert(rows.nonEmpty)

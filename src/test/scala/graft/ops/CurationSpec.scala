@@ -68,6 +68,41 @@ class CurationSpec extends SparkTestBase {
     assert(rows.length == 3)
   }
 
+  test("quality model: linear score with multiplicity, null-safe, sign gate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat is on the mat and it is warm"), // fluent: stopword-heavy
+      (2L, "click here buy free winner cheap offer"), // spam markers
+      (3L, "the the the"),   // multiplicity: 3 x w(the)
+      (4L, null.asInstanceOf[String]),
+      (5L, "")               // tokenizes to [""]: no hits, score = bias
+    ).toDF("doc_id", "text")
+    val rows = Curation.qualityModelOf(docs).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // doc 1: the(40)x2 + is(25)x2 + on(10) + and(35) + it(15) - 50 = 140
+    assert(byId(1L).getAs[Long]("score_milli") == 140L)
+    assert(byId(1L).getAs[Boolean]("model_keep"))
+    assert(byId(1L).getAs[Int]("n_hits") == 7)
+    // doc 2: click+buy+free+winner+cheap+offer = -500 - 50 = -550
+    assert(byId(2L).getAs[Long]("score_milli") == -550L)
+    assert(!byId(2L).getAs[Boolean]("model_keep"))
+    // doc 3: each occurrence counts
+    assert(byId(3L).getAs[Long]("score_milli") == 3 * 40L - 50L)
+    assert(byId(3L).getAs[Int]("n_hits") == 3)
+    // null text: NULL all the way out (matches the DuckDB twin's CASE)
+    assert(byId(4L).isNullAt(1) && byId(4L).isNullAt(2) && byId(4L).isNullAt(4))
+    // empty text: bias only, gate drops it
+    assert(byId(5L).getAs[Long]("score_milli") == Curation.modelBias)
+    assert(!byId(5L).getAs[Boolean]("model_keep"))
+    // the per-row fold never shuffles: the only Exchange in the plan
+    // is the query's final orderBy — scoring itself adds none
+    val scoring = Curation.qualityModelOf(docs).queryExecution.executedPlan
+    val exchanges = scoring.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, s"unexpected shuffles:\n$scoring")
+  }
+
   test("corpus filter stats roll up to the corpus size") {
     val total = graft.Tables.documents(spark, sf).count()
     val stats = Curation.corpusFilterStats(spark, sf).collect()
