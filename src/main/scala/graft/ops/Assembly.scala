@@ -171,6 +171,60 @@ object Assembly {
       .orderBy(col("eval_doc"))
   }
 
+  /** Verbatim n-gram decontamination (q57b): the GPT-3/PaLM-style
+    * benchmark-leakage check that complements q57's near-dup pass —
+    * an eval document is contaminated if any of its n-token windows
+    * appears VERBATIM anywhere in the train split (near-dup Jaccard
+    * misses a single quoted paragraph inside an otherwise-different
+    * document; this catches it). Reports, per eval doc, its distinct
+    * n-gram count, how many collide with the train set, and the rate.
+    *
+    * Scale shape: the train side collapses to a DISTINCT set of
+    * 8-byte hashed n-grams (q36's one-xxhash64-per-window trick — the
+    * shuffle carries longs, never token strings); eval grams hash-join
+    * against it. At 100 TB the exact distinct set is the auditable
+    * form benchmarks require for their eval sets (eval corpora are
+    * tiny; the join's build side is what's large) — a pipeline
+    * screening PETABYTES of candidate evals would swap the exact set
+    * for `DataFrameStatFunctions.bloomFilter` at ~1% false-positive,
+    * same plan shape. The DuckDB twin joins STRING n-grams (q36's
+    * convention: hashed and string windows have identical equality
+    * structure modulo 2^-64 collisions). Docs with NULL text carry no
+    * windows and are absent on both engines. */
+  val decontaminationN = 5
+  val ngramDecontamination: Q = (s, d) =>
+    ngramDecontaminationOf(Tables.documents(s, d))
+
+  def ngramDecontaminationOf(docs: DataFrame): DataFrame = {
+    // token hashes must be a materialized attribute before the shingle
+    // lambda consumes them (expressions inlined into lambda bodies
+    // re-evaluate per element — O(tokens^2))
+    val withTh = docs
+      .select(col("doc_id"), splitColumn(col("doc_id")).as("split"),
+        Dedup.tokenHashes(col("text")).as("th"))
+    // persist BEFORE the explodes: Generate pulls its child expression
+    // into itself (reference count 1), inlining the whole
+    // tokenize+hash+shingle lambda chain and re-evaluating it per
+    // EMITTED ROW — measured 10.8 s vs 0.5 s for the same 189k-row
+    // explode at sf0.1. The cache is an 8-byte-hash array per doc,
+    // released per query via releaseSketchCaches (Bench/Verify both
+    // call it), the same discipline as the minhash tiers.
+    val grams = Dedup.persistSketch(withTh.select(col("doc_id"), col("split"),
+      Dedup.shinglesFromTokenHashes(col("th"), decontaminationN).as("grams")))
+    val trainGrams = grams.filter(col("split") === "train")
+      .select(explode(col("grams")).as("g")).distinct()
+      .withColumn("hit", lit(1))
+    grams.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("split"), explode(col("grams")).as("g"))
+      .join(trainGrams, Seq("g"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .withColumn("hit_rate", col("n_hits").cast(DoubleType) / col("n_grams"))
+      .withColumn("is_contaminated", col("n_hits") > 0L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Source-mixture rebalancing (q59): deterministic downsampling
     * toward a uniform target across sources — the "data mixing" step
     * that keeps one crawl from dominating the training mix. Per
@@ -350,6 +404,7 @@ object Assembly {
     "q56_dataset_split" -> datasetSplit,
     "q56b_split_stats" -> splitStats,
     "q57_split_contamination" -> splitContamination,
+    "q57b_ngram_decontamination" -> ngramDecontamination,
     "q59_source_mixture" -> sourceMixture,
   )
 
@@ -471,6 +526,23 @@ object Assembly {
          |   substr(md5(concat(CAST(d.doc_id AS VARCHAR), ':mix-v1')), 1, 2) <
          |     lpad(lower(to_hex(r.keep_buckets)), 2, '0')) AS sampled
          |FROM documents d JOIN rates r ON r.source = d.source""".stripMargin,
+    "q57b_ngram_decontamination" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, ${sqlSplit()} AS split,
+         |    list_distinct([array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'), i, i + ${decontaminationN - 1}), ' ')
+         |      FOR i IN range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - ${decontaminationN - 1}, 1) + 1)]) AS grams
+         |  FROM documents
+         |), tg AS (
+         |  SELECT DISTINCT unnest(grams) AS g FROM sp WHERE split = 'train'
+         |), ev AS (
+         |  SELECT doc_id, split, unnest(grams) AS g FROM sp WHERE split <> 'train'
+         |)
+         |SELECT ev.doc_id, ev.split, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hit_rate,
+         |  (sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) > 0) AS is_contaminated
+         |FROM ev LEFT JOIN tg ON ev.g = tg.g
+         |GROUP BY ev.doc_id, ev.split""".stripMargin,
     "q57_split_contamination" ->
       s"""WITH ${Dedup.sqlBlockedPairs},
          |strong AS (

@@ -144,11 +144,18 @@ object Curation {
     * CASE). */
   val qualityModel: Q = (s, d) => qualityModelOf(Tables.documents(s, d))
 
+  /** The model score as a reusable per-row column (NULL for NULL
+    * text): `bias + sum(w(token))` folded over the token array. */
+  def scoreMilliColumn: org.apache.spark.sql.Column = {
+    val wMap = map(modelWeights.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    aggregate(TextAnalysis.tokens(col("text")), lit(modelBias),
+      (acc, t) => acc + coalesce(element_at(wMap, t), lit(0L)))
+  }
+
   def qualityModelOf(docs: DataFrame): DataFrame = {
     val wMap = map(modelWeights.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     val toks = TextAnalysis.tokens(col("text"))
-    val scoreMilli = aggregate(toks, lit(modelBias),
-      (acc, t) => acc + coalesce(element_at(wMap, t), lit(0L)))
+    val scoreMilli = scoreMilliColumn
     val nHits = when(col("text").isNotNull,
       size(filter(toks, t => element_at(wMap, t).isNotNull)))
     docs.select(
@@ -161,11 +168,35 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source distribution of the model score (q66b): the numbers a
+    * pipeline owner reads to set the q66 gate per source — exact
+    * quartiles, not sketches. Cross-engine exactness: scores are
+    * integers (milli-units) and both engines interpolate quantiles at
+    * rank (n-1)*q with the same R-7 linear rule, and `a + (b-a)*q`
+    * over integers at q ∈ {.25, .5, .75} is exact in binary doubles —
+    * so even the interpolated quartiles hash-match. NULL-text docs
+    * carry NULL scores, which count() and quantiles skip identically.
+    * Scale: one scan with the per-row fold + a per-source sort-based
+    * agg over (sources) groups — the exact form is the audit; q19's
+    * approx sketches are the always-on monitoring form. */
+  val scoreQuantiles: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), scoreMilliColumn.as("score_milli"))
+      .groupBy(col("source"))
+      .agg(count(col("score_milli")).as("n_scored"),
+        min(col("score_milli")).as("min_score"),
+        expr("percentile(score_milli, 0.25)").as("p25"),
+        expr("percentile(score_milli, 0.5)").as("p50"),
+        expr("percentile(score_milli, 0.75)").as("p75"),
+        max(col("score_milli")).as("max_score"))
+      .orderBy(col("source"))
+
   val queries: Map[String, Q] = Map(
     "q54_corpus_filter" -> corpusFilter,
     "q54b_corpus_filter_stats" -> corpusFilterStats,
     "q58_pii_scrub" -> piiScrub,
     "q66_quality_model" -> qualityModel,
+    "q66b_score_quantiles" -> scoreQuantiles,
   )
 
   import TextAnalysis.{sqlStops, sqlToks}
@@ -237,6 +268,31 @@ object Curation {
          |$sqlVerdictBody
          |SELECT verdict, lang_pred, count(*) AS n_docs
          |FROM verdicts GROUP BY verdict, lang_pred""".stripMargin,
+    "q66b_score_quantiles" -> {
+      val valuesList = modelWeights
+        .map { case (k, v) => s"('$k', $v)" }.mkString(",\n    ")
+      s"""WITH w(token, w_milli) AS (VALUES
+         |    $valuesList
+         |), tok AS (
+         |  SELECT doc_id, unnest(${sqlToks("text")}) AS token
+         |  FROM documents WHERE text IS NOT NULL
+         |), hits AS (
+         |  SELECT doc_id, CAST(sum(w_milli) AS BIGINT) AS s
+         |  FROM tok JOIN w USING (token) GROUP BY doc_id
+         |), scored AS (
+         |  SELECT d.source,
+         |    CASE WHEN d.text IS NULL THEN NULL
+         |         ELSE CAST($modelBias + coalesce(h.s, 0) AS BIGINT) END AS score_milli
+         |  FROM documents d LEFT JOIN hits h USING (doc_id)
+         |)
+         |SELECT source, count(score_milli) AS n_scored,
+         |  min(score_milli) AS min_score,
+         |  quantile_cont(score_milli, 0.25) AS p25,
+         |  quantile_cont(score_milli, 0.5) AS p50,
+         |  quantile_cont(score_milli, 0.75) AS p75,
+         |  max(score_milli) AS max_score
+         |FROM scored GROUP BY source""".stripMargin
+    },
     "q66_quality_model" -> {
       val valuesList = modelWeights
         .map { case (k, v) => s"('$k', $v)" }.mkString(",\n    ")

@@ -153,6 +153,36 @@ class AssemblySpec extends SparkTestBase {
     }
   }
 
+  test("ngram decontamination flags verbatim 5-gram overlap, not mere similarity") {
+    import spark.implicits._
+    // locate ids by their deterministic split first, then plant texts
+    val splits = (0L until 100L).toDF("doc_id")
+      .select(col("doc_id"), Assembly.splitColumn(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainId = splits.collectFirst { case (id, "train") => id }.get
+    val evalIds = splits.collect { case (id, s) if s != "train" => id }.toSeq.sorted
+    val (leakyId, cleanId) = (evalIds.head, evalIds(1))
+    val quoted = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (trainId, s"training corpus sentence with $quoted inside it somewhere"),
+      // eval doc quoting a full span of the train doc verbatim
+      (leakyId, s"totally different framing yet quoting $quoted word for word"),
+      // same vocabulary, no shared 5-token window
+      (cleanId, "fox dog lazy quick the brown over jumps tonight the")
+    ).toDF("doc_id", "text")
+    val rows = Assembly.ngramDecontaminationOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(leakyId, cleanId), "exactly the eval docs report")
+    assert(rows(leakyId).getAs[Boolean]("is_contaminated"))
+    // the quoted 10-token span yields 6 colliding 5-gram windows
+    assert(rows(leakyId).getAs[Long]("n_hits") == 6L,
+      s"expected 6 colliding windows, got ${rows(leakyId)}")
+    assert(!rows(cleanId).getAs[Boolean]("is_contaminated"))
+    assert(rows(cleanId).getAs[Long]("n_hits") == 0L)
+    val rate = rows(leakyId).getAs[Double]("hit_rate")
+    assert(rate > 0.0 && rate <= 1.0)
+  }
+
   test("split token drift: exact-integer terms, zero iff proportions match") {
     val rows = Assembly.splitTokenDrift(spark, sf).collect()
     assert(rows.nonEmpty)

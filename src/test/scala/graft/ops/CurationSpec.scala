@@ -103,6 +103,25 @@ class CurationSpec extends SparkTestBase {
     assert(exchanges.size <= 1, s"unexpected shuffles:\n$scoring")
   }
 
+  test("score quantiles: ordered quartiles, exact interpolation, null-skip") {
+    val rows = Curation.scoreQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var totalScored = 0L
+    rows.foreach { r =>
+      val (mn, p25, p50, p75, mx) = (r.getAs[Long]("min_score").toDouble,
+        r.getAs[Double]("p25"), r.getAs[Double]("p50"),
+        r.getAs[Double]("p75"), r.getAs[Long]("max_score").toDouble)
+      assert(mn <= p25 && p25 <= p50 && p50 <= p75 && p75 <= mx)
+      // interpolated quartiles of integer scores are exact quarter units
+      Seq(p25, p50, p75).foreach(p => assert(p * 4 == math.rint(p * 4)))
+      totalScored += r.getAs[Long]("n_scored")
+    }
+    // every non-null-text doc is scored exactly once across sources
+    val expected = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).count()
+    assert(totalScored == expected)
+  }
+
   test("corpus filter stats roll up to the corpus size") {
     val total = graft.Tables.documents(spark, sf).count()
     val stats = Curation.corpusFilterStats(spark, sf).collect()
