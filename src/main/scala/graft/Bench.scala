@@ -36,23 +36,38 @@ object Bench {
     // inside its window. The pre-pass cost is recorded (prepass_sec),
     // not hidden: total JVM work is unchanged, but the cold column
     // now measures data-scaling cost rather than JIT compilation of
-    // whichever query ran first. Set SPARK_GRAFT_PREPASS=off for the
-    // old behavior.
-    val prepassDir = sys.env.getOrElse("SPARK_GRAFT_PREPASS", "/root/testdata/sf0.001")
-    val prepassMissing = prepassDir != "off" && !new java.io.File(prepassDir).isDirectory
+    // whichever query ran first. Controls (ADVICE r4: split the
+    // enable switch from the directory, and make a failed pre-pass
+    // visible in the JSON, not just stderr):
+    //   SPARK_GRAFT_PREPASS=off      disable (legacy: a path here is
+    //                                still honored as the directory)
+    //   SPARK_GRAFT_PREPASS_DIR=...  pre-pass directory (default
+    //                                sf0.001 under the sf dir's parent
+    //                                when present, else the stock
+    //                                testdata path)
+    val prepassOff = sys.env.get("SPARK_GRAFT_PREPASS").contains("off")
+    val prepassDir = sys.env.get("SPARK_GRAFT_PREPASS_DIR")
+      .orElse(sys.env.get("SPARK_GRAFT_PREPASS").filterNot(_ == "off"))
+      .getOrElse {
+        val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+        if (sibling.isDirectory) sibling.getPath else "/root/testdata/sf0.001"
+      }
+    val prepassMissing = !prepassOff && !new java.io.File(prepassDir).isDirectory
     if (prepassMissing)
       // loud, not silent: without the pre-pass the cold column
       // re-absorbs the JIT tax and cross-round comparisons break
       System.err.println(s"[bench] WARNING: pre-pass dir '$prepassDir' does not exist — " +
         "JIT pre-pass SKIPPED; queries_cold will include codegen compilation time " +
         "(prepass_sec:-1 marks this run)")
+    var prepassFailed = 0
     val prepassSec =
-      if (prepassDir == "off" || prepassMissing) -1.0
+      if (prepassOff || prepassMissing) -1.0
       else {
         val t = System.nanoTime()
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try fn(spark, prepassDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
+            prepassFailed += 1
             System.err.println(s"[bench] prepass $name failed: ${e.getMessage}") }
           graft.ops.Dedup.releaseSketchCaches()
         }
@@ -112,7 +127,7 @@ object Bench {
     val total = scaled.map(_._3).sum
     val constTotal = const.map(_._3).sum
     val coldTotal = scaled.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._3)},"queries_cold":${jsonMap(_._2)},"cold_total":$coldTotal,"const_total":$constTotal,"star_build":$starBuildSec,"prepass_sec":$prepassSec,"prepass_sf":"$prepassDir","total_all":${total + constTotal},"failed":$failed,"runs_per_query":2,"timed_run":"steady_state","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._3)},"queries_cold":${jsonMap(_._2)},"cold_total":$coldTotal,"const_total":$constTotal,"star_build":$starBuildSec,"prepass_sec":$prepassSec,"prepass_failed":${if (prepassSec < 0) -1 else prepassFailed},"prepass_sf":"$prepassDir","total_all":${total + constTotal},"failed":$failed,"runs_per_query":2,"timed_run":"steady_state","sf":"$sfDir"}""")
     spark.stop()
   }
 }

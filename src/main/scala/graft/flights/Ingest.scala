@@ -170,9 +170,22 @@ class FlightIngest(spark: SparkSession, root: String) {
     // (superseded by a completed commit) are dead and get overwritten,
     // and an extent past the current EOF means the file was replaced
     // under an offset-0 marker (no shrink signal exists at off == 0) —
-    // also dead, the replacement is a fresh first load.
-    val resume = readInflight().filter(m =>
-      m.off == off && m.end > off && m.end <= lineCount - 1)
+    // also dead, the replacement is a fresh first load. The EOF check
+    // alone only catches SHORTER replacements (ADVICE r4): a
+    // replacement file as long as or longer than the pinned extent
+    // would be resumed and its different rows committed under the
+    // crashed batch's seq — so the marker also carries a content
+    // fingerprint of the extent's first data line, verified here. On
+    // a mismatch the marker is dead AND the crashed attempt's staging
+    // partition (if any, and only if its ledger partition is absent —
+    // i.e. the batch never logically committed) is dropped so the
+    // fresh first-load of the replacement cannot double-count.
+    val resume = readInflight().filter { m =>
+      val fits = m.off == off && m.end > off && m.end <= lineCount - 1
+      val alive = fits && m.headHash == extentHeadHash(csvPath, m.off)
+      if (fits && !alive) { dropUncommittedStaging(m.seq); clearInflight() }
+      alive
+    }
     val end = resume.map(_.end).getOrElse(lineCount - 1)
     // I-4: early exit
     val rowsToProcess = end - off
@@ -183,7 +196,8 @@ class FlightIngest(spark: SparkSession, root: String) {
     // file AFTER the crashed attempt's partitions exist; the torn
     // marker then reads as fresh-batch and a new seq would duplicate
     // the extent's rows beside the orphaned partition)
-    if (resume.isEmpty) writeInflight(Inflight(seq, off, end))
+    if (resume.isEmpty)
+      writeInflight(Inflight(seq, off, end, extentHeadHash(csvPath, off)))
 
     // I-5: header-aware resume — skip data rows outside [off, end) in
     // file order. zipWithIndex preserves file order for a single CSV
@@ -248,13 +262,48 @@ class FlightIngest(spark: SparkSession, root: String) {
 
   // ---- intent-marker state -------------------------------------------
 
-  private case class Inflight(seq: Long, off: Long, end: Long)
+  private case class Inflight(seq: Long, off: Long, end: Long, headHash: Long)
+
+  /** Content fingerprint of the first data line of the extent starting
+    * at data-row offset `off` — file line `off + 1` (line 0 is the
+    * header). A replacement file that passes the length checks but
+    * holds different data is caught here: it would have to reproduce
+    * the original's exact bytes at that position to slip through,
+    * which is no longer "any same-or-longer file" but a deliberate
+    * byte-identical prefix (at that point the rows being committed ARE
+    * the pinned rows). One distributed pass over the file, same cost
+    * class as the lineCount scan this batch already paid. */
+  private def extentHeadHash(csvPath: String, off: Long): Long = {
+    val target = off + 1
+    val line = spark.read.text(csvPath).rdd.zipWithIndex()
+      .filter(_._2 == target).map(_._1.getString(0)).collect()
+    line.headOption.map(l =>
+      scala.util.hashing.MurmurHash3.stringHash(l).toLong).getOrElse(0L)
+  }
+
+  /** Drop the staging partition of a dead marker's seq iff that batch
+    * never logically committed (no ledger partition): the partition
+    * holds rows of a file that no longer exists and the retry will
+    * re-cover the extent from the replacement under a new seq. A
+    * COMMITTED batch (ledger partition present) is kept — its rows
+    * were real data when committed and the ledger already dedups any
+    * surviving identical rows on the retry. */
+  private def dropUncommittedStaging(seq: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def part(root: String) = new org.apache.hadoop.fs.Path(s"$root/ingest_batch=$seq")
+    val ledgerPart = part(ledgerPath)
+    val stagingPart = part(stagingPath)
+    val fs = stagingPart.getFileSystem(conf)
+    if (!fs.exists(ledgerPart) && fs.exists(stagingPart))
+      fs.delete(stagingPart, true)
+  }
 
   private def readInflight(): Option[Inflight] =
     if (!Files.exists(inflightPath)) None
     else new String(Files.readAllBytes(inflightPath), StandardCharsets.UTF_8)
       .trim.split(':') match {
-        case Array(s, o, e) => Some(Inflight(s.toLong, o.toLong, e.toLong))
+        case Array(s, o, e, h) =>
+          Some(Inflight(s.toLong, o.toLong, e.toLong, h.toLong))
         case _ => None // torn marker write: treat as absent (fresh batch)
       }
 
@@ -264,7 +313,8 @@ class FlightIngest(spark: SparkSession, root: String) {
   private def writeInflight(m: Inflight): Unit = {
     Files.createDirectories(inflightPath.getParent)
     val tmp = inflightPath.resolveSibling(inflightPath.getFileName.toString + ".tmp")
-    Files.write(tmp, s"${m.seq}:${m.off}:${m.end}".getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp,
+      s"${m.seq}:${m.off}:${m.end}:${m.headHash}".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, inflightPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -369,12 +369,19 @@ object Assembly {
     * scaled L1 term is |n_train·T_val − n_val·T_train| — EXACT
     * integer arithmetic (a KL/log formulation would hash-diverge on
     * libm ulps) — with one int/int double division for the
-    * human-readable rate; at corpus sizes where the cross product
-    * nears 2^63 both engines fail loudly rather than wrap, and the
-    * expression moves to DECIMAL(38,0). Shape: explode → one hash agg
+    * human-readable rate. Overflow posture (ADVICE r4): this session
+    * runs ANSI off, so plain BIGINT products would WRAP silently on
+    * the Spark side while only the DuckDB twin errors — at scales
+    * with no oracle run the drift would be silently wrong. The cross
+    * products are therefore computed in DECIMAL(38,0) (exact, cannot
+    * wrap: both factors < 2^63 so the product < 8.5e37 < 1e38) and
+    * narrowed back to the BIGINT the oracle compares behind an
+    * explicit raise_error bound check — both engines now fail loudly
+    * at the same corpus size. Shape: explode → one hash agg
     * on token → tiny totals broadcast → TakeOrderedAndProject. */
   val splitTokenDrift: Q = (s, d) => {
     val k = 50
+    val dec = DecimalType(38, 0)
     val toks = Tables.documents(s, d)
       .select(splitColumn(col("doc_id")).as("split"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -385,10 +392,16 @@ object Assembly {
     val totals = counts.agg(sum(col("n_train")).as("tot_train"),
       sum(col("n_val")).as("tot_val"))
     counts.crossJoin(broadcast(totals))
+      .withColumn("drift_num_dec",
+        abs(col("n_train").cast(dec) * col("tot_val").cast(dec)
+          - col("n_val").cast(dec) * col("tot_train").cast(dec)))
       .withColumn("drift_num",
-        abs(col("n_train") * col("tot_val") - col("n_val") * col("tot_train")))
+        when(col("drift_num_dec") > lit(Long.MaxValue).cast(dec),
+          raise_error(lit("q64 drift_num exceeds BIGINT; widen the output column to DECIMAL(38,0)")))
+          .otherwise(col("drift_num_dec").cast(LongType)))
       .withColumn("drift",
-        col("drift_num").cast(DoubleType) / (col("tot_train") * col("tot_val")))
+        col("drift_num").cast(DoubleType) /
+          (col("tot_train").cast(dec) * col("tot_val").cast(dec)).cast(DoubleType))
       .select(col("token"), col("n_train"), col("n_val"),
         col("drift_num"), col("drift"))
       .orderBy(col("n_train").desc, col("token"))

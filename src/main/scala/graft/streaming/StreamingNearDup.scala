@@ -24,7 +24,21 @@ import org.apache.spark.sql.types._
   * landed never pairs the batch against itself. Commit order (pairs,
   * then index round) means a crash between the two replays cleanly:
   * the pairs rewrite is identical, and the index round lands on the
-  * retry. */
+  * retry.
+  *
+  * CONTRACT BOUNDARY (ADVICE r4): the guarantee above covers
+  * same-batchId replay — it assumes the streaming CHECKPOINT survives.
+  * If the checkpoint is lost while the index/pairs dirs survive, the
+  * restarted query re-reads every input file as batch 0 and re-commits
+  * documents that rounds 1..N still hold, leaving the same doc_id
+  * indexed under multiple rounds. The index, pairs dir, and checkpoint
+  * are ONE atom: recover from checkpoint loss by deleting all three
+  * and re-draining (the source files are the durable truth, exactly as
+  * the star build's warehouse is rebuilt from its sources). As
+  * defense-in-depth the pairs REPORT is additionally guarded below —
+  * self-pairs are dropped and each batch's pair set is deduped — so a
+  * violated precondition degrades to duplicate index rows (wasted
+  * bucket work), not to a corrupted dedup report. */
 object StreamingNearDup {
 
   /** testdata `documents` layout (streaming sources need an explicit
@@ -51,7 +65,14 @@ object StreamingNearDup {
         spark.range(0)
           .select(col("id").as("new_doc"), col("id").as("old_doc"),
             col("id").cast(DoubleType).as("jaccard"))
-    pairs.withColumn("ingest_round", lit(batchId))
+    // defense-in-depth for the checkpoint-loss case documented above:
+    // a doc indexed under several rounds yields the same (new, old)
+    // pair once per round, and batch-0 re-reads pair docs against
+    // themselves. The pair frame is tiny (near-dups over one delta),
+    // so the distinct is a negligible shuffle.
+    pairs.filter(col("new_doc") =!= col("old_doc"))
+      .dropDuplicates("new_doc", "old_doc")
+      .withColumn("ingest_round", lit(batchId))
       .write.partitionBy("ingest_round")
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite).parquet(pairsDir)

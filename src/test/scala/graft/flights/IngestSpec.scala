@@ -156,7 +156,9 @@ class IngestSpec extends SparkTestBase {
     // simulate the lost clearInflight: marker for the committed batch
     val marker = Paths.get(s"${ing.stagingPath}/../state/flight_inflight").normalize()
     Files.createDirectories(marker.getParent)
-    Files.write(marker, "0:0:49".getBytes)
+    // (headHash field irrelevant here: the shrink length check kills
+    // the marker before the fingerprint is ever consulted)
+    Files.write(marker, "0:0:49:12345".getBytes)
     // file replaced by a shorter one
     Files.copy(Paths.get(resource("flights_shrunk.csv")), Paths.get(csv),
       StandardCopyOption.REPLACE_EXISTING)
@@ -166,6 +168,47 @@ class IngestSpec extends SparkTestBase {
     // the committed batch's ledger history survives intact
     assert(ing.ledger.count() >= 49)
     assert(!Files.exists(marker) || !new String(Files.readAllBytes(marker)).startsWith("0:0:49"))
+  }
+
+  test("same-length replacement at a pinned extent: fingerprint kills the marker") {
+    // ADVICE r4: the EOF check only catches SHORTER replacements — a
+    // replacement file as long as the pinned extent used to be
+    // resumed, committing the NEW file's rows under the crashed
+    // batch's seq. The marker's headHash (fingerprint of the extent's
+    // first data line) must detect it, drop the crashed attempt's
+    // uncommitted staging orphan, and re-cover the extent fresh.
+    val root = tmpDir("ingest")
+    val csv = s"$root/flights.csv"
+    Files.copy(Paths.get(resource("flights_small.csv")), Paths.get(csv),
+      StandardCopyOption.REPLACE_EXISTING)
+    new FlightIngest(spark, root).ingest(csv) // offset 49 committed
+    val distinct = new java.util.ArrayList[String](new java.util.LinkedHashSet[String](
+      Files.readAllLines(Paths.get(resource("flights_append.csv")))))
+    Files.write(Paths.get(csv), distinct) // header + 64 data rows
+    val crashing = new FlightIngest(spark, root) {
+      override protected def afterStagingWrite(): Unit =
+        throw new RuntimeException("injected crash: staging committed, ledger lost")
+    }
+    intercept[RuntimeException](crashing.ingest(csv))
+    // marker pins [49, 64); the crashed attempt's 15-row staging
+    // partition is on disk with no ledger partition
+    val ing = new FlightIngest(spark, root)
+    assert(ing.staging.count() == 64 && ing.ledger.count() == 49)
+    // replace the file IN PLACE with one of identical length whose
+    // extent rows are different data (every line past 49 mutated)
+    val replaced = new java.util.ArrayList[String](distinct)
+    for (i <- 50 until replaced.size) // line 0 is the header
+      replaced.set(i, replaced.get(i).replaceFirst("^", "zz-"))
+    Files.write(Paths.get(csv), replaced)
+    val r = ing.ingest(csv)
+    // fingerprint mismatch: dead marker, orphan dropped, extent
+    // re-covered from the REPLACEMENT under a fresh batch
+    assert(r.rowsScanned == 15 && r.rowsLoaded == 15 && r.newOffset == 64)
+    assert(ing.staging.count() == 64,
+      "crashed attempt's orphaned staging partition double-counts the extent")
+    assert(ing.ledger.count() == 64)
+    Validation.validate(Validation.Counts(
+      source = 64, staging = ing.staging.count(), fact = 64))
   }
 
   test("resume never rewrites the intent marker (torn-rewrite hazard)") {
