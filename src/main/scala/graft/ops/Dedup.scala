@@ -338,6 +338,32 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
+  /** Corpus-wide simhash: the same 64 sign-of-vote bits as
+    * [[simhashFromHashes]], computed as ONE explode + one hash agg
+    * with 64 conditional sums instead of 64 `aggregate()` passes per
+    * array. The HOF form re-walks the token array once per bit —
+    * each walk paying per-element lambda dispatch — which profiled at
+    * 1.33 s vs 0.60 s for this formulation on the sf0.1 corpus
+    * (ProbeSimhashAlt; outputs bit-identical). Here the exploded
+    * token rows of a document are contiguous in their map partition,
+    * so partial aggregation collapses them to a single 64-column row
+    * BEFORE the shuffle — the exchange carries one ~0.5 KB row per
+    * distinct document, replacing a CPU-bound projection with a
+    * map-local pass. The HOF form remains the reference definition
+    * (used on q34c's tiny per-pair truth rows, where an explode+agg
+    * would cost a join); DedupSpec pins their agreement. */
+  private[ops] def simhashAgg(repTh: DataFrame): DataFrame = {
+    val exploded = repTh.select(col("thash"), col("doc_id"), explode(col("th")).as("h"))
+    val votes = exploded.groupBy(col("thash"), col("doc_id")).agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("v0"),
+      (1 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"v$b")): _*)
+    votes.select(col("thash"), col("doc_id"),
+      (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sh"))
+  }
+
   /** SimHash near-dup pairs: bucket by 16-bit chunks (a pair within
     * Hamming distance 3 shares at least one of 4 chunks), verify with
     * bit_count(xor) <= radius. Same two hot-bucket guards as minhash:
@@ -346,8 +372,7 @@ object Dedup {
   /** (sketch frame, exploded 16-bit-chunk bucket view) for a rep
     * corpus — shared by the pair search and the bucket diagnostics. */
   private def mkChunked(repTh: DataFrame): (DataFrame, DataFrame) = {
-    val sh = persistSketch(repTh
-      .select(col("thash"), col("doc_id"), simhashFromHashes(col("th")).as("sh")))
+    val sh = persistSketch(simhashAgg(repTh))
     val chunked = sh.select(col("doc_id"), col("thash"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -444,15 +469,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         jaccardOf(col("sh_a"), col("sh_b")).as("true_jaccard"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("true_hamming")))
+    // eager for the same concurrent-stage reason as the tier frames
+    // below: truth feeds all three tiers' probe branches
+    truth.count()
     val (reps, members) = collapseExact(docs)
     val repTh = persistSketch(repTokenHashes(reps))
     def tierRow(tier: String, eligible: Column, found: DataFrame): DataFrame = {
       // each tier's found-set is read TWICE (hit probe + n_reported);
       // persist the tiny id-only pair frame or the un-persisted ngram
       // tier would re-run its whole corpus scan + block join for the
-      // second read (the "union duplicates subtrees" rule)
+      // second read (the "union duplicates subtrees" rule). The
+      // persist is materialized EAGERLY (count() below): persistence
+      // alone is lazy, and the final union executes all six probe
+      // subtrees as CONCURRENT stages of one job — concurrent stages
+      // that hit a not-yet-populated cache each compute the full
+      // upstream pipeline (first block write wins, the rest is
+      // discarded work), and the three tiers race on the SHARED
+      // repTh cache. Sequential eager materialization removes the
+      // race (measured ~1 s of the ~8 s warm time at sf0.1; the
+      // remainder is the intrinsic cost of the three tier pipelines
+      // this query exists to audit — see ProbeQ34cPhases).
       val f = persistSketch(
         found.select(col("doc_a"), col("doc_b")).dropDuplicates("doc_a", "doc_b"))
+      f.count()
       truth.filter(eligible)
         .join(f.withColumn("_hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_truth"),

@@ -36,6 +36,20 @@ class DedupSpec extends SparkTestBase {
     assert((simPairs intersect mhPairs).nonEmpty)
   }
 
+  test("simhash agg formulation is bit-identical to the HOF reference definition") {
+    // The corpus-wide simhash (explode + 64 conditional sums in one
+    // hash agg) must equal simhashFromHashes (64 aggregate() passes),
+    // which remains the reference definition used on per-pair rows.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val th = docs.select(xxhash64(col("text")).as("thash"), col("doc_id"),
+      transform(split(lower(trim(col("text"))), "\\s+"), t => xxhash64(t)).as("th"))
+    val hof = th.select(col("doc_id"), Dedup.simhashFromHashes(col("th")).as("a"))
+    val agg = Dedup.simhashAgg(th).select(col("doc_id"), col("sh").as("b"))
+    assert(hof.join(agg, Seq("doc_id")).filter(col("a") =!= col("b")).count() == 0)
+    assert(agg.count() == docs.count())
+  }
+
   test("embedding near-dup report ranks closest pairs, flags at threshold") {
     val pairs = Dedup.embeddingDups(spark, sf).collect()
     assert(pairs.nonEmpty && pairs.length <= 100)
