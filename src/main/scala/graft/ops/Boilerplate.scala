@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Boilerplate removal — the corpus-frequency text-cleaning pass of a
+  * training-data pipeline (the C4/MassiveText "remove lines that
+  * repeat across many pages" step): a text UNIT that occurs in many
+  * distinct documents is template chrome (headers, footers, cookie
+  * banners, license stanzas), not content, and is cut from every
+  * document while the surrounding text is kept in order.
+  *
+  * The unit here is a fixed-width token BLOCK (non-overlapping
+  * windows of [[blockTokens]] tokens) rather than a newline-delimited
+  * line — the testdata corpus is flat word-bag text with no line
+  * structure, and fixed-width block hashing is also how the pass is
+  * run at scale when source formatting is unreliable (block-level
+  * dedup). The algorithm is delimiter-agnostic: swap the block
+  * builder for `split(text, '\n')` and nothing else changes.
+  *
+  * Scale shape (the pass is two corpus passes by nature — one to
+  * count, one to cut):
+  *   - Block frequencies: explode → hash agg keyed on the block's
+  *     xxhash64 (the shuffle carries (bhash, doc_id) ids, never block
+  *     strings; the same 2^-64 collision approximation as every other
+  *     hashed-grouping tier here).
+  *   - The cut: re-derive the block view and hash-join it to the
+  *     (small relative to corpus) frequency table on bhash, then one
+  *     groupBy(doc_id) rebuilds each document positionally. Document
+  *     reconstruction is the one shuffle that must carry text — it IS
+  *     the output.
+  *   - No driver-side state, no caching requirement: each pass
+  *     streams. A production run would persist the frequency table as
+  *     an artifact (like [[NearDupIndexStore]]) and reuse it across
+  *     ingest rounds.
+  */
+object Boilerplate {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokens per block. 8 is small enough that planted near-dup
+    * families share whole blocks, large enough that cross-doc chance
+    * collisions of independent text are negligible. */
+  val blockTokens = 8
+
+  /** A block occurring in at least this many DISTINCT docs is
+    * boilerplate. 2 = "any repeated block is template", the most
+    * aggressive setting; production corpora use higher. */
+  val minDocs = 2
+
+  /** (doc_id, pos, block): the non-overlapping block view of the
+    * corpus. Token array becomes an attribute before the lambda
+    * consumes it (expression-in-lambda re-evaluates per element). */
+  private def blockView(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(size(toks) + ${blockTokens - 1}) div $blockTokens - 1")),
+          i => array_join(slice(col("toks"), i * blockTokens + 1, lit(blockTokens)), " ")))
+          .as(Seq("pos", "block")))
+
+  /** Per-document boilerplate cut: every block occurring in >=
+    * `minDocs` distinct documents is removed; `cleaned_text` is the
+    * surviving blocks re-joined in position order (empty string when
+    * nothing survives — the all-template document). */
+  def removeBoilerplate(docs: DataFrame, minDocs: Int = minDocs): DataFrame = {
+    val withHash = blockView(docs).withColumn("bhash", xxhash64(col("block")))
+    val freqs = withHash.groupBy(col("bhash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val keepStruct = when(col("n_docs") < minDocs,
+      struct(col("pos"), col("block")))
+    withHash.join(freqs, Seq("bhash"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(keepStruct)), s => s.getField("block")))
+          .as("cleaned_text"))
+  }
+
+  /** q67: the cleaned corpus, one row per document. */
+  val boilerplateRemoval: Q = (s, d) =>
+    removeBoilerplate(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  /** q67b: the template blocks themselves, widest-spread first — the
+    * audit view a curator reads before trusting the cut. Grouped on
+    * the block STRING here (the output is the text; this is a
+    * top-k over the frequency table, not a corpus-sized shuffle). */
+  val boilerplateTop: Q = (s, d) => {
+    val k = 20
+    blockView(Tables.documents(s, d))
+      .groupBy(col("block"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("block"))
+      .limit(k)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q67_boilerplate_removal" -> boilerplateRemoval,
+    "q67b_boilerplate_top" -> boilerplateTop,
+  )
+
+  import TextAnalysis.sqlToks
+
+  // DuckDB replays blocks via zipped unnest (range + list_transform
+  // align positionally) and groups on the block STRING — equivalent
+  // to the Spark side's hashed grouping modulo xxhash64 collisions.
+  private def sqlBlocks =
+    s"""SELECT doc_id,
+       |    unnest(range(0, (len(t) + ${blockTokens - 1}) // $blockTokens)) AS pos,
+       |    unnest(list_transform(range(0, (len(t) + ${blockTokens - 1}) // $blockTokens),
+       |      i -> array_to_string(t[i * $blockTokens + 1 : i * $blockTokens + $blockTokens], ' '))) AS block
+       |  FROM (SELECT doc_id, ${sqlToks("text")} AS t FROM documents)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q67_boilerplate_removal" ->
+      s"""WITH blocks AS (
+         |  $sqlBlocks
+         |), freqs AS (
+         |  SELECT block, count(DISTINCT doc_id) AS n_docs FROM blocks GROUP BY block
+         |)
+         |SELECT b.doc_id,
+         |  count(*) AS n_blocks,
+         |  CAST(sum(CASE WHEN f.n_docs >= $minDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN f.n_docs < $minDocs THEN b.block END, ' ' ORDER BY b.pos), '') AS cleaned_text
+         |FROM blocks b JOIN freqs f USING (block)
+         |GROUP BY b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+    "q67b_boilerplate_top" ->
+      s"""WITH blocks AS (
+         |  $sqlBlocks
+         |)
+         |SELECT block, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+         |FROM blocks GROUP BY block
+         |HAVING count(DISTINCT doc_id) >= $minDocs
+         |ORDER BY n_docs DESC, block LIMIT 20""".stripMargin,
+  )
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class BoilerplateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("synthetic template: a header block shared across docs is cut, tails survive") {
+    val header = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
+    val docs = Seq(
+      (1L, s"$header one two three four five six seven eight"),
+      (2L, s"$header nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+      (3L, s"$header a b c d e f g h"),
+      (4L, "nothing here repeats anywhere else in this tiny corpus today")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.removeBoilerplate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned_text"))).toMap
+    assert(out(1L) == ((2L, 1L, "one two three four five six seven eight")))
+    assert(out(2L) == ((2L, 1L, "nine ten eleven twelve thirteen fourteen fifteen sixteen")))
+    assert(out(3L) == ((2L, 1L, "a b c d e f g h")))
+    // 10 tokens -> 2 blocks, both unique -> full normalized text back
+    assert(out(4L) == ((2L, 0L,
+      "nothing here repeats anywhere else in this tiny corpus today")))
+  }
+
+  test("identical documents are cut to nothing") {
+    val docs = Seq(
+      (1L, "copy of the same press release body exactly verbatim"),
+      (2L, "copy of the same press release body exactly verbatim"),
+      (3L, "copy of the same press release body exactly verbatim")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.removeBoilerplate(docs).collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.getAs[Long]("n_removed") == r.getAs[Long]("n_blocks")))
+    assert(out.forall(_.getAs[String]("cleaned_text") == ""))
+  }
+
+  test("corpus invariants hold; untouched docs reconstruct exactly") {
+    val docs = Tables.documents(spark, sf)
+    val out = Boilerplate.removeBoilerplate(docs)
+    assert(out.count() == docs.count())
+    val joined = docs.select(col("doc_id"), col("text")).join(out, Seq("doc_id"))
+    // invariant: the cut never removes more than exists
+    assert(joined.filter(col("n_removed") > col("n_blocks")).count() == 0)
+    // the planted near-dup families share their full leading blocks, so
+    // the cut must fire somewhere on this corpus
+    assert(joined.filter(col("n_removed") > 0).count() > 0)
+    // docs with nothing removed rebuild their exact normalized text
+    val untouched = joined.filter(col("n_removed") === 0)
+      .withColumn("norm",
+        array_join(split(lower(trim(col("text"))), "\\s+"), " "))
+    assert(untouched.count() > 0)
+    assert(untouched.filter(col("cleaned_text") =!= col("norm")).count() == 0)
+  }
+
+  test("top-template report is doc-frequency ranked and threshold-filtered") {
+    val top = Boilerplate.boilerplateTop(spark, sf).collect()
+    assert(top.nonEmpty)
+    assert(top.forall(_.getAs[Long]("n_docs") >= Boilerplate.minDocs))
+    val nd = top.map(_.getAs[Long]("n_docs")).toSeq
+    assert(nd == nd.sorted.reverse, "not ranked by doc frequency")
+    assert(top.forall(r => r.getAs[Long]("n_occurrences") >= r.getAs[Long]("n_docs")))
+  }
+}
