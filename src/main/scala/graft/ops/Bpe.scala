@@ -127,9 +127,34 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** q68: tokenizer FERTILITY by (source, lang) — subword tokens per
+    * whitespace word, the standard audit for how well a tokenizer
+    * fits each corpus slice (a language the merges were not learned
+    * on shows elevated fertility => its documents burn more context
+    * window per word, skewing any token-denominated budget). Exact
+    * integer sums with ONE final double division per group, the same
+    * hash-stable arithmetic discipline as q63/q64; plan is a single
+    * scan into one partial-aggregated hash agg — at 100 TB the merge
+    * chain rides the scan and the exchange carries one row per
+    * (source, lang). */
+  val tokenizerFertility: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"), encode(col("text")).as("enc"),
+        size(TextAnalysis.tokens(col("text"))).as("n_ws"))
+      .select(col("source"), col("lang"),
+        tokenCountOf(col("enc")).as("n_bpe"), col("n_ws"))
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_bpe")).as("bpe_tokens"),
+        sum(col("n_ws")).as("ws_tokens"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("fertility",
+        col("bpe_tokens").cast(org.apache.spark.sql.types.DoubleType) / col("ws_tokens"))
+      .orderBy(col("source"), col("lang"))
+
   val queries: Map[String, Q] = Map(
     "q60b_bpe_vocab" -> vocabTopK,
     "q55c_bpe_packing" -> bpePacking,
+    "q68_tokenizer_fertility" -> tokenizerFertility,
   )
 
   private def sqlCount(e: String) = s"len($e) - len(replace($e, '$L', ''))"
@@ -153,5 +178,17 @@ object Bpe {
          |    PARTITION BY lang, source ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / ${Assembly.packBudget}) AS BIGINT) AS pack_id
          |FROM enc""".stripMargin,
+    "q68_tokenizer_fertility" ->
+      s"""WITH enc AS (
+         |  SELECT source, lang, ${sqlEncode("text")} AS e,
+         |    len(${TextAnalysis.sqlToks("text")}) AS n_ws
+         |  FROM documents
+         |)
+         |SELECT source, lang,
+         |  CAST(sum(${sqlCount("e")}) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+         |  count(*) AS n_docs,
+         |  CAST(sum(${sqlCount("e")}) AS DOUBLE) / sum(n_ws) AS fertility
+         |FROM enc GROUP BY source, lang ORDER BY source, lang""".stripMargin,
   )
 }

@@ -63,6 +63,21 @@ class BpeSpec extends SparkTestBase {
       s"expected orderBy+limit to plan as top-k, got:\n$plan")
   }
 
+  test("fertility is bounded by subword-count invariants and groups cover the corpus") {
+    val rows = Bpe.tokenizerFertility(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every word is at least one subword unit and at most its characters,
+    // so group fertility lives in [1, mean word length]
+    rows.foreach { r =>
+      val f = r.getAs[Double]("fertility")
+      assert(f >= 1.0, s"fertility $f < 1 for ${r.getAs[String]("source")}/${r.getAs[String]("lang")}")
+      assert(r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens"))
+    }
+    // groups partition the corpus: doc counts add back up
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.Tables.documents(spark, sf).count())
+  }
+
   test("packing starts each (lang, source) stream at tokens_before 0") {
     val firsts = Bpe.bpePacking(spark, sf)
       .withColumn("rn", row_number().over(
