@@ -408,7 +408,40 @@ object Assembly {
       .limit(k)
   }
 
+  /** Sliding-window chunk geometry for q69: 32-token windows every 24
+    * tokens (8-token overlap) — the RAG-index / pretraining-shard
+    * "split long documents with context carry-over" step. */
+  val chunkWindow = 32
+  val chunkStride = 24
+
+  /** Document chunking with overlap (q69): deterministic token-window
+    * slices, one output row per chunk. Chunk i covers tokens
+    * [i*stride, min(i*stride + window, n)); chunk count is
+    * ceil(n / stride), so every token lands in at least one chunk and
+    * consecutive chunks share (window - stride) tokens. Tail chunks
+    * may be shorter than the window (the final one can even be fully
+    * contained in its predecessor — kept, so the rule stays a pure
+    * per-row formula both engines replay bit-identically).
+    *
+    * Scale: the explode fan-out is bounded by window/stride (~1.33x
+    * corpus bytes here) and pipelines with the scan — no shuffle at
+    * all until the sink; the orderBy exists only for the oracle's
+    * deterministic dump and would be dropped in production. */
+  val documentChunks: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(size(toks) + ${chunkStride - 1}) div $chunkStride - 1")),
+          i => slice(col("toks"), i * chunkStride + 1, lit(chunkWindow))))
+          .as(Seq("chunk_idx", "chunk_toks")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk_toks")).as("n_chunk_tokens"),
+        array_join(col("chunk_toks"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   val queries: Map[String, Q] = Map(
+    "q69_document_chunks" -> documentChunks,
     "q59b_temperature_mixture" -> temperatureMixture,
     "q64_split_token_drift" -> splitTokenDrift,
     "q65_corpus_manifest" -> corpusManifest,
@@ -516,6 +549,20 @@ object Assembly {
          |    (tot_train * tot_val) AS drift
          |FROM counts, totals
          |ORDER BY n_train DESC, token LIMIT 50""".stripMargin,
+    "q69_document_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${sqlToks("text")} AS t FROM documents
+         |), chunks AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, (len(t) + ${chunkStride - 1}) // $chunkStride)) AS ci,
+         |    unnest(list_transform(range(0, (len(t) + ${chunkStride - 1}) // $chunkStride),
+         |      i -> t[i * $chunkStride + 1 : i * $chunkStride + $chunkWindow])) AS ct
+         |  FROM toks
+         |)
+         |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+         |  CAST(len(ct) AS INTEGER) AS n_chunk_tokens,
+         |  array_to_string(ct, ' ') AS chunk_text
+         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
     "q55_sequence_packing" -> sqlPacking,
     "q55b_sequence_packing_sharded" -> sqlPacking,
     "q56_dataset_split" ->

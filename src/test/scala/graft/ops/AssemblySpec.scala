@@ -4,7 +4,50 @@ import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
 class AssemblySpec extends SparkTestBase {
+  import spark.implicits._
+
   private val sf = "/root/testdata/sf0.001"
+
+  test("document chunks: exact geometry on a synthetic doc") {
+    // 50 tokens t00..t49, window 32, stride 24 -> ceil(50/24) = 3 chunks:
+    // [0,32), [24,50), [48,50)
+    val words = (0 until 50).map(i => f"t$i%02d")
+    val docs = Seq((7L, words.mkString(" "))).toDF("doc_id", "text")
+    // documentChunks reads Tables.documents(s, d); drive the core by
+    // replaying its expression chain on the synthetic frame instead
+    val out = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(size(toks) + ${Assembly.chunkStride - 1}) div ${Assembly.chunkStride} - 1")),
+          i => slice(col("toks"), i * Assembly.chunkStride + 1, lit(Assembly.chunkWindow))))
+          .as(Seq("chunk_idx", "chunk_toks")))
+      .select(col("chunk_idx"), col("chunk_toks"))
+      .orderBy(col("chunk_idx")).collect()
+    assert(out.length == 3)
+    assert(out(0).getSeq[String](1) == words.slice(0, 32))
+    assert(out(1).getSeq[String](1) == words.slice(24, 50))
+    assert(out(2).getSeq[String](1) == words.slice(48, 50))
+  }
+
+  test("document chunks: per-doc count and size formulas hold corpus-wide") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n"))
+    val chunks = Assembly.documentChunks(spark, sf)
+    val perDoc = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), max(col("chunk_idx")).as("max_idx"))
+      .join(docs, Seq("doc_id"))
+    // ceil(n / stride) chunks, contiguous indexes
+    assert(perDoc.filter(
+      col("n_chunks") =!= expr(s"(n + ${Assembly.chunkStride - 1}) div ${Assembly.chunkStride}")
+    ).count() == 0)
+    assert(perDoc.filter(col("max_idx") =!= col("n_chunks") - 1).count() == 0)
+    // chunk i holds min(window, n - i*stride) tokens
+    val sized = chunks.join(docs, Seq("doc_id"))
+    assert(sized.filter(col("n_chunk_tokens") =!=
+      least(lit(Assembly.chunkWindow),
+        col("n") - col("chunk_idx") * Assembly.chunkStride)).count() == 0)
+  }
 
   test("dataset split is deterministic, id-keyed, and roughly 75/12.5/12.5") {
     val a = Assembly.datasetSplit(spark, sf).collect()
