@@ -440,8 +440,39 @@ object Assembly {
         array_join(col("chunk_toks"), " ").as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Per-source token budget for q70. Absolute, like real data-mix
+    * budgets: slices below it are taken whole, slices above it are
+    * truncated. */
+  val tokenBudget = 800L
+
+  /** Token-budget corpus selection (q70): cap each source's
+    * contribution at [[tokenBudget]] tokens — the "give me at most N
+    * tokens of source X" step when composing a training mix. Docs are
+    * taken in doc_id order (deterministic FIFO; a production run
+    * composes this with q66's quality score as the ORDER BY, best
+    * docs first) and a doc is selected iff its INCLUSIVE running sum
+    * still fits — prefix-truncate semantics, not greedy bin-fill, so
+    * the selected set is a contiguous prefix and the decision is a
+    * pure window expression.
+    *
+    * Scale: one shuffle on source for the window. A single
+    * pathologically large source serializes its partition — the
+    * two-phase sharded prefix sum (q55b, sequencePackingSharded) is
+    * the drop-in remedy, parameterized by the same running sum. */
+  val tokenBudgetSelection: Q = (s, d) => {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("selected", col("cum_tokens") <= tokenBudget)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q69_document_chunks" -> documentChunks,
+    "q70_token_budget_selection" -> tokenBudgetSelection,
     "q59b_temperature_mixture" -> temperatureMixture,
     "q64_split_token_drift" -> splitTokenDrift,
     "q65_corpus_manifest" -> corpusManifest,
@@ -563,6 +594,19 @@ object Assembly {
          |  CAST(len(ct) AS INTEGER) AS n_chunk_tokens,
          |  array_to_string(ct, ' ') AS chunk_text
          |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q70_token_budget_selection" ->
+      s"""SELECT doc_id, source, n_tokens,
+         |  CAST(sum(n_tokens) OVER (
+         |    PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+         |  CAST(sum(n_tokens) OVER (
+         |    PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) <= $tokenBudget AS selected
+         |FROM (
+         |  SELECT doc_id, source, CAST(len(${sqlToks("text")}) AS INTEGER) AS n_tokens
+         |  FROM documents
+         |)
+         |ORDER BY doc_id""".stripMargin,
     "q55_sequence_packing" -> sqlPacking,
     "q55b_sequence_packing_sharded" -> sqlPacking,
     "q56_dataset_split" ->

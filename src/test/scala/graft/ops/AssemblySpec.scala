@@ -49,6 +49,33 @@ class AssemblySpec extends SparkTestBase {
         col("n") - col("chunk_idx") * Assembly.chunkStride)).count() == 0)
   }
 
+  test("token-budget selection is a per-source prefix that fits the budget") {
+    val rows = Assembly.tokenBudgetSelection(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_tokens"), r.getAs[Long]("cum_tokens"),
+        r.getAs[Boolean]("selected")))
+    assert(rows.exists(_._5) && rows.exists(!_._5), "budget never bites or selects nothing")
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val ordered = docs.sortBy(_._2)
+      // running sum is exact and inclusive
+      var cum = 0L
+      ordered.foreach { case (_, _, n, c, sel) =>
+        cum += n
+        assert(c == cum, s"$src cum mismatch")
+        assert(sel == (cum <= Assembly.tokenBudget))
+      }
+      // selection is a contiguous prefix: once false, always false
+      val flags = ordered.map(_._5)
+      assert(!flags.dropWhile(identity).contains(true), s"$src selection not a prefix")
+      // the selected prefix fits; adding the first rejected doc would not
+      val kept = ordered.filter(_._5)
+      assert(kept.map(_._3.toLong).sum <= Assembly.tokenBudget)
+      ordered.drop(kept.length).headOption.foreach { first =>
+        assert(kept.map(_._3.toLong).sum + first._3 > Assembly.tokenBudget)
+      }
+    }
+  }
+
   test("dataset split is deterministic, id-keyed, and roughly 75/12.5/12.5") {
     val a = Assembly.datasetSplit(spark, sf).collect()
     val b = Assembly.datasetSplit(spark, sf).collect()
