@@ -361,6 +361,71 @@ object Similarity {
       .join(base.select(col(vecIdCol).as("vec_b"), col(vecCol).as("emb_b")), Seq("vec_b"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs (q71): cluster the corpus
+    * with the IVF coarse quantizer, then verify cosine ONLY within
+    * each cell — "semantically close documents live in the same
+    * k-means cell, so only cell-local pairs can be semantic dups".
+    * This is the cluster-then-dedup complement to [[candidatePairs]]
+    * (data-independent LSH hyperplanes): LSH buckets are blind to the
+    * corpus's own structure, while cells adapt to it, which is the
+    * published SemDeDup recipe for pruning web-scale corpora.
+    *
+    * Same scale guards as every dedup tier here: identical vectors
+    * collapse to one representative BEFORE clustering (their pairs
+    * are reconstructed arithmetically afterwards), each rep lives in
+    * exactly ONE cell so rep pairs are unique by construction (no
+    * dedupe shuffle — cheaper than the multi-table LSH path), cells
+    * are capped at [[Dedup.bucketCap]] lowest ids, and all joins move
+    * ids — vectors are re-joined onto surviving pairs only. At
+    * 100 TB, nCells scales with the corpus (cells sized to a roughly
+    * constant membership), keeping the within-cell quadratic bounded;
+    * the cap records the contract where that sizing is violated. */
+  def semanticCellPairs(emb: DataFrame): DataFrame = {
+    val centroids = ivfCentroids(emb, "embedding", nCells)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val hashed = base.withColumn("vhash", xxhash64(col("embedding")))
+    val members = hashed.select(col("vhash"), col("vec_id"))
+    val reps = hashed.groupBy(col("vhash"))
+      .agg(min(col("vec_id")).as("vec_id"), first(col("embedding")).as("embedding"))
+    // (vhash, rep id, cell): persisted because both the capped pair
+    // join and the within-group cell lookup read it — id-only rows,
+    // and re-deriving it would re-run the collapse groupBy per branch
+    val celled = Dedup.persistSketch(reps.select(col("vec_id"), col("vhash"),
+      ivfAssign(col("embedding"), centroids).as("cell")))
+    val idx = Dedup.capBuckets(celled, Seq("cell"), "vec_id")
+    val repPairs = idx.select(col("cell"), col("vec_id").as("ra"), col("vhash").as("vhash_a"))
+      .join(idx.select(col("cell"), col("vec_id").as("rb"), col("vhash").as("vhash_b")),
+        Seq("cell"))
+      .filter(col("ra") < col("rb"))
+      .select(col("cell"), col("vhash_a"), col("vhash_b"))
+    val cross = repPairs
+      .join(members.select(col("vhash").as("vhash_a"), col("vec_id").as("ma")), Seq("vhash_a"))
+      .join(members.select(col("vhash").as("vhash_b"), col("vec_id").as("mb")), Seq("vhash_b"))
+      .select(col("cell"), least(col("ma"), col("mb")).as("vec_a"),
+        greatest(col("ma"), col("mb")).as("vec_b"))
+    // identical-vector groups pair within their rep's cell (cap-exempt,
+    // like every tier: their cosine is exactly 1 by construction)
+    val within = members.select(col("vhash"), col("vec_id").as("vec_a"))
+      .join(members.select(col("vhash"), col("vec_id").as("vec_b")), Seq("vhash"))
+      .filter(col("vec_a") < col("vec_b"))
+      .join(celled.select(col("vhash"), col("cell")), Seq("vhash"))
+      .select(col("cell"), col("vec_a"), col("vec_b"))
+    cross.unionByName(within)
+      .join(base.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(base.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
+      .withColumn("cosine", cosineColumn(col("emb_a"), col("emb_b")))
+      .select(col("cell"), col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** q71: the semantic-dedup report — top cell-local pairs by cosine,
+    * flagged at the dedup threshold. Rows-only under the driver
+    * (k-means-seeded); quality bars live in SimilaritySpec. */
+  val semanticDedup: Q = (s, d) =>
+    semanticCellPairs(Tables.embeddings(s, d))
+      .withColumn("is_dup", col("cosine") >= 0.9)
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(100)
+
   /** ANN quality as DATA: per-query recall of both approximate paths
     * ([[lshTopK]] and [[ivfTopK]]) against the exact [[bruteTopK]]
     * baseline, so every round's CORRECTNESS record carries the
@@ -396,6 +461,7 @@ object Similarity {
     "q31_ann_lsh_topk" -> lshTopK, // rows-only check: approximate op
     "q31b_ann_recall" -> annRecall, // rows-only: measured ANN quality
     "q31c_ann_ivf_topk" -> ivfTopK, // rows-only: IVF scale path
+    "q71_semantic_dedup" -> semanticDedup, // rows-only: k-means-seeded
   )
 
   val oracle: Map[String, String] = Map(

@@ -59,6 +59,69 @@ class SimilaritySpec extends SparkTestBase {
     assert(cells.length > 1 && cells.length <= Similarity.nCells)
   }
 
+  test("semantic dedup: planted clone clusters are found cell-locally") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The testdata embeddings are near-uniform (max pairwise cosine
+    // ~0.5 at every SF — the comment on the LSH test), so semantic
+    // dups are planted here: 3 clone clusters of 5 (tiny per-clone
+    // perturbation, pairwise cosine > 0.99), one exact-duplicate
+    // group, and uniform-ish noise vectors.
+    val dim = 8
+    def mk(active: Int, eps: Double, at: Int): Array[Float] = {
+      val v = Array.fill(dim)(0.0f)
+      v(active) = 1.0f
+      v(at) = eps.toFloat
+      v
+    }
+    val clones = for (c <- 0 until 3; i <- 0 until 5)
+      yield ((c * 5 + i).toLong, mk(c, 0.01 * (i + 1), (c + 3) % dim))
+    val dupVec = mk(6, 0.5, 7)
+    val exactDups = Seq(100L -> dupVec, 101L -> dupVec, 102L -> dupVec)
+    val noise = for (i <- 0 until 40) yield {
+      val rnd = new scala.util.Random(9000 + i)
+      (200L + i, Array.fill(dim)(rnd.nextFloat() - 0.5f))
+    }
+    val emb = (clones ++ exactDups ++ noise).toDF("vec_id", "embedding")
+    val found = Similarity.semanticCellPairs(emb).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) -> r.getAs[Double]("cosine"))
+      .toMap
+    Dedup.releaseSketchCaches()
+    // every same-cluster clone pair must surface (clones are nearly
+    // coincident, so they share a k-means cell) at cosine > 0.99
+    for (c <- 0 until 3; i <- 0 until 5; j <- i + 1 until 5) {
+      val key = ((c * 5 + i).toLong, (c * 5 + j).toLong)
+      assert(found.contains(key), s"missing clone pair $key")
+      assert(found(key) > 0.99, s"clone pair $key cosine ${found(key)}")
+    }
+    // the identical-vector group pairs via the collapse path at cosine 1
+    for ((a, b) <- Seq((100L, 101L), (100L, 102L), (101L, 102L))) {
+      assert(found.contains((a, b)), s"missing exact-dup pair ($a,$b)")
+      assert(math.abs(found((a, b)) - 1.0) < 1e-6)
+    }
+    // no cross-cluster clone pair can score as a dup
+    assert(found.filter(_._2 >= 0.9).keys.forall { case (a, b) =>
+      (a < 15 && b < 15 && a / 5 == b / 5) || (a >= 100 && b >= 100 && a < 200 && b < 200)
+    }, "a non-planted pair scored >= 0.9")
+  }
+
+  test("semantic dedup on the corpus: bounded cell-local work, valid report shape") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val pairs = Similarity.semanticCellPairs(emb)
+    val n = pairs.count()
+    // within-cell quadratic stays bounded: far below the all-pairs count
+    val total = emb.count()
+    assert(n < total * total / 8, s"cell-local pair count $n looks like a cross join")
+    val report = Similarity.semanticDedup(spark, sf).collect()
+    Dedup.releaseSketchCaches()
+    assert(report.length <= 100)
+    val cos = report.map(_.getAs[Double]("cosine"))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, "report not ranked")
+    // the near-uniform corpus holds no true semantic dups
+    assert(report.forall(!_.getAs[Boolean]("is_dup")))
+  }
+
   test("dedup LSH resolution scales with corpus size (constant bucket occupancy)") {
     // pure ladder: fixed 6 bits until ~4k rows, then +1 bit per
     // doubling, capped at 20 (1M buckets/table)
