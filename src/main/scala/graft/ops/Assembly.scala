@@ -470,9 +470,51 @@ object Assembly {
       .orderBy(col("doc_id"))
   }
 
+  /** Novel-bigram rate (q72): for every NON-train document, the
+    * fraction of its bigram occurrences whose bigram never appears in
+    * the train split — the cheap n-gram-LM novelty signal. Low rate
+    * on an eval doc means its phrasing is largely covered by train
+    * (fluent but possibly contaminated — q57b finds the verbatim
+    * extreme); a rate near 1 means out-of-distribution or gibberish.
+    * The exact-integer complement of a smoothed-LM perplexity: known
+    * counts are ints and the single division comes last, so the score
+    * is hash-stable across engines (the q63/q64 discipline — a log/
+    * prob formulation would diverge on libm ulps and summation
+    * order).
+    *
+    * Shape: bigrams are hashed to int64 BEFORE the explode (q62's
+    * rule — shuffles carry (doc_id, long)); the train side collapses
+    * to a DISTINCT hash set and the eval side left-joins it — all
+    * id-only exchanges. The corpus is scanned twice (train-set build
+    * + eval scoring); at 100 TB the train bigram set is a persisted
+    * artifact maintained per ingest round (the [[NearDupIndexStore]]
+    * lifecycle), making the steady-state cost O(eval). */
+  def novelBigramScores(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val idx = sequence(lit(1), greatest(size(toks) - 1, lit(1)))
+    val bigrams = transform(idx,
+      i => xxhash64(array_join(slice(toks, i, lit(2)), " ")))
+    val bg = docs
+      .select(col("doc_id"), splitColumn(col("doc_id")).as("split"),
+        explode(bigrams).as("bg"))
+    val trainSet = bg.filter(col("split") === "train")
+      .select(col("bg")).distinct().withColumn("_known", lit(1L))
+    bg.filter(col("split") =!= "train")
+      .join(trainSet, Seq("bg"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        coalesce(sum(col("_known")), lit(0L)).as("n_known"))
+      .withColumn("novel_rate",
+        (col("n_bigrams") - col("n_known")).cast(DoubleType) / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val novelBigramRate: Q = (s, d) => novelBigramScores(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "q69_document_chunks" -> documentChunks,
     "q70_token_budget_selection" -> tokenBudgetSelection,
+    "q72_novel_bigram_rate" -> novelBigramRate,
     "q59b_temperature_mixture" -> temperatureMixture,
     "q64_split_token_drift" -> splitTokenDrift,
     "q65_corpus_manifest" -> corpusManifest,
@@ -594,6 +636,25 @@ object Assembly {
          |  CAST(len(ct) AS INTEGER) AS n_chunk_tokens,
          |  array_to_string(ct, ' ') AS chunk_text
          |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q72_novel_bigram_rate" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, ${sqlSplit()} AS split,
+         |    unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+         |      FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)]) AS bg
+         |  FROM (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents)
+         |), train AS (
+         |  SELECT DISTINCT bg FROM bg WHERE split = 'train'
+         |), ev AS (
+         |  SELECT doc_id, split, bg.bg AS bg FROM bg WHERE split <> 'train'
+         |)
+         |SELECT e.doc_id, e.split,
+         |  count(*) AS n_bigrams,
+         |  CAST(sum(CASE WHEN t.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+         |  CAST(count(*) - sum(CASE WHEN t.bg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS novel_rate
+         |FROM ev e LEFT JOIN train t USING (bg)
+         |GROUP BY e.doc_id, e.split
+         |ORDER BY e.doc_id""".stripMargin,
     "q70_token_budget_selection" ->
       s"""SELECT doc_id, source, n_tokens,
          |  CAST(sum(n_tokens) OVER (

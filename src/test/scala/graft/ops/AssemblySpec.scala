@@ -76,6 +76,32 @@ class AssemblySpec extends SparkTestBase {
     }
   }
 
+  test("novel-bigram rate: copied eval text scores 0, invented text scores 1") {
+    // find concrete train and non-train ids under the real split hash
+    val ids = (0L until 64L).toDF("doc_id")
+      .select(col("doc_id"), Assembly.splitColumn(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val trainId = ids.collectFirst { case (i, "train") => i }.get
+    val evalIds = ids.collect { case (i, s) if s != "train" => i }.take(3)
+    val trainText = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      trainId -> trainText,
+      evalIds(0) -> trainText, // verbatim copy: nothing novel
+      evalIds(1) -> "zyx wvu tsr qpo nml kji", // all invented: fully novel
+      evalIds(2) -> s"the quick brown fox eats zyx" // mixed
+    ).toDF("doc_id", "text")
+    val out = Assembly.novelBigramScores(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_known"),
+          r.getAs[Double]("novel_rate"))).toMap
+    assert(!out.contains(trainId), "train docs must not be scored")
+    assert(out(evalIds(0)) == ((8L, 8L, 0.0)))
+    assert(out(evalIds(1))._3 == 1.0)
+    // mixed: bigrams = (the,quick)(quick,brown)(brown,fox)(fox,eats)(eats,zyx)
+    // -> 3 known of 5
+    assert(out(evalIds(2)) == ((5L, 3L, 0.4)))
+  }
+
   test("dataset split is deterministic, id-keyed, and roughly 75/12.5/12.5") {
     val a = Assembly.datasetSplit(spark, sf).collect()
     val b = Assembly.datasetSplit(spark, sf).collect()
