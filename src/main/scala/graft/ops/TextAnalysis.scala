@@ -231,7 +231,27 @@ object TextAnalysis {
   val rarityScores: Q = (s, d) =>
     rarityOf(Tables.documents(s, d)).orderBy(col("doc_id"))
 
+  /** Token-length histogram per source (q73): doc and token totals in
+    * power-of-two length bands — the data-card length distribution
+    * read next to q65's manifest before a training run (truncation
+    * exposure, short-doc contamination, per-source length skew).
+    * Bands via an exact integer CASE chain (a log2-based bucket would
+    * hash-diverge on libm boundary ulps); one scan, one tiny hash
+    * agg. */
+  val lengthHistogram: Q = (s, d) => {
+    val n = size(tokens(col("text")))
+    val bucket = when(n < 16, "000-015").when(n < 32, "016-031")
+      .when(n < 64, "032-063").when(n < 128, "064-127")
+      .when(n < 256, "128-255").otherwise("256+")
+    Tables.documents(s, d)
+      .select(col("source"), bucket.as("len_bucket"), n.as("n_tokens"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("source"), col("len_bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q73_length_histogram" -> lengthHistogram,
     "q20_token_stats" -> tokenStats,
     "q60_vocab_topk" -> vocabTopK,
     "q62_repetition_scores" -> repetitionScores,
@@ -249,6 +269,16 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q73_length_histogram" ->
+      s"""SELECT source,
+         |  CASE WHEN n < 16 THEN '000-015' WHEN n < 32 THEN '016-031'
+         |       WHEN n < 64 THEN '032-063' WHEN n < 128 THEN '064-127'
+         |       WHEN n < 256 THEN '128-255' ELSE '256+' END AS len_bucket,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS sum_tokens
+         |FROM (SELECT source, len(${sqlToks("text")}) AS n FROM documents)
+         |GROUP BY source, len_bucket
+         |ORDER BY source, len_bucket""".stripMargin,
     "q20_token_stats" ->
       s"""SELECT doc_id, lang,
          |  CAST(length(text) AS INTEGER) AS n_chars,

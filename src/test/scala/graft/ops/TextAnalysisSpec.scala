@@ -71,4 +71,15 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(frac > 0.0 && frac <= 1.0)
     }
   }
+
+  test("length histogram partitions the corpus with valid bands") {
+    val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
+    val bands = Set("000-015", "016-031", "032-063", "064-127", "128-255", "256+")
+    assert(rows.forall(r => bands(r.getAs[String]("len_bucket"))))
+    val docs = graft.Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // token totals reconcile with the q20-style direct sum
+    val direct = docs.select(sum(size(TextAnalysis.tokens(col("text"))))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("sum_tokens")).sum == direct)
+  }
 }
