@@ -59,14 +59,19 @@ object Boilerplate {
           i => array_join(slice(col("toks"), i * blockTokens + 1, lit(blockTokens)), " ")))
           .as(Seq("pos", "block")))
 
-  /** Per-document boilerplate cut: every block occurring in >=
-    * `minDocs` distinct documents is removed; `cleaned_text` is the
-    * surviving blocks re-joined in position order (empty string when
-    * nothing survives — the all-template document). */
-  def removeBoilerplate(docs: DataFrame, minDocs: Int = minDocs): DataFrame = {
-    val withHash = blockView(docs).withColumn("bhash", xxhash64(col("block")))
-    val freqs = withHash.groupBy(col("bhash"))
+  private[ops] def hashedBlockView(docs: DataFrame): DataFrame =
+    blockView(docs).withColumn("bhash", xxhash64(col("block")))
+
+  /** Distinct-doc frequency per block hash — the artifact
+    * [[BoilerplateStore]] persists per ingest round. */
+  private[ops] def blockFreqs(docs: DataFrame): DataFrame =
+    hashedBlockView(docs).groupBy(col("bhash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
+
+  /** The cut pass against a GIVEN frequency table (inline-computed
+    * for the batch form, stored+combined for the incremental form). */
+  private[ops] def cutWithFreqs(withHash: DataFrame, freqs: DataFrame,
+                                minDocs: Int): DataFrame = {
     val keepStruct = when(col("n_docs") < minDocs,
       struct(col("pos"), col("block")))
     withHash.join(freqs, Seq("bhash"))
@@ -78,6 +83,13 @@ object Boilerplate {
           transform(array_sort(collect_list(keepStruct)), s => s.getField("block")))
           .as("cleaned_text"))
   }
+
+  /** Per-document boilerplate cut: every block occurring in >=
+    * `minDocs` distinct documents is removed; `cleaned_text` is the
+    * surviving blocks re-joined in position order (empty string when
+    * nothing survives — the all-template document). */
+  def removeBoilerplate(docs: DataFrame, minDocs: Int = minDocs): DataFrame =
+    cutWithFreqs(hashedBlockView(docs), blockFreqs(docs), minDocs)
 
   /** q67: the cleaned corpus, one row per document. */
   val boilerplateRemoval: Q = (s, d) =>
@@ -98,9 +110,66 @@ object Boilerplate {
       .limit(k)
   }
 
+  /** Incremental boilerplate cut (q67c): clean an ingest DELTA
+    * against the standing corpus — the operating mode where the
+    * block-frequency table is a maintained artifact, not a per-run
+    * recomputation. The standing corpus's frequencies come from a
+    * [[BoilerplateStore]] (committed as round 0 the first time a
+    * corpus is seen, exactly the [[Dedup.ngramJaccardIncremental]]
+    * lifecycle); only the delta is block-scanned, and its own
+    * frequencies are summed onto the stored ones — additive because
+    * ingest rounds are doc-disjoint, so combined counts equal the
+    * full-corpus counts and the whole operator (watermark split
+    * included) sits under the q67 oracle restricted to delta rows.
+    * Steady-state cost: O(delta) scan + a join against the stored
+    * table. */
+  val boilerplateIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val (store, wm) = incrementalStore(s, d)
+    store.cutDelta(docs.filter(col("doc_id") > wm))
+      .orderBy(col("doc_id"))
+  }
+
+  // One stored frequency table per (JVM, corpus CONTENT) — the same
+  // content-keyed cache discipline as Dedup.incrementalStore (max id +
+  // count + wrapping content-hash sum; temp dirs reaped on exit).
+  private val storeLock = new Object
+  @volatile private var storeRoots = Map.empty[String, String]
+  private lazy val storeCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      storeRoots.values.foreach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(p).getParentFile)
+      }))
+
+  private def incrementalStore(s: SparkSession, d: String): (BoilerplateStore, Long) = {
+    val docs = Tables.documents(s, d)
+    val fp = docs.agg(max(col("doc_id")), count(lit(1)),
+      sum(xxhash64(col("doc_id"), col("text")))).head()
+    val maxId = if (fp.isNullAt(0)) 0L else fp.getLong(0)
+    val contentHash = if (fp.isNullAt(2)) 0L else fp.getLong(2)
+    val wm = maxId * 4 / 5
+    val key = s"$d#$maxId#${fp.getLong(1)}#$contentHash"
+    storeLock.synchronized {
+      storeCleanup
+      val path = storeRoots.getOrElse(key, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-boilerplate-freqs").toString + "/freqs"
+        new BoilerplateStore(s, p).appendRound(
+          docs.filter(col("doc_id") <= wm), round = 0L)
+        storeRoots += key -> p
+        p
+      })
+      (new BoilerplateStore(s, path), wm)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q67_boilerplate_removal" -> boilerplateRemoval,
     "q67b_boilerplate_top" -> boilerplateTop,
+    "q67c_boilerplate_incremental" -> boilerplateIncremental,
   )
 
   import TextAnalysis.sqlToks
@@ -137,5 +206,70 @@ object Boilerplate {
          |FROM blocks GROUP BY block
          |HAVING count(DISTINCT doc_id) >= $minDocs
          |ORDER BY n_docs DESC, block LIMIT 20""".stripMargin,
+    // stored-counts + delta-counts == full-corpus counts (rounds are
+    // doc-disjoint), so the incremental cut is exactly the batch cut
+    // restricted to delta rows — same SQL, watermark filter added
+    "q67c_boilerplate_incremental" ->
+      s"""WITH blocks AS (
+         |  $sqlBlocks
+         |), freqs AS (
+         |  SELECT block, count(DISTINCT doc_id) AS n_docs FROM blocks GROUP BY block
+         |), w AS (SELECT (max(doc_id) * 4) // 5 AS wm FROM documents)
+         |SELECT b.doc_id,
+         |  count(*) AS n_blocks,
+         |  CAST(sum(CASE WHEN f.n_docs >= $minDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN f.n_docs < $minDocs THEN b.block END, ' ' ORDER BY b.pos), '') AS cleaned_text
+         |FROM blocks b JOIN freqs f USING (block), w
+         |WHERE b.doc_id > w.wm
+         |GROUP BY b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
   )
+}
+
+/** The STORED half of incremental boilerplate removal: a persistent
+  * parquet artifact of per-round block frequencies
+  * `(bhash, n_docs, ingest_round)`, appended once per ingest round
+  * (dynamic partition overwrite — a retried round replaces its own
+  * partial write) and SUMMED across rounds at read time. Distinct-doc
+  * counts are additive across rounds because each document belongs to
+  * exactly one ingest round — the same disjointness the fact sink's
+  * `ingest_batch` layout guarantees. Mirrors [[NearDupIndexStore]]'s
+  * lifecycle; compaction of old rounds into one partition is a pure
+  * layout optimization (counts re-aggregate identically).
+  *
+  * Scale: the artifact holds one (int64, int64) row per distinct
+  * block per round — a small fixed fraction of corpus bytes — and the
+  * delta cut reads it once, joined on the delta's own block hashes. */
+class BoilerplateStore(spark: org.apache.spark.sql.SparkSession, val path: String) {
+
+  def exists: Boolean = graft.flights.StarWarehouse.pathExists(spark, path)
+
+  /** Standing per-round rows. */
+  def roundFreqs: DataFrame = spark.read.parquet(path)
+
+  /** Standing block frequencies summed across committed rounds. */
+  def freqs: DataFrame = roundFreqs.groupBy(col("bhash"))
+    .agg(sum(col("n_docs")).as("n_docs"))
+
+  /** Count `docs`' blocks and commit them as ingest round `round` —
+    * idempotent under retry (partition overwrite). */
+  def appendRound(docs: DataFrame, round: Long): Unit =
+    Boilerplate.blockFreqs(docs.select(col("doc_id"), col("text")))
+      .withColumn("ingest_round", lit(round))
+      .write.partitionBy("ingest_round")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Cut an ingest DELTA against standing + delta frequencies: the
+    * delta is block-scanned once (it is the data in hand); the
+    * standing corpus contributes ONLY its stored counts. */
+  def cutDelta(delta: DataFrame,
+               minDocs: Int = Boilerplate.minDocs): DataFrame = {
+    val withHash = Boilerplate.hashedBlockView(
+      delta.select(col("doc_id"), col("text")))
+    val combined = freqs
+      .unionByName(Boilerplate.blockFreqs(delta.select(col("doc_id"), col("text"))))
+      .groupBy(col("bhash")).agg(sum(col("n_docs")).as("n_docs"))
+    Boilerplate.cutWithFreqs(withHash, combined, minDocs)
+  }
 }

@@ -58,6 +58,56 @@ class BoilerplateSpec extends SparkTestBase {
     assert(untouched.filter(col("cleaned_text") =!= col("norm")).count() == 0)
   }
 
+  test("store: rounds sum additively and a retried round replaces its own partition") {
+    val path = tmpDir("boiler-store") + "/freqs"
+    val r0 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val r1 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "totally different words in this one right here now")
+    ).toDF("doc_id", "text")
+    val store = new BoilerplateStore(spark, path)
+    store.appendRound(r0, 0L)
+    store.appendRound(r1, 1L)
+    def freqMap = store.freqs.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Boilerplate.blockFreqs(r0.unionByName(r1)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(freqMap == direct, "summed round counts differ from the batch count")
+    // a re-delivered round overwrites its own partition, never doubles
+    store.appendRound(r1, 1L)
+    assert(freqMap == direct, "retried round double-counted")
+  }
+
+  test("incremental cut equals the batch cut restricted to the delta") {
+    val standing = Seq(
+      (1L, "common header words one two three four five uniq1 tail"),
+      (2L, "common header words one two three four five uniq2 tail")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "common header words one two three four five uniq3 tail"),
+      (11L, "nothing shared with anything else in this corpus at all")
+    ).toDF("doc_id", "text")
+    val path = tmpDir("boiler-store2") + "/freqs"
+    val store = new BoilerplateStore(spark, path)
+    store.appendRound(standing, 0L)
+    val inc = store.cutDelta(delta).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned_text"))).toMap
+    val batch = Boilerplate.removeBoilerplate(standing.unionByName(delta))
+      .filter(col("doc_id") >= 10L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned_text"))).toMap
+    assert(inc == batch, "incremental cut diverges from the batch definition")
+    // the shared 8-token header block must be cut from the delta doc
+    assert(inc(10L)._2 >= 1)
+    assert(inc(11L)._2 == 0)
+  }
+
   test("top-template report is doc-frequency ranked and threshold-filtered") {
     val top = Boilerplate.boilerplateTop(spark, sf).collect()
     assert(top.nonEmpty)
