@@ -426,6 +426,25 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
       .limit(100)
 
+  /** q71b: semantic dedup DECISIONS — the q71 pair graph closed into
+    * per-vector keeper assignments by [[Dedup.dupKeepers]]'s
+    * min-label propagation (downstream dedup = keep rows where
+    * vec_id == keeper), exactly how q36b closes the text tiers. On a
+    * corpus with no pairs at the threshold the loop converges in one
+    * observe-folded round and every vector keeps itself — the true
+    * answer, recorded per round. Rows-only (pairs are
+    * k-means-seeded); cluster-collapse behavior is spec-pinned on
+    * the planted corpus. */
+  val semanticKeepers: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val pairs = semanticCellPairs(emb).filter(col("cosine") >= 0.9)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    Dedup.dupKeepers(emb.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("keeper"),
+        (col("doc_id") === col("keeper")).as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** ANN quality as DATA: per-query recall of both approximate paths
     * ([[lshTopK]] and [[ivfTopK]]) against the exact [[bruteTopK]]
     * baseline, so every round's CORRECTNESS record carries the
@@ -462,6 +481,7 @@ object Similarity {
     "q31b_ann_recall" -> annRecall, // rows-only: measured ANN quality
     "q31c_ann_ivf_topk" -> ivfTopK, // rows-only: IVF scale path
     "q71_semantic_dedup" -> semanticDedup, // rows-only: k-means-seeded
+    "q71b_semantic_keepers" -> semanticKeepers, // rows-only: closed decisions
   )
 
   val oracle: Map[String, String] = Map(

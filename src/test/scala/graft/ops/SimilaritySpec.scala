@@ -105,6 +105,32 @@ class SimilaritySpec extends SparkTestBase {
     }, "a non-planted pair scored >= 0.9")
   }
 
+  test("semantic keepers collapse planted clusters to their min id") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = 8
+    def mk(active: Int, eps: Double, at: Int): Array[Float] = {
+      val v = Array.fill(dim)(0.0f); v(active) = 1.0f; v(at) = eps.toFloat; v
+    }
+    val clones = for (c <- 0 until 3; i <- 0 until 5)
+      yield ((c * 5 + i).toLong, mk(c, 0.01 * (i + 1), (c + 3) % dim))
+    val noise = for (i <- 0 until 30) yield {
+      val rnd = new scala.util.Random(7000 + i)
+      (200L + i, Array.fill(dim)(rnd.nextFloat() - 0.5f))
+    }
+    val emb = (clones ++ noise).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticCellPairs(emb).filter(col("cosine") >= 0.9)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val keepers = Dedup.dupKeepers(emb.select(col("vec_id").as("doc_id")), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedup.releaseSketchCaches()
+    // each clone cluster collapses to its min id; noise keeps itself
+    for (c <- 0 until 3; i <- 0 until 5)
+      assert(keepers((c * 5 + i).toLong) == c * 5L, s"cluster $c member $i")
+    for (i <- 0 until 30)
+      assert(keepers(200L + i) == 200L + i, s"noise $i lost itself")
+  }
+
   test("semantic dedup on the corpus: bounded cell-local work, valid report shape") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.embeddings(spark, sf)
