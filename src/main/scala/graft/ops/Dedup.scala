@@ -64,10 +64,14 @@ object Dedup {
   /** Release every sketch frame persisted since the last call. Safe to
     * call at any time: already-materialized results are unaffected, an
     * un-executed query that still references a released sketch simply
-    * recomputes it. */
+    * recomputes it. BLOCKING on purpose: Bench/Verify call this on the
+    * boundary BETWEEN queries, and an async unpersist would tear down
+    * the previous query's blocks inside the next query's timed window
+    * — the teardown cost (milliseconds of block drops) belongs to the
+    * boundary, not to whichever query runs next. */
   def releaseSketchCaches(): Unit = {
     var df = persistedSketches.poll()
-    while (df != null) { df.unpersist(blocking = false); df = persistedSketches.poll() }
+    while (df != null) { df.unpersist(blocking = true); df = persistedSketches.poll() }
   }
 
   // ---- tier 1: exact -------------------------------------------------
