@@ -511,10 +511,53 @@ object Assembly {
 
   val novelBigramRate: Q = (s, d) => novelBigramScores(Tables.documents(s, d))
 
+  /** Deterministic fixed-size stratified sample (q74): exactly
+    * min(k, |stratum|) docs per source, chosen by ranking each
+    * stratum on md5(doc_id || salt) — a content-independent,
+    * re-run-stable "show me 5 docs from every source" (debugging,
+    * data cards, eval sheets). Unlike q59's RATE-based thresholding
+    * this is exact-COUNT sampling; the hash ordering makes it
+    * uniform-in-expectation while keeping the whole selection a pure
+    * window expression. One shuffle on source; a giant stratum
+    * serializes its partition, remedied by pre-filtering on a hash
+    * prefix before ranking (same trick as q59's threshold) — not
+    * needed at bench scale. */
+  val samplePerStratum = 5
+
+  val stratifiedSample: Q = (s, d) => {
+    val rk = md5(concat(col("doc_id").cast(StringType), lit(":sample-v1")))
+    val w = Window.partitionBy(col("source")).orderBy(rk, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), rk.as("rank_key"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= samplePerStratum)
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
+  /** Metadata consistency audit (q75): does the stored `n_chars`
+    * column actually equal length(text)? The schema-level validation
+    * pass (V-family analog for the corpus): stored metadata drifts
+    * from content whenever an upstream rewrite forgets to refresh
+    * derived columns, and every budget keyed on the stale column
+    * silently skews. Per-source mismatch accounting, one scan. */
+  def metadataAuditOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        (coalesce(col("n_chars"), lit(-1L)) =!=
+          coalesce(length(col("text")).cast(LongType), lit(-1L))).as("mismatch"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mismatch"), 1L).otherwise(0L)).as("n_mismatched"))
+      .orderBy(col("source"))
+
+  val metadataAudit: Q = (s, d) => metadataAuditOf(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "q69_document_chunks" -> documentChunks,
     "q70_token_budget_selection" -> tokenBudgetSelection,
     "q72_novel_bigram_rate" -> novelBigramRate,
+    "q74_stratified_sample" -> stratifiedSample,
+    "q75_metadata_audit" -> metadataAudit,
     "q59b_temperature_mixture" -> temperatureMixture,
     "q64_split_token_drift" -> splitTokenDrift,
     "q65_corpus_manifest" -> corpusManifest,
@@ -636,6 +679,25 @@ object Assembly {
          |  CAST(len(ct) AS INTEGER) AS n_chunk_tokens,
          |  array_to_string(ct, ' ') AS chunk_text
          |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q74_stratified_sample" ->
+      s"""SELECT doc_id, source, lang, rank_key, CAST(sample_rank AS INTEGER) AS sample_rank
+         |FROM (
+         |  SELECT doc_id, source, lang,
+         |    md5(concat(CAST(doc_id AS VARCHAR), ':sample-v1')) AS rank_key,
+         |    row_number() OVER (
+         |      PARTITION BY source
+         |      ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':sample-v1')), doc_id
+         |    ) AS sample_rank
+         |  FROM documents
+         |)
+         |WHERE sample_rank <= $samplePerStratum
+         |ORDER BY source, sample_rank""".stripMargin,
+    "q75_metadata_audit" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN coalesce(n_chars, -1) <>
+         |    coalesce(CAST(length(text) AS BIGINT), -1) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_mismatched
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q72_novel_bigram_rate" ->
       s"""WITH bg AS (
          |  SELECT doc_id, ${sqlSplit()} AS split,

@@ -191,12 +191,35 @@ object Curation {
         max(col("score_milli")).as("max_score"))
       .orderBy(col("source"))
 
+  /** Per-source best-of selection (q76): the top [[qualityTopN]]
+    * documents of every source by the q66 model score — the
+    * "curate the best k per slice" step (seed sets, eval sheets,
+    * few-shot pools). Ranking is on the exact-integer milli-score
+    * with doc_id tiebreak, so the selection is deterministic and the
+    * whole query — model fold included — sits under the oracle. One
+    * scan into one source-partitioned window (rank, not global
+    * sort); the model fold rides the scan like q66. */
+  val qualityTopN = 5
+
+  val qualityTopK: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), scoreMilliColumn.as("score_milli"))
+      .withColumn("qrank", row_number().over(w))
+      .filter(col("qrank") <= qualityTopN)
+      .orderBy(col("source"), col("qrank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q54_corpus_filter" -> corpusFilter,
     "q54b_corpus_filter_stats" -> corpusFilterStats,
     "q58_pii_scrub" -> piiScrub,
     "q66_quality_model" -> qualityModel,
     "q66b_score_quantiles" -> scoreQuantiles,
+    "q76_quality_topk" -> qualityTopK,
   )
 
   import TextAnalysis.{sqlStops, sqlToks}
@@ -317,6 +340,32 @@ object Curation {
          |  CASE WHEN d.text IS NULL THEN NULL
          |       ELSE ($modelBias + coalesce(h.s, 0) > 0) END AS model_keep
          |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin
+    },
+    "q76_quality_topk" -> {
+      val valuesList = modelWeights
+        .map { case (k, v) => s"('$k', $v)" }.mkString(",\n    ")
+      s"""WITH w(token, w_milli) AS (VALUES
+         |    $valuesList
+         |), tok AS (
+         |  SELECT doc_id, unnest(${sqlToks("text")}) AS token
+         |  FROM documents WHERE text IS NOT NULL
+         |), hits AS (
+         |  SELECT doc_id, CAST(sum(w_milli) AS BIGINT) AS s
+         |  FROM tok JOIN w USING (token) GROUP BY doc_id
+         |), scored AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST($modelBias + coalesce(h.s, 0) AS BIGINT) AS score_milli
+         |  FROM documents d LEFT JOIN hits h USING (doc_id)
+         |  WHERE d.text IS NOT NULL
+         |)
+         |SELECT doc_id, source, score_milli, CAST(qrank AS INTEGER) AS qrank
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY source ORDER BY score_milli DESC, doc_id) AS qrank
+         |  FROM scored
+         |)
+         |WHERE qrank <= $qualityTopN
+         |ORDER BY source, qrank""".stripMargin
     },
     "q58_pii_scrub" ->
       s"""WITH planted AS (

@@ -219,6 +219,10 @@ object Dedup {
     val sig = persistSketch(repTh
       .select(col("thash"), col("doc_id"), shinglesFromTokenHashes(col("th")).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"))))
+    // EAGER for the same concurrent-stage reason as mkChunked: the
+    // banded pair join and the sig re-join both read this frame, and
+    // the shingle+signature projection is the tier's expensive step.
+    sig.count()
     val banded = sig.select(
       col("doc_id"), col("thash"),
       explode(array((0 until bands).map { b =>
@@ -376,7 +380,14 @@ object Dedup {
   /** (sketch frame, exploded 16-bit-chunk bucket view) for a rep
     * corpus — shared by the pair search and the bucket diagnostics. */
   private def mkChunked(repTh: DataFrame): (DataFrame, DataFrame) = {
+    // EAGER: the bucket self-join reads this frame from two concurrent
+    // stages; a lazily-populated cache gets computed once per stage
+    // (q34c finding, same race). Cheap for the HOF projection this
+    // replaced, but simhashAgg is a shuffle-backed aggregation —
+    // measured at the sf1 probe: q35 18.8 s warm with the race,
+    // 9.8 s with the eager count.
     val sh = persistSketch(simhashAgg(repTh))
+    sh.count()
     val chunked = sh.select(col("doc_id"), col("thash"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

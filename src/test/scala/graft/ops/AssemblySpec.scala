@@ -102,6 +102,34 @@ class AssemblySpec extends SparkTestBase {
     assert(out(evalIds(2)) == ((5L, 3L, 0.4)))
   }
 
+  test("stratified sample: exact count per stratum, deterministic, rank-contiguous") {
+    val a = Assembly.stratifiedSample(spark, sf).collect()
+    val b = Assembly.stratifiedSample(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "sample not re-run-stable")
+    val strata = graft.Tables.documents(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySrc = a.groupBy(_.getAs[String]("source"))
+    assert(bySrc.keySet == strata.keySet)
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.length == math.min(Assembly.samplePerStratum.toLong, strata(src)))
+      assert(rows.map(_.getAs[Int]("sample_rank")).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
+  test("metadata audit flags planted n_chars drift and nothing else") {
+    val docs = Seq(
+      (1L, "four little words here", "s0", 22L),  // consistent
+      (2L, "drifted metadata row", "s0", 999L),   // planted drift
+      (3L, "exact chars again ok", "s1", 20L)     // consistent
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val out = Assembly.metadataAuditOf(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_mismatched"))).toMap
+    assert(out("s0") == ((2L, 1L)))
+    assert(out("s1") == ((1L, 0L)))
+  }
+
   test("dataset split is deterministic, id-keyed, and roughly 75/12.5/12.5") {
     val a = Assembly.datasetSplit(spark, sf).collect()
     val b = Assembly.datasetSplit(spark, sf).collect()

@@ -122,6 +122,32 @@ class CurationSpec extends SparkTestBase {
     assert(totalScored == expected)
   }
 
+  test("quality top-k: k best per source by exact milli-score, deterministic ties") {
+    val rows = Curation.qualityTopK(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    val srcCounts = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet == srcCounts.keySet)
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.length == math.min(Curation.qualityTopN.toLong, srcCounts(src)))
+      val byRank = rs.sortBy(_.getAs[Int]("qrank"))
+      assert(byRank.map(_.getAs[Int]("qrank")).toSeq == (1 to rs.length))
+      val scores = byRank.map(_.getAs[Long]("score_milli"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"$src not score-ranked")
+    }
+    // rank 1 really is the per-source max of the q66 score
+    val top1 = rows.filter(_.getAs[Int]("qrank") == 1)
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("score_milli")).toMap
+    val trueMax = Curation.qualityModelOf(graft.Tables.documents(spark, sf))
+      .join(graft.Tables.documents(spark, sf).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source")).agg(max(col("score_milli")).as("m")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("m")).toMap
+    assert(top1 == trueMax)
+  }
+
   test("corpus filter stats roll up to the corpus size") {
     val total = graft.Tables.documents(spark, sf).count()
     val stats = Curation.corpusFilterStats(spark, sf).collect()
