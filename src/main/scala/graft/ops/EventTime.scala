@@ -127,6 +127,72 @@ object EventTime {
       .orderBy(col("event_type"))
   }
 
+  /** Ordered funnel progression (q77): per user, the timestamps of
+    * the first `view`, the first `click` strictly AFTER that view,
+    * and the first `purchase` strictly after that click — the
+    * product-analytics "how far did each user get, in order"
+    * operator (a raw co-occurrence count would credit purchases that
+    * happened before the view). Three chained conditional-min window
+    * passes over ONE user partition: Spark chains the WindowExecs on
+    * a single Exchange, so the whole funnel costs one shuffle; the
+    * strict `>` makes the stage definition exact and replayable. */
+  def funnelOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("first_click",
+        min(when(col("event_type") === "click" &&
+          col("ts") > col("first_view"), col("ts"))).over(w))
+      .withColumn("first_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") > col("first_click"), col("ts"))).over(w))
+      .select(col("user_id"), col("first_view"), col("first_click"),
+        col("first_purchase"))
+      .distinct()
+      .select(col("user_id"),
+        date_format(col("first_view"), tsFmt).as("first_view"),
+        date_format(col("first_click"), tsFmt).as("first_click"),
+        date_format(col("first_purchase"), tsFmt).as("first_purchase"),
+        when(col("first_purchase").isNotNull, 3)
+          .when(col("first_click").isNotNull, 2)
+          .when(col("first_view").isNotNull, 1)
+          .otherwise(0).as("funnel_stage"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnel: Q = (s, d) => funnelOf(Tables.events(s, d))
+
+  /** Weekly cohort retention (q78): users grouped by their signup
+    * week, counted as retained in week k if they emitted ANY event
+    * in cohort_week + k. The classic retention triangle. Weeks are
+    * `date_trunc('week')` (Monday-aligned in both engines) and the
+    * offset is exact integer arithmetic (day diff div 7). Shape: a
+    * tiny per-user signup agg joined back onto the per-(user, week)
+    * activity dedup, then one hash agg — the join key is user_id, so
+    * everything shuffles once on user and once on the (cohort, week)
+    * group. */
+  def cohortRetentionOf(ev: DataFrame): DataFrame = {
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    signups.join(active, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast(IntegerType))
+      .filter(col("week_offset") >= 0)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort_week"), tsFmt).as("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val cohortRetention: Q = (s, d) => cohortRetentionOf(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "q41_json_extract" -> jsonExtract,
     "q25_events_hourly" -> hourly,
@@ -134,9 +200,50 @@ object EventTime {
     "q27_events_sessions" -> sessions,
     "q28_user_activity" -> userActivity,
     "q29_asof_click_purchase" -> asofClickPurchase,
+    "q77_event_funnel" -> funnel,
+    "q78_cohort_retention" -> cohortRetention,
   )
 
   val oracle: Map[String, String] = Map(
+    "q77_event_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS first_view
+        |  FROM events
+        |), g AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > first_view THEN ts END)
+        |      OVER (PARTITION BY user_id) AS first_click
+        |  FROM f
+        |), h AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > first_click THEN ts END)
+        |      OVER (PARTITION BY user_id) AS first_purchase
+        |  FROM g
+        |)
+        |SELECT DISTINCT user_id,
+        |  strftime(first_view, '%Y-%m-%d %H:%M:%S') AS first_view,
+        |  strftime(first_click, '%Y-%m-%d %H:%M:%S') AS first_click,
+        |  strftime(first_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase,
+        |  CAST(CASE WHEN first_purchase IS NOT NULL THEN 3
+        |       WHEN first_click IS NOT NULL THEN 2
+        |       WHEN first_view IS NOT NULL THEN 1
+        |       ELSE 0 END AS INTEGER) AS funnel_stage
+        |FROM h
+        |ORDER BY user_id""".stripMargin,
+    "q78_cohort_retention" ->
+      """WITH signups AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+        |), active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+        |)
+        |SELECT strftime(cohort_week, '%Y-%m-%d %H:%M:%S') AS cohort_week,
+        |  CAST(date_diff('day', cohort_week, week) // 7 AS INTEGER) AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM signups JOIN active USING (user_id)
+        |WHERE date_diff('day', cohort_week, week) >= 0
+        |GROUP BY signups.cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q41_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
