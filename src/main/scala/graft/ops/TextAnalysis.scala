@@ -250,7 +250,58 @@ object TextAnalysis {
       .orderBy(col("source"), col("len_bucket"))
   }
 
+  /** CMS heavy hitters, self-audited (q79): build a count-min sketch
+    * over every token occurrence (bounded memory: one depth x width
+    * table regardless of vocabulary size — the sketch a 100 TB run
+    * uses when the exact q60 vocabulary agg would not fit), then
+    * estimate the exact top-k tokens through it and record estimate
+    * vs truth side by side, the way q31b records ANN recall. The CMS
+    * one-sided error contract (estimate >= exact, and within
+    * (e/width)·N with high probability) becomes per-round DATA.
+    *
+    * Shape: bucket indices are computed as codegen'd columns
+    * (`pmod(xxhash64(token, r), width)`) feeding a typed partial-
+    * aggregable Aggregator ([[graft.functions.Aggregators
+    * .CountMinSketch]]) — the exchange carries one 32 KB table per
+    * map partition; the finished sketch is ONE row, broadcast onto
+    * the exact top-k, and estimation is `least(element_at(...))` over
+    * the same index expressions. No driver-side hashing anywhere, so
+    * build and probe cannot drift. Rows-only (hash-seeded layout);
+    * error bounds are spec-pinned. */
+  val cmsDepth = 4
+  val cmsWidth = 1024
+
+  private def cmsIdx(token: Column, r: Int): Column =
+    pmod(xxhash64(token, lit(r)), lit(cmsWidth)).cast(IntegerType)
+
+  val cmsHeavyHitters: Q = (s, d) => {
+    import s.implicits._
+    val k = 20
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+    val agg = new graft.functions.Aggregators.CountMinSketch(cmsDepth, cmsWidth)
+    val sketch = toks
+      .select(array((0 until cmsDepth).map(r => cmsIdx(col("token"), r)): _*).as("idx"))
+      .as[Seq[Int]]
+      .select(agg.toColumn.name("sk"))
+    val totals = toks.agg(count(lit(1)).as("n_total"))
+    val exactTop = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token"))
+      .limit(k)
+    exactTop
+      .crossJoin(broadcast(sketch))
+      .crossJoin(broadcast(totals))
+      .withColumn("cms_estimate",
+        least((0 until cmsDepth).map(r =>
+          element_at(col("sk"), cmsIdx(col("token"), r) + lit(r * cmsWidth) + 1)): _*))
+      .select(col("token"), col("exact_n"), col("cms_estimate"), col("n_total"),
+        (col("cms_estimate") >= col("exact_n")).as("lower_bound_holds"))
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q79_cms_heavy_hitters" -> cmsHeavyHitters,
     "q73_length_histogram" -> lengthHistogram,
     "q20_token_stats" -> tokenStats,
     "q60_vocab_topk" -> vocabTopK,

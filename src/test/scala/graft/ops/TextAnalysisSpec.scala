@@ -72,6 +72,27 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("CMS heavy hitters: one-sided error bounds hold against exact counts") {
+    val rows = TextAnalysis.cmsHeavyHitters(spark, sf).collect()
+    assert(rows.length == 20)
+    val nTotal = rows.head.getAs[Long]("n_total")
+    // CMS contract: never undercounts; overcount bounded by eps*N with
+    // eps = e/width (the depth-4 failure probability e^-4 ~ 2% per
+    // token is generous against 20 probes: allow the bound at 3x)
+    val eps = math.E / TextAnalysis.cmsWidth
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n")
+      val est = r.getAs[Long]("cms_estimate")
+      assert(r.getAs[Boolean]("lower_bound_holds") && est >= exact,
+        s"CMS undercounted ${r.getAs[String]("token")}: $est < $exact")
+      assert(est <= exact + 3 * eps * nTotal,
+        s"CMS overcount out of bound for ${r.getAs[String]("token")}: $est vs $exact (N=$nTotal)")
+    }
+    // ranking sanity: the top exact token's estimate dominates the
+    // 20th's exact count (a sketch that lost the heavy hitters would not)
+    assert(rows.head.getAs[Long]("cms_estimate") >= rows.last.getAs[Long]("exact_n"))
+  }
+
   test("length histogram partitions the corpus with valid bands") {
     val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
     val bands = Set("000-015", "016-031", "032-063", "064-127", "128-255", "256+")
