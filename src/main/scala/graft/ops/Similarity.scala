@@ -376,12 +376,22 @@ object Similarity {
     * exactly ONE cell so rep pairs are unique by construction (no
     * dedupe shuffle — cheaper than the multi-table LSH path), cells
     * are capped at [[Dedup.bucketCap]] lowest ids, and all joins move
-    * ids — vectors are re-joined onto surviving pairs only. At
-    * 100 TB, nCells scales with the corpus (cells sized to a roughly
-    * constant membership), keeping the within-cell quadratic bounded;
-    * the cap records the contract where that sizing is violated. */
+    * ids — vectors are re-joined onto surviving pairs only. The cell
+    * count ADAPTS to the corpus (the q37 adaptive-resolution rule:
+    * fixed granularity at growing n is how cell-local quadratics go
+    * super-linear): ~one cell per 512 vectors, clamped to [16, 64] —
+    * the upper clamp is the literal-centroid codegen budget (each
+    * cell is k x dim literals in the assignment expression; past a
+    * few hundred cells the design hands over to a broadcast centroid
+    * TABLE + join-based argmin, same plan shape). Within the clamp,
+    * membership stays roughly constant as the corpus grows, and the
+    * per-cell cap records exactly when the sizing contract is
+    * violated instead of silently doing quadratic work. */
+  private[ops] def semanticCells(n: Long): Int =
+    math.max(nCells, math.min(64L, n / 512L).toInt)
+
   def semanticCellPairs(emb: DataFrame): DataFrame = {
-    val centroids = ivfCentroids(emb, "embedding", nCells)
+    val centroids = ivfCentroids(emb, "embedding", semanticCells(corpusCount(emb)))
     val base = emb.select(col("vec_id"), col("embedding"))
     val hashed = base.withColumn("vhash", xxhash64(col("embedding")))
     val members = hashed.select(col("vhash"), col("vec_id"))
