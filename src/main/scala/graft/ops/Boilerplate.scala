@@ -247,9 +247,16 @@ class BoilerplateStore(spark: org.apache.spark.sql.SparkSession, val path: Strin
   /** Standing per-round rows. */
   def roundFreqs: DataFrame = spark.read.parquet(path)
 
-  /** Standing block frequencies summed across committed rounds. */
-  def freqs: DataFrame = roundFreqs.groupBy(col("bhash"))
-    .agg(sum(col("n_docs")).as("n_docs"))
+  /** Standing block frequencies summed across committed rounds.
+    * `beforeRound` restricts to rounds strictly below it — the
+    * streaming replay guard (a re-delivered micro-batch whose own
+    * round already landed must not count itself twice; partition
+    * pruning makes the bound free). */
+  def freqs(beforeRound: Option[Long] = None): DataFrame =
+    beforeRound.foldLeft(roundFreqs)((df, r) =>
+        df.filter(col("ingest_round") < r))
+      .groupBy(col("bhash"))
+      .agg(sum(col("n_docs")).as("n_docs"))
 
   /** Count `docs`' blocks and commit them as ingest round `round` —
     * idempotent under retry (partition overwrite). */
@@ -264,10 +271,11 @@ class BoilerplateStore(spark: org.apache.spark.sql.SparkSession, val path: Strin
     * delta is block-scanned once (it is the data in hand); the
     * standing corpus contributes ONLY its stored counts. */
   def cutDelta(delta: DataFrame,
-               minDocs: Int = Boilerplate.minDocs): DataFrame = {
+               minDocs: Int = Boilerplate.minDocs,
+               beforeRound: Option[Long] = None): DataFrame = {
     val withHash = Boilerplate.hashedBlockView(
       delta.select(col("doc_id"), col("text")))
-    val combined = freqs
+    val combined = freqs(beforeRound)
       .unionByName(Boilerplate.blockFreqs(delta.select(col("doc_id"), col("text"))))
       .groupBy(col("bhash")).agg(sum(col("n_docs")).as("n_docs"))
     Boilerplate.cutWithFreqs(withHash, combined, minDocs)
