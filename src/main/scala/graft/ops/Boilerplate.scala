@@ -130,40 +130,17 @@ object Boilerplate {
       .orderBy(col("doc_id"))
   }
 
-  // One stored frequency table per (JVM, corpus CONTENT) — the same
-  // content-keyed cache discipline as Dedup.incrementalStore (max id +
-  // count + wrapping content-hash sum; temp dirs reaped on exit).
-  private val storeLock = new Object
-  @volatile private var storeRoots = Map.empty[String, String]
-  private lazy val storeCleanup: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      storeRoots.values.foreach { p =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(p).getParentFile)
-      }))
-
+  // One stored frequency table per (JVM, corpus CONTENT) — caching,
+  // fingerprint, and reaping shared with the near-dup index via
+  // [[ScratchStores]].
   private def incrementalStore(s: SparkSession, d: String): (BoilerplateStore, Long) = {
     val docs = Tables.documents(s, d)
-    val fp = docs.agg(max(col("doc_id")), count(lit(1)),
-      sum(xxhash64(col("doc_id"), col("text")))).head()
-    val maxId = if (fp.isNullAt(0)) 0L else fp.getLong(0)
-    val contentHash = if (fp.isNullAt(2)) 0L else fp.getLong(2)
-    val wm = maxId * 4 / 5
-    val key = s"$d#$maxId#${fp.getLong(1)}#$contentHash"
-    storeLock.synchronized {
-      storeCleanup
-      val path = storeRoots.getOrElse(key, {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-boilerplate-freqs").toString + "/freqs"
-        new BoilerplateStore(s, p).appendRound(
-          docs.filter(col("doc_id") <= wm), round = 0L)
-        storeRoots += key -> p
-        p
-      })
-      (new BoilerplateStore(s, path), wm)
+    val (key, wm) = ScratchStores.corpusKey(docs, d)
+    val path = ScratchStores.pathFor(key, "graft-boilerplate-freqs") { p =>
+      new BoilerplateStore(s, p).appendRound(
+        docs.filter(col("doc_id") <= wm), round = 0L)
     }
+    (new BoilerplateStore(s, path), wm)
   }
 
   val queries: Map[String, Q] = Map(

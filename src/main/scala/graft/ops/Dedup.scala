@@ -613,50 +613,17 @@ object Dedup {
   // One stored index per (JVM, corpus CONTENT): the standing corpus
   // (ids at or below the watermark) is committed as ingest round 0 the
   // first time q61 touches that corpus; subsequent runs read the
-  // parquet artifact. The cache key carries a (max id, count, content
-  // hash) fingerprint, not just the dir string, so a corpus
-  // regenerated in-place within one JVM gets a fresh index instead of
-  // silently joining against stale data — including a regeneration
-  // that preserves max id and row count but changes text (ADVICE r4):
-  // the content component is a wrapping sum of per-row
-  // xxhash64(doc_id, text), order-independent and collision-bounded
-  // like any 64-bit digest. The fingerprint agg is a tiny full-column
-  // scan each run (the same scan the round-0 index build pays anyway;
-  // it also yields the watermark, in the same exact integer
-  // arithmetic the oracle replays). Scratch location — a real
-  // deployment passes its own durable store path; JVM-temp dirs here
-  // are deleted by a shutdown hook so repeated local runs don't leak.
-  private val storeLock = new Object
-  @volatile private var storeRoots = Map.empty[String, String]
-  private lazy val storeCleanup: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      storeRoots.values.foreach { p =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(p).getParentFile)
-      }))
-
+  // parquet artifact. Content-keyed caching, fingerprint semantics,
+  // and temp-dir reaping live in [[ScratchStores]] (shared with the
+  // boilerplate frequency store).
   private def incrementalStore(s: SparkSession, d: String): (NearDupIndexStore, Long) = {
     val docs = Tables.documents(s, d)
-    val fp = docs.agg(max(col("doc_id")), count(lit(1)),
-      sum(xxhash64(col("doc_id"), col("text")))).head()
-    val maxId = if (fp.isNullAt(0)) 0L else fp.getLong(0)
-    val contentHash = if (fp.isNullAt(2)) 0L else fp.getLong(2)
-    val wm = maxId * 4 / 5 // == (max * 4) div 5: both non-negative
-    val key = s"$d#$maxId#${fp.getLong(1)}#$contentHash"
-    storeLock.synchronized {
-      storeCleanup
-      val path = storeRoots.getOrElse(key, {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-neardup-index").toString + "/index"
-        new NearDupIndexStore(s, p).appendRound(
-          docs.filter(col("doc_id") <= wm), round = 0L)
-        storeRoots += key -> p
-        p
-      })
-      (new NearDupIndexStore(s, path), wm)
+    val (key, wm) = ScratchStores.corpusKey(docs, d)
+    val path = ScratchStores.pathFor(key, "graft-neardup-index") { p =>
+      new NearDupIndexStore(s, p).appendRound(
+        docs.filter(col("doc_id") <= wm), round = 0L)
     }
+    (new NearDupIndexStore(s, path), wm)
   }
 
   // ---- keeper assignment (connected components) ----------------------

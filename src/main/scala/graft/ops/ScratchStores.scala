@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared machinery for the per-(JVM, corpus CONTENT) scratch
+  * artifacts that back the incremental operators (q61's near-dup
+  * index, q67c's boilerplate frequency table): a fingerprint that
+  * detects in-place corpus changes, a keyed temp-dir registry, and
+  * the shutdown reaper.
+  *
+  * The fingerprint is (max doc_id, row count, wrapping sum of per-row
+  * xxhash64(doc_id, text)) — the content component catches a
+  * regeneration that preserves both max id and count but changes text
+  * (ADVICE r4); order-independent and collision-bounded like any
+  * 64-bit digest. The agg is a tiny full-column scan each run — the
+  * same scan the round-0 artifact build pays anyway — and also yields
+  * the delta watermark in the exact integer arithmetic the oracles
+  * replay ((max * 4) div 5). Scratch location only — a real
+  * deployment passes its own durable store path. */
+private[ops] object ScratchStores {
+
+  /** (cache key, watermark) for a (doc_id, text) corpus at `dir`. */
+  def corpusKey(docs: DataFrame, dir: String): (String, Long) = {
+    val fp = docs.agg(max(col("doc_id")), count(lit(1)),
+      sum(xxhash64(col("doc_id"), col("text")))).head()
+    val maxId = if (fp.isNullAt(0)) 0L else fp.getLong(0)
+    val contentHash = if (fp.isNullAt(2)) 0L else fp.getLong(2)
+    (s"$dir#$maxId#${fp.getLong(1)}#$contentHash", maxId * 4 / 5)
+  }
+
+  private val lock = new Object
+  @volatile private var roots = Map.empty[String, String]
+  private lazy val reaper: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      roots.values.foreach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(p).getParentFile)
+      }))
+
+  /** The scratch path registered under (key, tmpPrefix), building the
+    * artifact via `build(path)` exactly once per (JVM, key, kind) —
+    * tmpPrefix doubles as the artifact KIND, so the near-dup index
+    * and the boilerplate frequency table of the same corpus never
+    * share a path. */
+  def pathFor(key: String, tmpPrefix: String)(build: String => Unit): String =
+    lock.synchronized {
+      reaper
+      val k = s"$tmpPrefix#$key"
+      roots.getOrElse(k, {
+        val p = java.nio.file.Files
+          .createTempDirectory(tmpPrefix).toString + "/store"
+        build(p)
+        roots += k -> p
+        p
+      })
+    }
+}

@@ -284,14 +284,17 @@ object TextAnalysis {
       .select(array((0 until cmsDepth).map(r => cmsIdx(col("token"), r)): _*).as("idx"))
       .as[Seq[Int]]
       .select(agg.toColumn.name("sk"))
-    val totals = toks.agg(count(lit(1)).as("n_total"))
     val exactTop = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("token"))
       .limit(k)
     exactTop
       .crossJoin(broadcast(sketch))
-      .crossJoin(broadcast(totals))
+      // every CMS row sums to exactly N (each occurrence increments one
+      // counter per row), so the total comes from the sketch itself —
+      // no third corpus scan for a count
+      .withColumn("n_total",
+        aggregate(slice(col("sk"), 1, cmsWidth), lit(0L), _ + _))
       .withColumn("cms_estimate",
         least((0 until cmsDepth).map(r =>
           element_at(col("sk"), cmsIdx(col("token"), r) + lit(r * cmsWidth) + 1)): _*))
