@@ -193,6 +193,27 @@ object EventTime {
 
   val cohortRetention: Q = (s, d) => cohortRetentionOf(Tables.events(s, d))
 
+  /** Sessionized error-burst detection (q80): per 30-minute session
+    * window (the q27 sessionization, whose lag-replay parity with
+    * Spark's `session_window` the q27 oracle already proves), the
+    * error count and rate, flagging bursts — the ops-monitoring read
+    * on the same event stream the analytics queries serve. The burst
+    * gate is pure integer arithmetic (n_errors * 2 >= n_events ⇔
+    * rate >= 0.5 — no double compare to drift); the one double
+    * division exists only for the human-readable rate column. */
+  val errorBursts: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .filter(col("n_errors") >= 1)
+      .select(col("user_id"),
+        date_format(col("session_window.start"), tsFmt).as("session_start"),
+        col("n_events"), col("n_errors"),
+        (col("n_errors").cast(DoubleType) / col("n_events")).as("error_rate"),
+        (col("n_errors") >= 3 && col("n_errors") * 2 >= col("n_events")).as("is_burst"))
+      .orderBy(col("user_id"), col("session_start"))
+
   val queries: Map[String, Q] = Map(
     "q41_json_extract" -> jsonExtract,
     "q25_events_hourly" -> hourly,
@@ -202,9 +223,34 @@ object EventTime {
     "q29_asof_click_purchase" -> asofClickPurchase,
     "q77_event_funnel" -> funnel,
     "q78_cohort_retention" -> cohortRetention,
+    "q80_error_bursts" -> errorBursts,
   )
 
   val oracle: Map[String, String] = Map(
+    "q80_error_bursts" ->
+      s"""WITH ordered AS (
+         |  SELECT user_id, event_id, ts, event_type,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |              >= INTERVAL 30 MINUTE OR
+         |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |), grp AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         |  FROM ordered
+         |)
+         |SELECT user_id,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  count(*) AS n_events,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS error_rate,
+         |  (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) >= 3 AND
+         |   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 2 >= count(*)) AS is_burst
+         |FROM grp GROUP BY user_id, session_no
+         |HAVING sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) >= 1
+         |ORDER BY user_id, session_start""".stripMargin,
     "q77_event_funnel" ->
       """WITH f AS (
         |  SELECT user_id, ts, event_type,

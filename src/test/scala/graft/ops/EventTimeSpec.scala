@@ -31,6 +31,41 @@ class EventTimeSpec extends SparkTestBase {
     assert(out == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0))
   }
 
+  test("error bursts flag dense-error sessions only, per session window") {
+    val events = Seq(
+      // user 1, session A: 4 events, 3 errors -> burst
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "error"),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "error"),
+      (1L, 4L, ts("2024-01-01 10:03:00"), "error"),
+      // user 1, session B (after the 30-min gap): 1 error in 3 -> no burst
+      (1L, 5L, ts("2024-01-01 12:00:00"), "error"),
+      (1L, 6L, ts("2024-01-01 12:01:00"), "view"),
+      (1L, 7L, ts("2024-01-01 12:02:00"), "click"),
+      // user 2: error-free session -> absent from the report
+      (2L, 8L, ts("2024-01-01 10:00:00"), "view")
+    ).map { case (u, e, t, ty) => (e, t, u, ty, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    import org.apache.spark.sql.functions.{col, session_window, count, lit, sum, when, date_format}
+    // replay the registered query's expression chain on the synthetic frame
+    val out = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .filter(col("n_errors") >= 1)
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("n_errors"),
+        (col("n_errors") >= 3 && col("n_errors") * 2 >= col("n_events")).as("is_burst"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_errors"), r.getAs[Boolean]("is_burst")))
+      .toMap
+    assert(out.size == 2, s"expected two error sessions, got $out")
+    assert(out((1L, "2024-01-01 10:00:00")) == ((4L, 3L, true)))
+    assert(out((1L, "2024-01-01 12:00:00")) == ((3L, 1L, false)))
+  }
+
   test("cohort retention counts a user once per week from their signup week on") {
     val events = Seq(
       // user 1 signs up Mon Jan 1 week, active weeks 0 and 2
