@@ -303,7 +303,37 @@ object TextAnalysis {
       .orderBy(col("exact_n").desc, col("token"))
   }
 
+  /** Duplicated-4-gram fraction (q81): the share of a document's
+    * 4-gram occurrences that are repeats of an earlier one —
+    * (occurrences - distinct) / occurrences. The Gopher-family
+    * intra-document repetition gate at n-gram granularity,
+    * complementing q62's top-bigram concentration (a doc can pass
+    * q62 with no single dominant bigram yet still be a loop of
+    * longer phrases). Same discipline as every text score: 4-grams
+    * hash to int64 inside the projection, counts are exact ints, the
+    * single division comes last; the whole score is a per-row
+    * codegen expression — no explode, no shuffle (distinct-ness is
+    * WITHIN the row's own array). */
+  val dupgramFraction: Q = (s, d) => {
+    val keep = 0.3
+    val toksCol = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toksCol.as("toks"))
+      .select(col("doc_id"),
+        transform(sequence(lit(1), greatest(size(col("toks")) - 3, lit(1))),
+          i => xxhash64((0 until 4).map(o =>
+            coalesce(element_at(col("toks"), i + o), lit(""))): _*)).as("g4"))
+      .select(col("doc_id"),
+        size(col("g4")).as("n_grams"),
+        size(array_distinct(col("g4"))).as("n_distinct"))
+      .withColumn("dup_frac",
+        (col("n_grams") - col("n_distinct")).cast(DoubleType) / col("n_grams"))
+      .withColumn("keep", col("n_grams") < 8 || col("dup_frac") < keep)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q81_dupgram_fraction" -> dupgramFraction,
     "q79_cms_heavy_hitters" -> cmsHeavyHitters,
     "q73_length_histogram" -> lengthHistogram,
     "q20_token_stats" -> tokenStats,
@@ -323,6 +353,23 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // string 4-grams on the oracle side vs hashed on the Spark side:
+    // only the per-row occurrence/distinct COUNTS are compared, equal
+    // modulo the standing 2^-64 xxhash64 collision approximation
+    "q81_dupgram_fraction" ->
+      s"""SELECT doc_id,
+         |  CAST(len(g) AS INTEGER) AS n_grams,
+         |  CAST(len(list_distinct(g)) AS INTEGER) AS n_distinct,
+         |  CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g) AS dup_frac,
+         |  (len(g) < 8 OR
+         |   CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g) < 0.3) AS keep
+         |FROM (
+         |  SELECT doc_id,
+         |    [array_to_string(list_slice(toks, i, i + 3), ' ')
+         |      FOR i IN range(1, greatest(len(toks) - 3, 1) + 1)] AS g
+         |  FROM (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents)
+         |)
+         |ORDER BY doc_id""".stripMargin,
     "q73_length_histogram" ->
       s"""SELECT source,
          |  CASE WHEN n < 16 THEN '000-015' WHEN n < 32 THEN '016-031'

@@ -72,6 +72,40 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("dupgram fraction separates phrase loops from varied text") {
+    import spark.implicits._
+    val looped = (Seq.fill(6)("one two three four").mkString(" "))
+    val varied = (1 to 24).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, looped), (2L, varied), (3L, "too short")).toDF("doc_id", "text")
+    // replay the registered expression chain on the synthetic frame
+    val out = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(sequence(lit(1), greatest(size(col("toks")) - 3, lit(1))),
+          i => xxhash64((0 until 4).map(o =>
+            coalesce(element_at(col("toks"), i + o), lit(""))): _*)).as("g4"))
+      .select(col("doc_id"), size(col("g4")).as("n"),
+        size(array_distinct(col("g4"))).as("d"))
+      .withColumn("frac", (col("n") - col("d")).cast("double") / col("n"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2),
+        r.getAs[Double]("frac"))).toMap
+    // 24 tokens looping a 4-token phrase: 21 grams, only 4 distinct
+    assert(out(1L) == ((21, 4, 17.0 / 21)))
+    // varied text repeats nothing
+    assert(out(2L)._3 == 0.0)
+    // degenerate short doc: single padded gram, trivially unique
+    assert(out(3L) == ((1, 1, 0.0)))
+    // and the registered query gates on the same arithmetic
+    val real = TextAnalysis.dupgramFraction(spark, sf).collect()
+    assert(real.length == graft.Tables.documents(spark, sf).count())
+    real.foreach { r =>
+      val frac = r.getAs[Double]("dup_frac")
+      assert(frac >= 0.0 && frac < 1.0)
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Int]("n_grams") < 8 || frac < 0.3))
+    }
+  }
+
   test("CMS heavy hitters: one-sided error bounds hold against exact counts") {
     val rows = TextAnalysis.cmsHeavyHitters(spark, sf).collect()
     assert(rows.length == 20)
