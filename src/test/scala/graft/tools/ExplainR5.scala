@@ -19,7 +19,10 @@ object ExplainR5 {
     val names = Seq("q67_boilerplate_removal", "q67b_boilerplate_top",
       "q67c_boilerplate_incremental", "q68_tokenizer_fertility",
       "q69_document_chunks", "q70_token_budget_selection",
-      "q71_semantic_dedup", "q72_novel_bigram_rate", "q73_length_histogram")
+      "q71_semantic_dedup", "q72_novel_bigram_rate", "q73_length_histogram",
+      "q74_stratified_sample", "q75_metadata_audit", "q76_quality_topk",
+      "q77_event_funnel", "q78_cohort_retention", "q79_cms_heavy_hitters",
+      "q80_error_bursts", "q81_dupgram_fraction")
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, dir)
       df.collect() // force AQE final plan
