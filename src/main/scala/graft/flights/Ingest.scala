@@ -182,7 +182,9 @@ class FlightIngest(spark: SparkSession, root: String) {
     // fresh first-load of the replacement cannot double-count.
     val resume = readInflight().filter { m =>
       val fits = m.off == off && m.end > off && m.end <= lineCount - 1
-      val alive = fits && m.headHash == extentHeadHash(csvPath, m.off)
+      // legacy (3-field) markers carry no fingerprint — forall passes
+      // them on the fits check alone, the pre-fingerprint behavior
+      val alive = fits && m.headHash.forall(_ == extentHeadHash(csvPath, m.off))
       if (fits && !alive) { dropUncommittedStaging(m.seq); clearInflight() }
       alive
     }
@@ -197,7 +199,7 @@ class FlightIngest(spark: SparkSession, root: String) {
     // marker then reads as fresh-batch and a new seq would duplicate
     // the extent's rows beside the orphaned partition)
     if (resume.isEmpty)
-      writeInflight(Inflight(seq, off, end, extentHeadHash(csvPath, off)))
+      writeInflight(Inflight(seq, off, end, Some(extentHeadHash(csvPath, off))))
 
     // I-5: header-aware resume — skip data rows outside [off, end) in
     // file order. zipWithIndex preserves file order for a single CSV
@@ -262,7 +264,14 @@ class FlightIngest(spark: SparkSession, root: String) {
 
   // ---- intent-marker state -------------------------------------------
 
-  private case class Inflight(seq: Long, off: Long, end: Long, headHash: Long)
+  /** `headHash` is None for a LEGACY marker (the pre-fingerprint
+    * 3-field format): it still pins its extent and resumes under its
+    * original seq — parsing it as "no marker" would let a new seq
+    * re-cover the extent beside the orphaned staging partition, the
+    * exact duplication the marker exists to prevent — but the
+    * content-fingerprint check is skipped (the data to verify against
+    * was never recorded). */
+  private case class Inflight(seq: Long, off: Long, end: Long, headHash: Option[Long])
 
   /** Content fingerprint of the first data line of the extent starting
     * at data-row offset `off` — file line `off + 1` (line 0 is the
@@ -303,7 +312,9 @@ class FlightIngest(spark: SparkSession, root: String) {
     else new String(Files.readAllBytes(inflightPath), StandardCharsets.UTF_8)
       .trim.split(':') match {
         case Array(s, o, e, h) =>
-          Some(Inflight(s.toLong, o.toLong, e.toLong, h.toLong))
+          Some(Inflight(s.toLong, o.toLong, e.toLong, Some(h.toLong)))
+        case Array(s, o, e) => // legacy pre-fingerprint marker: resume
+          Some(Inflight(s.toLong, o.toLong, e.toLong, None))
         case _ => None // torn marker write: treat as absent (fresh batch)
       }
 
@@ -314,7 +325,7 @@ class FlightIngest(spark: SparkSession, root: String) {
     Files.createDirectories(inflightPath.getParent)
     val tmp = inflightPath.resolveSibling(inflightPath.getFileName.toString + ".tmp")
     Files.write(tmp,
-      s"${m.seq}:${m.off}:${m.end}:${m.headHash}".getBytes(StandardCharsets.UTF_8))
+      s"${m.seq}:${m.off}:${m.end}:${m.headHash.getOrElse(0L)}".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, inflightPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -35,6 +35,12 @@ object Aggregators {
     require(depth > 0 && width > 0)
     override def zero: Array[Long] = new Array[Long](depth * width)
     override def reduce(b: Array[Long], idx: Seq[Int]): Array[Long] = {
+      // fail loudly on build/probe drift: a caller whose array(...)
+      // arity differs from this aggregator's depth would otherwise
+      // throw IndexOutOfBounds per row (short) or silently drop hash
+      // functions (long)
+      require(idx.length == depth,
+        s"CountMinSketch: caller passed ${idx.length} bucket indices, aggregator depth is $depth")
       var r = 0
       while (r < depth) { b(r * width + idx(r)) += 1L; r += 1 }
       b

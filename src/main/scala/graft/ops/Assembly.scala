@@ -429,6 +429,10 @@ object Assembly {
     * deterministic dump and would be dropped in production. */
   val documentChunks: Q = (s, d) =>
     Tables.documents(s, d)
+      // null text => no chunks (size(toks) = -1 would make
+      // sequence(0, -1) descend and emit two spurious rows; the
+      // DuckDB twin's range(0, ...) emits none)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         posexplode(transform(
@@ -485,31 +489,57 @@ object Assembly {
     * Shape: bigrams are hashed to int64 BEFORE the explode (q62's
     * rule — shuffles carry (doc_id, long)); the train side collapses
     * to a DISTINCT hash set and the eval side left-joins it — all
-    * id-only exchanges. The corpus is scanned twice (train-set build
-    * + eval scoring); at 100 TB the train bigram set is a persisted
-    * artifact maintained per ingest round (the [[NearDupIndexStore]]
-    * lifecycle), making the steady-state cost O(eval). */
-  def novelBigramScores(docs: DataFrame): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
+    * id-only exchanges. The train set is a PERSISTED artifact
+    * ([[TrainBigramStore]], VERDICT r5 #3): committed once per (JVM,
+    * corpus content) via the [[ScratchStores]] lifecycle and appended
+    * per ingest round in a real pipeline, so the steady-state cost is
+    * O(eval) — only the eval side scans the corpus; the train side is
+    * a parquet read of int64 hashes. */
+  private[ops] def bigramHashes(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = TextAnalysis.tokens(text)
     val idx = sequence(lit(1), greatest(size(toks) - 1, lit(1)))
-    val bigrams = transform(idx,
-      i => xxhash64(array_join(slice(toks, i, lit(2)), " ")))
-    val bg = docs
-      .select(col("doc_id"), splitColumn(col("doc_id")).as("split"),
-        explode(bigrams).as("bg"))
-    val trainSet = bg.filter(col("split") === "train")
-      .select(col("bg")).distinct().withColumn("_known", lit(1L))
-    bg.filter(col("split") =!= "train")
-      .join(trainSet, Seq("bg"), "left")
+    transform(idx, i => xxhash64(array_join(slice(toks, i, lit(2)), " ")))
+  }
+
+  /** Score every non-train doc against a GIVEN known-bigram set. */
+  private def scoreNonTrain(docs: DataFrame, trainSet: DataFrame): DataFrame =
+    docs.select(col("doc_id"), splitColumn(col("doc_id")).as("split"),
+        explode(bigramHashes(col("text"))).as("bg"))
+      .filter(col("split") =!= "train")
+      .join(trainSet.withColumn("_known", lit(1L)), Seq("bg"), "left")
       .groupBy(col("doc_id"), col("split"))
       .agg(count(lit(1)).as("n_bigrams"),
         coalesce(sum(col("_known")), lit(0L)).as("n_known"))
       .withColumn("novel_rate",
         (col("n_bigrams") - col("n_known")).cast(DoubleType) / col("n_bigrams"))
       .orderBy(col("doc_id"))
+
+  /** Inline (store-free) formulation — the algorithm-equivalence
+    * anchor the spec compares the store-backed q72 against. */
+  def novelBigramScores(docs: DataFrame): DataFrame = {
+    val trainSet = docs.select(splitColumn(col("doc_id")).as("split"),
+        explode(bigramHashes(col("text"))).as("bg"))
+      .filter(col("split") === "train").select(col("bg")).distinct()
+    scoreNonTrain(docs, trainSet)
   }
 
-  val novelBigramRate: Q = (s, d) => novelBigramScores(Tables.documents(s, d))
+  val novelBigramRate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    scoreNonTrain(docs, trainBigramStore(s, d).knownSet())
+  }
+
+  // One stored train-bigram set per (JVM, corpus CONTENT) — round 0
+  // holds ALL train docs' bigrams (q72 scores every eval doc, so no
+  // watermark split here; a real pipeline appends per ingest round).
+  // Caching, fingerprint, and reaping shared via [[ScratchStores]].
+  private def trainBigramStore(s: SparkSession, d: String): TrainBigramStore = {
+    val docs = Tables.documents(s, d)
+    val (key, _) = ScratchStores.corpusKey(docs, d)
+    val path = ScratchStores.pathFor(key, "graft-train-bigrams") { p =>
+      new TrainBigramStore(s, p).appendRound(docs, round = 0L)
+    }
+    new TrainBigramStore(s, path)
+  }
 
   /** Deterministic fixed-size stratified sample (q74): exactly
     * min(k, |stratum|) docs per source, chosen by ranking each
@@ -789,4 +819,46 @@ object Assembly {
          |  max(jaccard) AS max_jaccard, min(train_doc) AS example_train_doc
          |FROM flagged GROUP BY eval_doc, eval_split""".stripMargin,
   )
+}
+
+/** The STORED half of novel-bigram scoring (q72, VERDICT r5 #3): a
+  * persistent parquet artifact of the train split's DISTINCT bigram
+  * hashes `(bg, ingest_round)`, appended once per ingest round with
+  * the same dynamic-partition-overwrite idempotence as
+  * [[NearDupIndexStore]] / [[BoilerplateStore]] (a retried round
+  * replaces its own partial write). Read-side the rounds union to a
+  * distinct set — set union is idempotent, so unlike the boilerplate
+  * COUNTS no doc-disjointness argument is even needed: re-indexed
+  * docs cannot corrupt the set.
+  *
+  * Scale: the artifact is one int64 per distinct train bigram per
+  * round — a small fixed fraction of corpus bytes — and eval scoring
+  * left-joins it on the hash, id-only both sides. Steady state per
+  * round: O(delta) to append, O(eval) to score. */
+class TrainBigramStore(spark: org.apache.spark.sql.SparkSession, val path: String) {
+
+  def exists: Boolean = graft.flights.StarWarehouse.pathExists(spark, path)
+
+  /** Standing per-round rows. */
+  def roundRows: DataFrame = spark.read.parquet(path)
+
+  /** The known-bigram set across committed rounds. `beforeRound`
+    * restricts to rounds strictly below it — the streaming replay
+    * guard (partition pruning makes the bound free). */
+  def knownSet(beforeRound: Option[Long] = None): DataFrame =
+    beforeRound.foldLeft(roundRows)((df, r) =>
+        df.filter(col("ingest_round") < r))
+      .select(col("bg")).distinct()
+
+  /** Index `docs`' TRAIN rows and commit their distinct bigram hashes
+    * as ingest round `round` — idempotent under retry. */
+  def appendRound(docs: DataFrame, round: Long): Unit =
+    docs.select(Assembly.splitColumn(col("doc_id")).as("split"),
+        explode(Assembly.bigramHashes(col("text"))).as("bg"))
+      .filter(col("split") === "train")
+      .select(col("bg")).distinct()
+      .withColumn("ingest_round", lit(round))
+      .write.partitionBy("ingest_round")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
 }

@@ -50,9 +50,14 @@ object Boilerplate {
 
   /** (doc_id, pos, block): the non-overlapping block view of the
     * corpus. Token array becomes an attribute before the lambda
-    * consumes it (expression-in-lambda re-evaluates per element). */
+    * consumes it (expression-in-lambda re-evaluates per element).
+    * Null-text docs emit NO blocks: without the filter, size(toks)
+    * is -1 (ANSI off) and sequence(0, -1) is the DESCENDING [0, -1]
+    * — two spurious null-block rows the DuckDB twin (range(0, ...))
+    * never produces. */
   private def blockView(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), expr(s"(size(toks) + ${blockTokens - 1}) div $blockTokens - 1")),
@@ -96,18 +101,91 @@ object Boilerplate {
     removeBoilerplate(Tables.documents(s, d)).orderBy(col("doc_id"))
 
   /** q67b: the template blocks themselves, widest-spread first — the
-    * audit view a curator reads before trusting the cut. Grouped on
-    * the block STRING here (the output is the text; this is a
-    * top-k over the frequency table, not a corpus-sized shuffle). */
+    * audit view a curator reads before trusting the cut.
+    *
+    * Plan shape (the exchanges carry ids, never corpus text):
+    *   1. frequency table keyed on bhash — the same id-only hash agg
+    *      as q67's count pass ((bhash, doc_id) through the shuffle).
+    *   2. boundary threshold: the k-th largest n_docs, found by a
+    *      TakeOrdered over id rows. Every row of the TRUE top-k under
+    *      the (n_docs DESC, block ASC) output order has n_docs >= that
+    *      threshold, so filtering to it yields an exact superset
+    *      (~k rows + boundary ties) independent of string order.
+    *   3. strings for just that superset: re-scan the corpus under a
+    *      BROADCAST semi-join on the candidate hashes (the corpus side
+    *      never shuffles; first() map-side-combines to <= |candidates|
+    *      rows per partition before its exchange).
+    * Two corpus scans instead of one, but the only strings that ever
+    * cross an exchange are the <= k + ties winners. */
   val boilerplateTop: Q = (s, d) => {
     val k = 20
-    blockView(Tables.documents(s, d))
-      .groupBy(col("block"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"))
-      .filter(col("n_docs") >= minDocs)
+    val f = Dedup.persistSketch(
+      hashedBlockView(Tables.documents(s, d))
+        .groupBy(col("bhash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= minDocs))
+    f.count() // eager: two subtrees below — lazy persist would race
+    val thr = f.orderBy(col("n_docs").desc).limit(k)
+      .agg(min(col("n_docs")).as("thr"))
+    val cand = f.join(broadcast(thr), col("n_docs") >= col("thr")).drop("thr")
+    val strings = hashedBlockView(Tables.documents(s, d))
+      .join(broadcast(cand.select(col("bhash"))), Seq("bhash"))
+      .groupBy(col("bhash")).agg(first(col("block")).as("block"))
+    cand.join(strings, Seq("bhash"))
+      .select(col("block"), col("n_docs"), col("n_occurrences"))
       .orderBy(col("n_docs").desc, col("block"))
       .limit(k)
+  }
+
+  /** Cut quality as DATA (q67d, VERDICT r5 #1) — the q34c pattern
+    * applied to boilerplate removal: plant template families with
+    * KNOWN extent, run the cut on the augmented corpus, and record
+    * per-family recall (planted template blocks actually removed) and
+    * over-cut (planted content blocks wrongly removed) every round,
+    * so a plan change that degrades the cut surfaces as a changed
+    * number in the correctness gate, not as a silently passing spec.
+    *
+    * The plant is pure column arithmetic, so both engines replay it
+    * bit-identically and the row sits under a FULL DuckDB oracle:
+    * every corpus doc with doc_id % 41 == 0 seeds one planted doc
+    * (id offset by 10^7, clear of real ids) whose text is one of
+    * three family TEMPLATE blocks (8 synthetic tokens carrying the
+    * family number — shared across the family, so its corpus
+    * frequency is the family size >= minDocs => truth: must be cut)
+    * followed by 16 FILLER tokens salted with the planted doc's own
+    * id (two globally-unique blocks => truth: must survive). Healthy
+    * output is recall 1.0 / over-cut 0.0 per family — the operator is
+    * exact, so any other number is a cut regression (hash collision
+    * handling, null semantics, positional rebuild).
+    *
+    * Scale: the plant is a filter + projection riding the corpus
+    * scan (~2.4% extra rows); the audit join broadcasts the planted
+    * id->family map. */
+  val boilerplateRecall: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val sampled = docs.filter(pmod(col("doc_id"), lit(41)) === 0)
+      .select(col("doc_id"), pmod(expr("doc_id div 41"), lit(3)).as("family"))
+    val template = array_join(transform(sequence(lit(0), lit(blockTokens - 1)),
+      i => concat(lit("q67dtpl"), col("family"), lit("x"), i)), " ")
+    val filler = array_join(transform(sequence(lit(0), lit(2 * blockTokens - 1)),
+      i => concat(lit("q67dfill"), col("doc_id"), lit("x"), i)), " ")
+    val planted = sampled.select((col("doc_id") + 10000000L).as("doc_id"),
+      concat(template, lit(" "), filler).as("text"), col("family"))
+    val cut = removeBoilerplate(docs.unionByName(planted.drop("family")))
+    cut.join(broadcast(planted.select(col("doc_id"), col("family"))), Seq("doc_id"))
+      .select(col("family"),
+        when(instr(col("cleaned_text"), "q67dtpl") === 0, 1L).otherwise(0L).as("tpl_cut"),
+        col("n_removed"))
+      .groupBy(col("family"))
+      .agg(count(lit(1)).as("n_planted"),
+        sum(col("tpl_cut")).as("n_template_cut"),
+        sum(col("n_removed") - col("tpl_cut")).as("n_filler_cut"))
+      .withColumn("template_recall",
+        round(col("n_template_cut").cast("double") / col("n_planted"), 6))
+      .withColumn("overcut_rate",
+        round(col("n_filler_cut").cast("double") / (col("n_planted") * 2), 6))
+      .orderBy(col("family"))
   }
 
   /** Incremental boilerplate cut (q67c): clean an ingest DELTA
@@ -147,6 +225,7 @@ object Boilerplate {
     "q67_boilerplate_removal" -> boilerplateRemoval,
     "q67b_boilerplate_top" -> boilerplateTop,
     "q67c_boilerplate_incremental" -> boilerplateIncremental,
+    "q67d_boilerplate_recall" -> boilerplateRecall,
   )
 
   import TextAnalysis.sqlToks
@@ -154,12 +233,14 @@ object Boilerplate {
   // DuckDB replays blocks via zipped unnest (range + list_transform
   // align positionally) and groups on the block STRING — equivalent
   // to the Spark side's hashed grouping modulo xxhash64 collisions.
-  private def sqlBlocks =
+  private def sqlBlocksFrom(rel: String) =
     s"""SELECT doc_id,
        |    unnest(range(0, (len(t) + ${blockTokens - 1}) // $blockTokens)) AS pos,
        |    unnest(list_transform(range(0, (len(t) + ${blockTokens - 1}) // $blockTokens),
        |      i -> array_to_string(t[i * $blockTokens + 1 : i * $blockTokens + $blockTokens], ' '))) AS block
-       |  FROM (SELECT doc_id, ${sqlToks("text")} AS t FROM documents)""".stripMargin
+       |  FROM (SELECT doc_id, ${sqlToks("text")} AS t FROM $rel)""".stripMargin
+
+  private def sqlBlocks = sqlBlocksFrom("documents")
 
   val oracle: Map[String, String] = Map(
     "q67_boilerplate_removal" ->
@@ -183,6 +264,45 @@ object Boilerplate {
          |FROM blocks GROUP BY block
          |HAVING count(DISTINCT doc_id) >= $minDocs
          |ORDER BY n_docs DESC, block LIMIT 20""".stripMargin,
+    // same deterministic plant (pure integer/string arithmetic), same
+    // cut definition as q67, rolled up per family — NOTE the filler
+    // salt is the ORIGINAL doc_id (the Spark projection builds filler
+    // before the id offset is applied)
+    "q67d_boilerplate_recall" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id + 10000000 AS doc_id,
+         |    (doc_id // 41) % 3 AS family,
+         |    array_to_string(list_transform(range(0, $blockTokens), i ->
+         |      'q67dtpl' || CAST((doc_id // 41) % 3 AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ')
+         |    || ' ' ||
+         |    array_to_string(list_transform(range(0, ${2 * blockTokens}), i ->
+         |      'q67dfill' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ') AS text
+         |  FROM documents WHERE doc_id % 41 = 0
+         |), aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM planted
+         |), blocks AS (
+         |  ${sqlBlocksFrom("aug")}
+         |), freqs AS (
+         |  SELECT block, count(DISTINCT doc_id) AS n_docs FROM blocks GROUP BY block
+         |), cutout AS (
+         |  SELECT b.doc_id,
+         |    CAST(sum(CASE WHEN f.n_docs >= $minDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |    coalesce(string_agg(CASE WHEN f.n_docs < $minDocs THEN b.block END, ' ' ORDER BY b.pos), '') AS cleaned_text
+         |  FROM blocks b JOIN freqs f USING (block)
+         |  GROUP BY b.doc_id
+         |), audit AS (
+         |  SELECT p.family,
+         |    CASE WHEN instr(c.cleaned_text, 'q67dtpl') = 0 THEN 1 ELSE 0 END AS tpl_cut,
+         |    c.n_removed
+         |  FROM cutout c JOIN planted p USING (doc_id)
+         |)
+         |SELECT family, count(*) AS n_planted,
+         |  CAST(sum(tpl_cut) AS BIGINT) AS n_template_cut,
+         |  CAST(sum(n_removed - tpl_cut) AS BIGINT) AS n_filler_cut,
+         |  round(CAST(sum(tpl_cut) AS DOUBLE) / count(*), 6) AS template_recall,
+         |  round(CAST(sum(n_removed - tpl_cut) AS DOUBLE) / (count(*) * 2), 6) AS overcut_rate
+         |FROM audit GROUP BY family ORDER BY family""".stripMargin,
     // stored-counts + delta-counts == full-corpus counts (rounds are
     // doc-disjoint), so the incremental cut is exactly the batch cut
     // restricted to delta rows — same SQL, watermark filter added

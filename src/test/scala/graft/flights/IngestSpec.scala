@@ -114,6 +114,42 @@ class IngestSpec extends SparkTestBase {
     Validation.validate(Validation.Counts(source = 64, staging = ing.staging.count(), fact = 64))
   }
 
+  test("legacy 3-field marker resumes under its original seq (ADVICE r5)") {
+    // The marker format grew a 4th field (headHash) in r4. A crash
+    // that straddles the upgrade leaves a 3-FIELD marker; parsing it
+    // as "torn — fresh batch" lets a new seq re-cover the extent
+    // beside the orphaned staging partition, duplicating rows — the
+    // exact hazard the marker exists to prevent. The legacy arm must
+    // resume it (fingerprint check skipped: never recorded).
+    val root = tmpDir("ingest")
+    val csv = s"$root/flights.csv"
+    Files.copy(Paths.get(resource("flights_small.csv")), Paths.get(csv),
+      StandardCopyOption.REPLACE_EXISTING)
+    val ing = new FlightIngest(spark, root)
+    ing.ingest(csv)
+    val distinct = new java.util.ArrayList[String](new java.util.LinkedHashSet[String](
+      Files.readAllLines(Paths.get(resource("flights_append.csv")))))
+    Files.write(Paths.get(csv), distinct) // header + 64 data rows
+    val crashing = new FlightIngest(spark, root) {
+      override protected def afterStagingWrite(): Unit =
+        throw new RuntimeException("injected crash: staging committed, ledger lost")
+    }
+    intercept[RuntimeException](crashing.ingest(csv))
+    // downgrade the crashed batch's marker to the pre-upgrade format
+    val marker = Paths.get(s"$root/state/flight_inflight")
+    val legacy = new String(Files.readAllBytes(marker)).split(':').take(3).mkString(":")
+    Files.write(marker, legacy.getBytes)
+    assert(ing.staging.count() == 64 && ing.ledger.count() == 49)
+    val r = ing.ingest(csv)
+    // resumed under the crashed seq: partition overwrite, no duplicates
+    assert(r.rowsLoaded == 15 && r.newOffset == 64)
+    assert(ing.staging.count() == 64,
+      "legacy marker read as fresh batch — extent duplicated beside the orphan")
+    assert(ing.ledger.count() == 64)
+    Validation.validate(Validation.Counts(
+      source = 64, staging = ing.staging.count(), fact = 64))
+  }
+
   test("first-load crash after ledger write + file growth: staged rows survive the retry") {
     // VERDICT r3 #3, window (b): with off==0 and a non-empty ledger,
     // the old retry rebuilt staging from the fresh (new-tail) rows

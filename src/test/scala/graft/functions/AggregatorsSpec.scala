@@ -30,4 +30,14 @@ class AggregatorsSpec extends SparkTestBase {
       .groupByKey(_ => 0).agg(Aggregators.WeightedAvg.toColumn).collect()
     assert(result.head._2.isNaN)
   }
+
+  test("CountMinSketch rejects index arrays whose arity drifts from its depth (ADVICE r5)") {
+    // a short row would throw IndexOutOfBounds per row; a long one
+    // would silently drop hash functions — both must fail loudly
+    val cms = new CountMinSketch(depth = 4, width = 16)
+    val ok = cms.reduce(cms.zero, Seq(1, 2, 3, 4))
+    assert(ok.sum == 4L)
+    intercept[IllegalArgumentException](cms.reduce(cms.zero, Seq(1, 2, 3)))
+    intercept[IllegalArgumentException](cms.reduce(cms.zero, Seq(1, 2, 3, 4, 5)))
+  }
 }

@@ -49,6 +49,68 @@ class AssemblySpec extends SparkTestBase {
         col("n") - col("chunk_idx") * Assembly.chunkStride)).count() == 0)
   }
 
+  test("q72 train-bigram store: rounds union as a set and a retried round replaces its partition") {
+    val path = tmpDir("bigram-store") + "/bg"
+    val r0 = Seq((8L, "alpha beta gamma"), (16L, "beta gamma delta"))
+      .toDF("doc_id", "text") // ids chosen in the train split
+    val r1 = Seq((24L, "alpha beta epsilon")).toDF("doc_id", "text")
+    val store = new TrainBigramStore(spark, path)
+    store.appendRound(r0, 0L)
+    store.appendRound(r1, 1L)
+    val direct = r0.unionByName(r1)
+      .select(Assembly.splitColumn(col("doc_id")).as("split"),
+        explode(Assembly.bigramHashes(col("text"))).as("bg"))
+      .filter(col("split") === "train")
+      .select("bg").distinct().as[Long].collect().toSet
+    assert(direct.nonEmpty, "fixture ids must land in the train split")
+    def known = store.knownSet().as[Long].collect().toSet
+    assert(known == direct, "summed round sets differ from the batch set")
+    store.appendRound(r1, 1L) // re-delivered round
+    assert(known == direct, "retried round corrupted the set")
+  }
+
+  test("q72 store-backed result equals the inline recompute formulation") {
+    val docs = graft.Tables.documents(spark, sf)
+    val inline = Assembly.novelBigramScores(docs).collect().map(_.toSeq)
+    val stored = Assembly.novelBigramRate(spark, sf).collect().map(_.toSeq)
+    assert(stored.length == inline.length && stored.sameElements(inline),
+      "store-backed q72 diverges from the inline definition")
+  }
+
+  test("q72 steady-state plan scans eval docs + the stored set only (VERDICT r5 #3)") {
+    Assembly.novelBigramRate(spark, sf).collect() // warm: store committed
+    val plan = Assembly.novelBigramRate(spark, sf) // steady-state invocation
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    var scans = List.empty[String]
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec        => walk(q.plan)
+      case r: ReusedExchangeExec    => walk(r.child)
+      case s: FileSourceScanExec =>
+        scans ::= s.relation.location.rootPaths.map(_.toString).mkString(",")
+      case other => other.children.foreach(walk)
+    }
+    walk(plan.queryExecution.executedPlan)
+    assert(scans.count(_.contains("documents.parquet")) == 1,
+      s"train side re-scanned the corpus instead of the stored set: $scans")
+    assert(scans.exists(_.contains("graft-train-bigrams")),
+      s"stored train-bigram set not in the plan: $scans")
+  }
+
+  test("document chunks: null-text docs emit no chunks (ADVICE r5)") {
+    // without the isNotNull guard, size(toks) = -1 makes sequence(0, -1)
+    // the descending [0, -1] — two spurious rows with null chunk_text
+    val dir = tmpDir("chunks-null")
+    Seq((1L, "alpha beta gamma"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Assembly.documentChunks(spark, dir)
+    assert(out.filter(col("doc_id") === 2L).count() == 0)
+    assert(out.count() == 1)
+    assert(out.filter(col("chunk_text").isNull).count() == 0)
+  }
+
   test("token-budget selection is a per-source prefix that fits the budget") {
     val rows = Assembly.tokenBudgetSelection(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),

@@ -116,4 +116,73 @@ class BoilerplateSpec extends SparkTestBase {
     assert(nd == nd.sorted.reverse, "not ranked by doc frequency")
     assert(top.forall(r => r.getAs[Long]("n_occurrences") >= r.getAs[Long]("n_docs")))
   }
+
+  test("q67d recall audit: planted templates cut (recall 1.0), unique filler kept (over-cut 0.0)") {
+    val rows = Boilerplate.boilerplateRecall(spark, sf).collect()
+    assert(rows.length == 3, "expected all three planted families")
+    rows.foreach { r =>
+      // each family must have >= minDocs members or its template
+      // would legitimately survive and the audit proves nothing
+      assert(r.getAs[Long]("n_planted") >= Boilerplate.minDocs,
+        s"family ${r.getAs[Long]("family")} too small to plant")
+      assert(r.getAs[Double]("template_recall") == 1.0,
+        s"cut missed planted templates: $r")
+      assert(r.getAs[Double]("overcut_rate") == 0.0,
+        s"cut removed unique planted content: $r")
+      assert(r.getAs[Long]("n_template_cut") == r.getAs[Long]("n_planted"))
+      assert(r.getAs[Long]("n_filler_cut") == 0L)
+    }
+  }
+
+  test("null-text docs emit no blocks and no output rows (ADVICE r5)") {
+    // without the isNotNull guard, size(toks) = -1 makes
+    // sequence(0, -1) the DESCENDING [0, -1] — two spurious rows the
+    // DuckDB oracle never produces
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    assert(Boilerplate.hashedBlockView(docs)
+      .filter(col("doc_id") === 3L).count() == 0)
+    val out = Boilerplate.removeBoilerplate(docs)
+    assert(out.filter(col("doc_id") === 3L).count() == 0)
+    assert(out.count() == 2)
+  }
+
+  test("top-k is tie-exact: boundary ties resolve by block string, not hash order") {
+    // 25 template blocks ALL tied at n_docs = 2 — more ties than k =
+    // 20, so a top-k taken on hash order would pick a different (and
+    // oracle-divergent) boundary set than the (n_docs DESC, block ASC)
+    // output order. The threshold plan must return the 20
+    // lexicographically-smallest blocks.
+    val templates = (0 until 25).map(i =>
+      f"tpl$i%02d alpha bravo charlie delta echo foxtrot golf")
+    val docs = templates.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i * 2L, t), (i * 2L + 1L, t))
+    }.toDF("doc_id", "text")
+    val dir = tmpDir("boiler-ties")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val top = Boilerplate.boilerplateTop(spark, dir).collect()
+    assert(top.length == 20)
+    assert(top.map(_.getAs[String]("block")).toSeq == templates.sorted.take(20))
+    assert(top.forall(_.getAs[Long]("n_docs") == 2L))
+    assert(top.forall(_.getAs[Long]("n_occurrences") == 2L))
+    Dedup.releaseSketchCaches()
+  }
+
+  test("top-k plan never exchanges on the block string (VERDICT r5 #2)") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = Boilerplate.boilerplateTop(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the frequency agg must partition on the hash, not the string
+    val stringExchange = plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("block#"))
+    assert(!stringExchange,
+      s"block-string exchange present — top-k not id-keyed:\n$plan")
+    // and the candidate hash set reaches the string scan as a broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate-hash join is not a broadcast:\n$plan")
+    Dedup.releaseSketchCaches()
+  }
 }
