@@ -521,8 +521,39 @@ object Dedup {
       .unionByName(tierRow("simhash_hamming", col("true_hamming") <= 3,
         simhashNearDupsCore(repTh, members, 3)))
       .unionByName(tierRow("ngram_blocked", col("true_jaccard") >= 0.5,
-        ngramJaccardBlocked(s, d).filter(col("jaccard") >= 0.5)))
+        ngramBlockedCore(repTh, members, 0.5)))
       .orderBy(col("tier"))
+  }
+
+  /** The blocked n-gram tier re-derived from the SHARED rep
+    * token-hash frame (VERDICT r5 #5) — q36's pair semantics (exact
+    * shingle Jaccard within first-4-token blocks) without the third
+    * corpus scan + tokenization the audit used to pay for it. Two
+    * deliberate, equivalence-preserving substitutions vs
+    * [[ngramJaccardBlocked]]: the block key is xxhash64 of the first
+    * four token HASHES instead of md5 of the token strings (key
+    * equality coincides modulo the same 2^-64 collision budget every
+    * hashed tier accepts), and identical-text documents pair through
+    * the members expansion at their true Jaccard of 1.0 instead of
+    * re-verifying — the collapse-invariance argument the minhash tier
+    * documents. The found-SET is therefore the q36 set; q36 itself
+    * stays string-keyed under its DuckDB oracle. */
+  private def ngramBlockedCore(repTh: DataFrame, members: DataFrame,
+                               threshold: Double): DataFrame = {
+    val idx = repTh.select(col("thash"), col("doc_id"),
+      xxhash64(slice(col("th"), 1, 4)).as("fp"),
+      shinglesFromTokenHashes(col("th")).as("sh"))
+    val repPairs = idx.select(col("fp"), col("doc_id").as("doc_a"),
+        col("thash").as("thash_a"), col("sh").as("sh_a"))
+      .join(idx.select(col("fp"), col("doc_id").as("doc_b"),
+        col("thash").as("thash_b"), col("sh").as("sh_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jaccardOf(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("thash_a"), col("thash_b"), col("jaccard"))
+    val cross = expandPairs(repPairs, members, Seq("jaccard"))
+    val within = withinGroupPairs(members).withColumn("jaccard", lit(1.0))
+    if (threshold <= 1.0) cross.unionByName(within) else cross
   }
 
   // ---- n-gram Jaccard (direct, fingerprint-blocked) ------------------

@@ -272,9 +272,48 @@ object Similarity {
       struct((lit(cNorm2) - lit(2.0) * dotD(v, cLit)).as("d"), lit(i).as("cid"))
     }.toIndexedSeq
 
-  /** Nearest-centroid cell id (corpus side). */
+  /** Nearest-centroid cell id (corpus side) — LITERAL form: the whole
+    * argmin is one codegen'd expression riding the scan (zero extra
+    * plan nodes), but each centroid adds k x dim literals to the
+    * generated code, so it is gated at [[literalCentroidCap]] cells;
+    * past that, [[ivfAssignByJoin]] is the same arithmetic without
+    * the ceiling. */
   def ivfAssign(v: Column, centroids: Array[Array[Double]]): Column =
     least(ivfScores(v, centroids): _*).getField("cid")
+
+  /** Cells up to which the literal-centroid assignment is used; above
+    * it the join form takes over (generated-code size grows with
+    * k x dim and hits JVM method limits in the hundreds of cells). */
+  val literalCentroidCap = 64
+
+  /** Nearest-centroid assignment via a broadcast centroid TABLE +
+    * join-based argmin — the scale form with no codegen ceiling
+    * (VERDICT r5 #4). Output is IDENTICAL to [[ivfAssign]] by
+    * construction: the distance is the same expression tree
+    * (cnorm2 - 2 * VecDot, same double-summation order, cnorm2 folded
+    * driver-side with the same left-to-right sum) and the argmin
+    * replicates least()'s lexicographic (d, cid) struct ordering via
+    * min(struct(d, cid)) — same IEEE results, same tiebreak.
+    *
+    * Plan shape: BroadcastNestedLoopJoin fans each vector to k
+    * in-partition rows (pipelined, never materialized), the distance
+    * stays inside codegen (VecDot), a partial min(struct) collapses
+    * the fan-out map-side, and ONE exchange keyed on the id columns
+    * carries (ids, d, cid) — the vectors never shuffle. Returns the
+    * input frame minus `vecCol`, plus `cell`. */
+  def ivfAssignByJoin(df: DataFrame, vecCol: String,
+                      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq, c.map(x => x * x).sum) }.toSeq.toDF("cid", "cvec", "cnorm2")
+    val idCols = df.columns.filter(_ != vecCol).toSeq
+    df.crossJoin(broadcast(cents))
+      .withColumn("d", col("cnorm2") - lit(2.0) * dotD(col(vecCol), col("cvec")))
+      .groupBy(idCols.map(col): _*)
+      .agg(min(struct(col("d"), col("cid"))).as("best"))
+      .select(idCols.map(col) :+ col("best.cid").as("cell"): _*)
+  }
 
   /** The `nprobe` nearest cell ids (query side). */
   def ivfProbes(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
@@ -379,19 +418,23 @@ object Similarity {
     * ids — vectors are re-joined onto surviving pairs only. The cell
     * count ADAPTS to the corpus (the q37 adaptive-resolution rule:
     * fixed granularity at growing n is how cell-local quadratics go
-    * super-linear): ~one cell per 512 vectors, clamped to [16, 64] —
-    * the upper clamp is the literal-centroid codegen budget (each
-    * cell is k x dim literals in the assignment expression; past a
-    * few hundred cells the design hands over to a broadcast centroid
-    * TABLE + join-based argmin, same plan shape). Within the clamp,
-    * membership stays roughly constant as the corpus grows, and the
-    * per-cell cap records exactly when the sizing contract is
-    * violated instead of silently doing quadratic work. */
+    * super-linear): ~one cell per 512 vectors, clamped to [16, 4096].
+    * Assignment picks its form by cell count: up to
+    * [[literalCentroidCap]] cells the argmin is one literal codegen
+    * expression riding the scan; above it, [[ivfAssignByJoin]]'s
+    * broadcast centroid table + join argmin takes over (identical
+    * output, one id-keyed exchange, no codegen ceiling) — so
+    * membership stays roughly constant as the corpus grows all the
+    * way to the 4096 clamp (a ~2M-vector-per-run ceiling at the 512
+    * sizing; past it, shard the centroid table). The per-cell cap
+    * records exactly when the sizing contract is violated instead of
+    * silently doing quadratic work. */
   private[ops] def semanticCells(n: Long): Int =
-    math.max(nCells, math.min(64L, n / 512L).toInt)
+    math.max(nCells, math.min(4096L, n / 512L).toInt)
 
-  def semanticCellPairs(emb: DataFrame): DataFrame = {
-    val centroids = ivfCentroids(emb, "embedding", semanticCells(corpusCount(emb)))
+  def semanticCellPairs(emb: DataFrame, cellsOverride: Option[Int] = None): DataFrame = {
+    val nCellsHere = cellsOverride.getOrElse(semanticCells(corpusCount(emb)))
+    val centroids = ivfCentroids(emb, "embedding", nCellsHere)
     val base = emb.select(col("vec_id"), col("embedding"))
     val hashed = base.withColumn("vhash", xxhash64(col("embedding")))
     val members = hashed.select(col("vhash"), col("vec_id"))
@@ -400,8 +443,14 @@ object Similarity {
     // (vhash, rep id, cell): persisted because both the capped pair
     // join and the within-group cell lookup read it — id-only rows,
     // and re-deriving it would re-run the collapse groupBy per branch
-    val celled = Dedup.persistSketch(reps.select(col("vec_id"), col("vhash"),
-      ivfAssign(col("embedding"), centroids).as("cell")))
+    val assigned =
+      if (centroids.length <= literalCentroidCap)
+        reps.select(col("vec_id"), col("vhash"),
+          ivfAssign(col("embedding"), centroids).as("cell"))
+      else
+        ivfAssignByJoin(reps, "embedding", centroids)
+          .select(col("vec_id"), col("vhash"), col("cell"))
+    val celled = Dedup.persistSketch(assigned)
     val idx = Dedup.capBuckets(celled, Seq("cell"), "vec_id")
     val repPairs = idx.select(col("cell"), col("vec_id").as("ra"), col("vhash").as("vhash_a"))
       .join(idx.select(col("cell"), col("vec_id").as("rb"), col("vhash").as("vhash_b")),
