@@ -34,8 +34,17 @@ class FlightIngest(spark: SparkSession, root: String) {
 
   def stagingPath: String = s"$root/staging"
   def ledgerPath: String  = s"$root/ledger"
-  private def statePath   = Paths.get(s"$root/state/flight_csv_offset")
-  private def inflightPath = Paths.get(s"$root/state/flight_inflight")
+
+  /** Per-FILE state key for the directory form ([[ingestDirectory]]):
+    * the single-file API keeps the reference's singleton state paths
+    * (None), the directory form keys offset + marker by file name so
+    * each file carries its own independent resume contract. Set only
+    * inside ingestDirectory's per-file loop (single-writer, like the
+    * offset state itself). */
+  private var stateKey: Option[String] = None
+  private def keySuffix = stateKey.map("__" + _).getOrElse("")
+  private def statePath   = Paths.get(s"$root/state/flight_csv_offset$keySuffix")
+  private def inflightPath = Paths.get(s"$root/state/flight_inflight$keySuffix")
 
   /** I-2: Airflow `Variable.get("flight_csv_offset", 0)` equivalent. */
   def offset: Long =
@@ -86,8 +95,9 @@ class FlightIngest(spark: SparkSession, root: String) {
     require(files.length == 1,
       s"FlightIngest.ingest requires exactly one CSV file; '$csvPath' resolves to " +
         s"${files.length} files. The row-offset resume contract has no defined " +
-        "order across files — use graft.streaming.StreamingIngest for " +
-        "directories (per-file offsets via the stream checkpoint).")
+        "order across files — use ingestDirectory (per-file offset state, " +
+        "filename order) or graft.streaming.StreamingIngest for directories " +
+        "(per-file offsets via the stream checkpoint).")
   }
 
   /** Batch commit protocol (VERDICT r3 #3 — the streaming path's
@@ -142,6 +152,41 @@ class FlightIngest(spark: SparkSession, root: String) {
       // a resumed batch was pinned to the crashed extent; the file may
       // hold a tail beyond it — drain with a fresh batch
       again = resumed && r.rowsScanned > 0
+    }
+    total
+  }
+
+  /** Directory form (VERDICT r5 #8): every `*.csv` in `dir` runs the
+    * FULL single-file protocol — offset resume, intent marker, growth
+    * drain — under its own per-file state key, in deterministic
+    * FILENAME order. The single-file offset contract is never
+    * stretched across files (the ambiguity [[requireSingleFile]]
+    * rejects): each file has a well-defined row order of its own, and
+    * the ledger/staging/seq are the shared sinks they already are, so
+    * rows duplicated ACROSS files dedup exactly like rows duplicated
+    * across time. Idempotent: a re-run finds every per-file offset at
+    * EOF and early-exits per file. New files between runs simply join
+    * the order (their state starts at 0); correctness never depends
+    * on the order itself — it only makes seq allocation reproducible.
+    * Returns totals; `newOffset` is the LAST file's offset (offsets
+    * are per-file state, not a meaningful sum). */
+  def ingestDirectory(dir: String): IngestResult = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p) && fs.getFileStatus(p).isDirectory,
+      s"ingestDirectory requires a directory; got '$dir'")
+    val files = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".csv"))
+      .sortBy(_.getPath.getName)
+    require(files.nonEmpty, s"no *.csv files under '$dir'")
+    var total = IngestResult(0, 0, 0)
+    files.foreach { f =>
+      stateKey = Some(f.getPath.getName.replaceAll("[^A-Za-z0-9._-]", "_"))
+      try {
+        val r = ingest(f.getPath.toString)
+        total = IngestResult(total.rowsScanned + r.rowsScanned,
+          total.rowsLoaded + r.rowsLoaded, r.newOffset)
+      } finally stateKey = None
     }
     total
   }

@@ -835,12 +835,19 @@ object Assembly {
   * round — a small fixed fraction of corpus bytes — and eval scoring
   * left-joins it on the hash, id-only both sides. Steady state per
   * round: O(delta) to append, O(eval) to score. */
-class TrainBigramStore(spark: org.apache.spark.sql.SparkSession, val path: String) {
+class TrainBigramStore(spark: org.apache.spark.sql.SparkSession, val path: String)
+    extends CompactableRoundStore {
+
+  override protected def storeSpark: org.apache.spark.sql.SparkSession = spark
+  /** The set union is idempotent: the folded partition holds the
+    * distinct bigrams of the folded rounds. */
+  override protected def mergeRounds(rows: DataFrame): DataFrame =
+    rows.select(col("bg")).distinct()
 
   def exists: Boolean = graft.flights.StarWarehouse.pathExists(spark, path)
 
   /** Standing per-round rows. */
-  def roundRows: DataFrame = spark.read.parquet(path)
+  def roundRows: DataFrame = readAll
 
   /** The known-bigram set across committed rounds. `beforeRound`
     * restricts to rounds strictly below it — the streaming replay

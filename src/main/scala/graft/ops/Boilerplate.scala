@@ -337,12 +337,20 @@ object Boilerplate {
   * Scale: the artifact holds one (int64, int64) row per distinct
   * block per round — a small fixed fraction of corpus bytes — and the
   * delta cut reads it once, joined on the delta's own block hashes. */
-class BoilerplateStore(spark: org.apache.spark.sql.SparkSession, val path: String) {
+class BoilerplateStore(spark: org.apache.spark.sql.SparkSession, val path: String)
+    extends CompactableRoundStore {
+
+  override protected def storeSpark: org.apache.spark.sql.SparkSession = spark
+  /** Distinct-doc counts are additive across doc-disjoint rounds, so
+    * the folded partition holds their per-bhash sums — reads
+    * re-aggregate to identical totals. */
+  override protected def mergeRounds(rows: DataFrame): DataFrame =
+    rows.groupBy(col("bhash")).agg(sum(col("n_docs")).as("n_docs"))
 
   def exists: Boolean = graft.flights.StarWarehouse.pathExists(spark, path)
 
   /** Standing per-round rows. */
-  def roundFreqs: DataFrame = spark.read.parquet(path)
+  def roundFreqs: DataFrame = readAll
 
   /** Standing block frequencies summed across committed rounds.
     * `beforeRound` restricts to rounds strictly below it — the

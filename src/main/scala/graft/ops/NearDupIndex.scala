@@ -26,12 +26,18 @@ import org.apache.spark.sql.functions._
   * content-disjoint by doc_id); not needed until round count rivals
   * file-listing cost.
   */
-class NearDupIndexStore(spark: SparkSession, val path: String) {
+class NearDupIndexStore(spark: SparkSession, val path: String)
+    extends CompactableRoundStore {
+
+  override protected def storeSpark: SparkSession = spark
+  /** Index rows are doc-disjoint across rounds, so folding rounds is
+    * the identity on content. */
+  override protected def mergeRounds(rows: DataFrame): DataFrame = rows
 
   def exists: Boolean = graft.flights.StarWarehouse.pathExists(spark, path)
 
   /** The standing index across all committed rounds. */
-  def index: DataFrame = spark.read.parquet(path)
+  def index: DataFrame = readAll
 
   /** Index `docs` (doc_id, text) and commit them as ingest round
     * `round` — idempotent under retry (partition overwrite). */

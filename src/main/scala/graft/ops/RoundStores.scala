@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Compaction for the per-round parquet stores ([[NearDupIndexStore]],
+  * [[BoilerplateStore]], [[TrainBigramStore]]) — VERDICT r5 #7: each
+  * ingest round adds one `ingest_round=N` partition, so after enough
+  * rounds FILE LISTING (not data volume) dominates read cost; compaction
+  * folds all rounds <= `upTo` into the single partition `upTo` whose
+  * content is [[mergeRounds]] of theirs — the identity for row-disjoint
+  * stores (near-dup index), a re-aggregation for additive ones
+  * (boilerplate counts: sums of sums; bigram sets: distinct of unions) —
+  * so every read after compaction is IDENTICAL to one before it.
+  *
+  * Crash safety follows the ingest intent-marker discipline
+  * ([[graft.flights.FlightIngest]]), because "write merged + delete old"
+  * is not atomic:
+  *
+  *   1. merged rows for rounds <= upTo are STAGED to a side dir off the
+  *      read path (`<path>.compact`);
+  *   2. a marker (`<path>.compact_marker`, atomic temp+rename) records
+  *      "staged artifact for <= upTo is COMPLETE" — from this instant
+  *      every read substitutes the side dir for rounds <= upTo, so the
+  *      store never double-counts no matter where the process dies;
+  *   3. partitions <= upTo are deleted;
+  *   4. the staged rows land as partition `upTo` (dynamic overwrite —
+  *      a retry replaces its own partial write);
+  *   5. marker and side dir are removed.
+  *
+  * Crash before 2: marker absent, reads see the untouched store, the
+  * side dir is dead scratch a retry overwrites. Crash after 2: reads
+  * are marker-aware (raw rounds <= upTo ignored in favor of the staged
+  * artifact) and a retried [[compact]] resumes at step 3. A compact
+  * call for a DIFFERENT upTo first finishes the pending one.
+  *
+  * Single-writer contract, like appendRound itself: compaction must not
+  * race a concurrent append (the pipeline runs them from the same
+  * scheduler slot). Compacted rows all surface at round `upTo`, so a
+  * `beforeRound` replay bound is only meaningful ABOVE the compaction
+  * point — compact only rounds the streaming low-watermark has passed.
+  */
+private[ops] trait CompactableRoundStore {
+  protected def storeSpark: SparkSession
+  def path: String
+
+  /** Fold the raw rows of the rounds being compacted into the single
+    * replacement partition's content (must be read-equivalent). */
+  protected def mergeRounds(rows: DataFrame): DataFrame
+
+  private def hadoopPath(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def fs = hadoopPath(path)
+    .getFileSystem(storeSpark.sparkContext.hadoopConfiguration)
+
+  private def sideDir = s"$path.compact"
+  private def markerFile = hadoopPath(s"$path.compact_marker")
+
+  /** The marker's pinned upTo, if a compaction is in flight. */
+  private def pendingUpTo: Option[Long] =
+    if (!fs.exists(markerFile)) None
+    else {
+      val in = fs.open(markerFile)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+
+  private def writeMarker(upTo: Long): Unit = {
+    val tmp = hadoopPath(s"$path.compact_marker.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(upTo.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, markerFile)) {
+      fs.delete(markerFile, false)
+      require(fs.rename(tmp, markerFile), s"cannot commit compaction marker at $markerFile")
+    }
+  }
+
+  /** Marker-aware read of the full store — every public read derives
+    * from this. With a compaction in flight, rounds <= its upTo come
+    * from the STAGED artifact (complete by marker contract); raw
+    * partitions at those rounds are ignored whether or not step 3 got
+    * to them. `ingest_round` is normalized to LONG (partition-column
+    * inference would otherwise type it by value width). */
+  protected def readAll: DataFrame = {
+    def norm(df: DataFrame) =
+      df.withColumn("ingest_round", col("ingest_round").cast("long"))
+    pendingUpTo match {
+      case None => norm(storeSpark.read.parquet(path))
+      case Some(upTo) =>
+        val staged = norm(storeSpark.read.parquet(sideDir))
+        val later = roundPartitions.filter(_ > upTo)
+        // read surviving partitions by dir (basePath keeps the
+        // partition column): the crash window between steps 3 and 4
+        // can leave the store with NO partitions, where a bare
+        // directory read would fail on schema inference
+        if (later.isEmpty) staged
+        else norm(storeSpark.read.option("basePath", path)
+            .parquet(later.map(r => s"$path/ingest_round=$r"): _*))
+          .unionByName(staged)
+    }
+  }
+
+  /** List of committed `ingest_round=` partition values. */
+  private def roundPartitions: Seq[Long] =
+    fs.listStatus(hadoopPath(path)).toSeq.collect {
+      case s if s.isDirectory && s.getPath.getName.startsWith("ingest_round=") =>
+        s.getPath.getName.stripPrefix("ingest_round=").toLong
+    }
+
+  /** Fold every round <= `upTo` into the single partition `upTo`.
+    * Idempotent; resumable after a crash at any step. */
+  def compact(upTo: Long): Unit = {
+    pendingUpTo match {
+      case Some(pending) =>
+        finishPending(pending) // converge the in-flight compaction first
+        if (pending != upTo) compact(upTo)
+      case None =>
+        if (roundPartitions.count(_ <= upTo) <= 1) return // nothing to fold
+        // step 1: stage the merged artifact OFF the read path
+        mergeRounds(readAll.filter(col("ingest_round") <= upTo)
+            .drop("ingest_round"))
+          .withColumn("ingest_round", lit(upTo))
+          .write.mode(SaveMode.Overwrite).parquet(sideDir)
+        // step 2: the commit point — reads switch to the staged rows
+        writeMarker(upTo)
+        finishPending(upTo)
+    }
+  }
+
+  private def finishPending(upTo: Long): Unit = {
+    // step 3: drop the folded partitions
+    roundPartitions.filter(_ <= upTo).foreach { r =>
+      fs.delete(hadoopPath(s"$path/ingest_round=$r"), true)
+    }
+    // step 4: land the staged artifact as partition upTo
+    storeSpark.read.parquet(sideDir)
+      .write.partitionBy("ingest_round")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).parquet(path)
+    // step 5: clear the intent
+    fs.delete(markerFile, false)
+    fs.delete(hadoopPath(sideDir), true)
+  }
+}

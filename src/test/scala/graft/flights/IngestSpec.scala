@@ -278,6 +278,40 @@ class IngestSpec extends SparkTestBase {
     assert(ing.staging.count() == 64 && ing.ledger.count() == 64)
   }
 
+  test("directory ingest: per-file offsets, cross-file dedup, idempotent re-run (VERDICT r5 #8)") {
+    val root = tmpDir("ingest")
+    val dir = s"$root/csvdir"
+    Files.createDirectories(Paths.get(dir))
+    // two files with IDENTICAL rows: the shared ledger must dedup the
+    // second file completely (cross-file dupes == cross-time dupes)
+    Files.copy(Paths.get(resource("flights_small.csv")), Paths.get(s"$dir/a.csv"))
+    Files.copy(Paths.get(resource("flights_small.csv")), Paths.get(s"$dir/b.csv"))
+    val ing = new FlightIngest(spark, root)
+    val r1 = ing.ingestDirectory(dir)
+    assert(r1.rowsScanned == 98 && r1.rowsLoaded == 49)
+    assert(ing.staging.count() == 49 && ing.ledger.count() == 49)
+    // per-file state, singleton path untouched
+    assert(Files.exists(Paths.get(s"$root/state/flight_csv_offset__a.csv")))
+    assert(Files.exists(Paths.get(s"$root/state/flight_csv_offset__b.csv")))
+    assert(!Files.exists(Paths.get(s"$root/state/flight_csv_offset")))
+    // idempotent re-run: every per-file offset is at EOF
+    val r2 = ing.ingestDirectory(dir)
+    assert(r2.rowsScanned == 0 && r2.rowsLoaded == 0)
+    assert(ing.staging.count() == 49)
+    // one file grows in place: only ITS tail is scanned
+    Files.copy(Paths.get(resource("flights_append.csv")), Paths.get(s"$dir/a.csv"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val r3 = ing.ingestDirectory(dir)
+    assert(r3.rowsScanned == 18 && r3.rowsLoaded == 15)
+    assert(ing.staging.count() == 64 && ing.ledger.count() == 64)
+    // a NEW file between runs joins the order with fresh state; its
+    // rows are a subset of the already-ledgered set -> all deduped
+    Files.copy(Paths.get(resource("flights_shrunk.csv")), Paths.get(s"$dir/c.csv"))
+    val r4 = ing.ingestDirectory(dir)
+    assert(r4.rowsScanned == 10 && r4.rowsLoaded == 0)
+    assert(ing.staging.count() == 64)
+  }
+
   test("multi-file directory input is rejected loudly (offset order undefined)") {
     val root = tmpDir("ingest")
     val dir = s"$root/csvdir"
