@@ -148,9 +148,14 @@ object EventTime {
       .withColumn("first_purchase",
         min(when(col("event_type") === "purchase" &&
           col("ts") > col("first_click"), col("ts"))).over(w))
-      .select(col("user_id"), col("first_view"), col("first_click"),
-        col("first_purchase"))
-      .distinct()
+      // one row per user: every row in a user's partition carries the
+      // same three firsts, so keep the first by row_number ON THE SAME
+      // user partition — rides the existing exchange (an in-partition
+      // sort), where distinct() would re-shuffle the 4-column
+      // projection corpus-wide (VERDICT r5 "what's wrong" #3)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_type"))))
+      .filter(col("_rn") === 1)
       .select(col("user_id"),
         date_format(col("first_view"), tsFmt).as("first_view"),
         date_format(col("first_click"), tsFmt).as("first_click"),

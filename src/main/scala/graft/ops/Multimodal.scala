@@ -306,9 +306,122 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ---- image near-dup dedup (perceptual hash) ------------------------
+
+  /** 64-bit average-hash (aHash) of an image: bilinear 8x8
+    * downsample, per-cell luminance, one bit per cell thresholded at
+    * the mean. The classic perceptual fingerprint — re-encoding
+    * (PNG<->JPEG), mild rescaling, and small pixel noise move it a
+    * few bits; unrelated images differ in ~32. Deterministic for a
+    * given JDK, like every codec leg here. */
+  def perceptualHash(img: BufferedImage): Long = {
+    val small = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 8, 8, null)
+    g.dispose()
+    val lum = new Array[Int](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      val rgb = small.getRGB(i % 8, i / 8)
+      lum(i) = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+        114 * (rgb & 0xFF)) / 1000
+      sum += lum(i)
+      i += 1
+    }
+    val mean = sum / 64.0
+    var h = 0L
+    i = 0
+    while (i < 64) { if (lum(i) > mean) h |= (1L << i); i += 1 }
+    h
+  }
+
+  /** (doc_id, phash) for the IMAGE rows — the codec boundary is this
+    * one mapPartitions; everything after is plain int64 columns. */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(r => r.format != "wav").mapPartitions { rows =>
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.media))
+        require(img != null, s"undecodable media for doc ${r.doc_id}")
+        (r.doc_id, perceptualHash(img))
+      }
+    }.toDF("doc_id", "phash")
+  }
+
+  /** Image near-dup PAIRS at Hamming <= `radius` over perceptual
+    * hashes — [[Dedup]]'s simhash tier applied to pixels: identical
+    * hashes collapse to one representative first (n re-posts of one
+    * image are 1 index row, their pairs reconstructed at Hamming 0),
+    * candidates come from the four disjoint 16-bit chunk buckets
+    * (pigeonhole: Hamming <= 3 cannot miss all four; wider radii
+    * trade recall exactly like the text tier), buckets are capped at
+    * [[Dedup.bucketCap]] lowest ids, and every exchange carries
+    * (id, long) — never media bytes. */
+  def imageNearDupPairs(hashes: DataFrame, radius: Int = 3): DataFrame = {
+    val members = hashes.select(col("phash"), col("doc_id"))
+    val reps = hashes.groupBy(col("phash")).agg(min(col("doc_id")).as("doc_id"))
+    val chunks = (0 until 4).map(c => struct(lit(c).as("chunk"),
+      shiftright(col("phash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey")))
+    val idx = Dedup.capBuckets(
+      reps.select(col("doc_id"), col("phash"), explode(array(chunks: _*)).as("tb"))
+        .select(col("doc_id"), col("phash"),
+          col("tb.chunk").as("chunk"), col("tb.ckey").as("ckey")),
+      Seq("chunk", "ckey"), "doc_id")
+    val repPairs = idx.select(col("chunk"), col("ckey"),
+        col("doc_id").as("ra"), col("phash").as("ph_a"))
+      .join(idx.select(col("chunk"), col("ckey"),
+        col("doc_id").as("rb"), col("phash").as("ph_b")), Seq("chunk", "ckey"))
+      .filter(col("ra") < col("rb"))
+      .dropDuplicates("ra", "rb")
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= radius)
+      .select(col("ph_a"), col("ph_b"), col("hamming"))
+    val cross = repPairs
+      .join(members.select(col("phash").as("ph_a"), col("doc_id").as("ma")), Seq("ph_a"))
+      .join(members.select(col("phash").as("ph_b"), col("doc_id").as("mb")), Seq("ph_b"))
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("hamming"))
+    val within = members.select(col("phash"), col("doc_id").as("doc_a"))
+      .join(members.select(col("phash"), col("doc_id").as("doc_b")), Seq("phash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0).cast("int").as("hamming"))
+    cross.unionByName(within)
+  }
+
+  /** Registered (rows-only) query q38c: the image-dedup audit — pair
+    * counts per Hamming band plus the corpus-side totals, the numbers
+    * a curator reads before trusting an image-dedup pass (the q34b
+    * shape for pixels). Bands are STATIC rows so the report has a
+    * fixed 3-row schema on any corpus, including the zero-pair one —
+    * this driver corpus renders unrelated rasters, so zeros here are
+    * the true answer; the planted-truth quality bars live in
+    * MultimodalSpec. */
+  val imageDedupReport: Q = (s, d) => {
+    import s.implicits._
+    val hashes = Dedup.persistSketch(imageHashes(mediaTable(s, d)))
+    hashes.count() // eager: reps + members + count subtrees below race a lazy cache
+    val pairs = imageNearDupPairs(hashes, radius = 6)
+      .withColumn("band",
+        when(col("hamming") === 0, "h0_identical")
+          .when(col("hamming") <= 3, "h1_3_near")
+          .otherwise("h4_6_similar"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+    val bands = Seq("h0_identical", "h1_3_near", "h4_6_similar").toDF("band")
+    bands.join(pairs, Seq("band"), "left")
+      .select(col("band"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .crossJoin(broadcast(hashes.agg(
+        count(lit(1)).as("n_images"),
+        countDistinct(col("phash")).as("n_distinct_hashes"))))
+      .orderBy(col("band"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q38_multimodal_features" -> features, // rows-only: codec path not SQL-expressible
     "q38b_multimodal_thumbnails" -> thumbs, // rows-only: resize leg
+    "q38c_image_phash_dedup" -> imageDedupReport, // rows-only: perceptual-hash audit
   )
 
   val oracle: Map[String, String] = Map.empty

@@ -111,4 +111,74 @@ class MultimodalSpec extends SparkTestBase {
       assert(r.getAs[Int]("frame_bytes") <= 64)
     }
   }
+
+  test("perceptual hash: codec-robust, noise-tolerant, discriminative") {
+    import Multimodal.{Codecs, perceptualHash}
+    def decode(b: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val raster = Codecs.renderImage("the quick brown fox".getBytes("UTF-8"), 40, 30)
+    val pngHash = perceptualHash(decode(Codecs.encodeImage(raster, "png")))
+    // JPEG re-encode of the SAME raster stays in the similar band
+    val jpegHash = perceptualHash(decode(Codecs.encodeImage(raster, "jpeg")))
+    assert(java.lang.Long.bitCount(pngHash ^ jpegHash) <= 6,
+      s"jpeg re-encode moved the hash ${java.lang.Long.bitCount(pngHash ^ jpegHash)} bits")
+    // a few perturbed pixels stay in the near band
+    val noisy = Codecs.renderImage("the quick brown fox".getBytes("UTF-8"), 40, 30)
+    for (i <- 0 until 5) noisy.setRGB(i * 7, i * 5, noisy.getRGB(i * 7, i * 5) ^ 0x0F0F0F)
+    val noisyHash = perceptualHash(decode(Codecs.encodeImage(noisy, "png")))
+    assert(java.lang.Long.bitCount(pngHash ^ noisyHash) <= 3,
+      s"5 perturbed pixels moved the hash ${java.lang.Long.bitCount(pngHash ^ noisyHash)} bits")
+    // an unrelated raster lands far away
+    val other = Codecs.renderImage("completely different text entirely".getBytes("UTF-8"), 36, 28)
+    val otherHash = perceptualHash(decode(Codecs.encodeImage(other, "png")))
+    assert(java.lang.Long.bitCount(pngHash ^ otherHash) >= 12,
+      s"unrelated image only ${java.lang.Long.bitCount(pngHash ^ otherHash)} bits away")
+  }
+
+  test("image near-dup pairs: planted re-encodes and exact copies found, unrelated not") {
+    import spark.implicits._
+    import Multimodal.{Codecs, MediaRow}
+    val base = Codecs.renderImage("shared source raster for the family".getBytes("UTF-8"), 40, 30)
+    val noisy = Codecs.renderImage("shared source raster for the family".getBytes("UTF-8"), 40, 30)
+    for (i <- 0 until 5) noisy.setRGB(i * 7, i * 5, noisy.getRGB(i * 7, i * 5) ^ 0x0F0F0F)
+    val basePng = Codecs.encodeImage(base, "png")
+    val rows = Seq(
+      MediaRow(1L, "png", 40, 30, basePng),
+      MediaRow(2L, "jpeg", 40, 30, Codecs.encodeImage(base, "jpeg")),
+      MediaRow(3L, "png", 40, 30, Codecs.encodeImage(noisy, "png")),
+      MediaRow(10L, "png", 40, 30, basePng), // byte-identical re-post of 1
+    ) ++ Seq(
+      // genuinely distinct content AND geometry (texts that differ by
+      // one tiled byte at equal dims render near-identical rasters —
+      // a true near-dup the operator would be right to report)
+      (20L, "zebra quartz mosaic", 36), (21L, "seventeen violet umbrellas stacked", 37),
+      (22L, "baking soda volcano experiment run", 38), (23L, "mountain railway timetable appendix", 36),
+      (24L, "jellyfish propulsion dynamics paper", 37), (25L, "cryptographic nonce reuse incident", 38),
+    ).map { case (id, text, w) => MediaRow(id, "png", w, 28,
+      Codecs.encodeImage(Codecs.renderImage(text.getBytes("UTF-8"), w, 28), "png")) }
+    val hashes = Multimodal.imageHashes(rows.toDS())
+    val pairs = Multimodal.imageNearDupPairs(hashes, radius = 6).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Int]("hamming"))
+      .toMap
+    // the family pairs (jpeg re-encode, pixel noise, exact re-post)
+    assert(pairs.contains((1L, 2L)), "jpeg re-encode pair missed")
+    assert(pairs.contains((1L, 3L)), "pixel-noise pair missed")
+    assert(pairs.get((1L, 10L)).contains(0), "byte-identical pair must verify at Hamming 0")
+    // no unrelated image joins the family or pairs with another
+    val unrelated = pairs.keys.filter { case (a, b) => a >= 20 || b >= 20 }
+    assert(unrelated.isEmpty, s"unrelated images paired: $unrelated")
+  }
+
+  test("q38c report: fixed 3-band shape, exact corpus totals") {
+    val report = Multimodal.imageDedupReport(spark, sf).collect()
+    Dedup.releaseSketchCaches()
+    assert(report.map(_.getAs[String]("band")).toSeq ==
+      Seq("h0_identical", "h1_3_near", "h4_6_similar"))
+    val nImages = report.head.getAs[Long]("n_images")
+    // formats cycle by doc_id % 3: two thirds of docs are images
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(nImages == (0L until docs).count(_ % 3 != 2))
+    assert(report.forall(_.getAs[Long]("n_pairs") >= 0))
+    assert(report.head.getAs[Long]("n_distinct_hashes") <= nImages)
+  }
 }
