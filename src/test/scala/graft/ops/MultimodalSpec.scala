@@ -128,6 +128,25 @@ class MultimodalSpec extends SparkTestBase {
     val noisyHash = perceptualHash(decode(Codecs.encodeImage(noisy, "png")))
     assert(java.lang.Long.bitCount(pngHash ^ noisyHash) <= 3,
       s"5 perturbed pixels moved the hash ${java.lang.Long.bitCount(pngHash ^ noisyHash)} bits")
+    // a RESIZED copy (the thumbnail re-post case) stays in the
+    // similar band for images with LOW-FREQUENCY structure — i.e.
+    // real photographs/renders; the text-tiled rasters above are
+    // per-pixel noise, where averaging 40x30 vs 16x12 down to 8x8
+    // legitimately disagrees, so the invariance is pinned on a
+    // smooth gradient instead
+    val smooth = new java.awt.image.BufferedImage(40, 30,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 30; x <- 0 until 40) {
+      val r = x * 255 / 39
+      val g = y * 255 / 29
+      val b = ((x + y) % 40) * 255 / 39
+      smooth.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val smoothHash = perceptualHash(decode(Codecs.encodeImage(smooth, "png")))
+    val thumb = Multimodal.resizeImage(smooth, 16, 16)
+    val thumbHash = perceptualHash(decode(Codecs.encodeImage(thumb, "png")))
+    assert(java.lang.Long.bitCount(smoothHash ^ thumbHash) <= 8,
+      s"16px thumbnail moved the hash ${java.lang.Long.bitCount(smoothHash ^ thumbHash)} bits")
     // an unrelated raster lands far away
     val other = Codecs.renderImage("completely different text entirely".getBytes("UTF-8"), 36, 28)
     val otherHash = perceptualHash(decode(Codecs.encodeImage(other, "png")))
