@@ -351,16 +351,17 @@ object Multimodal {
     }.toDF("doc_id", "phash")
   }
 
-  /** Image near-dup PAIRS at Hamming <= `radius` over perceptual
-    * hashes — [[Dedup]]'s simhash tier applied to pixels: identical
-    * hashes collapse to one representative first (n re-posts of one
-    * image are 1 index row, their pairs reconstructed at Hamming 0),
-    * candidates come from the four disjoint 16-bit chunk buckets
-    * (pigeonhole: Hamming <= 3 cannot miss all four; wider radii
-    * trade recall exactly like the text tier), buckets are capped at
-    * [[Dedup.bucketCap]] lowest ids, and every exchange carries
-    * (id, long) — never media bytes. */
-  def imageNearDupPairs(hashes: DataFrame, radius: Int = 3): DataFrame = {
+  /** Near-dup PAIRS at Hamming <= `radius` over 64-bit perceptual
+    * hashes (modality-blind: images via [[perceptualHash]], audio via
+    * [[envelopeHash]]) — [[Dedup]]'s simhash tier applied to media:
+    * identical hashes collapse to one representative first (n
+    * re-posts of one asset are 1 index row, their pairs reconstructed
+    * at Hamming 0), candidates come from the four disjoint 16-bit
+    * chunk buckets (pigeonhole: Hamming <= 3 cannot miss all four;
+    * wider radii trade recall exactly like the text tier), buckets
+    * are capped at [[Dedup.bucketCap]] lowest ids, and every exchange
+    * carries (id, long) — never media bytes. */
+  def phashNearDupPairs(hashes: DataFrame, radius: Int = 3): DataFrame = {
     val members = hashes.select(col("phash"), col("doc_id"))
     val reps = hashes.groupBy(col("phash")).agg(min(col("doc_id")).as("doc_id"))
     val chunks = (0 until 4).map(c => struct(lit(c).as("chunk"),
@@ -391,19 +392,72 @@ object Multimodal {
     cross.unionByName(within)
   }
 
-  /** Registered (rows-only) query q38c: the image-dedup audit — pair
-    * counts per Hamming band plus the corpus-side totals, the numbers
-    * a curator reads before trusting an image-dedup pass (the q34b
-    * shape for pixels). Bands are STATIC rows so the report has a
-    * fixed 3-row schema on any corpus, including the zero-pair one —
-    * this driver corpus renders unrelated rasters, so zeros here are
-    * the true answer; the planted-truth quality bars live in
-    * MultimodalSpec. */
-  val imageDedupReport: Q = (s, d) => {
+  /** 64-bit amplitude-envelope hash of PCM samples — the audio twin
+    * of [[perceptualHash]]: the clip is split into 64 equal windows,
+    * each window reduced to its mean |amplitude|, and each bit set
+    * iff its window is louder than the clip mean. VOLUME-invariant by
+    * construction (uniform gain scales every window and the mean
+    * alike), tolerant of small edits localized to few windows;
+    * unrelated clips differ in ~32 bits. Works on the decoded sample
+    * array, so the codec boundary stays in the caller's
+    * mapPartitions. */
+  def envelopeHash(samples: Array[Short]): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val win = new Array[Double](64)
+    val cnt = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 64 / n).toInt
+      win(w) += math.abs(samples(i).toDouble)
+      cnt(w) += 1
+      i += 1
+    }
+    var mean = 0.0
+    var w = 0
+    while (w < 64) {
+      if (cnt(w) > 0) win(w) /= cnt(w)
+      mean += win(w)
+      w += 1
+    }
+    mean /= 64.0
+    var h = 0L
+    w = 0
+    while (w < 64) { if (win(w) > mean) h |= (1L << w); w += 1 }
+    h
+  }
+
+  /** (doc_id, phash) for the AUDIO rows: decode WAV -> PCM ->
+    * envelope hash, one mapPartitions at the codec boundary. The
+    * resulting hashes pair through the same [[imageNearDupPairs]]
+    * machinery (it is modality-blind: chunk buckets + Hamming over
+    * int64). */
+  def audioHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(r => r.format == "wav").mapPartitions { rows =>
+      rows.map { r =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.media))
+        val pcm = ais.readAllBytes()
+        ais.close()
+        val samples = Array.tabulate(pcm.length / 2)(i =>
+          ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xFF)).toShort)
+        (r.doc_id, envelopeHash(samples))
+      }
+    }.toDF("doc_id", "phash")
+  }
+
+  /** The dedup-audit report body shared by q38c/q38d: pair counts per
+    * Hamming band plus corpus-side totals, the numbers a curator
+    * reads before trusting a media-dedup pass (the q34b shape for
+    * media). Bands are STATIC rows so the report has a fixed 3-row
+    * schema on any corpus, including the zero-pair one — this driver
+    * corpus renders unrelated media, so zeros here are the true
+    * answer; the planted-truth quality bars live in MultimodalSpec. */
+  private def phashBandReport(s: SparkSession, hashes0: DataFrame): DataFrame = {
     import s.implicits._
-    val hashes = Dedup.persistSketch(imageHashes(mediaTable(s, d)))
+    val hashes = Dedup.persistSketch(hashes0)
     hashes.count() // eager: reps + members + count subtrees below race a lazy cache
-    val pairs = imageNearDupPairs(hashes, radius = 6)
+    val pairs = phashNearDupPairs(hashes, radius = 6)
       .withColumn("band",
         when(col("hamming") === 0, "h0_identical")
           .when(col("hamming") <= 3, "h1_3_near")
@@ -413,15 +467,22 @@ object Multimodal {
     bands.join(pairs, Seq("band"), "left")
       .select(col("band"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
       .crossJoin(broadcast(hashes.agg(
-        count(lit(1)).as("n_images"),
+        count(lit(1)).as("n_assets"),
         countDistinct(col("phash")).as("n_distinct_hashes"))))
       .orderBy(col("band"))
   }
+
+  /** q38c: image near-dup audit (aHash). */
+  val imageDedupReport: Q = (s, d) => phashBandReport(s, imageHashes(mediaTable(s, d)))
+
+  /** q38d: audio near-dup audit (amplitude-envelope hash). */
+  val audioDedupReport: Q = (s, d) => phashBandReport(s, audioHashes(mediaTable(s, d)))
 
   val queries: Map[String, Q] = Map(
     "q38_multimodal_features" -> features, // rows-only: codec path not SQL-expressible
     "q38b_multimodal_thumbnails" -> thumbs, // rows-only: resize leg
     "q38c_image_phash_dedup" -> imageDedupReport, // rows-only: perceptual-hash audit
+    "q38d_audio_phash_dedup" -> audioDedupReport, // rows-only: envelope-hash audit
   )
 
   val oracle: Map[String, String] = Map.empty

@@ -176,7 +176,7 @@ class MultimodalSpec extends SparkTestBase {
     ).map { case (id, text, w) => MediaRow(id, "png", w, 28,
       Codecs.encodeImage(Codecs.renderImage(text.getBytes("UTF-8"), w, 28), "png")) }
     val hashes = Multimodal.imageHashes(rows.toDS())
-    val pairs = Multimodal.imageNearDupPairs(hashes, radius = 6).collect()
+    val pairs = Multimodal.phashNearDupPairs(hashes, radius = 6).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Int]("hamming"))
       .toMap
     // the family pairs (jpeg re-encode, pixel noise, exact re-post)
@@ -188,16 +188,78 @@ class MultimodalSpec extends SparkTestBase {
     assert(unrelated.isEmpty, s"unrelated images paired: $unrelated")
   }
 
+  test("envelope hash: volume-invariant, edit-tolerant, discriminative") {
+    import Multimodal.{Codecs, envelopeHash}
+    val base = Codecs.renderSamples("a steady test tone source".getBytes("UTF-8"), 800, 7L)
+    val h0 = envelopeHash(base)
+    // uniform gain change leaves the hash untouched (every window and
+    // the mean scale together)
+    val quiet = base.map(s => (s / 2).toShort)
+    assert(envelopeHash(quiet) == h0, "volume change moved the envelope hash")
+    // an edit localized to ~3 of 64 windows moves few bits — pinned
+    // on a clip with ENVELOPE STRUCTURE (amplitude modulation): the
+    // flat tone above keeps every window at the threshold, where any
+    // mean shift legitimately flips many bits (the audio analog of
+    // the noise-raster caveat in the aHash test)
+    val structured = Array.tabulate(800) { i =>
+      val env = 2000.0 + 10000.0 * math.abs(math.sin(2 * math.Pi * i * 3 / 800.0))
+      (math.sin(2 * math.Pi * i / 32.0) * env).toInt
+        .max(Short.MinValue).min(Short.MaxValue).toShort
+    }
+    val hs = envelopeHash(structured)
+    val edited = structured.clone()
+    for (i <- 0 until 40) edited(300 + i) = (edited(300 + i) / 4).toShort
+    assert(java.lang.Long.bitCount(envelopeHash(edited) ^ hs) <= 6,
+      s"local edit moved the envelope hash ${java.lang.Long.bitCount(envelopeHash(edited) ^ hs)} bits")
+    // a different clip lands far away
+    val other = Codecs.renderSamples("completely different audio content here".getBytes("UTF-8"), 700, 23L)
+    assert(java.lang.Long.bitCount(envelopeHash(other) ^ h0) >= 12,
+      s"unrelated clip only ${java.lang.Long.bitCount(envelopeHash(other) ^ h0)} bits away")
+  }
+
+  test("audio near-dup pairs: re-post and volume copy found via the shared machinery") {
+    import spark.implicits._
+    import Multimodal.{Codecs, MediaRow}
+    val base = Codecs.renderSamples("the shared source clip for this family".getBytes("UTF-8"), 800, 7L)
+    val quiet = base.map(s => (s / 2).toShort)
+    val rows = Seq(
+      MediaRow(1L, "wav", 800, 1, Codecs.encodeWav(base)),
+      MediaRow(2L, "wav", 800, 1, Codecs.encodeWav(quiet)), // volume copy
+      MediaRow(3L, "wav", 800, 1, Codecs.encodeWav(base)),  // byte-identical re-post
+      MediaRow(20L, "wav", 640, 1,
+        Codecs.encodeWav(Codecs.renderSamples("entirely different spoken material".getBytes("UTF-8"), 640, 23L))),
+      MediaRow(21L, "wav", 720, 1,
+        Codecs.encodeWav(Codecs.renderSamples("yet another unrelated recording".getBytes("UTF-8"), 720, 41L))),
+    )
+    val pairs = Multimodal.phashNearDupPairs(
+      Multimodal.audioHashes(rows.toDS()), radius = 6).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Int]("hamming"))
+      .toMap
+    assert(pairs.get((1L, 2L)).exists(_ <= 6), "volume copy missed")
+    assert(pairs.get((1L, 3L)).contains(0), "byte-identical re-post must verify at Hamming 0")
+    val unrelated = pairs.keys.filter { case (a, b) => a >= 20 || b >= 20 }
+    assert(unrelated.isEmpty, s"unrelated clips paired: $unrelated")
+  }
+
+  test("q38d report: fixed 3-band shape over the audio rows") {
+    val report = Multimodal.audioDedupReport(spark, sf).collect()
+    Dedup.releaseSketchCaches()
+    assert(report.map(_.getAs[String]("band")).toSeq ==
+      Seq("h0_identical", "h1_3_near", "h4_6_similar"))
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(report.head.getAs[Long]("n_assets") == (0L until docs).count(_ % 3 == 2))
+  }
+
   test("q38c report: fixed 3-band shape, exact corpus totals") {
     val report = Multimodal.imageDedupReport(spark, sf).collect()
     Dedup.releaseSketchCaches()
     assert(report.map(_.getAs[String]("band")).toSeq ==
       Seq("h0_identical", "h1_3_near", "h4_6_similar"))
-    val nImages = report.head.getAs[Long]("n_images")
+    val nAssets = report.head.getAs[Long]("n_assets")
     // formats cycle by doc_id % 3: two thirds of docs are images
     val docs = graft.Tables.documents(spark, sf).count()
-    assert(nImages == (0L until docs).count(_ % 3 != 2))
+    assert(nAssets == (0L until docs).count(_ % 3 != 2))
     assert(report.forall(_.getAs[Long]("n_pairs") >= 0))
-    assert(report.head.getAs[Long]("n_distinct_hashes") <= nImages)
+    assert(report.head.getAs[Long]("n_distinct_hashes") <= nAssets)
   }
 }
