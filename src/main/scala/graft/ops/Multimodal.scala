@@ -361,16 +361,21 @@ object Multimodal {
     * wider radii trade recall exactly like the text tier), buckets
     * are capped at [[Dedup.bucketCap]] lowest ids, and every exchange
     * carries (id, long) — never media bytes. */
+  /** The exploded (doc_id, phash, chunk, ckey) bucket view: four
+    * disjoint 16-bit chunks per 64-bit hash (the simhash chunk
+    * geometry). */
+  private[ops] def phashChunkIndex(hashes: DataFrame): DataFrame = {
+    val chunks = (0 until 4).map(c => struct(lit(c).as("chunk"),
+      shiftright(col("phash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey")))
+    hashes.select(col("doc_id"), col("phash"), explode(array(chunks: _*)).as("tb"))
+      .select(col("doc_id"), col("phash"),
+        col("tb.chunk").as("chunk"), col("tb.ckey").as("ckey"))
+  }
+
   def phashNearDupPairs(hashes: DataFrame, radius: Int = 3): DataFrame = {
     val members = hashes.select(col("phash"), col("doc_id"))
     val reps = hashes.groupBy(col("phash")).agg(min(col("doc_id")).as("doc_id"))
-    val chunks = (0 until 4).map(c => struct(lit(c).as("chunk"),
-      shiftright(col("phash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey")))
-    val idx = Dedup.capBuckets(
-      reps.select(col("doc_id"), col("phash"), explode(array(chunks: _*)).as("tb"))
-        .select(col("doc_id"), col("phash"),
-          col("tb.chunk").as("chunk"), col("tb.ckey").as("ckey")),
-      Seq("chunk", "ckey"), "doc_id")
+    val idx = Dedup.capBuckets(phashChunkIndex(reps), Seq("chunk", "ckey"), "doc_id")
     val repPairs = idx.select(col("chunk"), col("ckey"),
         col("doc_id").as("ra"), col("phash").as("ph_a"))
       .join(idx.select(col("chunk"), col("ckey"),
@@ -478,12 +483,104 @@ object Multimodal {
   /** q38d: audio near-dup audit (amplitude-envelope hash). */
   val audioDedupReport: Q = (s, d) => phashBandReport(s, audioHashes(mediaTable(s, d)))
 
+  /** Incremental image dedup (q38e): pair an ingest DELTA's images
+    * against the standing corpus's STORED perceptual hashes — the
+    * q61/q67c operating mode for pixels. The standing corpus
+    * contributes 8 bytes per image from a [[PhashIndexStore]]
+    * (committed as round 0 per (JVM, corpus content), appended per
+    * ingest round in a real pipeline, compactable); only the delta
+    * crosses the codec boundary. Steady-state cost: O(delta) decode +
+    * an id-only bucket join. Output is the (n_delta, n_corpus,
+    * n_pairs) accounting row plus per-band pair counts — the audit a
+    * curator reads per ingest round. */
+  val imageDedupIncremental: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val (key, wm) = ScratchStores.corpusKey(docs, d)
+    val path = ScratchStores.pathFor(key, "graft-phash-index") { p =>
+      new PhashIndexStore(s, p).appendRound(
+        imageHashes(mediaTable(s, d).filter(r => r.doc_id <= wm)), round = 0L)
+    }
+    val store = new PhashIndexStore(s, path)
+    val delta = Dedup.persistSketch(
+      imageHashes(mediaTable(s, d).filter(r => r.doc_id > wm)))
+    delta.count() // eager: pair join + accounting read it concurrently
+    val pairs = Dedup.persistSketch(store.newPairsAgainst(delta, radius = 6))
+    pairs.count()
+    val bands = Seq("h0_identical", "h1_3_near", "h4_6_similar").toDF("band")
+    bands.join(
+        pairs.withColumn("band",
+            when(col("hamming") === 0, "h0_identical")
+              .when(col("hamming") <= 3, "h1_3_near")
+              .otherwise("h4_6_similar"))
+          .groupBy(col("band")).agg(count(lit(1)).as("n_pairs")),
+        Seq("band"), "left")
+      .select(col("band"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .crossJoin(broadcast(delta.agg(count(lit(1)).as("n_delta_assets"))))
+      .crossJoin(broadcast(store.index.agg(count(lit(1)).as("n_corpus_assets"))))
+      .orderBy(col("band"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q38_multimodal_features" -> features, // rows-only: codec path not SQL-expressible
     "q38b_multimodal_thumbnails" -> thumbs, // rows-only: resize leg
     "q38c_image_phash_dedup" -> imageDedupReport, // rows-only: perceptual-hash audit
     "q38d_audio_phash_dedup" -> audioDedupReport, // rows-only: envelope-hash audit
+    "q38e_image_dedup_incremental" -> imageDedupIncremental, // rows-only: stored-index delta mode
   )
 
   val oracle: Map[String, String] = Map.empty
+}
+
+/** The STORED half of incremental image dedup (q38e): a persistent
+  * parquet artifact of `(doc_id, phash, ingest_round)` — 16 bytes per
+  * image — appended once per ingest round with the same
+  * dynamic-partition-overwrite idempotence as the other round stores
+  * and compactable through [[CompactableRoundStore]]. The delta pair
+  * join reads it pre-bucketed on the delta's own chunk keys, so a
+  * dedup round costs O(delta x bucket collisions), never O(corpus),
+  * and the corpus never re-decodes a single image. */
+class PhashIndexStore(spark: SparkSession, val path: String)
+    extends CompactableRoundStore {
+
+  override protected def storeSpark: SparkSession = spark
+  /** Hash rows are doc-disjoint across rounds: folding is identity. */
+  override protected def mergeRounds(rows: DataFrame): DataFrame = rows
+
+  def exists: Boolean = graft.flights.StarWarehouse.pathExists(spark, path)
+
+  /** The standing (doc_id, phash) index across committed rounds. */
+  def index: DataFrame = readAll
+
+  /** Commit `hashes` (doc_id, phash) as ingest round `round` —
+    * idempotent under retry (partition overwrite). */
+  def appendRound(hashes: DataFrame, round: Long): Unit =
+    hashes.select(col("doc_id"), col("phash"))
+      .withColumn("ingest_round", lit(round))
+      .write.partitionBy("ingest_round")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Near-dup pairs between a DELTA's hashes and the standing corpus:
+    * delta-bucket x corpus-bucket join (no delta x delta, no
+    * corpus x corpus), Hamming-verified. `beforeRound` is the
+    * streaming replay guard, as everywhere. */
+  def newPairsAgainst(deltaHashes: DataFrame, radius: Int = 3,
+                      beforeRound: Option[Long] = None): DataFrame = {
+    val deltaIdx = Multimodal.phashChunkIndex(
+        deltaHashes.select(col("doc_id"), col("phash")))
+      .select(col("chunk"), col("ckey"),
+        col("doc_id").as("new_doc"), col("phash").as("ph_n"))
+    val corpusIdx = Multimodal.phashChunkIndex(
+        beforeRound.foldLeft(index)((ix, r) =>
+          ix.filter(col("ingest_round") < r))
+          .select(col("doc_id"), col("phash")))
+      .select(col("chunk"), col("ckey"),
+        col("doc_id").as("old_doc"), col("phash").as("ph_o"))
+    deltaIdx.join(corpusIdx, Seq("chunk", "ckey"))
+      .dropDuplicates("new_doc", "old_doc")
+      .withColumn("hamming", bit_count(col("ph_n").bitwiseXOR(col("ph_o"))))
+      .filter(col("hamming") <= radius)
+      .select(col("new_doc"), col("old_doc"), col("hamming"))
+  }
 }

@@ -250,6 +250,55 @@ class MultimodalSpec extends SparkTestBase {
     assert(report.head.getAs[Long]("n_assets") == (0L until docs).count(_ % 3 == 2))
   }
 
+  test("phash index store: delta pairs against stored hashes only, no corpus re-decode") {
+    import spark.implicits._
+    import Multimodal.{Codecs, MediaRow}
+    val base = Codecs.renderImage("the standing corpus raster".getBytes("UTF-8"), 40, 30)
+    val corpus = Seq(
+      MediaRow(1L, "png", 40, 30, Codecs.encodeImage(base, "png")),
+      MediaRow(2L, "png", 36, 28, Codecs.encodeImage(
+        Codecs.renderImage("unrelated standing image".getBytes("UTF-8"), 36, 28), "png")))
+    val delta = Seq(
+      MediaRow(100L, "jpeg", 40, 30, Codecs.encodeImage(base, "jpeg")), // re-encode of 1
+      MediaRow(101L, "png", 33, 27, Codecs.encodeImage(
+        Codecs.renderImage("fresh unrelated content".getBytes("UTF-8"), 33, 27), "png")))
+    val store = new PhashIndexStore(spark, s"${tmpDir("phidx")}/index")
+    store.appendRound(Multimodal.imageHashes(corpus.toDS()), 0L)
+    val pairs = store.newPairsAgainst(Multimodal.imageHashes(delta.toDS()), radius = 6)
+    val got = pairs.select("new_doc", "old_doc").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 1L)), s"expected the re-encode pair only, got $got")
+    // the plan's only FILE scan is the stored index: the corpus side
+    // is 8-byte hashes read back, never re-decoded media
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    var scans = List.empty[String]
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec        => walk(q.plan)
+      case r: ReusedExchangeExec    => walk(r.child)
+      case s: FileSourceScanExec =>
+        scans ::= s.relation.location.rootPaths.map(_.toString).mkString(",")
+      case other => other.children.foreach(walk)
+    }
+    walk(pairs.queryExecution.executedPlan)
+    assert(scans.nonEmpty && scans.forall(_.contains("phidx")),
+      s"delta round read something beyond the stored index: $scans")
+  }
+
+  test("q38e report: fixed shape, delta + corpus accounting sums to the image count") {
+    val report = Multimodal.imageDedupIncremental(spark, sf).collect()
+    Dedup.releaseSketchCaches()
+    assert(report.map(_.getAs[String]("band")).toSeq ==
+      Seq("h0_identical", "h1_3_near", "h4_6_similar"))
+    val docs = graft.Tables.documents(spark, sf).count()
+    val nImages = (0L until docs).count(_ % 3 != 2)
+    val r = report.head
+    assert(r.getAs[Long]("n_delta_assets") + r.getAs[Long]("n_corpus_assets") == nImages,
+      "watermark split lost or doubled images")
+    assert(r.getAs[Long]("n_delta_assets") > 0)
+  }
+
   test("q38c report: fixed 3-band shape, exact corpus totals") {
     val report = Multimodal.imageDedupReport(spark, sf).collect()
     Dedup.releaseSketchCaches()
