@@ -332,7 +332,78 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document duplicated-passage audit (q82): the inter-document
+    * extension of q81 — word 8-grams that appear VERBATIM in two or
+    * more distinct documents, ranked by document spread. This is the
+    * passage-level view of exact duplication (the "deduplicating
+    * training data" audit): q32 catches whole-document clones, q36
+    * catches near-identical documents, but a boilerplate paragraph or
+    * quoted passage pasted into otherwise-distinct documents only
+    * shows up here. Curators read the top rows to decide whether a
+    * passage is navigation chrome (cut it — q67's job once it's in
+    * the block frequency table) or legitimate quotation (keep it).
+    *
+    * Scale shape, two passes over one cached (toks, token-hash) frame:
+    *   1. frequency pass — 8-grams hash to int64 inside the projection
+    *      (the q36/q57b one-xxhash64-per-window trick), the explode
+    *      emits (ghash, doc_id) pairs ONLY, and the double aggregate
+    *      is (ghash, doc_id) partial-combine then per-ghash rollup —
+    *      deliberately two hash aggs instead of one
+    *      countDistinct+count agg, which would Expand every row ×2.
+    *      Nothing wider than 16 bytes shuffles.
+    *   2. string pass — gram STRINGS are rebuilt in the scan
+    *      projection and immediately filtered by a broadcast join on
+    *      the (small) duplicated-gram table, so only winning passages'
+    *      strings ever reach an exchange (q67b's join-back pattern).
+    * The final top-k orders on (n_docs, n_occurrences, gram) so ties
+    * break on the string, identically in both engines. Docs shorter
+    * than 8 tokens carry no windows; equality is modulo the standing
+    * 2^-64 xxhash64 collision approximation (q36's convention). */
+  val passageN = 8
+  val passageTopK = 20
+
+  val duplicatedPassages: Q = (s, d) =>
+    duplicatedPassagesOf(Tables.documents(s, d))
+
+  def duplicatedPassagesOf(docs: DataFrame): DataFrame = {
+    // toks/th must be attributes before lambdas consume them —
+    // expressions inlined into lambda bodies re-evaluate per element
+    val withTh = Dedup.persistSketch(docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= passageN)
+      .select(col("doc_id"), col("toks"),
+        transform(col("toks"), t => xxhash64(t)).as("th")))
+    val idx = sequence(lit(1), size(col("th")) - (passageN - 1))
+    val ghash = (i: Column) =>
+      xxhash64((0 until passageN).map(o => element_at(col("th"), i + o)): _*)
+
+    // pass 1: id-only frequency table of cross-doc duplicated grams
+    val freq = withTh
+      .select(col("doc_id"), explode(transform(idx, ghash)).as("g"))
+      .groupBy(col("g"), col("doc_id"))
+      .agg(count(lit(1)).as("n_in_doc"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_in_doc")).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+
+    // pass 2: strings built in the scan, broadcast-filtered to winners
+    val strings = withTh
+      .select(explode(transform(idx, i =>
+        struct(ghash(i).as("g"),
+          array_join(slice(col("toks"), i, lit(passageN)), " ").as("gram")))).as("p"))
+      .select(col("p.g").as("g"), col("p.gram").as("gram"))
+    strings
+      .join(broadcast(freq), Seq("g"))
+      .groupBy(col("g"), col("n_docs"), col("n_occurrences"))
+      .agg(min(col("gram")).as("gram"))
+      .select(col("gram"), col("n_docs"), col("n_occurrences"))
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
+      .limit(passageTopK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q82_duplicated_passages" -> duplicatedPassages,
     "q81_dupgram_fraction" -> dupgramFraction,
     "q79_cms_heavy_hitters" -> cmsHeavyHitters,
     "q73_length_histogram" -> lengthHistogram,
@@ -356,6 +427,23 @@ object TextAnalysis {
     // string 4-grams on the oracle side vs hashed on the Spark side:
     // only the per-row occurrence/distinct COUNTS are compared, equal
     // modulo the standing 2^-64 xxhash64 collision approximation
+    // string 8-grams on the oracle side vs hashed on the Spark side,
+    // q36's convention: identical equality structure modulo 2^-64
+    // collisions; ties in the top-k break on the gram string
+    "q82_duplicated_passages" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(list_slice(toks, i, i + 7), ' ')
+         |      FOR i IN range(1, greatest(len(toks) - 7, 0) + 1)]) AS gram
+         |  FROM (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents
+         |        WHERE text IS NOT NULL)
+         |), freq AS (
+         |  SELECT gram, count(DISTINCT doc_id) AS n_docs,
+         |    count(*) AS n_occurrences
+         |  FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+         |)
+         |SELECT gram, n_docs, n_occurrences FROM freq
+         |ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 20""".stripMargin,
     "q81_dupgram_fraction" ->
       s"""SELECT doc_id,
          |  CAST(len(g) AS INTEGER) AS n_grams,

@@ -127,6 +127,37 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rows.head.getAs[Long]("cms_estimate") >= rows.last.getAs[Long]("exact_n"))
   }
 
+  test("duplicated passages: planted cross-doc 8-gram found, unique text absent") {
+    val passage = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"intro words here $passage and a unique tail one"),
+      (2L, s"different opening text $passage with another ending two"),
+      (3L, s"prefix $passage $passage suffix"), // repeats it twice in one doc
+      (4L, "entirely unrelated content with no shared passages at all " +
+        "written once and never again anywhere else in this corpus"),
+      (5L, "short doc")).toDF("doc_id", "text")
+    val rows = TextAnalysis.duplicatedPassagesOf(docs).collect()
+    // every reported gram spans >= 2 docs, ranked by spread then count
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_docs") >= 2L))
+    val spreads = rows.map(r =>
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences")))
+    assert(spreads.sliding(2).forall {
+      case Array((d1, o1), (d2, o2)) => d1 > d2 || (d1 == d2 && o1 >= o2)
+      case _ => true
+    })
+    // the planted 10-token passage yields full-width 8-gram windows
+    // present in docs 1/2/3; doc 3 contributes 2 occurrences of the
+    // core window so the top rows carry (n_docs=3, n_occurrences>=4)
+    val top = rows.head
+    assert(top.getAs[Long]("n_docs") == 3L)
+    assert(top.getAs[String]("gram").split(" ").length == 8)
+    assert(rows.exists(_.getAs[String]("gram") ==
+      "the quick brown fox jumps over the lazy"))
+    // nothing from the unique doc 4 is reported
+    assert(!rows.exists(_.getAs[String]("gram").contains("unrelated")))
+  }
+
   test("length histogram partitions the corpus with valid bands") {
     val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
     val bands = Set("000-015", "016-031", "032-063", "064-127", "128-255", "256+")

@@ -1,18 +1,15 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.SparkSession
 
-/** Scratch: the Verify dump restricted to named queries, so a new
-  * operator's oracle can be checked with tools/compare.py without
-  * re-running the whole catalog.
-  * Run: sbt "Test/runMain graft.tools.VerifyOne <sfDir> <outDir> <q1> [q2 ...]"
+/** Scratch: single-query slice of the Verify dump, so tools/compare.py
+  * can gate one new query without replaying the whole catalog.
+  * Run: sbt "Test/runMain graft.tools.VerifyOne <sfDir> <outDir> <name> [name...]"
+  * then: python3 tools/compare.py <sfDir> <outDir>
   */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val outDir = args(1)
+    val (sfDir, outDir) = (args(0), args(1))
     val names = args.drop(2).toSeq
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -38,9 +35,12 @@ object VerifyOne {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val sqls = names.flatMap(n => graft.SparkEntry.oracleSql.get(n).map(n -> _))
+    val json = sqls.map { case (n, s) => s"${q(n)}: ${q(s)}" }
+      .mkString("{", ", ", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      json.getBytes("UTF-8"))
     spark.stop()
   }
 }
