@@ -219,7 +219,63 @@ object EventTime {
         (col("n_errors") >= 3 && col("n_errors") * 2 >= col("n_events")).as("is_burst"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Session concurrency profile (q83): how many user-sessions are
+    * open at once, hour by hour — the capacity-planning read on the
+    * event stream (a training-data service sizes its serving fleet on
+    * exactly this curve). Classic sweep-line: each session (the q27/
+    * q80 sessionization, 30-minute gap) emits +1 at its start and -1
+    * at its end, and the running sum of deltas IS the concurrency at
+    * that boundary. Ends sort before starts at the same instant
+    * (delta -1 < +1 in the sort key), so touching sessions never
+    * count as overlapping, identically in both engines.
+    *
+    * Scale shape: a global ORDER BY ts window would funnel the whole
+    * stream through one partition, so the prefix sum is sharded the
+    * q55b way — calendar days are contiguous in time, so (1) per-day
+    * delta totals (a tiny agg) become exclusive day offsets via a
+    * window over the tiny day frame, broadcast back; (2) the running
+    * sum runs WITHIN each day (parallel across days) and adds the
+    * day's carry-in. Hours with no session boundary emit no row
+    * (concurrency is sampled at boundaries; the plateau between
+    * boundaries never exceeds the surrounding samples' max... a
+    * carried-over plateau spanning a silent hour is visible in the
+    * neighbouring hours' rows). */
+  val sessionConcurrency: Q = (s, d) =>
+    sessionConcurrencyOf(Tables.events(s, d))
+
+  def sessionConcurrencyOf(events: DataFrame): DataFrame = {
+    val sess = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"))
+    val deltas = sess
+      .select(col("user_id"), col("start_ts").as("ts"), lit(1L).as("delta"))
+      .unionByName(sess
+        .select(col("user_id"), col("end_ts").as("ts"), lit(-1L).as("delta")))
+      .withColumn("day", date_trunc("day", col("ts")))
+    val offsets = deltas.groupBy(col("day"))
+      .agg(sum(col("delta")).as("day_sum"))
+    val w0 = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dayOff = offsets
+      .withColumn("day_off", coalesce(sum(col("day_sum")).over(w0), lit(0L)))
+      .select(col("day"), col("day_off"))
+    val w1 = Window.partitionBy(col("day"))
+      .orderBy(col("ts"), col("delta"), col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas.join(broadcast(dayOff), Seq("day"))
+      .withColumn("conc", col("day_off") + sum(col("delta")).over(w1))
+      .groupBy(date_format(date_trunc("hour", col("ts")), tsFmt).as("hour"))
+      .agg(max(col("conc")).as("max_concurrent"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_ends"))
+      .orderBy(col("hour"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q83_session_concurrency" -> sessionConcurrency,
     "q41_json_extract" -> jsonExtract,
     "q25_events_hourly" -> hourly,
     "q26_events_sliding" -> sliding,
@@ -232,6 +288,39 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    // q80's lag-replay sessionization (parity with session_window
+    // proven by the q27/q80 oracles), swept via one global running
+    // sum — the naive twin of the Spark side's day-sharded prefix sum
+    "q83_session_concurrency" ->
+      s"""WITH ordered AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |              >= INTERVAL 30 MINUTE OR
+         |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |), grp AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         |  FROM ordered
+         |), sess AS (
+         |  SELECT user_id, min(ts) AS start_ts,
+         |    max(ts) + INTERVAL 30 MINUTE AS end_ts
+         |  FROM grp GROUP BY user_id, session_no
+         |), deltas AS (
+         |  SELECT user_id, start_ts AS ts, 1 AS delta FROM sess
+         |  UNION ALL SELECT user_id, end_ts AS ts, -1 AS delta FROM sess
+         |), swept AS (
+         |  SELECT ts, delta,
+         |    sum(delta) OVER (ORDER BY ts, delta, user_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+         |  FROM deltas
+         |)
+         |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |  CAST(max(conc) AS BIGINT) AS max_concurrent,
+         |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+         |  CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+         |FROM swept GROUP BY 1 ORDER BY 1""".stripMargin,
     "q80_error_bursts" ->
       s"""WITH ordered AS (
          |  SELECT user_id, event_id, ts, event_type,

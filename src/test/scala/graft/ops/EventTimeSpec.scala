@@ -66,6 +66,35 @@ class EventTimeSpec extends SparkTestBase {
     assert(out((1L, "2024-01-01 12:00:00")) == ((3L, 1L, false)))
   }
 
+  test("session concurrency: sweep counts overlaps, not touches, across days") {
+    val events = Seq(
+      // user 1: one session [10:00, 10:40) (two events, 10-min gap)
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+      // user 2: [10:20, 10:50) — overlaps user 1 => concurrency 2
+      (2L, ts("2024-01-01 10:20:00")),
+      // user 3: [11:00, 11:30); user 4 starts at 11:30 EXACTLY —
+      // touching sessions must not overlap (end sorts before start)
+      (3L, ts("2024-01-01 11:00:00")),
+      (4L, ts("2024-01-01 11:30:00")),
+      // user 5: [23:50, 00:20 next day) — day-boundary carry-in;
+      // user 6 starts 00:10 while 5 is still open => concurrency 2
+      (5L, ts("2024-01-01 23:50:00")),
+      (6L, ts("2024-01-02 00:10:00"))
+    ).toDF("user_id", "ts")
+    val out = EventTime.sessionConcurrencyOf(events).collect()
+      .map(r => r.getAs[String]("hour") ->
+        (r.getAs[Long]("max_concurrent"), r.getAs[Long]("n_starts"),
+          r.getAs[Long]("n_ends"))).toMap
+    assert(out("2024-01-01 10:00:00") == (2L, 2L, 2L)) // 1+2 overlap; both end in-hour
+    assert(out("2024-01-01 11:00:00") == (1L, 2L, 1L)) // touch at 11:30 stays 1
+    assert(out("2024-01-01 12:00:00") == (0L, 0L, 1L)) // user 4 ends at 12:00
+    assert(out("2024-01-01 23:00:00") == (1L, 1L, 0L))
+    assert(out("2024-01-02 00:00:00") == (2L, 1L, 2L)) // carry-in + user 6
+    // conservation: every started session ends
+    val (starts, ends) = (out.values.map(_._2).sum, out.values.map(_._3).sum)
+    assert(starts == 6L && ends == 6L)
+  }
+
   test("cohort retention counts a user once per week from their signup week on") {
     val events = Seq(
       // user 1 signs up Mon Jan 1 week, active weeks 0 and 2
