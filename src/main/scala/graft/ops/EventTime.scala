@@ -112,6 +112,45 @@ object EventTime {
       .orderBy(col("user_id"), col("purchase_id"))
   }
 
+  /** Windowed interval-join attribution (q84): for every purchase,
+    * how many views and clicks the SAME user made in the preceding
+    * two hours — the marketing-attribution complement of q29's as-of
+    * join (nearest single click there; full window COUNTS here).
+    *
+    * Spark-first plan: this is a range join (purchase × events with
+    * `a.ts ∈ [p.ts - 2h, p.ts)`), but materializing the pair blow-up
+    * just to count it is waste — instead the unioned stream makes ONE
+    * exchange on user_id and a RANGE-framed window (`rangeBetween` on
+    * the microsecond value, [-2h, -1]) counts view/click markers
+    * per row; purchases are filtered AFTER the frame is measured.
+    * Zero joins, no pair materialization, and heavy users are one
+    * sorted run inside a partition rather than a quadratic join
+    * island. The DuckDB twin IS the naive interval join — a
+    * cross-algorithm oracle. The frame's lower bound is inclusive,
+    * upper exclusive (a view at the purchase instant doesn't count),
+    * in both engines. */
+  val purchaseAttribution: Q = (s, d) =>
+    purchaseAttributionOf(Tables.events(s, d))
+
+  def purchaseAttributionOf(events: DataFrame): DataFrame = {
+    val micros2h = 2L * 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsm"))
+      .rangeBetween(-micros2h, -1)
+    events.filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("tsm"))
+      .withColumn("n_views_2h",
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(w))
+      .withColumn("n_clicks_2h",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        date_format(col("ts"), tsFmt).as("purchase_ts"),
+        coalesce(col("n_views_2h"), lit(0L)).as("n_views_2h"),
+        coalesce(col("n_clicks_2h"), lit(0L)).as("n_clicks_2h"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
   /** Semi-structured surface: JSON property extraction from the props
     * column (schema-on-read over string payloads), aggregated per
     * event type. */
@@ -275,6 +314,7 @@ object EventTime {
   }
 
   val queries: Map[String, Q] = Map(
+    "q84_purchase_attribution" -> purchaseAttribution,
     "q83_session_concurrency" -> sessionConcurrency,
     "q41_json_extract" -> jsonExtract,
     "q25_events_hourly" -> hourly,
@@ -288,6 +328,26 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    // the NAIVE interval join — cross-algorithm twin of the Spark
+    // side's range-framed window (no join there at all)
+    "q84_purchase_attribution" ->
+      s"""WITH p AS (
+         |  SELECT user_id, event_id, ts FROM events
+         |  WHERE event_type = 'purchase'
+         |), a AS (
+         |  SELECT user_id, ts, event_type FROM events
+         |  WHERE event_type IN ('view', 'click')
+         |)
+         |SELECT p.user_id, p.event_id AS purchase_id,
+         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         |  CAST(coalesce(sum(CASE WHEN a.event_type = 'view' THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_views_2h,
+         |  CAST(coalesce(sum(CASE WHEN a.event_type = 'click' THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_clicks_2h
+         |FROM p LEFT JOIN a ON a.user_id = p.user_id
+         |  AND a.ts >= p.ts - INTERVAL 2 HOUR AND a.ts < p.ts
+         |GROUP BY p.user_id, p.event_id, p.ts
+         |ORDER BY p.user_id, purchase_id""".stripMargin,
     // q80's lag-replay sessionization (parity with session_window
     // proven by the q27/q80 oracles), swept via one global running
     // sum — the naive twin of the Spark side's day-sharded prefix sum

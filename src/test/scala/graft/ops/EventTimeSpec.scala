@@ -95,6 +95,28 @@ class EventTimeSpec extends SparkTestBase {
     assert(starts == 6L && ends == 6L)
   }
 
+  test("purchase attribution counts views/clicks in [-2h, purchase) per user") {
+    val events = Seq(
+      // user 1: views at exactly -2h (in), -1s (in), and AT purchase (out)
+      (1L, 10L, ts("2024-01-01 08:00:00"), "view"),
+      (1L, 11L, ts("2024-01-01 09:59:59"), "view"),
+      (1L, 12L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 13L, ts("2024-01-01 09:30:00"), "click"),
+      (1L, 14L, ts("2024-01-01 10:00:00"), "purchase"),
+      // view just OUTSIDE the window (2h + 1s before)
+      (1L, 15L, ts("2024-01-01 07:59:59"), "view"),
+      // user 2's activity must not leak into user 1's window
+      (2L, 20L, ts("2024-01-01 09:45:00"), "view"),
+      (2L, 21L, ts("2024-01-01 11:00:00"), "purchase"),
+      // purchase with no prior activity => zero counts
+      (3L, 30L, ts("2024-01-01 12:00:00"), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventTime.purchaseAttributionOf(events).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (r.getAs[Long]("n_views_2h"), r.getAs[Long]("n_clicks_2h"))).toMap
+    assert(out == Map(14L -> (2L, 1L), 21L -> (1L, 0L), 30L -> (0L, 0L)))
+  }
+
   test("cohort retention counts a user once per week from their signup week on") {
     val events = Seq(
       // user 1 signs up Mon Jan 1 week, active weeks 0 and 2
