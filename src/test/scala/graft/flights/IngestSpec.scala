@@ -312,6 +312,112 @@ class IngestSpec extends SparkTestBase {
     assert(ing.staging.count() == 64)
   }
 
+  /** a.csv = flights_small (49 rows); b.csv = append's header + tail
+    * (18 rows, 15 of them fresh vs a). Disjoint-enough that BOTH files
+    * contribute staging rows — the case the all-duplicate fixture
+    * above cannot catch. */
+  private def disjointDir(): (FlightIngest, String, String) = {
+    val root = tmpDir("ingest")
+    val dir = s"$root/csvdir"
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(Paths.get(resource("flights_small.csv")), Paths.get(s"$dir/a.csv"))
+    val append = Files.readAllLines(Paths.get(resource("flights_append.csv")))
+    val tail = new java.util.ArrayList[String]()
+    tail.add(append.get(0)) // header
+    for (i <- 50 until append.size) tail.add(append.get(i))
+    Files.write(Paths.get(s"$dir/b.csv"), tail)
+    (new FlightIngest(spark, root), root, dir)
+  }
+
+  test("serial directory ingest: a later file's fresh rows must not wipe earlier staging") {
+    // regression: off==0 used to be a STATIC overwrite even under a
+    // per-file state key, so b.csv's first load replaced the whole
+    // staging table (a.csv's partition included)
+    val (ing, _, dir) = disjointDir()
+    val r = ing.ingestDirectory(dir, batchFreshFiles = false)
+    assert(r.rowsScanned == 67 && r.rowsLoaded == 64)
+    assert(ing.staging.count() == 64, "a.csv's staging partition was wiped")
+    assert(ing.ledger.count() == 64)
+  }
+
+  test("batched directory ingest: one union scan, one seq, same rows as serial") {
+    val (ing, root, dir) = disjointDir()
+    val r = ing.ingestDirectory(dir)
+    assert(r.rowsScanned == 67 && r.rowsLoaded == 64)
+    assert(ing.staging.count() == 64 && ing.ledger.count() == 64)
+    // the whole batch committed under ONE seq partition
+    val parts = new java.io.File(ing.stagingPath).listFiles()
+      .filter(_.getName.startsWith("ingest_batch=")).map(_.getName).toSeq
+    assert(parts == Seq("ingest_batch=0"))
+    // per-file offsets at EOF; idempotent re-run scans nothing
+    assert(Files.exists(Paths.get(s"$root/state/flight_csv_offset__a.csv")))
+    assert(Files.exists(Paths.get(s"$root/state/flight_csv_offset__b.csv")))
+    val r2 = ing.ingestDirectory(dir)
+    assert(r2.rowsScanned == 0 && r2.rowsLoaded == 0)
+    assert(ing.staging.count() == 64)
+    // a file growing afterwards drains via the serial per-file path
+    Files.copy(Paths.get(resource("flights_append.csv")),
+      Paths.get(s"$dir/a.csv"), StandardCopyOption.REPLACE_EXISTING)
+    val r3 = ing.ingestDirectory(dir)
+    assert(r3.rowsScanned == 18 && r3.rowsLoaded == 0) // tail == b.csv rows
+    assert(ing.staging.count() == 64)
+  }
+
+  test("batched directory ingest: crash before ledger redoes the batch without duplicates") {
+    val (_, root, dir) = disjointDir()
+    val crashing = new FlightIngest(spark, root) {
+      override protected def afterStagingWrite(): Unit =
+        throw new RuntimeException("injected crash")
+    }
+    intercept[RuntimeException](crashing.ingestDirectory(dir))
+    // marker present, ledger partition absent => orphaned staging
+    assert(Files.exists(Paths.get(s"$root/state/flight_inflight__dirbatch")))
+    val ing = new FlightIngest(spark, root)
+    val r = ing.ingestDirectory(dir)
+    assert(r.rowsScanned == 67 && r.rowsLoaded == 64)
+    assert(ing.staging.count() == 64 && ing.ledger.count() == 64,
+      "orphaned staging partition double-counts the crashed batch")
+    assert(!Files.exists(Paths.get(s"$root/state/flight_inflight__dirbatch")))
+  }
+
+  test("batched directory ingest: crash after ledger finalizes offsets without rescanning") {
+    val (_, root, dir) = disjointDir()
+    val crashing = new FlightIngest(spark, root) {
+      override protected def afterLedgerWrite(): Unit =
+        throw new RuntimeException("injected crash")
+    }
+    intercept[RuntimeException](crashing.ingestDirectory(dir))
+    val ing = new FlightIngest(spark, root)
+    val r = ing.ingestDirectory(dir)
+    // the batch had logically committed: recovery only finalizes
+    // per-file offsets from the marker — nothing is rescanned
+    assert(r.rowsScanned == 0 && r.rowsLoaded == 0)
+    assert(ing.staging.count() == 64 && ing.ledger.count() == 64)
+    val r2 = ing.ingestDirectory(dir)
+    assert(r2.rowsScanned == 0 && ing.staging.count() == 64)
+  }
+
+  test("batched directory ingest: file replaced during crash window re-ingests fresh") {
+    val (_, root, dir) = disjointDir()
+    val crashing = new FlightIngest(spark, root) {
+      override protected def afterLedgerWrite(): Unit =
+        throw new RuntimeException("injected crash")
+    }
+    intercept[RuntimeException](crashing.ingestDirectory(dir))
+    // replace b.csv while "down": different first data line
+    val b = Files.readAllLines(Paths.get(s"$dir/b.csv"))
+    val mut = new java.util.ArrayList[String](b)
+    mut.set(1, mut.get(1).replaceFirst("^", "zz-"))
+    Files.write(Paths.get(s"$dir/b.csv"), mut)
+    val ing = new FlightIngest(spark, root)
+    val r = ing.ingestDirectory(dir)
+    // a.csv's offset finalizes from the marker; b.csv's fingerprint
+    // mismatches so it stays fresh and re-ingests — the one mutated
+    // row is new, the other 17 dedup against the committed ledger
+    assert(r.rowsScanned == 18 && r.rowsLoaded == 1)
+    assert(ing.staging.count() == 65 && ing.ledger.count() == 65)
+  }
+
   test("multi-file directory input is rejected loudly (offset order undefined)") {
     val root = tmpDir("ingest")
     val dir = s"$root/csvdir"
