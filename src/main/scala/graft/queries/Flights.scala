@@ -20,6 +20,7 @@ object Flights {
   type Q = (SparkSession, String) => DataFrame
 
   val fixturePath = "/root/repo/src/test/resources/flights_small.csv"
+  val appendFixturePath = "/root/repo/src/test/resources/flights_append.csv"
 
   private def rawFixture(s: SparkSession): DataFrame =
     FlightSchemas.renameToStaging(

@@ -142,7 +142,52 @@ object StarQueries {
       .orderBy(col("metric"))
   }
 
+  // ---- unified staging view (q85) ------------------------------------
+
+  @volatile private var unifiedDirs: Seq[String] = _
+
+  /** Build-once pair of staging roots with OVERLAPPING content: the
+    * batch path ingests the small fixture, the streaming path drains
+    * the append fixture (a superset). Exercises both writers' layouts
+    * under one reader. */
+  private def unifiedRoots(s: SparkSession): Seq[String] = lock.synchronized {
+    if (unifiedDirs == null) {
+      val broot = Files.createTempDirectory("graft-unified-batch").toString
+      val csv = s"$broot/flights.csv"
+      java.nio.file.Files.copy(java.nio.file.Paths.get(Flights.fixturePath),
+        java.nio.file.Paths.get(csv))
+      new FlightIngest(s, broot).ingest(csv)
+      val sroot = Files.createTempDirectory("graft-unified-stream").toString
+      val in = s"$sroot/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(Flights.appendFixturePath),
+        java.nio.file.Paths.get(s"$in/a.csv"))
+      graft.streaming.StreamingIngest
+        .start(s, in, s"$sroot/staging", s"$sroot/ckpt").awaitTermination()
+      unifiedDirs = Seq(s"$broot/staging", s"$sroot/staging")
+    }
+    unifiedDirs
+  }
+
+  /** q85: the unified staging view ([[graft.flights.StagingReader]])
+    * over one batch-written and one stream-written root whose sources
+    * OVERLAP — the backfill-beside-stream deployment. Cross-source
+    * dedup collapses the overlap (content-hash exact, the I-10 hash),
+    * and the rollup proves the merged corpus is the append fixture's
+    * distinct row set. The DuckDB twin is DISTINCT * over the union
+    * of both CSVs — the two ingest pipelines plus the unified reader
+    * must together equal one plain relational dedup. */
+  val q85: Q = (s, _) =>
+    graft.flights.StagingReader.read(s, unifiedRoots(s), dedupAcrossSources = true)
+      .groupBy(lower(trim(col("airline"))).as("airline_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(concat_ws("|", col("source_code"),
+          col("destination_code"))).as("n_routes"))
+      .orderBy(col("airline_key"))
+
   val queries: Map[String, Q] = Map(
+    "q85_unified_staging" -> q85,
     "q47_star_fact_rows" -> q47,
     "q48_kpi_fares_by_airline" -> q48,
     "q49_kpi_bookings_by_airline" -> q49,
@@ -198,6 +243,21 @@ object StarQueries {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // both ingest pipelines + StagingReader's cross-source dedup must
+    // equal one DISTINCT * over the unioned raw CSVs (all string-typed
+    // on both engines, so equality is exact)
+    "q85_unified_staging" ->
+      s"""WITH u AS (
+         |  SELECT * FROM read_csv('${Flights.fixturePath}',
+         |    header=true, all_varchar=true)
+         |  UNION ALL
+         |  SELECT * FROM read_csv('${Flights.appendFixturePath}',
+         |    header=true, all_varchar=true)
+         |), d AS (SELECT DISTINCT * FROM u)
+         |SELECT lower(trim(Airline)) AS airline_key,
+         |  count(*) AS n_rows,
+         |  count(DISTINCT Source || '|' || Destination) AS n_routes
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q47_star_fact_rows" ->
       s"""$sqlPipeline
          |SELECT lower(trim(airline)) AS airline_key,
