@@ -315,6 +315,72 @@ object Similarity {
       .select(idCols.map(col) :+ col("best.cid").as("cell"): _*)
   }
 
+  /** Cells up to which the FLAT broadcast-table argmin is used. Past
+    * it, the per-vector fan-out (k rows through the nested-loop join,
+    * k×dim multiplies per vector) is the cost that matters, and
+    * [[ivfAssignHierarchical]]'s two-level form takes over. */
+  val flatCentroidCap = 4096
+
+  /** Two-level centroid assignment — the shard-the-broadcast form that
+    * lifts [[flatCentroidCap]] (NOTES r6 candidate): k fine centroids
+    * are grouped under ~sqrt(k) COARSE cells (a k-means over the
+    * centroids themselves — they already summarize the corpus), each
+    * vector first takes the coarse argmin (literal codegen for ≤ 64
+    * coarse cells, the flat join form above that), then refines
+    * against ONLY its shard's fine centroids via an EQUI-join on the
+    * coarse id — a BroadcastHashJoin fanning each vector to ~k/kc
+    * rows instead of a nested-loop fanning to k. Per-vector work
+    * drops from O(k·dim) to O((kc + k/kc)·dim) ≈ O(2·sqrt(k)·dim),
+    * and no single join explodes as k grows into the tens of
+    * thousands of cells (1e8-vector corpora at the 512 sizing).
+    *
+    * The price, stated honestly: assignment becomes HIERARCHICAL —
+    * each vector gets its nearest fine centroid WITHIN its nearest
+    * coarse cell, which can differ from the global argmin near shard
+    * boundaries (the standard IVF/IMI trade; SemDeDup needs cluster
+    * locality, not exact Voronoi membership). Boundary-insensitive
+    * corpora (separation ≫ quantization error) assign identically to
+    * the flat form — pinned in SimilaritySpec. */
+  def ivfAssignHierarchical(df: DataFrame, vecCol: String,
+                            centroids: Array[Array[Double]],
+                            coarseK: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kc = math.min(
+      if (coarseK > 0) coarseK
+      else math.max(2, math.ceil(math.sqrt(centroids.length)).toInt),
+      centroids.length)
+    // coarse quantizer over the centroid set (tiny, driver round-trip)
+    val centDf = centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cid", "cvec")
+    val coarse = ivfCentroids(
+      centDf.select(col("cid"), col("cvec").as("embedding")), "embedding", kc)
+    // fine centroid -> coarse owner, exact driver arithmetic (same
+    // cnorm2 - 2*dot formula as ivfScores)
+    def ownerOf(c: Array[Double]): Int = coarse.zipWithIndex.map { case (g, i) =>
+      (g.map(x => x * x).sum - 2.0 * g.zip(c).map { case (a, b) => a * b }.sum, i)
+    }.min._2
+    val fineTable = centroids.zipWithIndex.map { case (c, i) =>
+      (ownerOf(c), i, c.toSeq, c.map(x => x * x).sum)
+    }.toSeq.toDF("ccell", "cid", "cvec", "cnorm2")
+    val idCols = df.columns.filter(_ != vecCol).toSeq
+    val coarseAssigned =
+      if (coarse.length <= literalCentroidCap)
+        df.withColumn("ccell", ivfAssign(col(vecCol), coarse))
+      else {
+        val withC = ivfAssignByJoin(df, vecCol, coarse)
+          .withColumnRenamed("cell", "ccell")
+        // the join form drops the vector column; re-attach for refine
+        withC.join(df.select((idCols.map(col) :+ col(vecCol)): _*), idCols)
+      }
+    coarseAssigned
+      .join(broadcast(fineTable), Seq("ccell"))
+      .withColumn("d", col("cnorm2") - lit(2.0) * dotD(col(vecCol), col("cvec")))
+      .groupBy(idCols.map(col): _*)
+      .agg(min(struct(col("d"), col("cid"))).as("best"))
+      .select(idCols.map(col) :+ col("best.cid").as("cell"): _*)
+  }
+
   /** The `nprobe` nearest cell ids (query side). */
   def ivfProbes(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     transform(slice(array_sort(array(ivfScores(v, centroids): _*)), 1, nprobe),
@@ -418,21 +484,28 @@ object Similarity {
     * ids — vectors are re-joined onto surviving pairs only. The cell
     * count ADAPTS to the corpus (the q37 adaptive-resolution rule:
     * fixed granularity at growing n is how cell-local quadratics go
-    * super-linear): ~one cell per 512 vectors, clamped to [16, 4096].
+    * super-linear): ~one cell per 512 vectors, clamped to [16, 65536].
     * Assignment picks its form by cell count: up to
     * [[literalCentroidCap]] cells the argmin is one literal codegen
-    * expression riding the scan; above it, [[ivfAssignByJoin]]'s
-    * broadcast centroid table + join argmin takes over (identical
-    * output, one id-keyed exchange, no codegen ceiling) — so
+    * expression riding the scan; up to [[flatCentroidCap]],
+    * [[ivfAssignByJoin]]'s broadcast centroid table + join argmin
+    * (identical output, one id-keyed exchange, no codegen ceiling);
+    * above that, [[ivfAssignHierarchical]]'s two-level coarse→shard
+    * form (r6 — sqrt(k) per-row work, equi-join fan-out) — so
     * membership stays roughly constant as the corpus grows all the
-    * way to the 4096 clamp (a ~2M-vector-per-run ceiling at the 512
-    * sizing; past it, shard the centroid table). The per-cell cap
+    * way to the 65536 clamp (a ~33M-vector-per-run ceiling at the
+    * 512 sizing; past it, add a coarse level). The per-cell cap
     * records exactly when the sizing contract is violated instead of
     * silently doing quadratic work. */
   private[ops] def semanticCells(n: Long): Int =
-    math.max(nCells, math.min(4096L, n / 512L).toInt)
+    math.max(nCells, math.min(65536L, n / 512L).toInt)
 
-  def semanticCellPairs(emb: DataFrame, cellsOverride: Option[Int] = None): DataFrame = {
+  /** `forceHierarchicalAssign` exercises the >[[flatCentroidCap]]
+    * assignment tier at test scale (training tens of thousands of
+    * centroids inside a spec is not practical; the tier choice itself
+    * is what needs pinning). */
+  def semanticCellPairs(emb: DataFrame, cellsOverride: Option[Int] = None,
+                        forceHierarchicalAssign: Boolean = false): DataFrame = {
     val nCellsHere = cellsOverride.getOrElse(semanticCells(corpusCount(emb)))
     val centroids = ivfCentroids(emb, "embedding", nCellsHere)
     val base = emb.select(col("vec_id"), col("embedding"))
@@ -444,7 +517,10 @@ object Similarity {
     // join and the within-group cell lookup read it — id-only rows,
     // and re-deriving it would re-run the collapse groupBy per branch
     val assigned =
-      if (centroids.length <= literalCentroidCap)
+      if (forceHierarchicalAssign || centroids.length > flatCentroidCap)
+        ivfAssignHierarchical(reps, "embedding", centroids)
+          .select(col("vec_id"), col("vhash"), col("cell"))
+      else if (centroids.length <= literalCentroidCap)
         reps.select(col("vec_id"), col("vhash"),
           ivfAssign(col("embedding"), centroids).as("cell"))
       else

@@ -186,6 +186,57 @@ class SimilaritySpec extends SparkTestBase {
       "broadcast-table argmin diverged from the literal codegen argmin")
   }
 
+  test("hierarchical assignment matches the flat argmin on a separated corpus (r6)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 8 tight one-hot clusters in 8-dim: separation >> quantization
+    // error, so nearest-fine-within-nearest-coarse == global argmin
+    val dim = 8
+    val vecs = for (c <- 0 until dim; i <- 0 until 12) yield {
+      val v = Array.fill(dim)(0.0f)
+      v(c) = 1.0f; v((c + 1) % dim) = 0.01f * (i + 1)
+      ((c * 12 + i).toLong, v)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfCentroids(emb, "embedding", dim)
+    val flat = Similarity.ivfAssignByJoin(emb, "embedding", centroids)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val hier = Similarity.ivfAssignHierarchical(emb, "embedding", centroids,
+      coarseK = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(hier.size == flat.size)
+    assert(hier == flat,
+      "two-level assignment diverged from the flat argmin on separated clusters")
+  }
+
+  test("semantic dedup on the hierarchical tier: planted clusters survive (r6)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = 8
+    def mk(active: Int, eps: Double, at: Int): Array[Float] = {
+      val v = Array.fill(dim)(0.0f); v(active) = 1.0f; v(at) = eps.toFloat; v
+    }
+    val clones = for (c <- 0 until 3; i <- 0 until 5)
+      yield ((c * 5 + i).toLong, mk(c, 0.01 * (i + 1), (c + 3) % dim))
+    val noise = for (i <- 0 until 400) yield {
+      val rnd = new scala.util.Random(7000 + i)
+      (200L + i, Array.fill(dim)(rnd.nextFloat() - 0.5f))
+    }
+    val emb = (clones ++ noise).toDF("vec_id", "embedding")
+    val found = Similarity
+      .semanticCellPairs(emb, cellsOverride = Some(96),
+        forceHierarchicalAssign = true)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) -> r.getAs[Double]("cosine"))
+      .toMap
+    Dedup.releaseSketchCaches()
+    for (c <- 0 until 3; i <- 0 until 5; j <- i + 1 until 5) {
+      val key = ((c * 5 + i).toLong, (c * 5 + j).toLong)
+      assert(found.contains(key), s"missing clone pair $key on the hierarchical tier")
+      assert(found(key) > 0.99, s"clone pair $key cosine ${found(key)}")
+    }
+  }
+
   test("semantic dedup past the literal cap: >64 cells runs the join path, planted clusters survive") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
