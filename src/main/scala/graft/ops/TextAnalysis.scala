@@ -402,7 +402,46 @@ object TextAnalysis {
       .limit(passageTopK)
   }
 
+  /** Sentence-level exact-dedup fraction (q86): per document, the
+    * share of its substantial sentences (>= 20 chars after trim,
+    * split on sentence boundaries) that appear VERBATIM in at least
+    * one OTHER document — the C4/RefinedWeb sentence-dedup signal
+    * sitting between q81 (intra-doc n-grams) and q82 (cross-doc
+    * passages): q82 finds WHICH passages spread; this scores each
+    * DOCUMENT by how much of it is shared material, the gate a
+    * curator actually filters on.
+    *
+    * Scale shape: sentences hash to int64 in the projection; the
+    * sentence-frequency table aggregates (shash, doc_id) pairs
+    * id-only, and the join back onto the per-doc occurrence stream is
+    * shash-keyed — sentence STRINGS never enter an exchange. Two hash
+    * aggs + one id join; the DuckDB twin carries the strings (q36's
+    * equality-structure convention, 2^-64 collisions). */
+  val sentenceDupFraction: Q = (s, d) =>
+    sentenceDupFractionOf(Tables.documents(s, d))
+
+  def sentenceDupFractionOf(docs: DataFrame): DataFrame = {
+    val minSentChars = 20
+    val sents = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(split(col("text"), "\\.\\s+")).as("s"))
+      .select(col("doc_id"), trim(col("s")).as("sent"))
+      .filter(length(col("sent")) >= minSentChars)
+      .select(col("doc_id"), xxhash64(col("sent")).as("shash"))
+    val freq = sents.select(col("doc_id"), col("shash")).distinct()
+      .groupBy(col("shash")).agg(count(lit(1)).as("n_docs"))
+    sents.join(freq, Seq("shash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_sentences"))
+      .withColumn("dup_frac",
+        col("n_dup_sentences").cast(DoubleType) / col("n_sentences"))
+      .withColumn("keep", col("dup_frac") < 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q86_sentence_dup_fraction" -> sentenceDupFraction,
     "q82_duplicated_passages" -> duplicatedPassages,
     "q81_dupgram_fraction" -> dupgramFraction,
     "q79_cms_heavy_hitters" -> cmsHeavyHitters,
@@ -427,6 +466,28 @@ object TextAnalysis {
     // string 4-grams on the oracle side vs hashed on the Spark side:
     // only the per-row occurrence/distinct COUNTS are compared, equal
     // modulo the standing 2^-64 xxhash64 collision approximation
+    // sentence strings on the oracle side vs hashes on the Spark side
+    "q86_sentence_dup_fraction" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, trim(s) AS sent
+         |  FROM (
+         |    SELECT doc_id, unnest(string_split_regex(text, '\\.\\s+')) AS s
+         |    FROM documents WHERE text IS NOT NULL
+         |  )
+         |  WHERE length(trim(s)) >= 20
+         |), freq AS (
+         |  SELECT sent, count(DISTINCT doc_id) AS n_docs FROM s GROUP BY sent
+         |)
+         |SELECT s.doc_id,
+         |  count(*) AS n_sentences,
+         |  CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_sentences,
+         |  CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS dup_frac,
+         |  (CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) < 0.5) AS keep
+         |FROM s JOIN freq f USING (sent)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     // string 8-grams on the oracle side vs hashed on the Spark side,
     // q36's convention: identical equality structure modulo 2^-64
     // collisions; ties in the top-k break on the gram string

@@ -337,7 +337,85 @@ object Core {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q87 — the TPC-H Q21 shape (sole-late-supplier), adapted to this
+    * schema's columns (no commit/receipt dates: "late" := shipped
+    * more than 60 days after the order date). The reference SQL is a
+    * triple correlation — EXISTS (another supplier on the order) AND
+    * NOT EXISTS (another LATE supplier on the order) — which the
+    * oracle twin keeps verbatim as a cross-algorithm check; the Spark
+    * side is the decorrelated form a 100 TB plan wants: ONE shuffle
+    * of (order, supplier) pairs, a window over the same partition for
+    * both order-level fan-outs (no second exchange, no self-joins of
+    * lineitem), then supplier/nation broadcast joins onto the tiny
+    * qualifying set. numwait counts qualifying LATE LINEITEMS (Q21's
+    * row-counting semantics), not just qualifying orders. */
+  private val q87: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+    val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) > 60).as("late"))
+    // repartition on okey ALONE: hash(okey) satisfies the (okey, skey)
+    // aggregate's clustering AND both windows' partitioning, so the
+    // agg and the two order-level fan-outs ride ONE exchange (the
+    // default plan shuffles twice — (okey,skey) for the agg, okey for
+    // the windows — for rows this narrow the extra exchange costs
+    // more than the lost map-side combine saves: ~1 row per (order,
+    // supplier) pair either way)
+    val perSupp = joined.repartition(col("okey"))
+      .groupBy(col("okey"), col("skey"))
+      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_my_late"))
+      .withColumn("supp_late", col("n_my_late") > 0L)
+    val w = Window.partitionBy(col("okey"))
+    val scored = perSupp
+      .withColumn("n_supps", count(lit(1)).over(w))
+      .withColumn("n_late_supps",
+        sum(when(col("supp_late"), 1L).otherwise(0L)).over(w))
+    scored
+      .filter(col("supp_late") && col("n_supps") >= 2 && col("n_late_supps") === 1)
+      .join(Tables.supplier(s, d), col("skey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_name"), col("n_name"))
+      .agg(sum(col("n_my_late")).as("numwait"))
+      .select(col("s_name"), col("n_name").as("nation"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(25)
+  }
+
+  /** q88 — the TPC-H Q22 shape (promising inactive customers),
+    * adapted to this schema (no phone column: grouped by nation; the
+    * original's fixed 7-year inactivity window becomes "no orders in
+    * the trailing 180 days of the dataset", anchored on a SECOND
+    * scalar subquery, max(o_orderdate) — almost-everyone-has-orders
+    * data makes the literal no-orders-ever form empty). TWO scalar
+    * subqueries (exact-decimal positive-balance average per the Qx
+    * ladder; the recency watermark) + an anti join against the
+    * recent-order key set + broadcast dim rollup. The oracle keeps
+    * the correlated NOT EXISTS + scalar-subquery SQL verbatim. */
+  private val q88: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal")).as("abal"))
+    val cutoff = ord
+      .agg(date_sub(max(to_date(col("o_orderdate"))), 180).as("cut"))
+    val recent = ord.crossJoin(broadcast(cutoff))
+      .filter(to_date(col("o_orderdate")) >= col("cut"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("abal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("nation"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q87_sole_late_supplier" -> q87,
+    "q88_rich_inactive_customers" -> q88,
     "q46_weighted_avg" -> q46,
     "q19_sketches" -> q19,
     "q39_cube_agg" -> q39,
@@ -363,6 +441,42 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
+    // the CORRELATED Q21 original — cross-algorithm twin of the
+    // decorrelated window form
+    "q87_sole_late_supplier" ->
+      """SELECT s_name, n_name AS nation, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND date_diff('day', CAST(o_orderdate AS DATE),
+        |        CAST(l1.l_shipdate AS DATE)) > 60
+        |  AND s_nationkey = n_nationkey
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND date_diff('day', CAST(o_orderdate AS DATE),
+        |            CAST(l3.l_shipdate AS DATE)) > 60)
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
+    // the correlated Q22 original: scalar subquery + NOT EXISTS
+    "q88_rich_inactive_customers" ->
+      s"""SELECT n_name AS nation, count(*) AS numcust,
+         |  ${Qx.sqlDsum("c_acctbal")} AS totacctbal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |WHERE c_acctbal > (
+         |    SELECT ${Qx.sqlDavg("c_acctbal")} FROM customer
+         |    WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |      AND CAST(o_orderdate AS DATE) >=
+         |        (SELECT max(CAST(o_orderdate AS DATE)) FROM orders) - 180)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q39_cube_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity", rescale = 2)} AS sum_qty, count(*) AS n_items

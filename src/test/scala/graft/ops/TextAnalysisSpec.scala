@@ -158,6 +158,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!rows.exists(_.getAs[String]("gram").contains("unrelated")))
   }
 
+  test("sentence dedup fraction: shared sentences counted, short ones ignored") {
+    val shared = "this exact sentence appears in multiple documents verbatim"
+    val docs = Seq(
+      (1L, s"$shared. a unique closing thought long enough to qualify here."),
+      (2L, s"different intro for the second doc. $shared. ok."),
+      (3L, "a document with entirely original sentences throughout. " +
+        "nothing here appears anywhere else in the corpus at all."),
+      (4L, "tiny. bits. only.")).toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceDupFractionOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sentences"), r.getAs[Long]("n_dup_sentences"),
+          r.getAs[Boolean]("keep"))).toMap
+    // doc 1: 2 qualifying sentences, 1 shared => dup_frac 0.5 => drop
+    assert(out(1L) == (2L, 1L, false))
+    // doc 2: "ok." trims under 20 chars and is ignored
+    assert(out(2L) == (2L, 1L, false))
+    assert(out(3L) == (2L, 0L, true))
+    // doc 4 has no qualifying sentences and emits no row
+    assert(!out.contains(4L))
+  }
+
   test("length histogram partitions the corpus with valid bands") {
     val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
     val bands = Set("000-015", "016-031", "032-063", "064-127", "128-255", "256+")
