@@ -16,6 +16,7 @@ object Explain {
       else Seq("q02_revenue_filter", "q04_revenue_by_nation",
         "q06_top_order_per_cust", "q25_events_hourly", "q30_cosine_topk")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

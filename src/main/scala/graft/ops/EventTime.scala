@@ -112,6 +112,48 @@ object EventTime {
       .orderBy(col("user_id"), col("purchase_id"))
   }
 
+  /** As-of join WITH TOLERANCE (q89): q29 pairs each purchase with the
+    * latest same-user click no matter how old; real enrichment joins
+    * (pandas merge_asof's `tolerance`, kdb's windowed aj) bound the
+    * staleness — a view older than 30 minutes is noise, not intent.
+    * Same single-exchange union trick as q29 (no join: the purchase
+    * and view streams interleave in one user-partitioned window and
+    * `last` picks the preceding view), then the tolerance is a pure
+    * post-filter on the picked timestamp: NULL out matches older than
+    * the bound. Matches at the purchase instant count (<=), matches
+    * at exactly the bound count (>=), in both engines. */
+  val asofTolerance = "30 minutes"
+  val asofWithTolerance: Q = (s, d) => {
+    val toleranceMicros = 30L * 60L * 1000000L
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast(LongType).as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("purchase_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    views.unionByName(purchases)
+      .withColumn("last_view_ts",
+        last(when(col("purchase_id").isNull, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("purchase_id").isNotNull)
+      .withColumn("fresh",
+        col("last_view_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("last_view_ts")) <= toleranceMicros)
+      .select(
+        col("user_id"),
+        col("purchase_id"),
+        date_format(col("ts"), tsFmt).as("purchase_ts"),
+        when(col("fresh"), date_format(col("last_view_ts"), tsFmt))
+          .otherwise(lit(null).cast(StringType)).as("view_ts"),
+        when(col("fresh"),
+          (unix_micros(col("ts")) - unix_micros(col("last_view_ts")))
+            .cast(DoubleType) / 60000000.0)
+          .otherwise(lit(null).cast(DoubleType)).as("staleness_min"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
   /** Windowed interval-join attribution (q84): for every purchase,
     * how many views and clicks the SAME user made in the preceding
     * two hours — the marketing-attribution complement of q29's as-of
@@ -314,6 +356,7 @@ object EventTime {
   }
 
   val queries: Map[String, Q] = Map(
+    "q89_asof_with_tolerance" -> asofWithTolerance,
     "q84_purchase_attribution" -> purchaseAttribution,
     "q83_session_concurrency" -> sessionConcurrency,
     "q41_json_extract" -> jsonExtract,
@@ -328,6 +371,26 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    // correlated bounded-max subquery — cross-algorithm twin of the
+    // union+last_value single-exchange form
+    "q89_asof_with_tolerance" ->
+      s"""WITH p AS (
+         |  SELECT user_id, event_id AS purchase_id, ts FROM events
+         |  WHERE event_type = 'purchase'
+         |)
+         |SELECT p.user_id, p.purchase_id,
+         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         |  strftime((
+         |    SELECT max(v.ts) FROM events v
+         |    WHERE v.user_id = p.user_id AND v.event_type = 'view'
+         |      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE),
+         |    '%Y-%m-%d %H:%M:%S') AS view_ts,
+         |  CAST(epoch_us(p.ts) - epoch_us((
+         |    SELECT max(v.ts) FROM events v
+         |    WHERE v.user_id = p.user_id AND v.event_type = 'view'
+         |      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE))
+         |    AS DOUBLE) / 60000000.0 AS staleness_min
+         |FROM p ORDER BY p.user_id, p.purchase_id""".stripMargin,
     // the NAIVE interval join — cross-algorithm twin of the Spark
     // side's range-framed window (no join there at all)
     "q84_purchase_attribution" ->

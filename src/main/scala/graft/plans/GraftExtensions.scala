@@ -36,5 +36,7 @@ object CollapseTitleCase extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollapseTitleCase)
+    ext.injectOptimizerRule(_ => RewriteRankLimitToTopK)
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }

@@ -1,0 +1,186 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Whole-operator Catalyst extension (the (c) rung of the extension
+  * ladder): per-group top-k as a first-class physical operator.
+  *
+  * The declarative spelling — `row_number().over(partitionBy(g)
+  * .orderBy(o)) <= k` then filter — is how every engine user writes
+  * it, and how q06/q76 are written here. Spark executes that as a
+  * full Window: EVERY group's rows shuffle, sort completely, get
+  * numbered, and only then drop to k. At 100 TB, that is a
+  * corpus-sized sort-shuffle to keep 5 rows per source.
+  *
+  * [[RewriteRankLimitToTopK]] recognizes exactly that logical shape
+  * and swaps in [[TopKPerGroupNode]]; [[TopKPerGroupStrategy]] plans
+  * it as TWO [[TopKPerGroupExec]] phases (the agg partial/final
+  * pattern applied to top-k):
+  *
+  *   - partial: per input partition, a size-k bounded heap per group
+  *     — O(n log k) compute, O(groups x k) memory, NO sort — so at
+  *     most k rows per (partition, group) ever reach the exchange;
+  *   - exchange on the group keys (inserted by EnsureRequirements
+  *     from the final phase's required distribution);
+  *   - final: the same bounded heap over the pruned stream, then each
+  *     group's survivors sort (k elements) and take row_number ranks.
+  *
+  * Semantics match the window form whenever the order is TOTAL within
+  * a group (ties broken by some unique column — true of every rank
+  * query in this engine, and the same caveat row_number itself
+  * carries: with a non-total order both forms return an arbitrary
+  * representative among tied rows). Registered via
+  * [[GraftExtensions]]; the q06/q76 DuckDB oracles gate the rewrite
+  * end-to-end every round because the Verify session runs with
+  * extensions on. */
+case class TopKPerGroupNode(
+    group: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
+    copy(child = newChild)
+}
+
+/** Matches `Filter(rank cmp lit, Window(row_number as rank over
+  * (partition by g order by o rows unbounded preceding..current)))`
+  * once predicate pushdown has brought the filter adjacent to the
+  * window. Only the EXACT single-comparison filter is rewritten; a
+  * conjunction with other predicates is left alone (those predicates
+  * may reference pre-window rows the heap would have pruned). */
+object RewriteRankLimitToTopK extends Rule[LogicalPlan] {
+  private def bound(cond: Expression, rank: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(r: Attribute, Literal(v: Int, IntegerType))
+      if r.semanticEquals(rank) => Some(v)
+    case LessThan(r: Attribute, Literal(v: Int, IntegerType))
+      if r.semanticEquals(rank) => Some(v - 1)
+    case EqualTo(r: Attribute, Literal(1, IntegerType))
+      if r.semanticEquals(rank) => Some(1)
+    case GreaterThanOrEqual(Literal(v: Int, IntegerType), r: Attribute)
+      if r.semanticEquals(rank) => Some(v)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+        LWindow(Seq(alias @ Alias(
+          WindowExpression(RowNumber(),
+            WindowSpecDefinition(part, order,
+              SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+          _)), _, _, child, _))
+        if part.nonEmpty && order.nonEmpty =>
+      bound(cond, alias.toAttribute) match {
+        case Some(k) if k >= 1 =>
+          TopKPerGroupNode(part, order, k, alias.toAttribute, child)
+        case Some(_) => // k <= 0: the filter is always false; leave it
+          f
+        case None => f
+      }
+  }
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(group, order, k, rankAttr, child) =>
+      val partialExec = TopKPerGroupExec(group, order, k, rankAttr,
+        planLater(child), partial = true)
+      TopKPerGroupExec(group, order, k, rankAttr, partialExec,
+        partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Bounded-heap per-group top-k. `partial = true` prunes without
+  * ranking (pre-shuffle combiner); `partial = false` requires
+  * clustering on the group keys, prunes again, and emits each group's
+  * k survivors in order with the appended row_number rank. */
+case class TopKPerGroupExec(
+    group: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan,
+    partial: Boolean) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(group) :: Nil
+
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val groupExprs = group
+    val sortOrder = order
+    val limit = k
+    val isPartial = partial
+    val finalOutput = output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      val ord = GenerateOrdering.generate(
+        sortOrder.map(BindReferences.bindReference(_, childOutput)))
+      // PriorityQueue head = WORST survivor (reverse of the sort order)
+      val cmp = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          ord.compare(b, a)
+      }
+      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](limit + 1, cmp)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < limit) heap.offer(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.offer(row.copy())
+        }
+      }
+      val resultProj = UnsafeProjection.create(finalOutput, finalOutput)
+      val rankRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      val entries = heaps.entrySet().iterator()
+      new Iterator[InternalRow] {
+        private var current: Iterator[InternalRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!current.hasNext && entries.hasNext) {
+            val heap = entries.next().getValue
+            val arr = new Array[InternalRow](heap.size())
+            var i = arr.length - 1
+            // drain the heap worst-first => arr ends up best-first
+            while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
+            current =
+              if (isPartial) arr.iterator
+              else arr.iterator.zipWithIndex.map { case (r, idx) =>
+                rankRow.setInt(0, idx + 1)
+                resultProj(joined(r, rankRow))
+              }
+          }
+          current.hasNext
+        }
+        override def next(): InternalRow = current.next()
+      }
+    }, preservesPartitioning = true)
+  }
+}

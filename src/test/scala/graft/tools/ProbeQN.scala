@@ -11,6 +11,7 @@ object ProbeQN {
     val (dir, name) = (args(0), args(1))
     val reps = if (args.length > 2) args(2).toInt else 5
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

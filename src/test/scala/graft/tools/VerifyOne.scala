@@ -12,6 +12,7 @@ object VerifyOne {
     val (sfDir, outDir) = (args(0), args(1))
     val names = args.drop(2).toSeq
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
