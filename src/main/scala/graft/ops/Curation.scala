@@ -213,7 +213,64 @@ object Curation {
       .orderBy(col("source"), col("qrank"))
   }
 
+  /** DSIR-style importance weighting (q90): score every raw document
+    * by how much its unigram distribution looks like a TARGET domain
+    * (here the `src0` slice standing in for the curated/quality
+    * domain) — the hashed-n-gram importance-resampling selection step
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling") that decides which slice of a 100 TB raw
+    * crawl is worth training on.
+    *
+    * Per raw-corpus token occurrence, the smoothed target/raw count
+    * ratio in exact integer micro-units:
+    * `((cnt_target + 1) * 10^6) div (cnt_raw + 1)`; a document's
+    * importance is the sum over its tokens. Two deliberate, documented
+    * divergences from the paper's form, both for cross-engine
+    * exactness (the q63 rule — no transcendental math under an
+    * oracle):
+    *   - the corpus-constant normalization `(tot_raw + V)/(tot_t + V)`
+    *     is dropped — identical for every document, so rank-invariant;
+    *   - the sum is of RATIOS (arithmetic mean), not log-ratios
+    *     (DSIR's geometric form): `ln` hash-diverges on libm ulps
+    *     between the JVM and DuckDB. DsirSpec pins that both forms
+    *     rank planted target-vocabulary docs above off-domain ones.
+    *
+    * Engine shape: ONE explode feeds ONE hash agg that computes both
+    * per-token counts as conditional sums (no second scan, no
+    * count-table join); the ratio table is vocab-bounded and
+    * BROADCAST back onto the token stream, so hot tokens never
+    * shuffle (q63's skew posture) and the only exchanges carry
+    * (token, counts) and (doc_id, sums) — for an open 100 TB
+    * vocabulary, swap the broadcast for ops/Skew.scala's salted join,
+    * same plan otherwise. */
+  val dsirTargetSource = "src0"
+  val dsirScale = 1000000L
+
+  def importanceWeightsOf(docs: DataFrame, targetSource: String = dsirTargetSource): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val isTarget = col("source") === targetSource
+    val ratios = toks
+      .groupBy(col("token"))
+      .agg(sum(when(isTarget, 1L).otherwise(0L)).as("cnt_t"),
+        sum(when(isTarget, 0L).otherwise(1L)).as("cnt_r"))
+      .select(col("token"),
+        expr(s"((cnt_t + 1L) * $dsirScale) div (cnt_r + 1L)").as("ratio_micro"))
+    toks.filter(!isTarget)
+      .join(broadcast(ratios), Seq("token"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ratio_micro")).as("importance_micro"))
+      .withColumn("mean_importance_micro",
+        expr("importance_micro div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirImportance: Q = (s, d) => importanceWeightsOf(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
+    "q90_dsir_importance" -> dsirImportance,
     "q54_corpus_filter" -> corpusFilter,
     "q54b_corpus_filter_stats" -> corpusFilterStats,
     "q58_pii_scrub" -> piiScrub,
@@ -280,6 +337,27 @@ object Curation {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same exact-integer arithmetic, relational spelling: DuckDB's
+    // `//` and Spark's `div` agree on positive BIGINTs
+    "q90_dsir_importance" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, unnest(${sqlToks("text")}) AS token
+         |  FROM documents WHERE text IS NOT NULL
+         |), ratios AS (
+         |  SELECT token,
+         |    ((CAST(sum(CASE WHEN source = '$dsirTargetSource' THEN 1 ELSE 0 END) AS BIGINT) + 1)
+         |      * $dsirScale)
+         |    // (CAST(sum(CASE WHEN source <> '$dsirTargetSource' THEN 1 ELSE 0 END) AS BIGINT) + 1)
+         |      AS ratio_micro
+         |  FROM tok GROUP BY token
+         |)
+         |SELECT t.doc_id, t.source, count(*) AS n_tokens,
+         |  CAST(sum(r.ratio_micro) AS BIGINT) AS importance_micro,
+         |  CAST(sum(r.ratio_micro) AS BIGINT) // count(*) AS mean_importance_micro
+         |FROM tok t JOIN ratios r USING (token)
+         |WHERE t.source <> '$dsirTargetSource'
+         |GROUP BY t.doc_id, t.source
+         |ORDER BY t.doc_id""".stripMargin,
     "q54_corpus_filter" ->
       s"""WITH RECURSIVE ${Dedup.sqlBlockedPairs},
          |$sqlVerdictBody
