@@ -269,7 +269,57 @@ object Curation {
 
   val dsirImportance: Q = (s, d) => importanceWeightsOf(Tables.documents(s, d))
 
+  /** Corpus snapshot diff (q92): the versioning audit run between two
+    * releases of a training corpus — which documents were added,
+    * removed, or changed — keyed on content hash so a re-ingested but
+    * byte-identical document does not show up as churn. Training-data
+    * governance runs this before every release: the diff IS the
+    * changelog, and an unexpected `changed`/`removed` row is an
+    * upstream-pipeline bug caught before a model trains on it.
+    *
+    * The two snapshots are deterministic views of the one testdata
+    * corpus (both engines replay them bit-identically): snapshot A =
+    * the first 80% by doc_id, snapshot B = the last 80%, with every
+    * doc_id % [[snapshotEditMod]] == 0 doc in B re-cased — so the
+    * diff exercises all three statuses plus the hash-equal fast path.
+    *
+    * Engine shape: each side reduces to (doc_id, md5) ON the scan —
+    * the full-outer join carries two 16-byte hashes per doc, never
+    * text — and the output is delta-sized (the `unchanged` mass never
+    * leaves the join). At 100 TB both sides partition on doc_id, so
+    * AQE plans this as a co-partitioned sort-merge join with no
+    * corpus-wide text movement. Presence is tracked with explicit
+    * flags, not hash nullness: a null-text document has a NULL md5
+    * but still EXISTS in its snapshot. */
+  val snapshotEditMod = 13L
+
+  val corpusDiff: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val wm = docs.agg(
+      expr("(max(doc_id) * 4) div 5").as("wm80"),
+      expr("max(doc_id) div 5").as("wm20"))
+    val a = docs.crossJoin(broadcast(wm))
+      .filter(col("doc_id") <= col("wm80"))
+      .select(col("doc_id"), md5(col("text")).as("old_md5"), lit(1).as("in_a"))
+    val b = docs.crossJoin(broadcast(wm))
+      .filter(col("doc_id") > col("wm20"))
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % snapshotEditMod === 0, upper(col("text")))
+          .otherwise(col("text"))).as("new_md5"),
+        lit(1).as("in_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
+          .when(!(col("old_md5") <=> col("new_md5")), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"), col("old_md5"), col("new_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q92_corpus_diff" -> corpusDiff,
     "q90_dsir_importance" -> dsirImportance,
     "q54_corpus_filter" -> corpusFilter,
     "q54b_corpus_filter_stats" -> corpusFilterStats,
@@ -337,6 +387,28 @@ object Curation {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q92_corpus_diff" ->
+      s"""WITH w AS (
+         |  SELECT (max(doc_id) * 4) // 5 AS wm80, max(doc_id) // 5 AS wm20
+         |  FROM documents
+         |), a AS (
+         |  SELECT doc_id, md5(text) AS old_md5 FROM documents, w
+         |  WHERE doc_id <= wm80
+         |), b AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % $snapshotEditMod = 0 THEN md5(upper(text))
+         |         ELSE md5(text) END AS new_md5
+         |  FROM documents, w WHERE doc_id > wm20
+         |)
+         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |  CASE WHEN a.doc_id IS NULL THEN 'added'
+         |       WHEN b.doc_id IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS status,
+         |  old_md5, new_md5
+         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         |WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+         |   OR old_md5 IS DISTINCT FROM new_md5
+         |ORDER BY doc_id""".stripMargin,
     // same exact-integer arithmetic, relational spelling: DuckDB's
     // `//` and Spark's `div` agree on positive BIGINTs
     "q90_dsir_importance" ->

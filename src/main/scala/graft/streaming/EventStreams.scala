@@ -29,6 +29,38 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's views inside the preceding attribution window — the
+    * Structured Streaming form of the q84 batch window (there a
+    * range-framed window function; here a genuine two-stream join,
+    * because neither side is at rest). Both inputs carry watermarks
+    * and the join condition bounds view_ts to
+    * [purchase_ts - window, purchase_ts], which is exactly what lets
+    * Spark retire buffered state: a view is dropped once the
+    * purchase-side watermark passes view_ts + window, a purchase once
+    * the view-side watermark passes purchase_ts — without both bounds
+    * the state store grows forever. Inner join in append mode emits a
+    * (purchase, view) pair as soon as both sides arrive; at scale the
+    * join keys hash-partition both streams on user_id, so per-batch
+    * work is proportional to the batch, not the history. */
+  def purchaseAttributionJoin(views: DataFrame, purchases: DataFrame,
+                              window: String = "2 hours",
+                              watermark: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(v,
+      expr(s"""v_user_id = user_id AND
+              |view_ts >= purchase_ts - interval $window AND
+              |view_ts <= purchase_ts""".stripMargin))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("view_ts"))
+  }
+
   /** Read the events parquet directory as a stream (test/demo entry).
     * events.parquet stores TIMESTAMP(NANOS): apply the same
     * nanos-as-long + µs-conversion shim as graft.Tables.events, so the

@@ -148,6 +148,26 @@ class CurationSpec extends SparkTestBase {
     assert(top1 == trueMax)
   }
 
+  test("corpus diff: statuses partition exactly along the watermarks and planted edits") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("text"))).toMap
+    val maxId = docs.keys.max
+    val (wm80, wm20) = (maxId * 4 / 5, maxId / 5)
+    val rows = Curation.corpusDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.keys.foreach { id =>
+      val expected =
+        if (id <= wm20) Some("removed")
+        else if (id > wm80) Some("added")
+        else if (id % Curation.snapshotEditMod == 0 &&
+          docs(id).exists(t => t.toUpperCase != t)) Some("changed")
+        else None // unchanged rows never leave the join
+      assert(rows.get(id) == expected, s"doc $id: ${rows.get(id)} vs $expected")
+    }
+    assert(rows.keySet.subsetOf(docs.keySet))
+  }
+
   test("corpus filter stats roll up to the corpus size") {
     val total = graft.Tables.documents(spark, sf).count()
     val stats = Curation.corpusFilterStats(spark, sf).collect()

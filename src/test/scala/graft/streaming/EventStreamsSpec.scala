@@ -42,6 +42,63 @@ class EventStreamsSpec extends SparkTestBase {
     assert(h10.head._3 == 2L && h10.head._4 == 3.0)
   }
 
+  test("stream-stream interval join matches views inside the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val viewsIn = MemoryStream[(Timestamp, Long)]
+    val purchasesIn = MemoryStream[(Timestamp, Long, Long)]
+    val views = viewsIn.toDF().toDF("ts", "user_id")
+    val purchases = purchasesIn.toDF().toDF("ts", "user_id", "event_id")
+    val q = EventStreams.purchaseAttributionJoin(views, purchases,
+      window = "2 hours", watermark = "1 hour")
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+
+    viewsIn.addData(
+      (ts("2024-01-01 08:30:00"), 1L), // inside the 2h window
+      (ts("2024-01-01 09:59:00"), 1L), // inside
+      (ts("2024-01-01 07:00:00"), 1L), // too old: 3h before
+      (ts("2024-01-01 10:30:00"), 1L), // after the purchase
+      (ts("2024-01-01 09:00:00"), 2L)) // other user
+    purchasesIn.addData((ts("2024-01-01 10:00:00"), 1L, 100L))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("attrib_out")
+      .select(col("user_id"), col("purchase_id"), col("view_ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+    assert(out == Set(
+      (1L, 100L, ts("2024-01-01 08:30:00")),
+      (1L, 100L, ts("2024-01-01 09:59:00"))),
+      s"got $out")
+  }
+
+  test("interval-join state is retired behind the watermark (late view never joins)") {
+    implicit val sqlCtx = spark.sqlContext
+    val viewsIn = MemoryStream[(Timestamp, Long)]
+    val purchasesIn = MemoryStream[(Timestamp, Long, Long)]
+    val views = viewsIn.toDF().toDF("ts", "user_id")
+    val purchases = purchasesIn.toDF().toDF("ts", "user_id", "event_id")
+    val q = EventStreams.purchaseAttributionJoin(views, purchases,
+      window = "1 hours", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("attrib_late_out")
+      .outputMode("append").start()
+
+    // advance both watermarks far past hour 10
+    viewsIn.addData((ts("2024-01-01 15:00:00"), 9L))
+    purchasesIn.addData((ts("2024-01-01 15:00:00"), 9L, 1L))
+    q.processAllAvailable()
+    // a view and purchase pair hours behind the watermark: the join
+    // must not emit it (the state that could match it is retired)
+    viewsIn.addData((ts("2024-01-01 09:50:00"), 1L))
+    purchasesIn.addData((ts("2024-01-01 10:00:00"), 1L, 100L))
+    q.processAllAvailable()
+    q.stop()
+
+    val late = spark.table("attrib_late_out")
+      .filter(col("purchase_id") === 100L).count()
+    assert(late == 0L, "behind-watermark rows must be dropped, not joined")
+  }
+
   test("streaming sessionization merges events within the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
