@@ -355,7 +355,64 @@ object EventTime {
       .orderBy(col("hour"))
   }
 
+  /** Incremental distinct counting over a persisted HLL sketch store
+    * (q93): "distinct users per event type" maintained the way a
+    * 100 TB event pipeline has to — one Datasketches HLL sketch per
+    * (event_type, ingest round) in a [[HllDistinctStore]], unioned at
+    * read time. HLL union is a register-wise max, so it is exact over
+    * the sketches (merged-per-round == built-in-one-shot, pinned
+    * bit-identical in HllStoreSpec), associative (compaction folds
+    * rounds without changing any estimate), and the store never
+    * rescans history: steady-state cost is the DELTA scan plus a
+    * few-KB-per-type sketch read — vs q11's exact countDistinct,
+    * which reshuffles every historical user id per run.
+    *
+    * Output is self-auditing (the q79 CMS pattern): the sketch
+    * estimate next to the exact count with the error in integer ppm —
+    * at production scale the exact column is dropped and the estimate
+    * IS the product, but while both are cheap the audit rides along.
+    * Rows-only correctness entry: DuckDB's approx_count_distinct is a
+    * different sketch family, so no SQL twin exists; the estimate is
+    * still deterministic (hash registers, no RNG) and HllStoreSpec
+    * pins the lifecycle — round-0 commit, delta union, error bound,
+    * compaction invariance. */
+  val hllDistinctIncremental: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val (store, wm) = hllStore(s, d)
+    val deltaSketch = ev.filter(col("event_id") > wm)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+    val est = store.mergedWith(deltaSketch)
+      .select(col("event_type"),
+        hll_sketch_estimate(col("sketch")).as("est_users"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, Seq("event_type"))
+      .withColumn("err_ppm",
+        expr("(abs(est_users - exact_users) * 1000000L) div exact_users"))
+      .orderBy(col("event_type"))
+  }
+
+  // Per-(JVM, events CONTENT) store lifecycle, shared with q61/q67c/
+  // q72 via ScratchStores: the fingerprint frame maps the events table
+  // onto the (doc_id, text) shape corpusKey expects — event_id as the
+  // monotone id, (user_id, event_type) as the content — so the same
+  // snapshot memo, regeneration guard, and (max*4 div 5) watermark
+  // arithmetic apply unchanged.
+  private def hllStore(s: SparkSession, d: String): (HllDistinctStore, Long) = {
+    val ev = Tables.events(s, d)
+    val keyed = ev.select(col("event_id").as("doc_id"),
+      concat_ws(":", col("user_id"), col("event_type")).as("text"))
+    val (key, wm) = ScratchStores.corpusKey(keyed, s"$d#events")
+    val path = ScratchStores.pathFor(key, "graft-hll-user-sketches") { p =>
+      new HllDistinctStore(s, p).appendRound(
+        ev.filter(col("event_id") <= wm), round = 0L)
+    }
+    (new HllDistinctStore(s, path), wm)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q93_hll_distinct_incremental" -> hllDistinctIncremental,
     "q89_asof_with_tolerance" -> asofWithTolerance,
     "q84_purchase_attribution" -> purchaseAttribution,
     "q83_session_concurrency" -> sessionConcurrency,
@@ -565,4 +622,54 @@ object EventTime {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
   )
+}
+
+/** Persistent per-round HLL sketch store backing q93: one
+  * Datasketches HLL sketch per (event_type, ingest_round), appended
+  * once per round (dynamic partition overwrite — a retried round
+  * replaces its own partial write, the [[BoilerplateStore]]
+  * discipline) and UNIONED across rounds at read time. Union is
+  * register-wise max: associative and idempotent, so
+  * [[CompactableRoundStore]] compaction (fold old rounds into one
+  * partition) is estimate-invariant by construction, not just by
+  * convention — HllStoreSpec pins it bit-identically.
+  *
+  * Scale: the artifact holds a few KB per (event_type, round); reads
+  * never touch raw history. The q93 audit query unions the stored
+  * sketches with the delta's own sketch — O(delta) + O(store). */
+class HllDistinctStore(spark: org.apache.spark.sql.SparkSession, val path: String)
+    extends CompactableRoundStore {
+  import org.apache.spark.sql.{functions => F, DataFrame, SaveMode}
+
+  override protected def storeSpark: org.apache.spark.sql.SparkSession = spark
+  override protected def mergeRounds(rows: DataFrame): DataFrame =
+    rows.groupBy(F.col("event_type"))
+      .agg(F.hll_union_agg(F.col("sketch")).as("sketch"))
+
+  def exists: Boolean = graft.flights.StarWarehouse.pathExists(spark, path)
+
+  /** Standing per-round sketch rows. */
+  def roundSketches: DataFrame = readAll
+
+  /** Stored sketches unioned across committed rounds; `beforeRound`
+    * is the streaming replay guard (rounds >= it are excluded so a
+    * re-delivered micro-batch cannot count itself twice). */
+  def sketches(beforeRound: Option[Long] = None): DataFrame =
+    mergeRounds(
+      beforeRound.foldLeft(roundSketches)((df, r) =>
+        df.filter(F.col("ingest_round") < r)))
+
+  /** Sketch `events`' users and commit them as ingest round `round`. */
+  def appendRound(events: DataFrame, round: Long): Unit =
+    events.groupBy(F.col("event_type"))
+      .agg(F.hll_sketch_agg(F.col("user_id")).as("sketch"))
+      .withColumn("ingest_round", F.lit(round))
+      .write.partitionBy("ingest_round")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).parquet(path)
+
+  /** Stored sketches unioned with a delta's own per-type sketches. */
+  def mergedWith(deltaSketches: DataFrame,
+                 beforeRound: Option[Long] = None): DataFrame =
+    mergeRounds(sketches(beforeRound).unionByName(deltaSketches))
 }
