@@ -78,6 +78,86 @@ class BpeSpec extends SparkTestBase {
     assert(total == graft.Tables.documents(spark, sf).count())
   }
 
+  /** Serial reference BPE (Sennrich alg. 1 on a word-freq dict) with
+    * the same total tie-break — the ground truth q95 must reproduce
+    * merge-for-merge. */
+  private def serialBpe(corpus: Seq[String], n: Int): Seq[(String, String, Long)] = {
+    var words: Map[Vector[String], Long] = corpus
+      .flatMap(_.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w.map(_.toString).toVector -> ws.size.toLong }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < n && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (u, f) =>
+        u.sliding(2).filter(_.size == 2).foreach { p =>
+          pairs((p(0), p(1))) = pairs.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((a, b), w) = pairs.toSeq.minBy { case ((a, b), w) => (-w, a, b) }
+        out += ((a, b, w))
+        words = words.toSeq.map { case (u, f) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < u.length) {
+            if (j + 1 < u.length && u(j) == a && u(j + 1) == b) {
+              merged += (a + b); j += 2
+            } else { merged += u(j); j += 1 }
+          }
+          merged.toVector -> f
+        }.groupBy(_._1).map { case (u, fs) => u -> fs.map(_._2).sum }
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("distributed trainer reproduces the serial reference merge-for-merge") {
+    val corpus = Seq(
+      "low lower lowest low low",
+      "new newer newest new new new",
+      "wider wide widest wider",
+      "the the the then there then")
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val expected = serialBpe(corpus, 12)
+    // driver path (the default at this vocab size)
+    val got = Bpe.trainMerges(docs, 12).map { case (_, a, b, w) => (a, b, w) }
+    assert(got == expected,
+      s"merge sequences diverge:\n got      $got\n expected $expected")
+    // distributed path, forced (driverLimit = 0): identical output
+    val dist = Bpe.trainMerges(docs, 12, driverLimit = 0L)
+      .map { case (_, a, b, w) => (a, b, w) }
+    assert(dist == expected,
+      s"distributed path diverges:\n got      $dist\n expected $expected")
+  }
+
+  test("trainer stops early when the vocabulary is fully merged") {
+    val docs = Seq((0L, "ab ab ab", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Bpe.trainMerges(docs, 50)
+    // one word of two chars: exactly one merge is learnable
+    assert(got == Seq((1, "a", "b", 3L)))
+  }
+
+  test("q95 on the sf corpus: ranked, deterministic, and compressive") {
+    val rows = Bpe.bpeTrain(spark, sf).collect()
+    assert(rows.length == Bpe.trainMergeCount)
+    assert(rows.map(_.getAs[Int]("merge_rank")).toSeq == (1 to rows.length))
+    // weights are non-increasing only within equal segmentations, but
+    // every learned weight must be >= 2 to mean anything
+    rows.foreach(r => assert(r.getAs[Long]("weight") >= 2L))
+    assert(rows.map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+      .distinct.length == rows.length, "a pair may only be learned once")
+    // determinism: second run identical
+    val again = Bpe.bpeTrain(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("packing starts each (lang, source) stream at tokens_before 0") {
     val firsts = Bpe.bpePacking(spark, sf)
       .withColumn("rn", row_number().over(
