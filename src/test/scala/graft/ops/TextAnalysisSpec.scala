@@ -179,6 +179,34 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!out.contains(4L))
   }
 
+  test("inverted index: postings exact, sorted, and capped to the top-k winners") {
+    val rows = TextAnalysis.invertedIndex(spark, sf).collect()
+    graft.ops.Dedup.releaseSketchCaches()
+    assert(rows.length <= TextAnalysis.invIndexTopK)
+    assert(rows.nonEmpty)
+    // df ranking is non-increasing with the deterministic tie-break
+    val dfs = rows.map(_.getAs[Long]("df"))
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
+    // spot-check every row against a direct per-token recount
+    val docs = graft.Tables.documents(spark, sf).filter(col("text").isNotNull)
+    rows.take(3).foreach { r =>
+      val tok = r.getAs[String]("token")
+      val expected = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .filter(col("t") === tok)
+        .select(col("doc_id")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      assert(r.getAs[Long]("df") == expected.length)
+      assert(r.getAs[String]("postings") == expected.mkString(","),
+        s"postings for '$tok' wrong")
+    }
+    // posting lists are ascending (string round-trips through longs)
+    rows.foreach { r =>
+      val ids = r.getAs[String]("postings").split(",").map(_.toLong)
+      assert(ids.toSeq == ids.sorted.toSeq && ids.distinct.length == ids.length)
+    }
+  }
+
   test("length histogram partitions the corpus with valid bands") {
     val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
     val bands = Set("000-015", "016-031", "032-063", "064-127", "128-255", "256+")
