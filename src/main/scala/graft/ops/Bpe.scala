@@ -198,14 +198,36 @@ object Bpe {
   def trainMerges(docs: DataFrame, nMerges: Int = trainMergeCount,
                   driverLimit: Long = driverVocabLimit): Seq[(Int, String, String, Long)] = {
     // ONE corpus pass — the only step that touches corpus-sized data.
+    // Natural partitioning is kept: the driver path collects anyway,
+    // and the distributed path needs the vocabulary SPREAD (a
+    // coalesce(1) here would serialize all its rounds onto one core —
+    // caught in review).
     val words = docs.filter(col("text").isNotNull)
       .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(filter(split(col("word"), ""), u => u =!= "").as("units"), col("freq"))
-      .coalesce(1).localCheckpoint(true)
+      .localCheckpoint(true) // count + train both read it; corpus scanned once
     if (words.count() <= driverLimit) trainDriver(words, nMerges)
     else trainDistributed(words, nMerges)
+  }
+
+  /** Spark's string orderBy compares UTF8String BYTES (code points);
+    * Java's String.compareTo compares UTF-16 code units. They differ
+    * on supplementary-plane vs upper-BMP characters, so the driver
+    * path must tie-break in the SAME byte order or the two paths
+    * could learn different merge sequences on a non-ASCII corpus. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
   }
 
   /** In-memory loop over the collected word-freq dict. */
@@ -227,7 +249,15 @@ object Bpe {
       }
       if (pairs.isEmpty) rank = nMerges + 1
       else {
-        val ((a, b), w) = pairs.minBy { case ((x, y), c) => (-c, x, y) }
+        val ((a, b), w) = pairs.reduceLeft { (p, q) =>
+          val (((pa, pb), pw), ((qa, qb), qw)) = (p, q)
+          if (qw > pw) q
+          else if (qw < pw) p
+          else if (utf8Lt(qa, pa)) q
+          else if (utf8Lt(pa, qa)) p
+          else if (utf8Lt(qb, pb)) q
+          else p
+        }
         learned += ((rank, a, b, w))
         dict = dict.toSeq.map { case (u, f) =>
           val out = Vector.newBuilder[String]

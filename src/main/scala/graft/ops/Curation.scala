@@ -246,6 +246,16 @@ object Curation {
   val dsirTargetSource = "src0"
   val dsirScale = 1000000L
 
+  /** Per-token ratio cap: an ultra-target-skewed token ((cnt_t+1) ~
+    * 10^9 against cnt_r ~ 1) would otherwise mint ratios ~10^15 and a
+    * long document could wrap the BIGINT sum — silently on Spark
+    * (ANSI off), loudly on DuckDB (HUGEINT sum, CAST error) — so the
+    * oracle would break exactly at scale. With the cap, a document
+    * needs > 9.2M tokens to overflow; the clamp is mirrored
+    * literally in the SQL twin, and a capped ratio still means
+    * "overwhelmingly target-flavored". */
+  val dsirRatioCap = 1000000000000L // 10^12 micro-units = raw ratio 10^6
+
   def importanceWeightsOf(docs: DataFrame, targetSource: String = dsirTargetSource): DataFrame = {
     val toks = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
@@ -256,7 +266,8 @@ object Curation {
       .agg(sum(when(isTarget, 1L).otherwise(0L)).as("cnt_t"),
         sum(when(isTarget, 0L).otherwise(1L)).as("cnt_r"))
       .select(col("token"),
-        expr(s"((cnt_t + 1L) * $dsirScale) div (cnt_r + 1L)").as("ratio_micro"))
+        least(expr(s"((cnt_t + 1L) * $dsirScale) div (cnt_r + 1L)"),
+          lit(dsirRatioCap)).as("ratio_micro"))
     toks.filter(!isTarget)
       .join(broadcast(ratios), Seq("token"))
       .groupBy(col("doc_id"), col("source"))
@@ -417,10 +428,11 @@ object Curation {
          |  FROM documents WHERE text IS NOT NULL
          |), ratios AS (
          |  SELECT token,
-         |    ((CAST(sum(CASE WHEN source = '$dsirTargetSource' THEN 1 ELSE 0 END) AS BIGINT) + 1)
-         |      * $dsirScale)
-         |    // (CAST(sum(CASE WHEN source <> '$dsirTargetSource' THEN 1 ELSE 0 END) AS BIGINT) + 1)
-         |      AS ratio_micro
+         |    least(
+         |      ((CAST(sum(CASE WHEN source = '$dsirTargetSource' THEN 1 ELSE 0 END) AS BIGINT) + 1)
+         |        * $dsirScale)
+         |      // (CAST(sum(CASE WHEN source <> '$dsirTargetSource' THEN 1 ELSE 0 END) AS BIGINT) + 1),
+         |      $dsirRatioCap) AS ratio_micro
          |  FROM tok GROUP BY token
          |)
          |SELECT t.doc_id, t.source, count(*) AS n_tokens,

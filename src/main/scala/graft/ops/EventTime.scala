@@ -122,9 +122,9 @@ object EventTime {
     * post-filter on the picked timestamp: NULL out matches older than
     * the bound. Matches at the purchase instant count (<=), matches
     * at exactly the bound count (>=), in both engines. */
-  val asofTolerance = "30 minutes"
+  val asofToleranceMinutes = 30L // single source for BOTH engines' bounds
   val asofWithTolerance: Q = (s, d) => {
-    val toleranceMicros = 30L * 60L * 1000000L
+    val toleranceMicros = asofToleranceMinutes * 60L * 1000000L
     val ev = Tables.events(s, d)
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"),
@@ -440,12 +440,12 @@ object EventTime {
          |  strftime((
          |    SELECT max(v.ts) FROM events v
          |    WHERE v.user_id = p.user_id AND v.event_type = 'view'
-         |      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE),
+         |      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL ${asofToleranceMinutes} MINUTE),
          |    '%Y-%m-%d %H:%M:%S') AS view_ts,
          |  CAST(epoch_us(p.ts) - epoch_us((
          |    SELECT max(v.ts) FROM events v
          |    WHERE v.user_id = p.user_id AND v.event_type = 'view'
-         |      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE))
+         |      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL ${asofToleranceMinutes} MINUTE))
          |    AS DOUBLE) / 60000000.0 AS staleness_min
          |FROM p ORDER BY p.user_id, p.purchase_id""".stripMargin,
     // the NAIVE interval join — cross-algorithm twin of the Spark

@@ -17,10 +17,15 @@ import org.apache.spark.sql.execution.SparkStrategy
   *
   * The declarative spelling — `row_number().over(partitionBy(g)
   * .orderBy(o)) <= k` then filter — is how every engine user writes
-  * it, and how q06/q76 are written here. Spark executes that as a
-  * full Window: EVERY group's rows shuffle, sort completely, get
-  * numbered, and only then drop to k. At 100 TB, that is a
-  * corpus-sized sort-shuffle to keep 5 rows per source.
+  * it, and how q06/q76 are written here. Spark 3.5+ already prunes
+  * that shape map-side (InferWindowGroupLimit inserts partial/final
+  * WindowGroupLimitExec, so at most k rows per (partition, group)
+  * reach the exchange) — but it still SORTS each group's survivors
+  * and runs the full Window operator on the reduce side to assign
+  * ranks. This operator takes the remaining step: the bounded heap
+  * replaces the reduce-side sort entirely (O(n log k) insertion, no
+  * sort buffer), and rank assignment happens while draining the
+  * heap, so no Window/Sort node survives in the plan at all.
   *
   * [[RewriteRankLimitToTopK]] recognizes exactly that logical shape
   * and swaps in [[TopKPerGroupNode]]; [[TopKPerGroupStrategy]] plans
@@ -50,6 +55,11 @@ case class TopKPerGroupNode(
     rankAttr: Attribute,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
+  // rankAttr is PRODUCED here, not consumed: without this override it
+  // sits in references but not in the child's output, so every
+  // rewritten plan reports a non-empty missingInput (the `!` invalid
+  // marker in explain; a hard error under plan-change validation)
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
     copy(child = newChild)
@@ -117,6 +127,12 @@ case class TopKPerGroupExec(
 
   override def output: Seq[Attribute] =
     if (partial) child.output else child.output :+ rankAttr
+
+  // Unconditional: the partial phase doesn't OUTPUT rankAttr, but the
+  // attribute still appears in this node's expressions (it's a
+  // constructor arg), so it must be excluded from missingInput or the
+  // partial node carries the `!` invalid marker too.
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil

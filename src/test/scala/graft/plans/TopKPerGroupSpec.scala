@@ -25,6 +25,9 @@ class TopKPerGroupSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerGroup"), s"rewrite did not fire:\n$plan")
     assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+    // rankAttr must be declared as produced, or Catalyst flags the
+    // node invalid (missingInput -> the "!" marker)
+    assert(!plan.contains("!TopKPerGroup"), s"plan integrity violation:\n$plan")
   }
 
   test("results and ranks match the window semantics exactly") {
