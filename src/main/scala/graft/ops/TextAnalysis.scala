@@ -486,7 +486,65 @@ object TextAnalysis {
       .limit(invIndexTopK) // Bench/Verify release the sketch frame at the query boundary
   }
 
+  /** tf-idf top terms per document (q91): each document's most
+    * characteristic tokens — high in-document frequency, low corpus
+    * document frequency. The serving-side companion to q96's inverted
+    * index (df comes from the same per-doc frame) and the
+    * keyword-extraction pass a data-card or search snippet needs.
+    *
+    * Exact-integer linear-idf form, q90's discipline: idf is
+    * `(n_docs * 1e6) div df` micro-units — monotone in the classical
+    * `log(N/df)` (both strictly decrease in df), so per-document term
+    * RANKINGS agree wherever log-idf produces a strict order, and the
+    * integer form is bit-stable across engines where libm log is not.
+    * The per-token idf is capped (q90's cap rationale: an ultra-rare
+    * token against a 1e9-doc corpus would mint idf ~1e15 and a long
+    * document could wrap the BIGINT product; with the cap, tf must
+    * exceed 9.2e6 to overflow). Ties break on the token string, so
+    * ranks are total and hash-deterministic.
+    *
+    * Scale shape: one explode into the (doc_id, token) tf agg
+    * (map-side combine collapses repeats), df derived from that same
+    * persisted frame (eager — two consumers), df joined back
+    * broadcast (vocabulary ~ distinct tokens; q63's salted-join
+    * remedy applies if a 100 TB vocabulary outgrows broadcast), and
+    * the per-doc top-k is the row_number-then-filter shape that
+    * [[graft.plans.RewriteRankLimitToTopK]] lowers to the bounded
+    * heap — no corpus-wide sort, at most k rows per doc cross the
+    * final exchange. */
+  val tfidfTopK = 3
+  val tfidfIdfScale = 1000000L
+  val tfidfIdfCap = 1000000000000L // 10^12 micro-units, q90's bound
+
+  val tfidfTerms: Q = (s, d) => tfidfOf(Tables.documents(s, d))
+
+  def tfidfOf(docs: DataFrame): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+    val perDoc = Dedup.persistSketch(
+      base.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf")))
+    perDoc.count() // eager: df agg + scoring both read it (concurrent-stage rule)
+    val dfc = perDoc.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("weight_micro").desc, col("token"))
+    perDoc
+      .join(broadcast(dfc), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("weight_micro",
+        col("tf") * least(expr(s"(n_docs * $tfidfIdfScale) div df"),
+          lit(tfidfIdfCap)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= tfidfTopK)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("weight_micro"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q91_tfidf_terms" -> tfidfTerms,
     "q96_inverted_index" -> invertedIndex,
     "q86_sentence_dup_fraction" -> sentenceDupFraction,
     "q82_duplicated_passages" -> duplicatedPassages,
@@ -510,6 +568,32 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // integer linear-idf mirrored term-for-term; DuckDB row_number is
+    // BIGINT vs Spark's INT, hence the cast
+    "q91_tfidf_terms" ->
+      s"""WITH pd AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(${sqlToks("text")}) AS token
+         |    FROM documents WHERE text IS NOT NULL
+         |  ) GROUP BY doc_id, token
+         |), dfc AS (
+         |  SELECT token, count(*) AS df FROM pd GROUP BY token
+         |), n AS (
+         |  SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL
+         |), scored AS (
+         |  SELECT pd.doc_id, pd.token, pd.tf, dfc.df,
+         |    pd.tf * least((n.n_docs * $tfidfIdfScale) // dfc.df, $tfidfIdfCap)
+         |      AS weight_micro
+         |  FROM pd JOIN dfc USING (token) CROSS JOIN n
+         |)
+         |SELECT doc_id, CAST(rnk AS INTEGER) AS rank, token, tf, df, weight_micro
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY weight_micro DESC, token) AS rnk
+         |  FROM scored
+         |)
+         |WHERE rnk <= $tfidfTopK
+         |ORDER BY doc_id, rank""".stripMargin,
     "q96_inverted_index" ->
       s"""WITH pd AS (
          |  SELECT token, doc_id, count(*) AS n_occ FROM (

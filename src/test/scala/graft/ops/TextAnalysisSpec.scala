@@ -207,6 +207,32 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("tfidf terms: planted ranking exact, and the top-k rewrite fires") {
+    // 4 docs; "rare" appears only in doc 1 (df=1), "mid" in docs 1+2
+    // (df=2), "the" everywhere (df=4). N=4, idf_micro = 4e6 div df.
+    // doc 1 = "the the rare mid": rare 1*4e6, mid 1*2e6, the 2*1e6
+    //   -> rank: rare > mid > the (weights 4e6 > 2e6 > 2e6? no:
+    //   mid = 1 * (4e6 div 2) = 2e6; the = 2 * (4e6 div 4) = 2e6 —
+    //   TIE broken on token string: "mid" < "the".
+    val docs = Seq(
+      (1L, "the the rare mid"), (2L, "the mid"),
+      (3L, "the"), (4L, "the")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfOf(docs)
+    graft.ops.Dedup.releaseSketchCaches()
+    val d1 = out.filter(col("doc_id") === 1L)
+      .select("rank", "token", "weight_micro")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(d1.toSeq == Seq((1, "rare", 4000000L), (2, "mid", 2000000L),
+      (3, "the", 2000000L)))
+    // docs with fewer distinct tokens than k emit what they have
+    assert(out.filter(col("doc_id") === 3L).count() == 1)
+    // the rank-limit shape must lower to the bounded heap, not Window
+    val plan = TextAnalysis.tfidfOf(docs).queryExecution.executedPlan.toString
+    graft.ops.Dedup.releaseSketchCaches()
+    assert(plan.contains("TopKPerGroup"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("!TopKPerGroup"), s"invalid plan:\n$plan")
+  }
+
   test("length histogram partitions the corpus with valid bands") {
     val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
     val bands = Set("000-015", "016-031", "032-063", "064-127", "128-255", "256+")
