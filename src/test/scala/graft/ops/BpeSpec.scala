@@ -136,6 +136,21 @@ class BpeSpec extends SparkTestBase {
       s"distributed path diverges:\n got      $dist\n expected $expected")
   }
 
+  test("driver and distributed trainers tie-break in the same UTF-8 byte order") {
+    // One doc, two words, frequency-tied first merge: ("x", U+1F600)
+    // vs ("x", U+FFFD). Java UTF-16 code-unit order picks the emoji
+    // (surrogate D83D < FFFD); UTF8String byte order picks U+FFFD
+    // (EF BF BD < F0 9F 98 80). Spark's orderBy is byte order, so
+    // BOTH paths must learn U+FFFD first — the pre-utf8Lt driver loop
+    // picked the emoji and the paths diverged exactly here.
+    val docs = Seq((1L, "x😀 x�", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val drv = Bpe.trainMerges(docs, 1).map(t => (t._2, t._3))
+    val dist = Bpe.trainMerges(docs, 1, driverLimit = 0L).map(t => (t._2, t._3))
+    assert(drv == Seq(("x", "�")), s"driver learned $drv")
+    assert(dist == drv, s"paths diverge: driver $drv distributed $dist")
+  }
+
   test("trainer stops early when the vocabulary is fully merged") {
     val docs = Seq((0L, "ab ab ab", "en", "s", 8L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
