@@ -543,7 +543,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Lexical-diversity audit (q97): per-source type-token ratio and
+    * hapax-legomenon fraction — the corpus-linguistics data-card
+    * companions to q73's length bands and q24's language rollup. A
+    * source whose TTR collapses is template/boilerplate-heavy; a
+    * source whose hapax fraction spikes is OCR-noise/typo-heavy —
+    * both are routine triage signals before heavier dedup passes.
+    *
+    * Exact-integer micro-unit ratios (q90's discipline), so the
+    * output is bit-stable across engines. Scale shape: one corpus
+    * scan, (source, token) hash agg with map-side combine (token
+    * strings cross the exchange once, q96's precedent — bounded by
+    * vocabulary, not corpus), then a per-source rollup of counts. */
+  val lexicalDiversity: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("(n_types * 1000000L) div n_tokens").as("ttr_micro"),
+        expr("(n_hapax * 1000000L) div n_types").as("hapax_micro"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q97_lexical_diversity" -> lexicalDiversity,
     "q91_tfidf_terms" -> tfidfTerms,
     "q96_inverted_index" -> invertedIndex,
     "q86_sentence_dup_fraction" -> sentenceDupFraction,
@@ -568,6 +597,22 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // DuckDB sum(BIGINT) widens to HUGEINT, hence the casts
+    "q97_lexical_diversity" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(${sqlToks("text")}) AS token
+         |  FROM documents WHERE text IS NOT NULL
+         |), c AS (
+         |  SELECT source, token, count(*) AS n FROM tok GROUP BY source, token
+         |)
+         |SELECT source,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_types,
+         |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  (count(*) * 1000000) // CAST(sum(n) AS BIGINT) AS ttr_micro,
+         |  (CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // count(*) AS hapax_micro
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // integer linear-idf mirrored term-for-term; DuckDB row_number is
     // BIGINT vs Spark's INT, hence the cast
     "q91_tfidf_terms" ->

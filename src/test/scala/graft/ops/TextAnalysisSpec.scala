@@ -233,6 +233,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!plan.contains("!TopKPerGroup"), s"invalid plan:\n$plan")
   }
 
+  test("lexical diversity: TTR and hapax fractions are exact on the sf corpus") {
+    val rows = TextAnalysis.lexicalDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, typ, hap) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_types"), r.getAs[Long]("n_hapax"))
+      assert(typ >= 1 && typ <= tok && hap <= typ)
+      assert(r.getAs[Long]("ttr_micro") == typ * 1000000L / tok)
+      assert(r.getAs[Long]("hapax_micro") == hap * 1000000L / typ)
+    }
+    // direct recount for the first source
+    val src = rows.head.getAs[String]("source")
+    val counts = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("source") === src)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect()
+    assert(rows.head.getAs[Long]("n_types") == counts.length)
+    assert(rows.head.getAs[Long]("n_tokens") == counts.map(_.getLong(1)).sum)
+    assert(rows.head.getAs[Long]("n_hapax") == counts.count(_.getLong(1) == 1L))
+  }
+
   test("length histogram partitions the corpus with valid bands") {
     val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
     val bands = Set("000-015", "016-031", "032-063", "064-127", "128-255", "256+")
