@@ -32,4 +32,26 @@ object Skew {
       .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
       .groupBy(col(key))
       .agg(sum(col("_n")).as("n"), sum(col("_s")).as("sum_value"))
+
+  /** Salted replicated JOIN of a huge probe stream against a per-key
+    * lookup table (one row per key) too large to broadcast — the
+    * vocabulary-join fallback for rarity/tf-idf when an open corpus
+    * outgrows the broadcast threshold.
+    *
+    * A plain shuffle join on the key is skew-doomed: every occurrence
+    * of a stopword lands on one reducer. Here the lookup side is
+    * replicated `salts`× (cheap — it is per-KEY sized) and the probe
+    * side salts deterministically from row content, so a hot key's
+    * probe rows spread over `salts` reducers while every (key, salt)
+    * reducer still finds its lookup row. Same determinism rule as
+    * [[saltedCountSum]]: the salt must derive from row content, never
+    * from partition identity. */
+  def saltedLookupJoin(probe: DataFrame, lookup: DataFrame, key: String,
+                       saltSource: Column, salts: Int = 16): DataFrame = {
+    val replicated = lookup.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    probe.withColumn("_salt", pmod(xxhash64(saltSource), lit(salts.toLong)))
+      .join(replicated, Seq(key, "_salt"))
+      .drop("_salt")
+  }
 }

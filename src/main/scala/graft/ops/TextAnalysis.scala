@@ -212,14 +212,18 @@ object TextAnalysis {
     * Shape: explode -> vocab count agg -> BROADCAST the vocab onto
     * the re-exploded scan -> per-doc sum. The broadcast makes the
     * frequency lookup skew-immune (hot tokens like stopwords never
-    * shuffle); it assumes a vocab-bounded corpus — for an open 100 TB
-    * vocab, swap the broadcast for the repo's salted skew-join
-    * pattern (ops/Skew.scala), same plan otherwise. */
-  def rarityOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    * shuffle); it assumes a vocab-bounded corpus. For an open 100 TB
+    * vocab pass `saltedVocab = true`: [[Skew.saltedLookupJoin]]
+    * replicates the vocab row per salt and spreads each hot token's
+    * probe rows over the salt reducers — same output (spec-pinned),
+    * no broadcast ceiling. */
+  def rarityOf(docs: org.apache.spark.sql.DataFrame,
+               saltedVocab: Boolean = false): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
     val total = counts.agg(sum(col("n_tok")).as("n_total"))
-    toks.join(broadcast(counts), Seq("token"))
+    (if (saltedVocab) Skew.saltedLookupJoin(toks, counts, "token", col("doc_id"))
+     else toks.join(broadcast(counts), Seq("token")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("n_tok")).as("sum_freq"))
       .crossJoin(broadcast(total))
@@ -518,7 +522,7 @@ object TextAnalysis {
 
   val tfidfTerms: Q = (s, d) => tfidfOf(Tables.documents(s, d))
 
-  def tfidfOf(docs: DataFrame): DataFrame = {
+  def tfidfOf(docs: DataFrame, saltedVocab: Boolean = false): DataFrame = {
     val base = docs.filter(col("text").isNotNull)
     val perDoc = Dedup.persistSketch(
       base.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -530,8 +534,8 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("weight_micro").desc, col("token"))
-    perDoc
-      .join(broadcast(dfc), Seq("token"))
+    (if (saltedVocab) Skew.saltedLookupJoin(perDoc, dfc, "token", col("doc_id"))
+     else perDoc.join(broadcast(dfc), Seq("token")))
       .crossJoin(broadcast(nDocs))
       .withColumn("weight_micro",
         col("tf") * least(expr(s"(n_docs * $tfidfIdfScale) div df"),

@@ -233,6 +233,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!plan.contains("!TopKPerGroup"), s"invalid plan:\n$plan")
   }
 
+  test("salted vocab join: identical output to the broadcast path, no broadcast in plan") {
+    val docs = graft.Tables.documents(spark, sf)
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    // rarity: every (doc, n_tokens, mean_freq) row identical
+    val b1 = TextAnalysis.rarityOf(docs).collect().map(key).sorted
+    val s1 = TextAnalysis.rarityOf(docs, saltedVocab = true).collect().map(key).sorted
+    assert(b1.sameElements(s1), "rarity paths diverge")
+    // tfidf: ranks and weights identical
+    val b2 = TextAnalysis.tfidfOf(docs).collect().map(key).sorted
+    graft.ops.Dedup.releaseSketchCaches()
+    val s2 = TextAnalysis.tfidfOf(docs, saltedVocab = true).collect().map(key).sorted
+    graft.ops.Dedup.releaseSketchCaches()
+    assert(b2.sameElements(s2), "tfidf paths diverge")
+    // the salted path's vocab lookup joins on (token, _salt) — the
+    // hot-token spread — and is NOT a planned broadcast (at this SF
+    // AQE may still convert the tiny shuffle join at runtime; at an
+    // open-vocab scale it cannot, which is the point of the path)
+    val optimized = TextAnalysis.rarityOf(docs, saltedVocab = true)
+      .queryExecution.optimizedPlan.toString
+    assert(optimized.contains("_salt"), s"salt not in join keys:\n$optimized")
+  }
+
   test("lexical diversity: TTR and hapax fractions are exact on the sf corpus") {
     val rows = TextAnalysis.lexicalDiversity(spark, sf).collect()
     assert(rows.nonEmpty)
