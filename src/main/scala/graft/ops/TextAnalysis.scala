@@ -357,8 +357,12 @@ object TextAnalysis {
     *      Nothing wider than 16 bytes shuffles.
     *   2. string pass — gram STRINGS are rebuilt in the scan
     *      projection and immediately filtered by a broadcast join on
-    *      the (small) duplicated-gram table, so only winning passages'
+    *      the top-k SUPERSET of the duplicated-gram table (q96's
+    *      boundary-threshold gate lifted to the (n_docs,
+    *      n_occurrences) pair order), so only candidate winners'
     *      strings ever reach an exchange (q67b's join-back pattern).
+    *      The full duplicated-gram table is corpus-scale on a
+    *      boilerplate-heavy crawl and is never broadcast.
     * The final top-k orders on (n_docs, n_occurrences, gram) so ties
     * break on the string, identically in both engines. Docs shorter
     * than 8 tokens carry no windows; equality is modulo the standing
@@ -378,18 +382,35 @@ object TextAnalysis {
       .filter(size(col("toks")) >= passageN)
       .select(col("doc_id"), col("toks"),
         transform(col("toks"), t => xxhash64(t)).as("th")))
+    withTh.count() // eager: freq pass + string pass both read it
     val idx = sequence(lit(1), size(col("th")) - (passageN - 1))
     val ghash = (i: Column) =>
       xxhash64((0 until passageN).map(o => element_at(col("th"), i + o)): _*)
 
     // pass 1: id-only frequency table of cross-doc duplicated grams
-    val freq = withTh
+    val freq = Dedup.persistSketch(withTh
       .select(col("doc_id"), explode(transform(idx, ghash)).as("g"))
       .groupBy(col("g"), col("doc_id"))
       .agg(count(lit(1)).as("n_in_doc"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_in_doc")).as("n_occurrences"))
-      .filter(col("n_docs") >= 2)
+      .filter(col("n_docs") >= 2))
+    freq.count() // eager: threshold scan + winners filter both read it
+
+    // boundary-threshold gate (q96's trick lifted to the pair order):
+    // every true top-k row has (n_docs, n_occurrences) >= the k-th
+    // pair under (n_docs DESC, n_occurrences DESC) — the gram string
+    // only breaks ties WITHIN equal pairs, so the top-k's pair
+    // multiset is tie-break-invariant and this filter is exact. Only
+    // the bounded superset is broadcast into the string pass; the
+    // full duplicated-gram table (corpus-scale on a boilerplate-heavy
+    // 100 TB crawl) never leaves its exchange.
+    val boundary = struct(col("n_docs"), col("n_occurrences"))
+    val thr = freq
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc)
+      .limit(passageTopK)
+      .agg(min(boundary).as("thr"))
+    val winners = freq.join(broadcast(thr), boundary >= col("thr")).drop("thr")
 
     // pass 2: strings built in the scan, broadcast-filtered to winners
     val strings = withTh
@@ -398,7 +419,7 @@ object TextAnalysis {
           array_join(slice(col("toks"), i, lit(passageN)), " ").as("gram")))).as("p"))
       .select(col("p.g").as("g"), col("p.gram").as("gram"))
     strings
-      .join(broadcast(freq), Seq("g"))
+      .join(broadcast(winners), Seq("g"))
       .groupBy(col("g"), col("n_docs"), col("n_occurrences"))
       .agg(min(col("gram")).as("gram"))
       .select(col("gram"), col("n_docs"), col("n_occurrences"))

@@ -158,6 +158,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!rows.exists(_.getAs[String]("gram").contains("unrelated")))
   }
 
+  test("duplicated passages: the string join-back broadcasts only the gated winners") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val docs = graft.Tables.documents(spark, sf)
+    val qe = TextAnalysis.duplicatedPassagesOf(docs).queryExecution
+    val bhjs = qe.sparkPlan.collect { case j: BroadcastHashJoinExec => j }
+    graft.ops.Dedup.releaseSketchCaches()
+    assert(bhjs.nonEmpty, "string join-back did not plan as a broadcast hash join")
+    // every broadcast build side must sit ON TOP of the boundary-
+    // threshold gate (the non-equi BroadcastNestedLoopJoin against the
+    // 1-row thr agg) — broadcasting the raw duplicated-gram table, the
+    // round-6 scale-killer, would show a bare aggregate here instead
+    bhjs.foreach { j =>
+      val build = j.buildSide match {
+        case BuildRight => j.right
+        case BuildLeft  => j.left
+      }
+      assert(build.collectFirst { case n: BroadcastNestedLoopJoinExec => n }.isDefined,
+        s"broadcast build side is not the threshold-gated winners table:\n$build")
+    }
+  }
+
   test("sentence dedup fraction: shared sentences counted, short ones ignored") {
     val shared = "this exact sentence appears in multiple documents verbatim"
     val docs = Seq(
