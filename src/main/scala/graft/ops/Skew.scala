@@ -33,6 +33,50 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("_n")).as("n"), sum(col("_s")).as("sum_value"))
 
+  /** How a vocabulary-sized lookup table joins onto its probe stream.
+    * [[VocabJoin.Adaptive]] is the production default: it measures the
+    * lookup's row count (one cheap agg over a table the query computes
+    * anyway) and picks broadcast below the ceiling, salted shuffle
+    * above it — so a 100 TB corpus whose vocabulary outgrows broadcast
+    * routes itself, with no caller-side scale switch to forget. */
+  sealed abstract class VocabJoin
+  object VocabJoin {
+    /** Always broadcast the lookup (vocab-bounded corpora). */
+    case object Broadcast extends VocabJoin
+    /** Always salt-replicate the lookup (open-vocab corpora). */
+    case object Salted extends VocabJoin
+    /** Count the lookup, then pick: broadcast iff it fits. */
+    case object Adaptive extends VocabJoin
+  }
+
+  /** Default broadcast ceiling for [[vocabLookupJoin]], in ROWS of the
+    * lookup table. 2M (token, count) rows is ~100 MB serialized — well
+    * inside executor broadcast budgets while far above any fixture
+    * vocabulary; row count is the stable unit here (byte sizes are not
+    * observable pre-execution without AQE stats, and the lookup row
+    * shape is known to its author). */
+  val vocabBroadcastMaxRows = 2000000L
+
+  /** Join `probe` against a per-key `lookup` table, picking the join
+    * strategy per [[VocabJoin]]. Adaptive mode persists the lookup
+    * (it is then read by the row count AND the join — the eager-
+    * materialize-before-concurrent-consumers rule) via
+    * [[Dedup.persistSketch]], so Bench/Verify release it at the query
+    * boundary like every other sketch frame. */
+  def vocabLookupJoin(probe: DataFrame, lookup: DataFrame, key: String,
+                      saltSource: Column,
+                      mode: VocabJoin = VocabJoin.Adaptive,
+                      maxBroadcastRows: Long = vocabBroadcastMaxRows,
+                      salts: Int = 16): DataFrame = mode match {
+    case VocabJoin.Broadcast => probe.join(broadcast(lookup), Seq(key))
+    case VocabJoin.Salted    => saltedLookupJoin(probe, lookup, key, saltSource, salts)
+    case VocabJoin.Adaptive =>
+      val cached = Dedup.persistSketch(lookup)
+      val n = cached.count()
+      if (n <= maxBroadcastRows) probe.join(broadcast(cached), Seq(key))
+      else saltedLookupJoin(probe, cached, key, saltSource, salts)
+  }
+
   /** Salted replicated JOIN of a huge probe stream against a per-key
     * lookup table (one row per key) too large to broadcast — the
     * vocabulary-join fallback for rarity/tf-idf when an open corpus

@@ -209,21 +209,23 @@ object TextAnalysis {
     * libm ulps across engines; this is exact-integer sums with ONE
     * int/int double division, the q36 pattern, so it hash-compares).
     *
-    * Shape: explode -> vocab count agg -> BROADCAST the vocab onto
-    * the re-exploded scan -> per-doc sum. The broadcast makes the
-    * frequency lookup skew-immune (hot tokens like stopwords never
-    * shuffle); it assumes a vocab-bounded corpus. For an open 100 TB
-    * vocab pass `saltedVocab = true`: [[Skew.saltedLookupJoin]]
-    * replicates the vocab row per salt and spreads each hot token's
-    * probe rows over the salt reducers — same output (spec-pinned),
-    * no broadcast ceiling. */
+    * Shape: explode -> vocab count agg -> the vocab joins onto the
+    * re-exploded scan via [[Skew.vocabLookupJoin]] -> per-doc sum. The
+    * default Adaptive mode broadcasts while the vocabulary fits the
+    * ceiling (skew-immune: hot tokens like stopwords never shuffle)
+    * and self-routes to [[Skew.saltedLookupJoin]] — vocab row
+    * replicated per salt, each hot token's probe rows spread over the
+    * salt reducers — when an open 100 TB vocabulary outgrows it. Same
+    * output on every path (spec-pinned). */
   def rarityOf(docs: org.apache.spark.sql.DataFrame,
-               saltedVocab: Boolean = false): org.apache.spark.sql.DataFrame = {
+               vocabJoin: Skew.VocabJoin = Skew.VocabJoin.Adaptive,
+               vocabBroadcastMaxRows: Long = Skew.vocabBroadcastMaxRows)
+      : org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
     val total = counts.agg(sum(col("n_tok")).as("n_total"))
-    (if (saltedVocab) Skew.saltedLookupJoin(toks, counts, "token", col("doc_id"))
-     else toks.join(broadcast(counts), Seq("token")))
+    Skew.vocabLookupJoin(toks, counts, "token", col("doc_id"),
+        vocabJoin, vocabBroadcastMaxRows)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("n_tok")).as("sum_freq"))
       .crossJoin(broadcast(total))
@@ -530,9 +532,10 @@ object TextAnalysis {
     *
     * Scale shape: one explode into the (doc_id, token) tf agg
     * (map-side combine collapses repeats), df derived from that same
-    * persisted frame (eager — two consumers), df joined back
-    * broadcast (vocabulary ~ distinct tokens; q63's salted-join
-    * remedy applies if a 100 TB vocabulary outgrows broadcast), and
+    * persisted frame (eager — two consumers), df joined back via
+    * [[Skew.vocabLookupJoin]] (Adaptive default: broadcast while the
+    * vocabulary fits, self-routed salted shuffle once a 100 TB
+    * vocabulary outgrows it), and
     * the per-doc top-k is the row_number-then-filter shape that
     * [[graft.plans.RewriteRankLimitToTopK]] lowers to the bounded
     * heap — no corpus-wide sort, at most k rows per doc cross the
@@ -543,7 +546,10 @@ object TextAnalysis {
 
   val tfidfTerms: Q = (s, d) => tfidfOf(Tables.documents(s, d))
 
-  def tfidfOf(docs: DataFrame, saltedVocab: Boolean = false): DataFrame = {
+  def tfidfOf(docs: DataFrame,
+              vocabJoin: Skew.VocabJoin = Skew.VocabJoin.Adaptive,
+              vocabBroadcastMaxRows: Long = Skew.vocabBroadcastMaxRows)
+      : DataFrame = {
     val base = docs.filter(col("text").isNotNull)
     val perDoc = Dedup.persistSketch(
       base.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -555,8 +561,8 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("weight_micro").desc, col("token"))
-    (if (saltedVocab) Skew.saltedLookupJoin(perDoc, dfc, "token", col("doc_id"))
-     else perDoc.join(broadcast(dfc), Seq("token")))
+    Skew.vocabLookupJoin(perDoc, dfc, "token", col("doc_id"),
+        vocabJoin, vocabBroadcastMaxRows)
       .crossJoin(broadcast(nDocs))
       .withColumn("weight_micro",
         col("tf") * least(expr(s"(n_docs * $tfidfIdfScale) div df"),

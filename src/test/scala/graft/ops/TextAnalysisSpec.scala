@@ -259,22 +259,58 @@ class TextAnalysisSpec extends SparkTestBase {
     val docs = graft.Tables.documents(spark, sf)
     def key(r: org.apache.spark.sql.Row) = r.mkString("|")
     // rarity: every (doc, n_tokens, mean_freq) row identical
-    val b1 = TextAnalysis.rarityOf(docs).collect().map(key).sorted
-    val s1 = TextAnalysis.rarityOf(docs, saltedVocab = true).collect().map(key).sorted
+    val b1 = TextAnalysis.rarityOf(docs, Skew.VocabJoin.Broadcast)
+      .collect().map(key).sorted
+    val s1 = TextAnalysis.rarityOf(docs, Skew.VocabJoin.Salted)
+      .collect().map(key).sorted
     assert(b1.sameElements(s1), "rarity paths diverge")
     // tfidf: ranks and weights identical
-    val b2 = TextAnalysis.tfidfOf(docs).collect().map(key).sorted
+    val b2 = TextAnalysis.tfidfOf(docs, Skew.VocabJoin.Broadcast)
+      .collect().map(key).sorted
     graft.ops.Dedup.releaseSketchCaches()
-    val s2 = TextAnalysis.tfidfOf(docs, saltedVocab = true).collect().map(key).sorted
+    val s2 = TextAnalysis.tfidfOf(docs, Skew.VocabJoin.Salted)
+      .collect().map(key).sorted
     graft.ops.Dedup.releaseSketchCaches()
     assert(b2.sameElements(s2), "tfidf paths diverge")
     // the salted path's vocab lookup joins on (token, _salt) — the
     // hot-token spread — and is NOT a planned broadcast (at this SF
     // AQE may still convert the tiny shuffle join at runtime; at an
     // open-vocab scale it cannot, which is the point of the path)
-    val optimized = TextAnalysis.rarityOf(docs, saltedVocab = true)
+    val optimized = TextAnalysis.rarityOf(docs, Skew.VocabJoin.Salted)
       .queryExecution.optimizedPlan.toString
     assert(optimized.contains("_salt"), s"salt not in join keys:\n$optimized")
+  }
+
+  test("adaptive vocab join routes itself: broadcast under the ceiling, salted over it") {
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    val docs = graft.Tables.documents(spark, sf)
+    // under the default ceiling the fixture vocab broadcasts: the
+    // optimized plan carries no salt key and the catalog default
+    // (no flag anywhere) produces the oracle-checked output
+    val adDefault = TextAnalysis.rarityOf(docs)
+    assert(!adDefault.queryExecution.optimizedPlan.toString.contains("_salt"))
+    // over-threshold vocab (ceiling planted below the fixture's
+    // vocabulary size): Adaptive must route to the salted join with
+    // NO caller-side mode flag — the round-6 manual scale switch
+    val adSalted = TextAnalysis.rarityOf(docs, vocabBroadcastMaxRows = 10L)
+    val plan = adSalted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("_salt"), s"adaptive did not route to salted:\n$plan")
+    // and the routed plan's output is identical to the broadcast path
+    val want = TextAnalysis.rarityOf(docs, Skew.VocabJoin.Broadcast)
+      .collect().map(key).sorted
+    val got = adSalted.collect().map(key).sorted
+    graft.ops.Dedup.releaseSketchCaches()
+    assert(got.sameElements(want), "adaptive salted output diverges")
+    // same routing contract on the tf-idf consumer
+    val tfSalted = TextAnalysis.tfidfOf(docs, vocabBroadcastMaxRows = 10L)
+    val tfPlan = tfSalted.queryExecution.optimizedPlan.toString
+    assert(tfPlan.contains("_salt"), s"tfidf adaptive did not route:\n$tfPlan")
+    val tfWant = TextAnalysis.tfidfOf(docs, Skew.VocabJoin.Broadcast)
+      .collect().map(key).sorted
+    graft.ops.Dedup.releaseSketchCaches()
+    val tfGot = tfSalted.collect().map(key).sorted
+    graft.ops.Dedup.releaseSketchCaches()
+    assert(tfGot.sameElements(tfWant), "tfidf adaptive output diverges")
   }
 
   test("lexical diversity: TTR and hapax fractions are exact on the sf corpus") {
