@@ -213,6 +213,24 @@ object Curation {
       .orderBy(col("source"), col("qrank"))
   }
 
+  /** q76 spelled with rank() instead of row_number() (q76b). The order
+    * is total (doc_id tiebreak), so the rows are identical to q76 —
+    * the entry exists because [[graft.plans.RewriteRankLimitToTopK]]
+    * also lowers the rank()/dense_rank() spellings to the bounded
+    * heap, and this keeps that arm under the full DuckDB oracle every
+    * round the way q76 gates the row_number arm. */
+  val qualityTopKRank: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), scoreMilliColumn.as("score_milli"))
+      .withColumn("qrank", rank().over(w))
+      .filter(col("qrank") <= qualityTopN)
+      .orderBy(col("source"), col("qrank"))
+  }
+
   /** DSIR-style importance weighting (q90): score every raw document
     * by how much its unigram distribution looks like a TARGET domain
     * (here the `src0` slice standing in for the curated/quality
@@ -338,6 +356,7 @@ object Curation {
     "q66_quality_model" -> qualityModel,
     "q66b_score_quantiles" -> scoreQuantiles,
     "q76_quality_topk" -> qualityTopK,
+    "q76b_quality_topk_rank" -> qualityTopKRank,
   )
 
   import TextAnalysis.{sqlStops, sqlToks}
@@ -523,6 +542,32 @@ object Curation {
          |SELECT doc_id, source, score_milli, CAST(qrank AS INTEGER) AS qrank
          |FROM (
          |  SELECT *, row_number() OVER (
+         |    PARTITION BY source ORDER BY score_milli DESC, doc_id) AS qrank
+         |  FROM scored
+         |)
+         |WHERE qrank <= $qualityTopN
+         |ORDER BY source, qrank""".stripMargin
+    },
+    "q76b_quality_topk_rank" -> {
+      val valuesList = modelWeights
+        .map { case (k, v) => s"('$k', $v)" }.mkString(",\n    ")
+      s"""WITH w(token, w_milli) AS (VALUES
+         |    $valuesList
+         |), tok AS (
+         |  SELECT doc_id, unnest(${sqlToks("text")}) AS token
+         |  FROM documents WHERE text IS NOT NULL
+         |), hits AS (
+         |  SELECT doc_id, CAST(sum(w_milli) AS BIGINT) AS s
+         |  FROM tok JOIN w USING (token) GROUP BY doc_id
+         |), scored AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST($modelBias + coalesce(h.s, 0) AS BIGINT) AS score_milli
+         |  FROM documents d LEFT JOIN hits h USING (doc_id)
+         |  WHERE d.text IS NOT NULL
+         |)
+         |SELECT doc_id, source, score_milli, CAST(qrank AS INTEGER) AS qrank
+         |FROM (
+         |  SELECT *, rank() OVER (
          |    PARTITION BY source ORDER BY score_milli DESC, doc_id) AS qrank
          |  FROM scored
          |)

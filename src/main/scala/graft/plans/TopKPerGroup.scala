@@ -44,15 +44,32 @@ import org.apache.spark.sql.execution.SparkStrategy
   * a group (ties broken by some unique column — true of every rank
   * query in this engine, and the same caveat row_number itself
   * carries: with a non-total order both forms return an arbitrary
-  * representative among tied rows). Registered via
+  * representative among tied rows). The same caveat covers the
+  * `rank()`/`dense_rank()` spellings: with a total order all three
+  * functions assign identical ranks, so the one heap operator serves
+  * all three; under ties the emitted rank VALUES still follow each
+  * function's semantics over the k survivors, but a boundary tie
+  * group may be cut at k rows where the window form would keep every
+  * tied row. Registered via
   * [[GraftExtensions]]; the q06/q76 DuckDB oracles gate the rewrite
   * end-to-end every round because the Verify session runs with
   * extensions on. */
+sealed abstract class RankStyle
+object RankStyle {
+  /** row_number(): rank = position, always distinct. */
+  case object RowNum extends RankStyle
+  /** rank(): tied rows share the FIRST tied position's rank. */
+  case object Rnk extends RankStyle
+  /** dense_rank(): tied rows share a rank; no gaps after ties. */
+  case object DenseRnk extends RankStyle
+}
+
 case class TopKPerGroupNode(
     group: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
+    style: RankStyle,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   // rankAttr is PRODUCED here, not consumed: without this override it
@@ -65,13 +82,36 @@ case class TopKPerGroupNode(
     copy(child = newChild)
 }
 
-/** Matches `Filter(rank cmp lit, Window(row_number as rank over
-  * (partition by g order by o rows unbounded preceding..current)))`
+/** Matches `Filter(rank cmp lit, Window(rankfn as rank over
+  * (partition by g order by o)))` — rankfn any of row_number, rank,
+  * dense_rank, each with its own default frame —
   * once predicate pushdown has brought the filter adjacent to the
   * window. Only the EXACT single-comparison filter is rewritten; a
   * conjunction with other predicates is left alone (those predicates
-  * may reference pre-window rows the heap would have pruned). */
+  * may reference pre-window rows the heap would have pruned). Bounds
+  * above [[RewriteRankLimitToTopK.maxRewriteK]] also stay on the
+  * window form: the heap materializes k rows per (partition, group)
+  * in executor memory with no spill path, so a large-k sampling query
+  * belongs on Spark's stock WindowGroupLimit + sort, which spills. */
 object RewriteRankLimitToTopK extends Rule[LogicalPlan] {
+  /** Largest k the heap rewrite accepts. 64k rows/group/partition is
+    * comfortably in-memory for any row the engine shuffles; beyond it
+    * the stock spill-capable window path is the safer plan. */
+  val maxRewriteK = 65536
+
+  private def styleOf(fn: Expression, frame: WindowFrame): Option[RankStyle] =
+    frame match {
+      // all three RankLike functions resolve to the running ROW frame
+      case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) =>
+        fn match {
+          case RowNumber()  => Some(RankStyle.RowNum)
+          case _: Rank      => Some(RankStyle.Rnk)
+          case _: DenseRank => Some(RankStyle.DenseRnk)
+          case _            => None
+        }
+      case _ => None
+    }
+
   private def bound(cond: Expression, rank: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(r: Attribute, Literal(v: Int, IntegerType))
       if r.semanticEquals(rank) => Some(v)
@@ -87,16 +127,15 @@ object RewriteRankLimitToTopK extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond,
         LWindow(Seq(alias @ Alias(
-          WindowExpression(RowNumber(),
-            WindowSpecDefinition(part, order,
-              SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+          WindowExpression(fn, WindowSpecDefinition(part, order, frame)),
           _)), _, _, child, _))
-        if part.nonEmpty && order.nonEmpty =>
+        if part.nonEmpty && order.nonEmpty && styleOf(fn, frame).isDefined =>
       bound(cond, alias.toAttribute) match {
-        case Some(k) if k >= 1 =>
-          TopKPerGroupNode(part, order, k, alias.toAttribute, child)
-        case Some(_) => // k <= 0: the filter is always false; leave it
-          f
+        case Some(k) if k >= 1 && k <= maxRewriteK =>
+          TopKPerGroupNode(part, order, k, alias.toAttribute,
+            styleOf(fn, frame).get, child)
+        case Some(_) => // k <= 0 (always-false filter) or beyond the
+          f            // heap's safe bound: stay on the window form
         case None => f
       }
   }
@@ -104,10 +143,10 @@ object RewriteRankLimitToTopK extends Rule[LogicalPlan] {
 
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(group, order, k, rankAttr, child) =>
-      val partialExec = TopKPerGroupExec(group, order, k, rankAttr,
+    case TopKPerGroupNode(group, order, k, rankAttr, style, child) =>
+      val partialExec = TopKPerGroupExec(group, order, k, rankAttr, style,
         planLater(child), partial = true)
-      TopKPerGroupExec(group, order, k, rankAttr, partialExec,
+      TopKPerGroupExec(group, order, k, rankAttr, style, partialExec,
         partial = false) :: Nil
     case _ => Nil
   }
@@ -122,6 +161,7 @@ case class TopKPerGroupExec(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
+    style: RankStyle,
     child: SparkPlan,
     partial: Boolean) extends UnaryExecNode {
 
@@ -149,6 +189,7 @@ case class TopKPerGroupExec(
     val sortOrder = order
     val limit = k
     val isPartial = partial
+    val rankStyle = style
     val finalOutput = output
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
@@ -165,7 +206,11 @@ case class TopKPerGroupExec(
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit + 1, cmp)
+          // initial capacity is capped: a large-k query must not
+          // pre-allocate a k-sized array per group up front (the queue
+          // grows on demand; maxRewriteK bounds the worst case)
+          heap = new java.util.PriorityQueue[InternalRow](
+            math.min(limit + 1, 1024), cmp)
           heaps.put(key.copy(), heap)
         }
         if (heap.size() < limit) heap.offer(row.copy())
@@ -188,9 +233,24 @@ case class TopKPerGroupExec(
             while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
             current =
               if (isPartial) arr.iterator
-              else arr.iterator.zipWithIndex.map { case (r, idx) =>
-                rankRow.setInt(0, idx + 1)
-                resultProj(joined(r, rankRow))
+              else {
+                // rank per the matched function's semantics over the k
+                // survivors (identical to row_number under the rewrite's
+                // total-order caveat; faithful on within-k ties)
+                var prev: InternalRow = null
+                var prevRank = 0
+                arr.iterator.zipWithIndex.map { case (r, idx) =>
+                  val tied = prev != null && ord.compare(prev, r) == 0
+                  val rk = rankStyle match {
+                    case RankStyle.RowNum   => idx + 1
+                    case RankStyle.Rnk      => if (tied) prevRank else idx + 1
+                    case RankStyle.DenseRnk => if (tied) prevRank else prevRank + 1
+                  }
+                  prev = r
+                  prevRank = rk
+                  rankRow.setInt(0, rk)
+                  resultProj(joined(r, rankRow))
+                }
               }
           }
           current.hasNext

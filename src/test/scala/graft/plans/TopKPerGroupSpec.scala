@@ -59,6 +59,48 @@ class TopKPerGroupSpec extends SparkTestBase {
     assert(ranksA.toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("rank() and dense_rank() spellings are rewritten and match window semantics") {
+    for (fn <- Seq(rank(), dense_rank())) {
+      val q = sample().withColumn("rn", fn.over(w)).filter(col("rn") <= 2)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup"), s"rewrite did not fire for $fn:\n$plan")
+      assert(!plan.contains("Window"), s"window survived for $fn:\n$plan")
+      // total order (id tiebreak): all three rank functions agree
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+      assert(got == Set(
+        ("a", 4L, 1), ("a", 2L, 2),
+        ("b", 5L, 1), ("b", 6L, 2),
+        ("c", 7L, 1)), s"$fn rows diverge: $got")
+    }
+  }
+
+  test("rank()/dense_rank() emit tie-faithful rank values among the survivors") {
+    // non-total order (no tiebreak) with every row inside k, so the
+    // survivor set is complete and the rank VALUES are checkable:
+    // v: 10, 10, 5  =>  rank: 1,1,3   dense_rank: 1,1,2
+    val ties = Seq(("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 5.0))
+      .toDF("g", "id", "v")
+    val wv = Window.partitionBy(col("g")).orderBy(col("v").desc)
+    def ranksOf(fn: org.apache.spark.sql.Column): Map[Long, Int] = {
+      val q = ties.withColumn("rn", fn.over(wv)).filter(col("rn") <= 3)
+      assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      q.collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    }
+    assert(ranksOf(rank()) == Map(1L -> 1, 2L -> 1, 3L -> 3))
+    assert(ranksOf(dense_rank()) == Map(1L -> 1, 2L -> 1, 3L -> 2))
+    assert(ranksOf(row_number()).values.toSeq.sorted == Seq(1, 2, 3))
+  }
+
+  test("bounds beyond maxRewriteK stay on the spill-capable window form") {
+    val k = graft.plans.RewriteRankLimitToTopK.maxRewriteK + 1
+    val q = sample().withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"large-k was rewritten off the spill path:\n$plan")
+    assert(!plan.contains("TopKPerGroup"))
+    assert(q.count() == 7)
+  }
+
   test("compound filters are left on the window form (no unsound rewrite)") {
     val plan = sample().withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2 && col("v") > 1.0)
