@@ -258,9 +258,15 @@ class FlightIngest(spark: SparkSession, root: String) {
     val countsByFile = spark.read.text(fresh.map(_.getPath.toString): _*)
       .groupBy(input_file_name().as("f")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // input_file_name() returns URL-encoded URIs, so decode before
+    // matching on the plain file name — otherwise a name containing a
+    // space/percent-encodable char silently misses the batched count
+    // (and fell back to the serial loop: correct but unbatched)
+    def decodedPath(k: String): String =
+      scala.util.Try(new java.net.URI(k).getPath).getOrElse(k)
     def dataRows(f: org.apache.hadoop.fs.FileStatus): Long =
       countsByFile.collectFirst {
-        case (k, v) if k.endsWith("/" + f.getPath.getName) => v
+        case (k, v) if decodedPath(k).endsWith("/" + f.getPath.getName) => v
       }.getOrElse(0L) - 1L
     val entries = fresh.flatMap { f =>
       val n = dataRows(f)

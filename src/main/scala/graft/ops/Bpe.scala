@@ -206,7 +206,12 @@ object Bpe {
       .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(filter(split(col("word"), ""), u => u =!= "").as("units"), col("freq"))
+      // split at codepoint boundaries, NOT split(word, "") — that one
+      // cuts UTF-16 code units, so a supplementary-plane char (emoji,
+      // rare CJK) would train as two unpaired surrogate halves; the
+      // lookbehind keeps each full codepoint whole, matching encode()'s
+      // codepoint-level \S bracketing
+      .select(filter(split(col("word"), "(?s)(?<=.)"), u => u =!= "").as("units"), col("freq"))
       .localCheckpoint(true) // count + train both read it; corpus scanned once
     if (words.count() <= driverLimit) trainDriver(words, nMerges)
     else trainDistributed(words, nMerges)

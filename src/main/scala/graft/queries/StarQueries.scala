@@ -182,7 +182,10 @@ object StarQueries {
     graft.flights.StagingReader.read(s, unifiedRoots(s), dedupAcrossSources = true)
       .groupBy(lower(trim(col("airline"))).as("airline_key"))
       .agg(count(lit(1)).as("n_rows"),
-        countDistinct(concat_ws("|", col("source_code"),
+        // concat (not concat_ws): NULL-propagating like the twin's
+        // `Source || '|' || Destination`, so a null endpoint drops out
+        // of countDistinct in BOTH engines instead of only one
+        countDistinct(concat(col("source_code"), lit("|"),
           col("destination_code"))).as("n_routes"))
       .orderBy(col("airline_key"))
 

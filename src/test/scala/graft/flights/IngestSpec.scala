@@ -363,6 +363,31 @@ class IngestSpec extends SparkTestBase {
     assert(ing.staging.count() == 64)
   }
 
+  test("batched directory ingest: a file name with spaces stays on the batched path") {
+    // input_file_name() returns URL-encoded URIs ("a%20b.csv"); before
+    // the decode fix the count lookup missed, the file silently fell
+    // back to the serial loop, and the batch split into two seqs
+    val root = tmpDir("ingest")
+    val dir = s"$root/csvdir"
+    Files.createDirectories(Paths.get(dir))
+    Files.copy(Paths.get(resource("flights_small.csv")), Paths.get(s"$dir/a b.csv"))
+    val append = Files.readAllLines(Paths.get(resource("flights_append.csv")))
+    val tail = new java.util.ArrayList[String]()
+    tail.add(append.get(0))
+    for (i <- 50 until append.size) tail.add(append.get(i))
+    Files.write(Paths.get(s"$dir/c.csv"), tail)
+    val ing = new FlightIngest(spark, root)
+    val r = ing.ingestDirectory(dir)
+    assert(r.rowsScanned == 67 && r.rowsLoaded == 64)
+    // BOTH files committed under the one batched seq — the space-named
+    // file did not leak to the serial loop's own seq
+    val parts = new java.io.File(ing.stagingPath).listFiles()
+      .filter(_.getName.startsWith("ingest_batch=")).map(_.getName).toSeq
+    assert(parts == Seq("ingest_batch=0"), s"batch split: $parts")
+    val r2 = ing.ingestDirectory(dir)
+    assert(r2.rowsScanned == 0 && r2.rowsLoaded == 0)
+  }
+
   test("batched directory ingest: crash before ledger redoes the batch without duplicates") {
     val (_, root, dir) = disjointDir()
     val crashing = new FlightIngest(spark, root) {

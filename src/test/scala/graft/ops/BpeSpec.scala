@@ -84,7 +84,11 @@ class BpeSpec extends SparkTestBase {
   private def serialBpe(corpus: Seq[String], n: Int): Seq[(String, String, Long)] = {
     var words: Map[Vector[String], Long] = corpus
       .flatMap(_.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
-      .groupBy(identity).map { case (w, ws) => w.map(_.toString).toVector -> ws.size.toLong }
+      .groupBy(identity).map { case (w, ws) =>
+        // codepoint units (not Chars): the trainer splits codepoints
+        w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))).toVector -> ws.size.toLong
+      }
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var i = 0
     var done = false
@@ -149,6 +153,32 @@ class BpeSpec extends SparkTestBase {
     val dist = Bpe.trainMerges(docs, 1, driverLimit = 0L).map(t => (t._2, t._3))
     assert(drv == Seq(("x", "�")), s"driver learned $drv")
     assert(dist == drv, s"paths diverge: driver $drv distributed $dist")
+  }
+
+  test("supplementary-plane characters train as whole codepoints, not surrogate halves") {
+    // 😀 is U+1F600 (two UTF-16 code units). A code-unit split would
+    // present (x, \uD83D) and (\uD83D, \uDE00) as candidate pairs and
+    // learn a lone surrogate; the codepoint split must learn the whole
+    // emoji pair — and both paths must agree with the serial reference
+    // on a corpus where non-BMP merges win.
+    val corpus = Seq("x😀 x😀 x😀 y😀 z𝕊 z𝕊")
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val expected = serialBpe(corpus, 3)
+    val drv = Bpe.trainMerges(docs, 3).map { case (_, a, b, w) => (a, b, w) }
+    val dist = Bpe.trainMerges(docs, 3, driverLimit = 0L)
+      .map { case (_, a, b, w) => (a, b, w) }
+    assert(drv == expected, s"driver diverges:\n got $drv\n expected $expected")
+    assert(dist == expected, s"distributed diverges:\n got $dist\n expected $expected")
+    assert(drv.head._2 == "😀", s"first merge right side is not the whole emoji: $drv")
+    // no learned unit may contain a lone surrogate (codePoints() of a
+    // well-formed string never yields a value in the surrogate range)
+    drv.foreach { case (a, b, _) =>
+      assert((a + b).codePoints().toArray
+        .forall(cp => cp < 0xD800 || cp > 0xDFFF),
+        s"unit '$a$b' contains a lone surrogate")
+    }
   }
 
   test("trainer stops early when the vocabulary is fully merged") {
