@@ -20,25 +20,39 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. The driver data is µs-precision (every
-    * ns remainder is 0), so reading nanos as long and converting to a
-    * µs timestamp is lossless.
+  /** events.parquet's `ts` physical type has varied across driver
+    * generations — TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * only accepts via the nanosAsLong legacy conf, surfacing as LONG
+    * epoch-nanos) and TIMESTAMP(MICROS) (surfacing as TIMESTAMP_NTZ) —
+    * so the loader adapts on the READ schema rather than assuming one:
+    * both arms normalize to a session-zone TimestampType column with
+    * identical instants (the driver data is µs-precision; sessions run
+    * UTC, so the NTZ wall-clock cast is the same instant the nanos
+    * shim produced). Downstream operators and the DuckDB oracle twins
+    * see one shape either way.
     *
-    * The nanosAsLong conf must be set ON THE SESSION BUILDER (Bench,
-    * Verify, SparkTestBase and the demos all do). The loader used to
-    * set it here as a read side effect, but that silently changed how
-    * every later nanos-timestamp parquet read in the same session
-    * behaves for callers sharing the session — so now it fails loudly
-    * with the remedy instead of mutating shared state. */
+    * For a NANOS file the nanosAsLong conf must be set ON THE SESSION
+    * BUILDER (Bench, Verify, SparkTestBase and the demos all do); the
+    * loader never mutates shared session config as a read side effect
+    * — it fails loudly with the remedy instead. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet stores TIMESTAMP(NANOS); set " +
-        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\") on the " +
-        "SparkSession builder (Tables does not mutate session config)")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val raw = try table(s, d, "events") catch {
+      // schema conversion surfaces nanos rejection as AnalysisException
+      case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+        throw new IllegalArgumentException(
+          "events.parquet stores TIMESTAMP(NANOS); set " +
+            ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\") on the " +
+            "SparkSession builder (Tables does not mutate session config)", e)
+    }
+    raw.schema("ts").dataType match {
+      case LongType => // nanosAsLong read of a NANOS file: epoch nanos
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => // MICROS file: wall-clock, session UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -280,24 +280,83 @@ object Bpe {
     learned.toSeq
   }
 
-  /** The per-round distributed loop for open vocabularies. */
+  /** Signed adjacent-pair rows of a (units, freq) frame: one
+    * (a, b, weight = sign * freq) row per adjacent unit pair. The
+    * size >= 2 guard keeps single-unit words out — sequence(1, size-1)
+    * would otherwise be the DESCENDING [1, 0] (ANSI off) and hit
+    * element_at(units, 0). */
+  private def signedPairs(seg: DataFrame, sign: Int): DataFrame =
+    seg.filter(size(col("units")) >= 2)
+      .select((col("freq") * sign).as("w"), explode(expr(
+        "transform(sequence(1, size(units) - 1), " +
+          "i -> struct(element_at(units, i) AS a, element_at(units, CAST(i AS INT) + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("w").as("weight"))
+
+  /** True when `units` holds (a, b) adjacently somewhere — exactly the
+    * words whose segmentation (and pair contributions) the merge (a, b)
+    * changes; the greedy rewrite is the identity everywhere else. */
+  private def hasAdjacent(a: String, b: String): Column = {
+    val heads = slice(col("units"), lit(1), size(col("units")) - 1)
+    val tails = slice(col("units"), lit(2), size(col("units")) - 1)
+    exists(arrays_zip(heads, tails),
+      p => p.getField("0") === lit(a) && p.getField("1") === lit(b))
+  }
+
+  /** Greedy left-to-right non-overlapping rewrite of `units` under the
+    * merge (a, b), as a pure `aggregate` fold: carry the previous unit;
+    * emit the merged unit and clear the carry on a match, so "aaa"
+    * under (a, a) becomes [aa, a] — reference semantics. */
+  private def mergeRewrite(a: String, b: String): Column = {
+    val aLit = lit(a)
+    val bLit = lit(b)
+    val merged = lit(a + b)
+    aggregate(col("units"),
+      struct(expr("CAST(array() AS array<string>)").as("out"), lit("").as("prev")),
+      (acc, u) => {
+        val out = acc.getField("out")
+        val prev = acc.getField("prev")
+        when(prev === aLit && u === bLit,
+          struct(concat(out, array(merged)).as("out"), lit("").as("prev")))
+          .otherwise(struct(
+            when(prev === "", out).otherwise(concat(out, array(prev))).as("out"),
+            u.as("prev")))
+      },
+      acc => when(acc.getField("prev") === "", acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("prev"))))
+    )
+  }
+
+  /** The distributed loop for open vocabularies, with INCREMENTAL
+    * pair-count maintenance (VERDICT r6 #3): the full pair table is
+    * exploded and aggregated exactly ONCE, then each round applies the
+    * classic update — only words holding the merged pair adjacently
+    * change segmentation, so only their old pairs leave the table and
+    * their new pairs enter it. Per round the exploded/shuffled rows are
+    * O(affected words), not O(vocabulary): the r6 form recounted every
+    * word's pairs per merge, which at a real tokenizer's 32k merges
+    * means 32k full-vocabulary explodes; here the full-vocab work left
+    * per round is one codegen predicate scan of the cached unit frame
+    * and the pair-table argmax (a `limit(1)` scalar). Zero-weight pairs
+    * are dropped as they die so the table tracks the live pair set.
+    *
+    * Both frames stay LAZY between periodic localCheckpoints — each
+    * round's argmax evaluates at most the checkpoint interval's
+    * stacked deltas over the cached partitions (the r6 discipline);
+    * the checkpoint bounds plan depth and the recompute window, and
+    * its cost amortizes to O(vocab / interval) per round. Parity with
+    * the serial reference is pinned merge-for-merge at 256 merges in
+    * BpeSpec. */
   private def trainDistributed(words: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
     var seg = words
+    var pairs = signedPairs(seg, 1)
+      .groupBy(col("a"), col("b")).agg(sum(col("weight")).as("weight"))
+      .localCheckpoint(true)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var sinceCkpt = 0
     while (rank <= nMerges) {
-      val pairRow = seg
-        // single-unit words contribute no pairs — and would turn
-        // sequence(1, size-1) into the DESCENDING [1, 0] (ANSI off),
-        // hitting element_at(units, 0)
-        .filter(size(col("units")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(units) - 1), " +
-            "i -> struct(element_at(units, i) AS a, element_at(units, CAST(i AS INT) + 1) AS b))"))
-          .as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("weight"))
+      val pairRow = pairs
         .orderBy(col("weight").desc, col("a"), col("b"))
         .limit(1).collect()
       if (pairRow.isEmpty) { rank = nMerges + 1 } // vocab fully merged
@@ -305,31 +364,28 @@ object Bpe {
         val (a, b, w) = (pairRow.head.getString(0), pairRow.head.getString(1),
           pairRow.head.getLong(2))
         learned += ((rank, a, b, w))
-        val aLit = lit(a)
-        val bLit = lit(b)
-        val merged = lit(a + b)
-        // the rewrite STAYS LAZY: each round's argmax evaluates the
-        // (<= checkpoint interval) nested folds over the one cached
-        // partition — re-running a few column folds is cheaper than a
-        // materialization job per round; the periodic localCheckpoint
-        // bounds both the plan depth and the recompute window
-        seg = seg.select(
-          aggregate(col("units"),
-            struct(expr("CAST(array() AS array<string>)").as("out"), lit("").as("prev")),
-            (acc, u) => {
-              val out = acc.getField("out")
-              val prev = acc.getField("prev")
-              when(prev === aLit && u === bLit,
-                struct(concat(out, array(merged)).as("out"), lit("").as("prev")))
-                .otherwise(struct(
-                  when(prev === "", out).otherwise(concat(out, array(prev))).as("out"),
-                  u.as("prev")))
-            },
-            acc => when(acc.getField("prev") === "", acc.getField("out"))
-              .otherwise(concat(acc.getField("out"), array(acc.getField("prev"))))
-          ).as("units"), col("freq"))
+        // the incremental update: only words holding (a, b) adjacently
+        // change — their old pairs leave the table, their rewritten
+        // forms' pairs enter it; every other word cancels exactly and
+        // is never exploded. The unit frame itself advances as ONE
+        // rewrite fold over the whole chain (the fold is the identity
+        // on non-matching words), NOT as filter ∪ rewrite(filter) —
+        // that spelling references the previous round twice and
+        // doubles the plan per round (exponential by checkpoint time).
+        val affectedOld = seg.filter(hasAdjacent(a, b))
+        val affectedNew = affectedOld.select(mergeRewrite(a, b).as("units"), col("freq"))
+        pairs = pairs
+          .unionByName(signedPairs(affectedOld, -1))
+          .unionByName(signedPairs(affectedNew, 1))
+          .groupBy(col("a"), col("b")).agg(sum(col("weight")).as("weight"))
+          .filter(col("weight") > 0)
+        seg = seg.select(mergeRewrite(a, b).as("units"), col("freq"))
         sinceCkpt += 1
-        if (sinceCkpt == 6) { seg = seg.localCheckpoint(true); sinceCkpt = 0 }
+        if (sinceCkpt == 6) {
+          seg = seg.localCheckpoint(true)
+          pairs = pairs.localCheckpoint(true)
+          sinceCkpt = 0
+        }
         rank += 1
       }
     }

@@ -376,7 +376,16 @@ object EventTime {
     * still deterministic (hash registers, no RNG) and HllStoreSpec
     * pins the lifecycle — round-0 commit, delta union, error bound,
     * compaction invariance. */
-  val hllDistinctIncremental: Q = (s, d) => {
+  val hllDistinctIncremental: Q = (s, d) => hllDistinct(s, d, audit = true)
+
+  /** q93 with the audit switch explicit (VERDICT r6 #6). `audit = true`
+    * is the registered harness entry: estimate NEXT TO the exact
+    * countDistinct — which by definition rescans all event history.
+    * `audit = false` is the production steady state the sketch store
+    * exists for: store + delta only, so the single events scan left in
+    * the plan is the watermark-pruned delta (HllStoreSpec pins the plan
+    * to one scan, no countDistinct); history is never reread. */
+  def hllDistinct(s: SparkSession, d: String, audit: Boolean): DataFrame = {
     val ev = Tables.events(s, d)
     val (store, wm) = hllStore(s, d)
     val deltaSketch = ev.filter(col("event_id") > wm)
@@ -385,12 +394,15 @@ object EventTime {
     val est = store.mergedWith(deltaSketch)
       .select(col("event_type"),
         hll_sketch_estimate(col("sketch")).as("est_users"))
-    val exact = ev.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_users"))
-    est.join(exact, Seq("event_type"))
-      .withColumn("err_ppm",
-        expr("(abs(est_users - exact_users) * 1000000L) div exact_users"))
-      .orderBy(col("event_type"))
+    if (!audit) est.orderBy(col("event_type"))
+    else {
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, Seq("event_type"))
+        .withColumn("err_ppm",
+          expr("(abs(est_users - exact_users) * 1000000L) div exact_users"))
+        .orderBy(col("event_type"))
+    }
   }
 
   // Per-(JVM, events CONTENT) store lifecycle, shared with q61/q67c/
@@ -660,13 +672,15 @@ class HllDistinctStore(spark: org.apache.spark.sql.SparkSession, val path: Strin
         df.filter(F.col("ingest_round") < r)))
 
   /** Sketch `events`' users and commit them as ingest round `round`. */
-  def appendRound(events: DataFrame, round: Long): Unit =
+  def appendRound(events: DataFrame, round: Long): Unit = {
     events.groupBy(F.col("event_type"))
       .agg(F.hll_sketch_agg(F.col("user_id")).as("sketch"))
       .withColumn("ingest_round", F.lit(round))
       .write.partitionBy("ingest_round")
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite).parquet(path)
+    maybeCompact(round)
+  }
 
   /** Stored sketches unioned with a delta's own per-type sketches. */
   def mergedWith(deltaSketches: DataFrame,

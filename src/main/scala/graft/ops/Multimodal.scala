@@ -338,15 +338,103 @@ object Multimodal {
     h
   }
 
+  /** 64-bit DCT perceptual hash (pHash — the second image tier,
+    * VERDICT r6 #7): 32x32 bilinear luminance downsample, 2-D DCT-II
+    * (unnormalized, the public pHash/imagehash convention), keep the
+    * top-left 8x8 low-frequency block, one bit per coefficient
+    * thresholded at the block's MEDIAN. [[perceptualHash]] (aHash)
+    * thresholds raw intensities at their mean, which is brittle under
+    * gamma/contrast maps — a monotone intensity shift moves every
+    * pixel AND the mean, flipping whichever bits sat near it. The DCT
+    * form compares low-frequency STRUCTURE against its own median
+    * instead: a monotone map rescales the AC spectrum roughly
+    * uniformly, so the above/below-median pattern survives shifts
+    * that flip aHash bits (MultimodalSpec pins a gamma copy the aHash
+    * radius-6 band loses and this tier keeps). The honest caveat,
+    * measured in ProbeDct: the stability argument needs BROADBAND
+    * low-frequency content (photographs, textures) — on a
+    * sparse-spectrum synthetic most of the 8x8 block is near-zero and
+    * those bits wobble a few positions under any re-encode, which is
+    * why q38f runs NEXT TO q38c as a second tier, not instead of it.
+    * Same cost class (one 32x32 resample + a 32->8 partial DCT per
+    * image), same downstream machinery — the hash drops into the
+    * chunk-bucket pair join unchanged. Deterministic pure-JVM
+    * arithmetic like every codec leg here. */
+  def dctHash(img: BufferedImage): Long = {
+    val n = 32
+    val small = new BufferedImage(n, n, BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, n, n, null)
+    g.dispose()
+    val lum = Array.ofDim[Double](n, n)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        val rgb = small.getRGB(x, y)
+        lum(y)(x) = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+          114 * (rgb & 0xFF)) / 1000.0
+        x += 1
+      }
+      y += 1
+    }
+    // separable partial DCT-II: only the first 8 frequencies of each
+    // dimension are kept, so compute 8 columns, not 32
+    val cosT = Array.tabulate(8, n)((k, i) =>
+      math.cos(math.Pi * (2 * i + 1) * k / (2.0 * n)))
+    val rows8 = Array.ofDim[Double](n, 8) // DCT along x, 8 freqs
+    y = 0
+    while (y < n) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += lum(y)(x) * cosT(u)(x); x += 1 }
+        rows8(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val block = new Array[Double](64) // DCT along y over the 8 columns
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) { s += rows8(yy)(u) * cosT(v)(yy); yy += 1 }
+        block(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val sorted = block.clone().sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var h = 0L
+    var i = 0
+    while (i < 64) { if (block(i) > median) h |= (1L << i); i += 1 }
+    h
+  }
+
   /** (doc_id, phash) for the IMAGE rows — the codec boundary is this
     * one mapPartitions; everything after is plain int64 columns. */
-  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+  def imageHashes(media: Dataset[MediaRow]): DataFrame =
+    imageHashesWith(media, perceptualHash)
+
+  /** [[imageHashes]] with the DCT tier's hash — identical plumbing. */
+  def dctImageHashes(media: Dataset[MediaRow]): DataFrame =
+    imageHashesWith(media, dctHash)
+
+  private def imageHashesWith(media: Dataset[MediaRow],
+                              hashOf: BufferedImage => Long): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(r => r.format != "wav").mapPartitions { rows =>
       rows.map { r =>
         val img = ImageIO.read(new ByteArrayInputStream(r.media))
         require(img != null, s"undecodable media for doc ${r.doc_id}")
-        (r.doc_id, perceptualHash(img))
+        (r.doc_id, hashOf(img))
       }
     }.toDF("doc_id", "phash")
   }
@@ -480,6 +568,11 @@ object Multimodal {
   /** q38c: image near-dup audit (aHash). */
   val imageDedupReport: Q = (s, d) => phashBandReport(s, imageHashes(mediaTable(s, d)))
 
+  /** q38f: image near-dup audit, DCT-pHash tier — the same band
+    * report over [[dctImageHashes]]; catches gamma/contrast-shifted
+    * copies the aHash tier (q38c) misses. */
+  val imageDctDedupReport: Q = (s, d) => phashBandReport(s, dctImageHashes(mediaTable(s, d)))
+
   /** q38d: audio near-dup audit (amplitude-envelope hash). */
   val audioDedupReport: Q = (s, d) => phashBandReport(s, audioHashes(mediaTable(s, d)))
 
@@ -527,6 +620,7 @@ object Multimodal {
     "q38c_image_phash_dedup" -> imageDedupReport, // rows-only: perceptual-hash audit
     "q38d_audio_phash_dedup" -> audioDedupReport, // rows-only: envelope-hash audit
     "q38e_image_dedup_incremental" -> imageDedupIncremental, // rows-only: stored-index delta mode
+    "q38f_image_dct_dedup" -> imageDctDedupReport, // rows-only: DCT-pHash second tier
   )
 
   val oracle: Map[String, String] = Map.empty
@@ -554,12 +648,14 @@ class PhashIndexStore(spark: SparkSession, val path: String)
 
   /** Commit `hashes` (doc_id, phash) as ingest round `round` —
     * idempotent under retry (partition overwrite). */
-  def appendRound(hashes: DataFrame, round: Long): Unit =
+  def appendRound(hashes: DataFrame, round: Long): Unit = {
     hashes.select(col("doc_id"), col("phash"))
       .withColumn("ingest_round", lit(round))
       .write.partitionBy("ingest_round")
       .option("partitionOverwriteMode", "dynamic")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    maybeCompact(round)
+  }
 
   /** Near-dup pairs between a DELTA's hashes and the standing corpus:
     * delta-bucket x corpus-bucket join (no delta x delta, no

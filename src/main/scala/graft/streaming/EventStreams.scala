@@ -61,23 +61,26 @@ object EventStreams {
         col("view_ts"))
   }
 
-  /** Read the events parquet directory as a stream (test/demo entry).
-    * events.parquet stores TIMESTAMP(NANOS): apply the same
-    * nanos-as-long + µs-conversion shim as graft.Tables.events, so the
-    * streamed `ts` is a real timestamp the window operators accept.
-    * Like Tables.events, requires nanosAsLong on the session BUILDER —
-    * no session-wide config mutation as a read side effect. */
+  /** Read the events parquet directory as a stream (test/demo entry),
+    * normalizing `ts` by READ schema exactly like graft.Tables.events:
+    * a TIMESTAMP(NANOS) file (read as LONG via the builder-set
+    * nanosAsLong conf) gets the µs-conversion shim; a TIMESTAMP(MICROS)
+    * file (read as TIMESTAMP_NTZ) casts to the session-zone timestamp —
+    * identical instants either way, so the window operators and
+    * watermarks see one shape. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet stores TIMESTAMP(NANOS); set " +
-        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\") on the " +
-        "SparkSession builder (EventStreams does not mutate session config)")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the streaming file source wants a directory; select the events
     // file out of the shared testdata dir with a glob
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }

@@ -140,6 +140,33 @@ class BpeSpec extends SparkTestBase {
       s"distributed path diverges:\n got      $dist\n expected $expected")
   }
 
+  test("incremental distributed trainer matches the serial reference at 256 merges") {
+    // VERDICT r6 #3: the distributed path now maintains the pair table
+    // incrementally (only pairs adjacent to the last merge change), so
+    // parity must hold deep into a training run, where one drifted
+    // count would reorder every later merge. 16 syllables x 16
+    // syllables = 256 four-char words — enough live pairs to sustain
+    // 256 merges (syllable merges, then word merges, tie-broken
+    // lexically all the way down).
+    val syll = Seq("ba", "ce", "di", "fo", "gu", "ka", "le", "mi",
+      "no", "pu", "ra", "se", "ti", "vo", "wu", "za")
+    val corpus = (for { x <- syll; y <- syll } yield x + y)
+      .grouped(16).map(_.mkString(" ")).toSeq
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val expected = serialBpe(corpus, 256)
+    assert(expected.length == 256, s"fixture exhausted at ${expected.length} merges")
+    val dist = Bpe.trainMerges(docs, 256, driverLimit = 0L)
+      .map { case (_, a, b, w) => (a, b, w) }
+    if (dist != expected) {
+      val i = dist.zip(expected).indexWhere { case (g, e) => g != e }
+      fail(s"diverged at merge ${if (i < 0) math.min(dist.length, expected.length) else i}: " +
+        s"got ${dist.lift(i)}, expected ${expected.lift(i)} " +
+        s"(lengths ${dist.length} vs ${expected.length})")
+    }
+  }
+
   test("driver and distributed trainers tie-break in the same UTF-8 byte order") {
     // One doc, two words, frequency-tied first merge: ("x", U+1F600)
     // vs ("x", U+FFFD). Java UTF-16 code-unit order picks the emoji

@@ -69,6 +69,35 @@ class HllStoreSpec extends SparkTestBase {
     assert(upTo0 == only0, "beforeRound=1 must see exactly round 0")
   }
 
+  test("q93 production mode: one watermarked events scan, no exact-count history rescan") {
+    val dir = "/root/testdata/sf0.001"
+    val prod = EventTime.hllDistinct(spark, dir, audit = false)
+    // the only events scan left is the watermark-pruned DELTA: the
+    // store contributes parquet sketches, never raw history (collect
+    // on sparkPlan — executedPlan is the opaque AQE wrapper)
+    def eventScans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("events")) => f
+      }
+    val prodScans = eventScans(prod)
+    assert(prodScans.size == 1,
+      s"production q93 must scan events exactly once (the delta), saw ${prodScans.size}")
+    assert(prodScans.head.dataFilters.exists(_.toString.contains("event_id")),
+      "delta scan lost its watermark pushdown")
+    assert(!prod.queryExecution.sparkPlan.toString.contains("count(distinct"),
+      "production q93 still computes the exact-count audit")
+    // the audit form, by contrast, pays the second (full-history) scan
+    val auditDf = EventTime.hllDistinct(spark, dir, audit = true)
+    assert(eventScans(auditDf).size == 2,
+      "audit mode should scan events twice (delta + exact)")
+    // and the production estimates are the audit mode's est_users verbatim
+    val prodEst = prod.collect().map(r => r.getString(0) -> r.getAs[Long]("est_users")).toMap
+    val auditEst = auditDf.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_users")).toMap
+    assert(prodEst == auditEst, "audit flag changed the estimates themselves")
+  }
+
   test("q93 audit rows: estimate within 5% of exact, err_ppm consistent") {
     val out = EventTime.hllDistinctIncremental(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)

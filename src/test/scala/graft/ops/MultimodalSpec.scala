@@ -154,6 +154,72 @@ class MultimodalSpec extends SparkTestBase {
       s"unrelated image only ${java.lang.Long.bitCount(pngHash ^ otherHash)} bits away")
   }
 
+  test("DCT pHash tier: gamma-shifted copies caught at Hamming <= 3") {
+    import graft.tools.ProbeDct.{gammaShift, texture}
+    import Multimodal.{Codecs, dctHash}
+    def decode(b: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    // broadband low-frequency texture — the photograph-like case where
+    // every coefficient the DCT reads is significant (ProbeDct measured
+    // the gamma Hammings at 2 here; sparse-spectrum synthetics like a
+    // linear gradient legitimately sit higher, at 4-6)
+    val tex = texture(42L)
+    val baseHash = dctHash(decode(Codecs.encodeImage(tex, "png")))
+    for (gamma <- Seq(0.7, 1.2)) {
+      val shifted = dctHash(decode(Codecs.encodeImage(gammaShift(tex, gamma), "png")))
+      assert(java.lang.Long.bitCount(baseHash ^ shifted) <= 3,
+        s"gamma $gamma moved the DCT hash ${java.lang.Long.bitCount(baseHash ^ shifted)} bits")
+    }
+    // still discriminative: unrelated content lands far away
+    for (other <- Seq(
+        dctHash(decode(Codecs.encodeImage(texture(7L), "png"))),
+        dctHash(decode(Codecs.encodeImage(
+          Codecs.renderImage("completely different text entirely".getBytes("UTF-8"), 36, 28), "png"))))) {
+      assert(java.lang.Long.bitCount(baseHash ^ other) >= 12,
+        s"unrelated image only ${java.lang.Long.bitCount(baseHash ^ other)} DCT bits away")
+    }
+  }
+
+  test("DCT tier catches a gamma copy the aHash tier's radius-6 band misses") {
+    import spark.implicits._
+    import graft.tools.ProbeDct.{gammaShift, texture, tightTexture}
+    import Multimodal.{Codecs, MediaRow}
+    // the differential that justifies the second tier: a tight-contrast
+    // broadband texture (every aHash cell near the global mean) under a
+    // gamma-0.7 copy moves aHash PAST the radius-6 band (ProbeDct: 7
+    // bits) while the DCT hash stays within the 4-chunk pigeonhole
+    // guarantee (2 bits) — aHash's mean threshold slides through the
+    // dense luminance cluster, the DCT's median spectrum barely moves
+    val tight = tightTexture(13L, 8)
+    val rows = Seq(
+      MediaRow(1L, "png", 40, 30, Codecs.encodeImage(tight, "png")),
+      MediaRow(2L, "png", 40, 30, Codecs.encodeImage(gammaShift(tight, 0.7), "png")),
+      MediaRow(3L, "png", 40, 30, Codecs.encodeImage(texture(42L), "png")),
+      MediaRow(4L, "png", 40, 30, Codecs.encodeImage(gammaShift(texture(42L), 0.7), "png")),
+      MediaRow(20L, "png", 36, 28, Codecs.encodeImage(
+        Codecs.renderImage("completely different text entirely".getBytes("UTF-8"), 36, 28), "png")))
+    def pairsOf(hashes: org.apache.spark.sql.DataFrame, radius: Int) =
+      Multimodal.phashNearDupPairs(hashes, radius).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Int]("hamming"))
+        .toMap
+    val dct = pairsOf(Multimodal.dctImageHashes(rows.toDS()), radius = 6)
+    assert(dct.get((1L, 2L)).exists(_ <= 3),
+      s"DCT tier missed the tight-texture gamma copy: $dct")
+    assert(dct.contains((3L, 4L)), s"DCT tier missed the texture gamma copy: $dct")
+    assert(!dct.keys.exists { case (a, b) => a == 20L || b == 20L },
+      s"unrelated image paired in the DCT tier: $dct")
+    val ah = pairsOf(Multimodal.imageHashes(rows.toDS()), radius = 6)
+    assert(!ah.contains((1L, 2L)),
+      s"fixture no longer differential: aHash caught the gamma copy at radius 6: $ah")
+  }
+
+  test("q38f report: fixed 3-band shape over the DCT tier") {
+    val rows = Multimodal.imageDctDedupReport(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getAs[String]("band")).toSeq ==
+      Seq("h0_identical", "h1_3_near", "h4_6_similar"))
+    rows.foreach(r => assert(r.getAs[Long]("n_assets") > 0))
+  }
+
   test("image near-dup pairs: planted re-encodes and exact copies found, unrelated not") {
     import spark.implicits._
     import Multimodal.{Codecs, MediaRow}

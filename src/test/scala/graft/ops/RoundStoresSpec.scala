@@ -79,6 +79,59 @@ class RoundStoresSpec extends SparkTestBase {
     assert(known == before, "compaction changed the bigram set")
   }
 
+  test("auto-compaction cadence: 3N appended rounds stay bounded with identical reads") {
+    val n = 3 // shrunk threshold — 3N=9 rounds exercises three fold cycles
+    val path = tmpDir("autocompact-boiler") + "/freqs"
+    val store = new BoilerplateStore(spark, path) {
+      override protected def autoCompactThreshold: Int = n
+    }
+    // the default cadence is wired through the shared trait constant
+    assert(CompactableRoundStore.autoCompactRounds == 8)
+    var expected = Map.empty[Long, Long] // bhash -> summed n_docs across rounds
+    var folded = 0
+    for (r <- 0L until (3 * n).toLong) {
+      // one shared block (accumulates across rounds) + one per-round block
+      val docs = Seq(
+        (r * 10 + 1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (r * 10 + 2, s"round $r words appearing nowhere else at all in any round"))
+        .toDF("doc_id", "text")
+      Boilerplate.blockFreqs(docs).collect().foreach { row =>
+        val (h, c) = (row.getLong(0), row.getLong(1))
+        expected = expected.updated(h, expected.getOrElse(h, 0L) + c)
+      }
+      val before = if (r == 0) 0 else partitions(path).size
+      store.appendRound(docs, r)
+      val after = partitions(path)
+      if (after.size <= before) folded += 1
+      // partition count never outgrows threshold + current round + 1 landing
+      assert(after.size <= n + 2, s"round $r: ${after.size} partitions — cadence not firing")
+      // reads identical across every append AND every fold
+      val got = store.freqs().collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got == expected, s"round $r: auto-fold changed the summed counts")
+    }
+    assert(folded >= 2, s"expected at least two auto-folds over ${3 * n} rounds, saw $folded")
+    assert(!partitions(path).contains(0L), "round-0 partition survived three fold cycles")
+  }
+
+  test("auto-compaction cadence: HLL sketch store estimates unchanged across folds") {
+    val path = tmpDir("autocompact-hll") + "/sketches"
+    val store = new HllDistinctStore(spark, path) {
+      override protected def autoCompactThreshold: Int = 2
+    }
+    def est = store.sketches().select(col("event_type"),
+        hll_sketch_estimate(col("sketch")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- 0L until 6L) {
+      val events = Seq.tabulate(5)(i => (r * 100 + i, "view"))
+        .toDF("user_id", "event_type")
+      store.appendRound(events, r)
+      assert(partitions(path).size <= 4,
+        s"round $r: sketch store partitions unbounded")
+    }
+    // 30 distinct users sketched across 6 rounds, read through 2 folds
+    assert(est("view") == 30L, s"fold drifted the HLL estimate: ${est("view")}")
+  }
+
   test("crash after the marker commit: reads stay exact and a retry converges") {
     val path = tmpDir("compact-crash") + "/freqs"
     val store = new BoilerplateStore(spark, path)
