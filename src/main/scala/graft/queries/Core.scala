@@ -413,7 +413,88 @@ object Core {
       .orderBy(col("nation"))
   }
 
+  /** q98 — the TPC-H Q17 shape (small-quantity-order revenue): revenue
+    * from line items whose quantity sits below HALF their part's
+    * average quantity. The reference spelling is a correlated scalar
+    * subquery evaluated per row — the oracle twin keeps that verbatim
+    * as the cross-algorithm check — while the Spark side decorrelates
+    * to ONE per-part aggregate joined back on l_partkey (both sides
+    * shuffle on the same key once; the agg side is one row per part).
+    * The fractional-average predicate is restated MULTIPLICATIVELY,
+    * `2 * qty * cnt < sum(qty)` over exact decimals, so neither engine
+    * ever divides or averages doubles (a double average is
+    * partial-order dependent and would break the hash compare — the
+    * q90 micro-ratio discipline). At 100 TB the pre-agg join is the
+    * only viable form: the correlated spelling rescans lineitem per
+    * probe row. */
+  private val q98: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast(D6)).as("sumq"),
+        count(lit(1)).as("cntq"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast(D6) * 2 * col("cntq") < col("sumq"))
+      .agg(dsum(col("l_extendedprice"), rescale = 2).as("small_qty_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** q99 — the TPC-H Q15 shape (top supplier by trailing-quarter
+    * revenue): discounted revenue per supplier over the trailing 90
+    * days of the dataset, keeping every supplier whose revenue EQUALS
+    * the maximum (Q15's tie-preserving "= (SELECT max ...)"
+    * semantics, which a LIMIT 1 would get wrong). The oracle twin
+    * keeps the view + scalar-subquery SQL; the Spark side broadcasts
+    * two scalar aggs (the date watermark, then the max) around one
+    * supplier-keyed exchange. Revenue doubles come off the exact
+    * decimal ladder (product sums -> scale 4), so the equality
+    * compares identical bits on both engines. */
+  private val q99: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val cutoff = li.agg(
+      date_sub(max(to_date(col("l_shipdate"))), 90).as("cut"))
+    val rev = li.crossJoin(broadcast(cutoff))
+      .filter(to_date(col("l_shipdate")) >= col("cut"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(discPrice(col("l_extendedprice"), col("l_discount")),
+        rescale = 4).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** q100 — the TPC-H Q11 shape (concentration HAVING against a global
+    * scalar): (nation, segment) balance sums that exceed 1% of the
+    * GLOBAL balance sum. Where q88's scalar subquery filters ROWS,
+    * this one filters GROUPS — the HAVING side of the decorrelation
+    * family. The threshold is restated multiplicatively over exact
+    * decimals (`bal * 100 > total`), division-free on both engines;
+    * the global total is a broadcast 1-row agg, so the plan is one
+    * customer-keyed exchange plus a broadcast nation join. */
+  private val q100: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val grouped = cust
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("c_mktsegment").as("segment"))
+      .agg(sum(col("c_acctbal").cast(D6)).as("bal_dec"),
+        count(lit(1)).as("n_custs"))
+    val total = cust.agg(sum(col("c_acctbal").cast(D6)).as("total_dec"))
+    grouped.crossJoin(broadcast(total))
+      .filter(col("bal_dec") * 100 > col("total_dec"))
+      .select(col("nation"), col("segment"),
+        col("bal_dec").cast(DecimalType(18, 2)).cast(DoubleType).as("segment_balance"),
+        col("n_custs"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q98_small_qty_revenue" -> q98,
+    "q99_top_revenue_supplier" -> q99,
+    "q100_balance_concentration" -> q100,
     "q87_sole_late_supplier" -> q87,
     "q88_rich_inactive_customers" -> q88,
     "q46_weighted_avg" -> q46,
@@ -441,6 +522,41 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
+    // the CORRELATED Q17 original — per-row scalar subqueries, split
+    // into count+sum so the half-average predicate stays in exact
+    // multiplicative decimal form (no double average on either engine)
+    "q98_small_qty_revenue" ->
+      s"""SELECT ${Qx.sqlDsum("l_extendedprice", rescale = 2)} AS small_qty_revenue,
+         |  count(*) AS n_items
+         |FROM lineitem l1
+         |WHERE 2 * CAST(l_quantity AS DECIMAL(18,6)) *
+         |    (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+         |  < (SELECT sum(CAST(l_quantity AS DECIMAL(18,6)))
+         |     FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+    // the Q15 view + scalar-max original, tie-preserving
+    "q99_top_revenue_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    ${Qx.sqlDsum(Qx.sqlDiscPrice, rescale = 4)} AS total_revenue
+         |  FROM lineitem
+         |  WHERE CAST(l_shipdate AS DATE) >=
+         |    (SELECT max(CAST(l_shipdate AS DATE)) FROM lineitem) - 90
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    // the Q11 HAVING-against-global-scalar original
+    "q100_balance_concentration" ->
+      s"""SELECT n_name AS nation, c_mktsegment AS segment,
+         |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS DOUBLE)
+         |    AS segment_balance,
+         |  count(*) AS n_custs
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1, 2
+         |HAVING sum(CAST(c_acctbal AS DECIMAL(18,6))) * 100 >
+         |  (SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) FROM customer)
+         |ORDER BY 1, 2""".stripMargin,
     // the CORRELATED Q21 original — cross-algorithm twin of the
     // decorrelated window form
     "q87_sole_late_supplier" ->
