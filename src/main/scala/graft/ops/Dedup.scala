@@ -55,7 +55,7 @@ object Dedup {
   private val persistedSketches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private[ops] def persistSketch(df: DataFrame): DataFrame = {
+  private[graft] def persistSketch(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistedSketches.add(p)
     p

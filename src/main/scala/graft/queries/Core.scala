@@ -447,16 +447,25 @@ object Core {
     * two scalar aggs (the date watermark, then the max) around one
     * supplier-keyed exchange. Revenue doubles come off the exact
     * decimal ladder (product sums -> scale 4), so the equality
-    * compares identical bits on both engines. */
+    * compares identical bits on both engines.
+    *
+    * The per-supplier revenue frame has TWO consumers (the max scalar
+    * and the equality filter); left lazy, each consumer re-runs the
+    * whole lineitem scan + agg — the plan audit showed the fact
+    * scanned twice. It is supplier-cardinality small, so it takes the
+    * house two-consumer discipline: persistSketch + eager count, and
+    * the fact is scanned once. */
   private val q99: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     val cutoff = li.agg(
       date_sub(max(to_date(col("l_shipdate"))), 90).as("cut"))
-    val rev = li.crossJoin(broadcast(cutoff))
-      .filter(to_date(col("l_shipdate")) >= col("cut"))
-      .groupBy(col("l_suppkey"))
-      .agg(dsum(discPrice(col("l_extendedprice"), col("l_discount")),
-        rescale = 4).as("total_revenue"))
+    val rev = graft.ops.Dedup.persistSketch(
+      li.crossJoin(broadcast(cutoff))
+        .filter(to_date(col("l_shipdate")) >= col("cut"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(discPrice(col("l_extendedprice"), col("l_discount")),
+          rescale = 4).as("total_revenue")))
+    rev.count() // eager: max + filter read it from concurrent stages
     val top = rev.agg(max(col("total_revenue")).as("max_rev"))
     rev.crossJoin(broadcast(top))
       .filter(col("total_revenue") === col("max_rev"))
