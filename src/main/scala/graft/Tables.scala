@@ -35,21 +35,41 @@ object Tables {
     * BUILDER (Bench, Verify, SparkTestBase and the demos all do); the
     * loader never mutates shared session config as a read side effect
     * — it fails loudly with the remedy instead. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types._
-    val raw = try table(s, d, "events") catch {
-      // schema conversion surfaces nanos rejection as AnalysisException
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(s, eventsRaw(s, d))
+
+  /** Raw events read with the NANOS remedy attached (schema conversion
+    * surfaces the nanos rejection as an AnalysisException whose message
+    * names the type but not the fix). */
+  private[graft] def eventsRaw(s: SparkSession, d: String): DataFrame =
+    try table(s, d, "events") catch {
       case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
         throw new IllegalArgumentException(
           "events.parquet stores TIMESTAMP(NANOS); set " +
             ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\") on the " +
             "SparkSession builder (Tables does not mutate session config)", e)
     }
+
+  /** The ts-normalization dispatch, shared with the streaming reader
+    * ([[graft.streaming.EventStreams]]) so batch and streaming can
+    * never drift: LONG (nanosAsLong read of a NANOS file) takes the
+    * zone-independent epoch shim; TIMESTAMP_NTZ (a MICROS file) casts
+    * its wall-clock to the session-zone timestamp — instant-preserving
+    * ONLY under a UTC session, which every entry point here sets and
+    * the whole oracle contract assumes, so a non-UTC session fails
+    * loudly with the remedy instead of silently shifting every
+    * watermark and window by the zone offset. */
+  private[graft] def normalizeEventTs(s: SparkSession, raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     raw.schema("ts").dataType match {
-      case LongType => // nanosAsLong read of a NANOS file: epoch nanos
+      case LongType => // epoch nanos: zone-independent
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _: TimestampNTZType => // MICROS file: wall-clock, session UTC
+      case _: TimestampNTZType =>
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.parquet stores TIMESTAMP_NTZ wall-clock read as UTC instants; set " +
+            ".config(\"spark.sql.session.timeZone\", \"UTC\") on the SparkSession " +
+            "builder (a non-UTC session would shift every event instant)")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }

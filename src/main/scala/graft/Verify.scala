@@ -25,7 +25,12 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case Some(names) =>
+        // a misspelled name must fail loudly, not "verify" zero queries
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names not in the catalog: ${unknown.toSeq.sorted.mkString(", ")}")
+        SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>

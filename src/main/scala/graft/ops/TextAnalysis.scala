@@ -358,13 +358,16 @@ object TextAnalysis {
     *      countDistinct+count agg, which would Expand every row ×2.
     *      Nothing wider than 16 bytes shuffles.
     *   2. string pass — gram STRINGS are rebuilt in the scan
-    *      projection and immediately filtered by a broadcast join on
-    *      the top-k SUPERSET of the duplicated-gram table (q96's
-    *      boundary-threshold gate lifted to the (n_docs,
+    *      projection and immediately filtered by an adaptive lookup
+    *      join on the top-k SUPERSET of the duplicated-gram table
+    *      (q96's boundary-threshold gate lifted to the (n_docs,
     *      n_occurrences) pair order), so only candidate winners'
     *      strings ever reach an exchange (q67b's join-back pattern).
     *      The full duplicated-gram table is corpus-scale on a
-    *      boilerplate-heavy crawl and is never broadcast.
+    *      boilerplate-heavy crawl and is never broadcast; nor is the
+    *      superset itself when boundary-pair ties inflate it past the
+    *      vocab-join row ceiling (it then takes the salted shuffle
+    *      join instead).
     * The final top-k orders on (n_docs, n_occurrences, gram) so ties
     * break on the string, identically in both engines. Docs shorter
     * than 8 tokens carry no windows; equality is modulo the standing
@@ -375,7 +378,9 @@ object TextAnalysis {
   val duplicatedPassages: Q = (s, d) =>
     duplicatedPassagesOf(Tables.documents(s, d))
 
-  def duplicatedPassagesOf(docs: DataFrame): DataFrame = {
+  def duplicatedPassagesOf(
+      docs: DataFrame,
+      maxBroadcastWinners: Long = Skew.vocabBroadcastMaxRows): DataFrame = {
     // toks/th must be attributes before lambdas consume them —
     // expressions inlined into lambda bodies re-evaluate per element
     val withTh = Dedup.persistSketch(docs
@@ -403,10 +408,13 @@ object TextAnalysis {
     // every true top-k row has (n_docs, n_occurrences) >= the k-th
     // pair under (n_docs DESC, n_occurrences DESC) — the gram string
     // only breaks ties WITHIN equal pairs, so the top-k's pair
-    // multiset is tie-break-invariant and this filter is exact. Only
-    // the bounded superset is broadcast into the string pass; the
-    // full duplicated-gram table (corpus-scale on a boilerplate-heavy
-    // 100 TB crawl) never leaves its exchange.
+    // multiset is tie-break-invariant and this filter is exact. The
+    // superset is usually tiny — but it is UNBOUNDED under boundary-
+    // pair ties (a crawl where the k-th pair is (2, 2) selects
+    // essentially every duplicated gram), so the string-pass join
+    // routes through the adaptive vocab-join: broadcast below the
+    // row ceiling, salted shuffle join above it. Either way the full
+    // duplicated-gram table never leaves its exchange un-gated.
     val boundary = struct(col("n_docs"), col("n_occurrences"))
     val thr = freq
       .orderBy(col("n_docs").desc, col("n_occurrences").desc)
@@ -414,14 +422,15 @@ object TextAnalysis {
       .agg(min(boundary).as("thr"))
     val winners = freq.join(broadcast(thr), boundary >= col("thr")).drop("thr")
 
-    // pass 2: strings built in the scan, broadcast-filtered to winners
+    // pass 2: strings built in the scan, filtered to winners via the
+    // adaptive lookup join (salt from the gram string: content-derived)
     val strings = withTh
       .select(explode(transform(idx, i =>
         struct(ghash(i).as("g"),
           array_join(slice(col("toks"), i, lit(passageN)), " ").as("gram")))).as("p"))
       .select(col("p.g").as("g"), col("p.gram").as("gram"))
-    strings
-      .join(broadcast(winners), Seq("g"))
+    Skew.vocabLookupJoin(strings, winners, key = "g",
+        saltSource = col("gram"), maxBroadcastRows = maxBroadcastWinners)
       .groupBy(col("g"), col("n_docs"), col("n_occurrences"))
       .agg(min(col("gram")).as("gram"))
       .select(col("gram"), col("n_docs"), col("n_occurrences"))

@@ -40,20 +40,35 @@ import org.apache.spark.sql.execution.SparkStrategy
   *   - final: the same bounded heap over the pruned stream, then each
   *     group's survivors sort (k elements) and take row_number ranks.
   *
-  * Semantics match the window form whenever the order is TOTAL within
-  * a group (ties broken by some unique column — true of every rank
-  * query in this engine, and the same caveat row_number itself
-  * carries: with a non-total order both forms return an arbitrary
-  * representative among tied rows). The same caveat covers the
-  * `rank()`/`dense_rank()` spellings: with a total order all three
-  * functions assign identical ranks, so the one heap operator serves
-  * all three; under ties the emitted rank VALUES still follow each
-  * function's semantics over the k survivors, but a boundary tie
-  * group may be cut at k rows where the window form would keep every
-  * tied row. Registered via
-  * [[GraftExtensions]]; the q06/q76 DuckDB oracles gate the rewrite
-  * end-to-end every round because the Verify session runs with
-  * extensions on. */
+  * Semantics are EXACT for all three rank functions, ties included —
+  * the rewrite fires engine-wide on any session query, so it must
+  * never change result cardinality:
+  *
+  *   - row_number() <= k emits exactly min(k, |group|) rows; with a
+  *     non-total order the representative among tied rows is
+  *     arbitrary, exactly as the window form's own caveat.
+  *   - rank() <= k keeps every row with fewer than k strictly-better
+  *     rows — possibly MORE than k rows under boundary ties (`rank()
+  *     = 1` returns ALL tied winners). The keeper is tie-bucketed: a
+  *     row is dropped only when k kept rows are strictly better, and
+  *     since any row strictly better than a qualifier qualifies
+  *     itself, dropped rows can never affect surviving ranks.
+  *   - dense_rank() <= k keeps every row in the first k distinct-key
+  *     buckets.
+  *
+  * Partial-phase soundness for the tie styles: a row's (dense) rank
+  * over MORE rows can only grow, so "locally rank > k" implies
+  * "globally rank > k" and local pruning keeps a superset of the true
+  * qualifiers. Memory: row_number holds k rows per (partition,
+  * group); the tie styles hold exactly the rows they must EMIT (the
+  * true qualifying set, which under heavy ties is larger than k —
+  * those rows cross the exchange in any correct plan; the stock
+  * window path buffers the same rows in its sort instead). The
+  * [[RewriteRankLimitToTopK.maxRewriteK]] bound keeps the
+  * deliberately-huge-k case on Spark's spill-capable path. Registered
+  * via [[GraftExtensions]]; the q06/q76/q76b DuckDB oracles gate the
+  * rewrite end-to-end every round because the Verify session runs
+  * with extensions on. */
 sealed abstract class RankStyle
 object RankStyle {
   /** row_number(): rank = position, always distinct. */
@@ -152,10 +167,12 @@ object TopKPerGroupStrategy extends SparkStrategy {
   }
 }
 
-/** Bounded-heap per-group top-k. `partial = true` prunes without
-  * ranking (pre-shuffle combiner); `partial = false` requires
-  * clustering on the group keys, prunes again, and emits each group's
-  * k survivors in order with the appended row_number rank. */
+/** Per-group top-k with a style-specific keeper ([[HeapKeeper]] for
+  * row_number, tie-exact [[TieKeeper]] for rank/dense_rank).
+  * `partial = true` prunes without ranking (pre-shuffle combiner);
+  * `partial = false` requires clustering on the group keys, prunes
+  * again, and emits each group's qualifiers in order with the
+  * appended rank. */
 case class TopKPerGroupExec(
     group: Seq[Expression],
     order: Seq[SortOrder],
@@ -195,62 +212,35 @@ case class TopKPerGroupExec(
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
       val ord = GenerateOrdering.generate(
         sortOrder.map(BindReferences.bindReference(_, childOutput)))
-      // PriorityQueue head = WORST survivor (reverse of the sort order)
-      val cmp = new java.util.Comparator[InternalRow] {
-        override def compare(a: InternalRow, b: InternalRow): Int =
-          ord.compare(b, a)
-      }
-      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      val keepers = new java.util.LinkedHashMap[UnsafeRow, GroupKeeper]()
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          // initial capacity is capped: a large-k query must not
-          // pre-allocate a k-sized array per group up front (the queue
-          // grows on demand; maxRewriteK bounds the worst case)
-          heap = new java.util.PriorityQueue[InternalRow](
-            math.min(limit + 1, 1024), cmp)
-          heaps.put(key.copy(), heap)
+        var keeper = keepers.get(key)
+        if (keeper == null) {
+          keeper = rankStyle match {
+            case RankStyle.RowNum => new HeapKeeper(ord, limit)
+            case RankStyle.Rnk    => new TieKeeper(ord, limit, dense = false)
+            case RankStyle.DenseRnk => new TieKeeper(ord, limit, dense = true)
+          }
+          keepers.put(key.copy(), keeper)
         }
-        if (heap.size() < limit) heap.offer(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.offer(row.copy())
-        }
+        keeper.insert(row)
       }
       val resultProj = UnsafeProjection.create(finalOutput, finalOutput)
       val rankRow = new GenericInternalRow(1)
       val joined = new JoinedRow
-      val entries = heaps.entrySet().iterator()
+      val entries = keepers.entrySet().iterator()
       new Iterator[InternalRow] {
         private var current: Iterator[InternalRow] = Iterator.empty
         override def hasNext: Boolean = {
           while (!current.hasNext && entries.hasNext) {
-            val heap = entries.next().getValue
-            val arr = new Array[InternalRow](heap.size())
-            var i = arr.length - 1
-            // drain the heap worst-first => arr ends up best-first
-            while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
+            val keeper = entries.next().getValue
             current =
-              if (isPartial) arr.iterator
-              else {
-                // rank per the matched function's semantics over the k
-                // survivors (identical to row_number under the rewrite's
-                // total-order caveat; faithful on within-k ties)
-                var prev: InternalRow = null
-                var prevRank = 0
-                arr.iterator.zipWithIndex.map { case (r, idx) =>
-                  val tied = prev != null && ord.compare(prev, r) == 0
-                  val rk = rankStyle match {
-                    case RankStyle.RowNum   => idx + 1
-                    case RankStyle.Rnk      => if (tied) prevRank else idx + 1
-                    case RankStyle.DenseRnk => if (tied) prevRank else prevRank + 1
-                  }
-                  prev = r
-                  prevRank = rk
-                  rankRow.setInt(0, rk)
-                  resultProj(joined(r, rankRow))
-                }
+              if (isPartial) keeper.drainRows()
+              else keeper.drainRanked().map { case (r, rk) =>
+                rankRow.setInt(0, rk)
+                resultProj(joined(r, rankRow))
               }
           }
           current.hasNext
@@ -258,5 +248,114 @@ case class TopKPerGroupExec(
         override def next(): InternalRow = current.next()
       }
     }, preservesPartitioning = true)
+  }
+}
+
+/** Per-group keeper of the qualifying rows, style-specific. `insert`
+  * copies rows it retains; drain emits best-first (partial: rows only;
+  * final: rows with their rank values). Single-use. */
+private sealed trait GroupKeeper {
+  def insert(row: InternalRow): Unit
+  def drainRows(): Iterator[InternalRow]
+  def drainRanked(): Iterator[(InternalRow, Int)]
+}
+
+/** row_number(): exactly k survivors — the bounded heap. */
+private final class HeapKeeper(
+    ord: org.apache.spark.sql.catalyst.expressions.BaseOrdering,
+    k: Int) extends GroupKeeper {
+  // PriorityQueue head = WORST survivor (reverse of the sort order).
+  // Initial capacity capped: a large-k query must not pre-allocate a
+  // k-sized array per group up front (grows on demand; maxRewriteK
+  // bounds the worst case).
+  private val heap = new java.util.PriorityQueue[InternalRow](
+    math.min(k + 1, 1024),
+    new java.util.Comparator[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+    })
+
+  override def insert(row: InternalRow): Unit =
+    if (heap.size() < k) heap.offer(row.copy())
+    else if (ord.compare(row, heap.peek()) < 0) {
+      heap.poll(); heap.offer(row.copy())
+    }
+
+  private def bestFirst(): Array[InternalRow] = {
+    val arr = new Array[InternalRow](heap.size())
+    var i = arr.length - 1
+    while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // worst-first drain
+    arr
+  }
+
+  override def drainRows(): Iterator[InternalRow] = bestFirst().iterator
+  override def drainRanked(): Iterator[(InternalRow, Int)] =
+    bestFirst().iterator.zipWithIndex.map { case (r, i) => (r, i + 1) }
+}
+
+/** rank()/dense_rank(): tie-bucketed keeper, exact under ties.
+  * Invariant after every insert — a bucket survives iff it qualifies:
+  * rank: strictly-better kept rows (totalRows - lastBucket) < k;
+  * dense: bucket index < k. Rows dropped under the invariant can
+  * never affect survivors' ranks (anything strictly better than a
+  * qualifier qualifies), and a row's (dense) rank only grows as rows
+  * are added, so partial-phase pruning keeps a superset of the true
+  * qualifiers. Memory is the emitted row set itself. */
+private final class TieKeeper(
+    ord: org.apache.spark.sql.catalyst.expressions.BaseOrdering,
+    k: Int, dense: Boolean) extends GroupKeeper {
+  private val buckets = new java.util.TreeMap[InternalRow, java.util.ArrayList[InternalRow]](
+    new java.util.Comparator[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(a, b)
+    })
+  private var totalRows = 0
+
+  override def insert(row: InternalRow): Unit = {
+    if (!buckets.isEmpty) {
+      val worstEntry = buckets.lastEntry()
+      if (ord.compare(row, worstEntry.getKey) > 0) {
+        // strictly worse than every kept bucket: qualifies only if the
+        // keeper is not yet full for its style
+        val full = if (dense) buckets.size() >= k else totalRows >= k
+        if (full) return
+      }
+    }
+    val copied = row.copy()
+    var bucket = buckets.get(copied)
+    if (bucket == null) {
+      bucket = new java.util.ArrayList[InternalRow]()
+      buckets.put(copied, bucket)
+    }
+    bucket.add(copied)
+    totalRows += 1
+    // restore the invariant: evict trailing buckets that no longer
+    // qualify (at most the one the insert displaced, but loop anyway)
+    var done = false
+    while (!done && !buckets.isEmpty) {
+      val last = buckets.lastEntry()
+      val lastSize = last.getValue.size()
+      val evict =
+        if (dense) buckets.size() > k
+        else totalRows - lastSize >= k
+      if (evict) { buckets.remove(last.getKey); totalRows -= lastSize }
+      else done = true
+    }
+  }
+
+  import scala.jdk.CollectionConverters._
+
+  private def bucketIter = buckets.entrySet().iterator().asScala
+
+  override def drainRows(): Iterator[InternalRow] =
+    bucketIter.flatMap(_.getValue.iterator().asScala)
+
+  override def drainRanked(): Iterator[(InternalRow, Int)] = {
+    var rowsBefore = 0
+    var bucketIdx = 0
+    bucketIter.flatMap { e =>
+      val rank = if (dense) bucketIdx + 1 else rowsBefore + 1
+      rowsBefore += e.getValue.size()
+      bucketIdx += 1
+      e.getValue.iterator().asScala.map(r => (r, rank))
+    }
   }
 }

@@ -69,18 +69,15 @@ object EventStreams {
     * identical instants either way, so the window operators and
     * watermarks see one shape. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // schema probe through the batch reader so the NANOS remedy (and
+    // the NTZ UTC-session guard) fire here too, then the one shared
+    // normalization dispatch — batch and streaming cannot drift
+    val schema = graft.Tables.eventsRaw(spark, dir).schema
     // the streaming file source wants a directory; select the events
     // file out of the shared testdata dir with a glob
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _: org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
-    }
+    graft.Tables.normalizeEventTs(spark, raw)
   }
 }

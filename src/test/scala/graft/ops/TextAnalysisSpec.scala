@@ -160,24 +160,52 @@ class TextAnalysisSpec extends SparkTestBase {
 
   test("duplicated passages: the string join-back broadcasts only the gated winners") {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
     val docs = graft.Tables.documents(spark, sf)
     val qe = TextAnalysis.duplicatedPassagesOf(docs).queryExecution
     val bhjs = qe.sparkPlan.collect { case j: BroadcastHashJoinExec => j }
-    graft.ops.Dedup.releaseSketchCaches()
     assert(bhjs.nonEmpty, "string join-back did not plan as a broadcast hash join")
     // every broadcast build side must sit ON TOP of the boundary-
     // threshold gate (the non-equi BroadcastNestedLoopJoin against the
     // 1-row thr agg) — broadcasting the raw duplicated-gram table, the
-    // round-6 scale-killer, would show a bare aggregate here instead
+    // round-6 scale-killer, would show a bare aggregate here instead.
+    // The gate may sit behind the adaptive vocab-join's cache, so the
+    // walk descends through InMemoryTableScan into the cached plan.
+    // the gate may sit inside the vocab-join cache, whose cachedPlan is
+    // an AQE wrapper (a leaf to collect) — check its rendered plan
+    def hasGate(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst { case n: BroadcastNestedLoopJoinExec => n }.isDefined ||
+        p.collect { case m: InMemoryTableScanExec => m }
+          .exists(m => m.relation.cachedPlan.toString.contains("BroadcastNestedLoopJoin"))
     bhjs.foreach { j =>
       val build = j.buildSide match {
         case BuildRight => j.right
         case BuildLeft  => j.left
       }
-      assert(build.collectFirst { case n: BroadcastNestedLoopJoinExec => n }.isDefined,
+      assert(hasGate(build),
         s"broadcast build side is not the threshold-gated winners table:\n$build")
     }
+    graft.ops.Dedup.releaseSketchCaches()
+  }
+
+  test("duplicated passages: winners past the row ceiling take the salted join, same rows") {
+    val docs = graft.Tables.documents(spark, sf)
+    val viaBroadcast = TextAnalysis.duplicatedPassagesOf(docs).collect()
+    graft.ops.Dedup.releaseSketchCaches()
+    // force the boundary-tie blowup arm: a zero ceiling routes the
+    // string pass through the salted shuffle join (the `_salt` join
+    // key in the optimized plan — the house salted-path witness; at
+    // this SF AQE may still shrink the tiny exchange at runtime, at
+    // crawl scale it cannot, which is the point), output identical
+    val salted = TextAnalysis.duplicatedPassagesOf(docs, maxBroadcastWinners = 0L)
+    val plan = salted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("_salt"),
+      s"zero ceiling did not route the winners join through the salted path:\n$plan")
+    val saltedRows = salted.collect()
+    graft.ops.Dedup.releaseSketchCaches()
+    assert(viaBroadcast.map(_.toString).toSeq == saltedRows.map(_.toString).toSeq,
+      "salted winners join changed the q82 result")
   }
 
   test("sentence dedup fraction: shared sentences counted, short ones ignored") {

@@ -92,6 +92,58 @@ class TopKPerGroupSpec extends SparkTestBase {
     assert(ranksOf(row_number()).values.toSeq.sorted == Seq(1, 2, 3))
   }
 
+  test("rank()/dense_rank() keep tied rows past k — cardinality matches the window form") {
+    // the review finding: a session-wide rewrite must never change
+    // result cardinality under ties. v: 10,10,5 with k=2 —
+    //   dense_rank <= 2 keeps ALL THREE rows (ranks 1,1,2);
+    //   rank <= 2 keeps the two tied 10s (ranks 1,1) AND NOT the 5
+    //     (its rank is 3);
+    //   rank = 1 (the all-tied-winners idiom) keeps both 10s.
+    val ties = Seq(("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 5.0))
+      .toDF("g", "id", "v")
+    val wv = Window.partitionBy(col("g")).orderBy(col("v").desc)
+    def run(fn: org.apache.spark.sql.Column, bound: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+      val q = ties.withColumn("rn", fn.over(wv)).filter(bound(col("rn")))
+      assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+        "rewrite did not fire")
+      q.collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    }
+    assert(run(dense_rank(), _ <= 2) == Map(1L -> 1, 2L -> 1, 3L -> 2),
+      "dense_rank dropped the untied second-rank row")
+    assert(run(rank(), _ <= 2) == Map(1L -> 1, 2L -> 1),
+      "rank <= 2 must keep exactly the tied winners")
+    assert(run(rank(), _ === 1) == Map(1L -> 1, 2L -> 1),
+      "rank = 1 must keep ALL tied winners")
+    // all-ties group: rank <= 1 keeps every row
+    val allTied = Seq(("a", 1L, 7.0), ("a", 2L, 7.0), ("a", 3L, 7.0), ("a", 4L, 7.0))
+      .toDF("g", "id", "v")
+    val got = allTied.withColumn("rn", rank().over(wv)).filter(col("rn") <= 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L), s"all-tied winners lost: $got")
+  }
+
+  test("tie survival across partitions: partial pruning keeps a superset of qualifiers") {
+    // ties for the top value spread over 4 input partitions — the
+    // partial phase must not cut any of them before the exchange.
+    // 40 rows of v=100 (ids 0..39) + 9960 rows of v < 100
+    val big = spark.range(10000)
+      .select(lit("g").as("g"), col("id"),
+        when(col("id") < 40, 100.0).otherwise((col("id") % 97).cast("double")).as("v"))
+      .repartition(4)
+    val wv = Window.partitionBy(col("g")).orderBy(col("v").desc)
+    val winners = big.withColumn("rn", rank().over(wv)).filter(col("rn") <= 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(winners == (0L until 40L).toSet,
+      s"expected all 40 tied winners, got ${winners.size}")
+    // dense_rank <= 2: the 40 tied 100s (rank 1) + every row of the
+    // second-best key 96.0 (ids 96, 193, ... — id % 97 == 96, id >= 40)
+    val secondKey = (40L until 10000L).filter(_ % 97 == 96).toSet
+    val denseTop2 = big.withColumn("rn", dense_rank().over(wv)).filter(col("rn") <= 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(denseTop2 == (0L until 40L).toSet ++ secondKey,
+      s"dense_rank top-2 bucket set wrong: size ${denseTop2.size}")
+  }
+
   test("bounds beyond maxRewriteK stay on the spill-capable window form") {
     val k = graft.plans.RewriteRankLimitToTopK.maxRewriteK + 1
     val q = sample().withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

@@ -55,12 +55,11 @@ object ProbeDct {
     javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
       Multimodal.Codecs.encodeImage(img, "png")))
 
-  /** Broadband low-frequency texture: a seeded random 8x8 luminance
-    * grid upsampled to 40x30 — every coefficient the DCT hash reads is
-    * significant, the photograph-like case. */
-  def texture(seed: Long): BufferedImage = {
+  /** Seeded random 8x8 luminance grid bilinearly upsampled to 40x30:
+    * broadband in exactly the 8x8 low frequencies the DCT hash reads. */
+  private def gridTexture(seed: Long, cell: scala.util.Random => Int): BufferedImage = {
     val rnd = new scala.util.Random(seed)
-    val grid = Array.fill(8, 8)(40 + rnd.nextInt(176))
+    val grid = Array.fill(8, 8)(cell(rnd))
     val img = new BufferedImage(40, 30, BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until 30; x <- 0 until 40) {
       val gx = x * 7.0 / 39
@@ -75,26 +74,16 @@ object ProbeDct {
     img
   }
 
+  /** Broadband full-contrast texture — the photograph-like case. */
+  def texture(seed: Long): BufferedImage =
+    gridTexture(seed, rnd => 40 + rnd.nextInt(176))
+
   /** Broadband texture with a TIGHT luminance range around mid-gray:
     * every aHash cell sits near the global mean (where a gamma map
     * moves the effective threshold through the dense cluster), while
     * the DCT spectrum stays broadband and well-conditioned. */
-  def tightTexture(seed: Long, amp: Int): BufferedImage = {
-    val rnd = new scala.util.Random(seed)
-    val grid = Array.fill(8, 8)(128 - amp + rnd.nextInt(2 * amp + 1))
-    val img = new BufferedImage(40, 30, BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 30; x <- 0 until 40) {
-      val gx = x * 7.0 / 39
-      val gy = y * 7.0 / 29
-      val (x0, y0) = (gx.toInt, gy.toInt)
-      val (x1, y1) = (math.min(7, x0 + 1), math.min(7, y0 + 1))
-      val (fx, fy) = (gx - x0, gy - y0)
-      val v = math.round(grid(y0)(x0) * (1 - fy) * (1 - fx) + grid(y0)(x1) * (1 - fy) * fx +
-        grid(y1)(x0) * fy * (1 - fx) + grid(y1)(x1) * fy * fx).toInt
-      img.setRGB(x, y, (v << 16) | (v << 8) | v)
-    }
-    img
-  }
+  def tightTexture(seed: Long, amp: Int): BufferedImage =
+    gridTexture(seed, rnd => 128 - amp + rnd.nextInt(2 * amp + 1))
 
   def main(args: Array[String]): Unit = {
     for ((name, img) <- Seq(("blob", blob()), ("smooth", smooth()),
