@@ -60,6 +60,43 @@ object EventTime {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** q101 — session path transitions (the Markov-chain audit of user
+    * journeys): within each user session, count every adjacent
+    * (from_type, to_type) event pair — the transition matrix a
+    * product/UX analysis reads next-step probabilities from, and the
+    * batch skeleton of a next-event model's training counts.
+    * Sessionization is the lag-gap form (>= 30 min of silence opens a
+    * new session, q27's gap convention spelled with windows so the
+    * DuckDB twin is verbatim).
+    *
+    * Scale shape: both windows and the gap logic partition by
+    * user_id — hash(user_id) satisfies the (user_id, session_id)
+    * clustering too, so the whole journey pipeline rides ONE
+    * exchange with partition-local sorts; the final transition
+    * matrix is a types x types hash agg (partial combine, tiny). */
+  val sessionTransitions: Q = (s, d) =>
+    sessionTransitionsOf(Tables.events(s, d))
+
+  def sessionTransitionsOf(events: DataFrame): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60L * 1000000L
+    val withSession = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(wUser))
+    val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    withSession
+      .withColumn("next_type", lead(col("event_type"), 1).over(wSess))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Top event bursts: per-type running counts via time-ordered window
     * functions (lag + gap detection) — the batch skeleton of
     * flatMapGroupsWithState-style logic. */
@@ -424,6 +461,7 @@ object EventTime {
   }
 
   val queries: Map[String, Q] = Map(
+    "q101_session_transitions" -> sessionTransitions,
     "q93_hll_distinct_incremental" -> hllDistinctIncremental,
     "q89_asof_with_tolerance" -> asofWithTolerance,
     "q84_purchase_attribution" -> purchaseAttribution,
@@ -440,6 +478,29 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    // the identical lag-gap sessionization + lead transition windows;
+    // (ts, event_id) is a total order, so the running-sum default
+    // RANGE frame equals ROWS on both engines
+    "q101_session_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        |  FROM e
+        |), t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS to_type
+        |  FROM s
+        |)
+        |SELECT from_type, to_type, count(*) AS n_transitions
+        |FROM t WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // correlated bounded-max subquery — cross-algorithm twin of the
     // union+last_value single-exchange form
     "q89_asof_with_tolerance" ->

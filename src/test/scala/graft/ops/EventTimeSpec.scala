@@ -31,6 +31,28 @@ class EventTimeSpec extends SparkTestBase {
     assert(out == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0))
   }
 
+  test("session transitions count adjacent pairs within sessions only") {
+    val events = Seq(
+      // user 1, session A: view -> click -> purchase
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 2L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, 3L, ts("2024-01-01 10:10:00"), "purchase"),
+      // 40-minute gap: new session — purchase->view must NOT count
+      (1L, 4L, ts("2024-01-01 10:50:00"), "view"),
+      (1L, 5L, ts("2024-01-01 10:55:00"), "click"),
+      // exactly 30 minutes of silence also opens a new session
+      (1L, 6L, ts("2024-01-01 11:25:00"), "view"),
+      // user 2: single-event session contributes no transition
+      (2L, 7L, ts("2024-01-01 09:00:00"), "view")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventTime.sessionTransitionsOf(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_transitions"))
+      .toMap
+    assert(got == Map(
+      ("view", "click") -> 2L,
+      ("click", "purchase") -> 1L))
+  }
+
   test("error bursts flag dense-error sessions only, per session window") {
     val events = Seq(
       // user 1, session A: 4 events, 3 errors -> burst
