@@ -191,6 +191,30 @@ object Curation {
         max(col("score_milli")).as("max_score"))
       .orderBy(col("source"))
 
+  /** q102 — cross-source score calibration: the raw q66 milli-score is
+    * not comparable ACROSS sources (a clean encyclopedia's median
+    * outranks a web crawl's p90 on vocabulary alone), so mixture
+    * construction calibrates each document to its within-source
+    * percentile first and thresholds THAT. percent_rank over the
+    * total (score_milli, doc_id) order is (rank-1)/(n-1) — one
+    * deterministic double division of exact integers, so the whole
+    * query hash-matches cross-engine (single-doc sources emit 0.0 by
+    * the SQL-standard convention on both). NULL-text docs carry no
+    * score and are excluded identically. One scan with the model fold
+    * riding it, one source-keyed exchange for the window; a source
+    * that outgrows a partition takes the q55b sharded-prefix remedy,
+    * as q74 documents for the same shape. */
+  val scoreCalibration: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score_milli"), col("doc_id"))
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), scoreMilliColumn.as("score_milli"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source best-of selection (q76): the top [[qualityTopN]]
     * documents of every source by the q66 model score — the
     * "curate the best k per slice" step (seed sets, eval sheets,
@@ -348,6 +372,7 @@ object Curation {
   }
 
   val queries: Map[String, Q] = Map(
+    "q102_score_calibration" -> scoreCalibration,
     "q92_corpus_diff" -> corpusDiff,
     "q90_dsir_importance" -> dsirImportance,
     "q54_corpus_filter" -> corpusFilter,
@@ -417,6 +442,28 @@ object Curation {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q102_score_calibration" -> {
+      val valuesList = modelWeights
+        .map { case (k, v) => s"('$k', $v)" }.mkString(",\n    ")
+      s"""WITH w(token, w_milli) AS (VALUES
+         |    $valuesList
+         |), tok AS (
+         |  SELECT doc_id, unnest(${sqlToks("text")}) AS token
+         |  FROM documents WHERE text IS NOT NULL
+         |), hits AS (
+         |  SELECT doc_id, CAST(sum(w_milli) AS BIGINT) AS s
+         |  FROM tok JOIN w USING (token) GROUP BY doc_id
+         |), scored AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST($modelBias + coalesce(h.s, 0) AS BIGINT) AS score_milli
+         |  FROM documents d LEFT JOIN hits h USING (doc_id)
+         |  WHERE d.text IS NOT NULL
+         |)
+         |SELECT doc_id, source, score_milli,
+         |  percent_rank() OVER (PARTITION BY source ORDER BY score_milli, doc_id)
+         |    AS pct_rank
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
     "q92_corpus_diff" ->
       s"""WITH w AS (
          |  SELECT (max(doc_id) * 4) // 5 AS wm80, max(doc_id) // 5 AS wm20
