@@ -66,8 +66,14 @@ object Tables {
       case LongType => // epoch nanos: zone-independent
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: TimestampNTZType =>
-        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
-          "events.parquet stores TIMESTAMP_NTZ wall-clock read as UTC instants; set " +
+        // any UTC-equivalent spelling passes (UTC, Etc/UTC, GMT, +00:00)
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        val utc = try java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS)
+          .normalized() == java.time.ZoneOffset.UTC
+        catch { case _: java.time.DateTimeException => false }
+        require(utc,
+          s"events.parquet stores TIMESTAMP_NTZ wall-clock read as UTC instants, but " +
+            s"the session timezone is '$tz'; set " +
             ".config(\"spark.sql.session.timeZone\", \"UTC\") on the SparkSession " +
             "builder (a non-UTC session would shift every event instant)")
         raw.withColumn("ts", col("ts").cast(TimestampType))

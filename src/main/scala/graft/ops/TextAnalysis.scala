@@ -423,14 +423,18 @@ object TextAnalysis {
     val winners = freq.join(broadcast(thr), boundary >= col("thr")).drop("thr")
 
     // pass 2: strings built in the scan, filtered to winners via the
-    // adaptive lookup join (salt from the gram string: content-derived)
+    // adaptive lookup join. The salt must be INDEPENDENT of the join
+    // key or a hot gram still serializes one reducer — the gram string
+    // is 1:1 with g, so the salt derives from doc_id (carried through
+    // the projection; q63/q91's convention), spreading a boilerplate
+    // gram's occurrences across reducers by originating document.
     val strings = withTh
-      .select(explode(transform(idx, i =>
+      .select(col("doc_id"), explode(transform(idx, i =>
         struct(ghash(i).as("g"),
           array_join(slice(col("toks"), i, lit(passageN)), " ").as("gram")))).as("p"))
-      .select(col("p.g").as("g"), col("p.gram").as("gram"))
+      .select(col("doc_id"), col("p.g").as("g"), col("p.gram").as("gram"))
     Skew.vocabLookupJoin(strings, winners, key = "g",
-        saltSource = col("gram"), maxBroadcastRows = maxBroadcastWinners)
+        saltSource = col("doc_id"), maxBroadcastRows = maxBroadcastWinners)
       .groupBy(col("g"), col("n_docs"), col("n_occurrences"))
       .agg(min(col("gram")).as("gram"))
       .select(col("gram"), col("n_docs"), col("n_occurrences"))

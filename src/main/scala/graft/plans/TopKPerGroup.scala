@@ -212,6 +212,13 @@ case class TopKPerGroupExec(
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
       val ord = GenerateOrdering.generate(
         sortOrder.map(BindReferences.bindReference(_, childOutput)))
+      // comparators hoisted: one pair per partition, not per group
+      val fwdCmp = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(a, b)
+      }
+      val revCmp = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+      }
       val keepers = new java.util.LinkedHashMap[UnsafeRow, GroupKeeper]()
       while (iter.hasNext) {
         val row = iter.next()
@@ -219,9 +226,9 @@ case class TopKPerGroupExec(
         var keeper = keepers.get(key)
         if (keeper == null) {
           keeper = rankStyle match {
-            case RankStyle.RowNum => new HeapKeeper(ord, limit)
-            case RankStyle.Rnk    => new TieKeeper(ord, limit, dense = false)
-            case RankStyle.DenseRnk => new TieKeeper(ord, limit, dense = true)
+            case RankStyle.RowNum => new HeapKeeper(ord, revCmp, limit)
+            case RankStyle.Rnk    => new TieKeeper(ord, fwdCmp, limit, dense = false)
+            case RankStyle.DenseRnk => new TieKeeper(ord, fwdCmp, limit, dense = true)
           }
           keepers.put(key.copy(), keeper)
         }
@@ -260,19 +267,17 @@ private sealed trait GroupKeeper {
   def drainRanked(): Iterator[(InternalRow, Int)]
 }
 
-/** row_number(): exactly k survivors — the bounded heap. */
+/** row_number(): exactly k survivors — the bounded heap. `revCmp`
+  * must be the REVERSE of `ord` (heap head = worst survivor). */
 private final class HeapKeeper(
     ord: org.apache.spark.sql.catalyst.expressions.BaseOrdering,
+    revCmp: java.util.Comparator[InternalRow],
     k: Int) extends GroupKeeper {
-  // PriorityQueue head = WORST survivor (reverse of the sort order).
   // Initial capacity capped: a large-k query must not pre-allocate a
   // k-sized array per group up front (grows on demand; maxRewriteK
   // bounds the worst case).
   private val heap = new java.util.PriorityQueue[InternalRow](
-    math.min(k + 1, 1024),
-    new java.util.Comparator[InternalRow] {
-      override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
-    })
+    math.min(k + 1, 1024), revCmp)
 
   override def insert(row: InternalRow): Unit =
     if (heap.size() < k) heap.offer(row.copy())
@@ -302,11 +307,10 @@ private final class HeapKeeper(
   * qualifiers. Memory is the emitted row set itself. */
 private final class TieKeeper(
     ord: org.apache.spark.sql.catalyst.expressions.BaseOrdering,
+    fwdCmp: java.util.Comparator[InternalRow],
     k: Int, dense: Boolean) extends GroupKeeper {
-  private val buckets = new java.util.TreeMap[InternalRow, java.util.ArrayList[InternalRow]](
-    new java.util.Comparator[InternalRow] {
-      override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(a, b)
-    })
+  private val buckets =
+    new java.util.TreeMap[InternalRow, java.util.ArrayList[InternalRow]](fwdCmp)
   private var totalRows = 0
 
   override def insert(row: InternalRow): Unit = {

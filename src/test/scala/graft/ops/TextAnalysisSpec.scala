@@ -170,10 +170,8 @@ class TextAnalysisSpec extends SparkTestBase {
     // threshold gate (the non-equi BroadcastNestedLoopJoin against the
     // 1-row thr agg) — broadcasting the raw duplicated-gram table, the
     // round-6 scale-killer, would show a bare aggregate here instead.
-    // The gate may sit behind the adaptive vocab-join's cache, so the
-    // walk descends through InMemoryTableScan into the cached plan.
-    // the gate may sit inside the vocab-join cache, whose cachedPlan is
-    // an AQE wrapper (a leaf to collect) — check its rendered plan
+    // The gate may sit inside the vocab-join cache, whose cachedPlan
+    // is an AQE wrapper (a leaf to collect) — check its rendered plan.
     def hasGate(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
       p.collectFirst { case n: BroadcastNestedLoopJoinExec => n }.isDefined ||
         p.collect { case m: InMemoryTableScanExec => m }
