@@ -134,8 +134,12 @@ object RewriteRankLimitToTopK extends Rule[LogicalPlan] {
       if r.semanticEquals(rank) => Some(v - 1)
     case EqualTo(r: Attribute, Literal(1, IntegerType))
       if r.semanticEquals(rank) => Some(1)
+    case EqualTo(Literal(1, IntegerType), r: Attribute)
+      if r.semanticEquals(rank) => Some(1)
     case GreaterThanOrEqual(Literal(v: Int, IntegerType), r: Attribute)
       if r.semanticEquals(rank) => Some(v)
+    case GreaterThan(Literal(v: Int, IntegerType), r: Attribute)
+      if r.semanticEquals(rank) => Some(v - 1)
     case _ => None
   }
 

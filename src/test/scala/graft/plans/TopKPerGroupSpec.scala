@@ -144,6 +144,24 @@ class TopKPerGroupSpec extends SparkTestBase {
       s"dense_rank top-2 bucket set wrong: size ${denseTop2.size}")
   }
 
+  test("literal-first comparison spellings rewrite too") {
+    // lit(2) >= rank and lit(3) > rank and lit(1) === rank are the
+    // same bounds users also write — the matcher must not be
+    // orientation-sensitive
+    def planOf(cond: org.apache.spark.sql.Column) =
+      sample().withColumn("rn", row_number().over(w)).filter(cond)
+    for ((cond, expect) <- Seq(
+        (lit(2) >= col("rn"), Set(("a", 4L), ("a", 2L), ("b", 5L), ("b", 6L), ("c", 7L))),
+        (lit(3) > col("rn"), Set(("a", 4L), ("a", 2L), ("b", 5L), ("b", 6L), ("c", 7L))),
+        (lit(1) === col("rn"), Set(("a", 4L), ("b", 5L), ("c", 7L))))) {
+      val q = planOf(cond)
+      assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+        s"literal-first spelling not rewritten: $cond")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expect, s"$cond: $got")
+    }
+  }
+
   test("bounds beyond maxRewriteK stay on the spill-capable window form") {
     val k = graft.plans.RewriteRankLimitToTopK.maxRewriteK + 1
     val q = sample().withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

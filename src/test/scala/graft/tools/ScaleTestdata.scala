@@ -28,8 +28,9 @@ object ScaleTestdata {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
-      // events.ts is TIMESTAMP(NANOS): read as long (the probe keeps
-      // it as int64; Tables.events converts via `ts div 1000` either way)
+      // events.ts generations vary (NANOS read as int64 under this
+      // conf, or MICROS read as NTZ); the probe copies whichever shape
+      // verbatim and Tables.normalizeEventTs adapts on read either way
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
