@@ -775,6 +775,22 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q103 — dedup cluster-size histogram: the distribution of
+    * near-dup FAMILY sizes under the q36b keeper closure — the audit
+    * a curator reads before trusting a dedup cut (is the corpus
+    * mostly singletons with small families, or does one giant cluster
+    * — a template explosion, an SEO farm — dominate what the cut
+    * removes?). Derived entirely from the keeper assignment: one
+    * id-only groupBy(keeper) for family sizes, then a count-of-counts
+    * — the histogram is at most |distinct sizes| rows, so everything
+    * after the closure is a tiny agg, and the recursive-CTE twin
+    * replays the whole thing exactly. */
+  val dupClusterHistogram: Q = (s, d) =>
+    ngramDupKeepers(s, d)
+      .groupBy(col("keeper")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   // ---- tier 5: embedding cosine near-dup ----------------------------
 
   /** Semantic near-dups via the multi-table Similarity LSH index (no
@@ -809,6 +825,7 @@ object Dedup {
     "q36c_ngram_containment" -> ngramContainmentBlocked,
     "q61_incremental_neardups" -> ngramJaccardIncremental,
     "q36b_dedup_keepers" -> ngramDupKeepers,
+    "q103_dup_cluster_histogram" -> dupClusterHistogram,
     "q37_embedding_neardups" -> embeddingDups,  // rows-only (LSH-seeded)
   )
 
@@ -826,6 +843,30 @@ object Dedup {
       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
       |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
       |  FROM t a JOIN t b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  /** Shared DuckDB CTE tail: transitive keeper closure over the
+    * strong (jaccard >= 0.5) pair graph, ending in a `keepers`
+    * (doc_id, keeper) relation — the q36b body, reused by q103.
+    * Declared before `oracle` (a forward reference would initialize
+    * as null inside the map literal). */
+  private val sqlKeeperClosure =
+    """strong AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM strong
+      |  UNION ALL SELECT doc_b, doc_a FROM strong
+      |),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |),
+      |keepers AS (
+      |  SELECT d.doc_id,
+      |    coalesce(least(k.mn, d.doc_id), d.doc_id) AS keeper
+      |  FROM documents d
+      |  LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) k
+      |    ON k.src = d.doc_id
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -862,20 +903,15 @@ object Dedup {
          |    len(list_distinct(list_concat(n.sh, o.sh))) >= 0.5""".stripMargin,
     "q36b_dedup_keepers" ->
       s"""WITH RECURSIVE $sqlBlockedPairs,
-         |strong AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM strong
-         |  UNION ALL SELECT doc_b, doc_a FROM strong
-         |),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-         |)
-         |SELECT d.doc_id,
-         |  coalesce(least(k.mn, d.doc_id), d.doc_id) AS keeper
-         |FROM documents d
-         |LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) k
-         |  ON k.src = d.doc_id""".stripMargin,
+         |$sqlKeeperClosure
+         |SELECT doc_id, keeper FROM keepers""".stripMargin,
+    // the keeper closure re-aggregated to family sizes, then a
+    // count-of-counts — same recursive CTE, one more fold
+    "q103_dup_cluster_histogram" ->
+      s"""WITH RECURSIVE $sqlBlockedPairs,
+         |$sqlKeeperClosure
+         |SELECT cluster_size, count(*) AS n_clusters FROM (
+         |  SELECT keeper, count(*) AS cluster_size FROM keepers GROUP BY keeper)
+         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
   )
 }
