@@ -791,6 +791,32 @@ object Dedup {
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))
 
+  /** q104 — dedup cut impact by source: what the q36b keeper cut
+    * actually costs each corpus slice — docs and characters removed
+    * per source, with the removal fraction in exact integer
+    * micro-units (the q90 discipline; no double division until the
+    * reader). The companion audit to q103: the histogram says how big
+    * the families are, this says WHO pays — a source losing a third
+    * of its characters to near-dups is a collection bug, not a
+    * curation win. Joins the id-only keeper frame back to (source,
+    * n_chars) on doc_id and aggregates to |sources| rows; the keeper
+    * closure dominates, everything after is one hash agg. */
+  val dedupImpactBySource: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    ngramDupKeepers(s, d)
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keeper") =!= col("doc_id"), 1L).otherwise(0L)).as("n_removed"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(when(col("keeper") =!= col("doc_id"), col("n_chars"))
+          .otherwise(lit(0L))).as("chars_removed"))
+      .withColumn("removed_ppm",
+        expr("(n_removed * 1000000L) div n_docs"))
+      .orderBy(col("source"))
+  }
+
   // ---- tier 5: embedding cosine near-dup ----------------------------
 
   /** Semantic near-dups via the multi-table Similarity LSH index (no
@@ -826,6 +852,7 @@ object Dedup {
     "q61_incremental_neardups" -> ngramJaccardIncremental,
     "q36b_dedup_keepers" -> ngramDupKeepers,
     "q103_dup_cluster_histogram" -> dupClusterHistogram,
+    "q104_dedup_impact_by_source" -> dedupImpactBySource,
     "q37_embedding_neardups" -> embeddingDups,  // rows-only (LSH-seeded)
   )
 
@@ -913,5 +940,19 @@ object Dedup {
          |SELECT cluster_size, count(*) AS n_clusters FROM (
          |  SELECT keeper, count(*) AS cluster_size FROM keepers GROUP BY keeper)
          |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // the keeper closure joined back to (source, n_chars), exact
+    // integer micro-unit fraction
+    "q104_dedup_impact_by_source" ->
+      s"""WITH RECURSIVE $sqlBlockedPairs,
+         |$sqlKeeperClosure
+         |SELECT d.source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN k.keeper <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(CASE WHEN k.keeper <> d.doc_id THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_removed,
+         |  (CAST(sum(CASE WHEN k.keeper <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // count(*) AS removed_ppm
+         |FROM keepers k JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
   )
 }
