@@ -65,7 +65,17 @@ import org.apache.spark.sql.execution.SparkStrategy
   * those rows cross the exchange in any correct plan; the stock
   * window path buffers the same rows in its sort instead). The
   * [[RewriteRankLimitToTopK.maxRewriteK]] bound keeps the
-  * deliberately-huge-k case on Spark's spill-capable path. Registered
+  * deliberately-huge-k case on Spark's spill-capable path, and the
+  * PARTIAL phase is additionally budget-bounded in both distinct
+  * groups and total held rows — over budget it flushes its keepers
+  * downstream and starts fresh (see [[TopKPerGroupExec]]'s companion),
+  * so unbounded group cardinality or mass ties degrade the partial
+  * phase toward a pass-through instead of OOM. The FINAL phase's
+  * memory is O(emitted rows per group x groups in the reduce
+  * partition) by design: those rows are the operator's output, the
+  * exchange has already divided the group count by the shuffle
+  * parallelism, and a circuit breaker here would fail queries the
+  * stock path completes — so none is installed. Registered
   * via [[GraftExtensions]]; the q06/q76/q76b DuckDB oracles gate the
   * rewrite end-to-end every round because the Verify session runs
   * with extensions on. */
@@ -163,12 +173,51 @@ object RewriteRankLimitToTopK extends Rule[LogicalPlan] {
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(group, order, k, rankAttr, style, child) =>
+      // Planning-time conf read (SQLConf.get is the active session's
+      // conf on the driver) so a session can shrink the flush budgets
+      // — the spec runs the whole operator under a budget of a few
+      // groups to prove flush-correctness.
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val flushGroups = conf.getConfString(
+        TopKPerGroupExec.flushGroupsKey,
+        TopKPerGroupExec.defaultFlushGroups.toString).toInt
+      val flushRows = conf.getConfString(
+        TopKPerGroupExec.flushRowsKey,
+        TopKPerGroupExec.defaultFlushRows.toString).toInt
       val partialExec = TopKPerGroupExec(group, order, k, rankAttr, style,
-        planLater(child), partial = true)
+        planLater(child), partial = true, flushGroups, flushRows)
       TopKPerGroupExec(group, order, k, rankAttr, style, partialExec,
-        partial = false) :: Nil
+        partial = false, flushGroups, flushRows) :: Nil
     case _ => Nil
   }
+}
+
+object TopKPerGroupExec {
+  /** Partial-phase flush budgets (session-overridable). The partial
+    * keeper map holds one keeper per DISTINCT GROUP seen in the input
+    * partition — k rows each (row_number) or the local qualifying tie
+    * set (rank/dense_rank). Per-group memory is bounded, but group
+    * COUNT is not: at 100 TB a map partition can see ~10^8 groups and
+    * the stock hash-agg path this operator replaces would spill where
+    * a plain map OOMs. Partial output is allowed to be a SUPERSET of
+    * the true qualifiers (the final phase re-prunes after the
+    * exchange), so the fix is a semantics-free flush: when the map
+    * exceeds [[flushGroupsKey]] distinct groups or [[flushRowsKey]]
+    * total held rows, drain every keeper downstream and start a fresh
+    * generation. Worst case the partial phase degrades toward a
+    * pass-through (what the plan would be with no partial phase at
+    * all) — never wrong, never above the budget. The rows budget also
+    * bounds rank()/dense_rank() mass-tie growth (a degenerate
+    * `rank() = 1 on a constant key` holds the whole partition in one
+    * keeper without it). */
+  val flushGroupsKey = "spark.graft.topk.partialFlushGroups"
+  val flushRowsKey = "spark.graft.topk.partialFlushRows"
+  /** 1M groups; at k-ish rows each this is the same order as a
+    * hash-agg partial's default spill threshold territory. */
+  val defaultFlushGroups: Int = 1 << 20
+  /** 4M rows held across all keepers — a hard byte-side backstop
+    * independent of how the rows distribute over groups. */
+  val defaultFlushRows: Int = 1 << 22
 }
 
 /** Per-group top-k with a style-specific keeper ([[HeapKeeper]] for
@@ -184,7 +233,9 @@ case class TopKPerGroupExec(
     rankAttr: Attribute,
     style: RankStyle,
     child: SparkPlan,
-    partial: Boolean) extends UnaryExecNode {
+    partial: Boolean,
+    flushGroups: Int = TopKPerGroupExec.defaultFlushGroups,
+    flushRows: Int = TopKPerGroupExec.defaultFlushRows) extends UnaryExecNode {
 
   override def output: Seq[Attribute] =
     if (partial) child.output else child.output :+ rankAttr
@@ -212,6 +263,8 @@ case class TopKPerGroupExec(
     val isPartial = partial
     val rankStyle = style
     val finalOutput = output
+    val groupBudget = flushGroups
+    val rowBudget = flushRows
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
       val ord = GenerateOrdering.generate(
@@ -224,39 +277,70 @@ case class TopKPerGroupExec(
         override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
       }
       val keepers = new java.util.LinkedHashMap[UnsafeRow, GroupKeeper]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      def mkKeeper(): GroupKeeper = rankStyle match {
+        case RankStyle.RowNum   => new HeapKeeper(ord, revCmp, limit)
+        case RankStyle.Rnk      => new TieKeeper(ord, fwdCmp, limit, dense = false)
+        case RankStyle.DenseRnk => new TieKeeper(ord, fwdCmp, limit, dense = true)
+      }
+      def insertOne(row: InternalRow): Int = {
         val key = keyProj(row)
         var keeper = keepers.get(key)
         if (keeper == null) {
-          keeper = rankStyle match {
-            case RankStyle.RowNum => new HeapKeeper(ord, revCmp, limit)
-            case RankStyle.Rnk    => new TieKeeper(ord, fwdCmp, limit, dense = false)
-            case RankStyle.DenseRnk => new TieKeeper(ord, fwdCmp, limit, dense = true)
-          }
+          keeper = mkKeeper()
           keepers.put(key.copy(), keeper)
         }
+        val before = keeper.size
         keeper.insert(row)
+        keeper.size - before
       }
-      val resultProj = UnsafeProjection.create(finalOutput, finalOutput)
-      val rankRow = new GenericInternalRow(1)
-      val joined = new JoinedRow
-      val entries = keepers.entrySet().iterator()
-      new Iterator[InternalRow] {
-        private var current: Iterator[InternalRow] = Iterator.empty
-        override def hasNext: Boolean = {
-          while (!current.hasNext && entries.hasNext) {
-            val keeper = entries.next().getValue
-            current =
-              if (isPartial) keeper.drainRows()
-              else keeper.drainRanked().map { case (r, rk) =>
+      import scala.jdk.CollectionConverters._
+      if (isPartial) {
+        // Generation loop: fill the keeper map until the group or
+        // held-row budget trips (or input ends), drain everything
+        // downstream, start fresh. Partial output may be a superset,
+        // so every flush is semantics-free; memory is bounded by the
+        // budgets no matter the group cardinality or tie mass.
+        new Iterator[InternalRow] {
+          private var current: Iterator[InternalRow] = Iterator.empty
+          private def fill(): Unit = {
+            keepers.clear()
+            var heldRows = 0
+            while (iter.hasNext && keepers.size() < groupBudget && heldRows < rowBudget) {
+              heldRows += insertOne(iter.next())
+            }
+            current = keepers.values().iterator().asScala.flatMap(_.drainRows())
+          }
+          override def hasNext: Boolean = {
+            // fill() always consumes >= 1 input row, so this terminates
+            while (!current.hasNext && iter.hasNext) fill()
+            current.hasNext
+          }
+          override def next(): InternalRow = current.next()
+        }
+      } else {
+        // Final phase: after the exchange every row of a group is in
+        // this partition, so the map must hold all of the partition's
+        // groups (k rows each — same order as the stock hash-agg
+        // final; the exchange has already divided group count by the
+        // shuffle parallelism).
+        while (iter.hasNext) insertOne(iter.next())
+        val resultProj = UnsafeProjection.create(finalOutput, finalOutput)
+        val rankRow = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        val entries = keepers.entrySet().iterator()
+        new Iterator[InternalRow] {
+          private var current: Iterator[InternalRow] = Iterator.empty
+          override def hasNext: Boolean = {
+            while (!current.hasNext && entries.hasNext) {
+              current = entries.next().getValue.drainRanked().map { case (r, rk) =>
                 rankRow.setInt(0, rk)
                 resultProj(joined(r, rankRow))
               }
+            }
+            current.hasNext
           }
-          current.hasNext
+          override def next(): InternalRow = current.next()
         }
-        override def next(): InternalRow = current.next()
       }
     }, preservesPartitioning = true)
   }
@@ -267,6 +351,8 @@ case class TopKPerGroupExec(
   * final: rows with their rank values). Single-use. */
 private sealed trait GroupKeeper {
   def insert(row: InternalRow): Unit
+  /** Rows currently held — the partial phase's flush accounting. */
+  def size: Int
   def drainRows(): Iterator[InternalRow]
   def drainRanked(): Iterator[(InternalRow, Int)]
 }
@@ -288,6 +374,8 @@ private final class HeapKeeper(
     else if (ord.compare(row, heap.peek()) < 0) {
       heap.poll(); heap.offer(row.copy())
     }
+
+  override def size: Int = heap.size()
 
   private def bestFirst(): Array[InternalRow] = {
     val arr = new Array[InternalRow](heap.size())
@@ -316,6 +404,8 @@ private final class TieKeeper(
   private val buckets =
     new java.util.TreeMap[InternalRow, java.util.ArrayList[InternalRow]](fwdCmp)
   private var totalRows = 0
+
+  override def size: Int = totalRows
 
   override def insert(row: InternalRow): Unit = {
     if (!buckets.isEmpty) {

@@ -183,6 +183,57 @@ class TopKPerGroupSpec extends SparkTestBase {
     assert(got == Set(("a", 4L), ("a", 2L), ("b", 5L), ("c", 7L)))
   }
 
+  test("partial phase flushes over the group budget and stays exact (all three styles)") {
+    // 500 distinct groups through a partial phase budgeted to 4 groups
+    // / 64 rows: dozens of flush generations per partition, and the
+    // result must still match the window form exactly. Expected set is
+    // computed independently (top-2 ids per group by v desc = id desc).
+    val conf = spark.conf
+    conf.set(TopKPerGroupExec.flushGroupsKey, "4")
+    conf.set(TopKPerGroupExec.flushRowsKey, "64")
+    try {
+      val big = spark.range(10000)
+        .select((col("id") % 500).cast("string").as("g"), col("id"),
+          col("id").cast("double").as("v"))
+        .repartition(8)
+      val expected = (0L until 10000L).groupBy(_ % 500).iterator.flatMap {
+        case (g, ids) => ids.sorted.takeRight(2).map(id => (g.toString, id))
+      }.toSet
+      for (fn <- Seq(row_number(), rank(), dense_rank())) {
+        val q = big.withColumn("rn", fn.over(w)).filter(col("rn") <= 2)
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("TopKPerGroup"), s"rewrite did not fire for $fn:\n$plan")
+        val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        assert(got == expected,
+          s"$fn under tiny flush budget diverged: ${got.size} rows vs ${expected.size}")
+      }
+    } finally {
+      conf.unset(TopKPerGroupExec.flushGroupsKey)
+      conf.unset(TopKPerGroupExec.flushRowsKey)
+    }
+  }
+
+  test("partial phase flushes over the row budget under mass ties (rank = 1 on a constant key)") {
+    // the degenerate tie case: every row qualifies, so a budget-less
+    // TieKeeper would hold the whole partition. With flushRows=32 the
+    // keeper flushes generation after generation and the final phase
+    // still emits every row with rank 1.
+    val conf = spark.conf
+    conf.set(TopKPerGroupExec.flushRowsKey, "32")
+    try {
+      val allTied = spark.range(5000)
+        .select(lit("g").as("g"), col("id"), lit(1.0).as("v"))
+        .repartition(4)
+      // order on v alone (no id tiebreak): every row is a tied winner
+      val wv = Window.partitionBy(col("g")).orderBy(col("v").desc)
+      val q = allTied.withColumn("rn", rank().over(wv)).filter(col("rn") === 1)
+      assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      val got = q.collect()
+      assert(got.length == 5000, s"mass-tie rows lost under flush: ${got.length}")
+      assert(got.forall(_.getInt(3) == 1))
+    } finally conf.unset(TopKPerGroupExec.flushRowsKey)
+  }
+
   test("partial phase prunes before the exchange (at most k rows per partition-group)") {
     // 4 input partitions, one group: the final phase sees <= 4*k rows,
     // proven indirectly — a 10k-row single group still returns exact
