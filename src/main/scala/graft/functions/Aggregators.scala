@@ -57,6 +57,43 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** Exact weighted mean over pre-scaled integer inputs: the caller
+    * converts value to fixed-point units (`round(value * 10^scale)`
+    * as LONG — exact for data with <= scale real decimal places) and
+    * passes an integral weight. Long sums are exact and
+    * order-independent, so unlike [[WeightedAvg]]'s double buffer the
+    * result is partition-layout-invariant and can carry a DuckDB
+    * oracle twin (the q90/q98 micro-ratio discipline applied to the
+    * Aggregator surface). `finish` performs the only inexact steps —
+    * long->double conversion, one descale, one division — each a
+    * single deterministic IEEE operation both engines spell
+    * identically.
+    *
+    * The 2^53 guard is transactional, not advisory (Qx.guarded's
+    * rationale): past it the long sum no longer converts to DOUBLE
+    * exactly and cross-engine bit-identity silently breaks, so fail
+    * loudly instead. At larger scales callers shrink valueScale (buy
+    * headroom) exactly like dsum's rescale ladder. */
+  class WeightedAvgExact(valueScale: Int)
+    extends Aggregator[(Long, Long), (Long, Long), Double] {
+    private val descale = math.pow(10, valueScale)
+    private val exactBound = 1L << 53
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), a: (Long, Long)): (Long, Long) =
+      (b._1 + a._1 * a._2, b._2 + a._2)
+    override def merge(b1: (Long, Long), b2: (Long, Long)): (Long, Long) =
+      (b1._1 + b2._1, b1._2 + b2._2)
+    override def finish(r: (Long, Long)): Double = {
+      require(math.abs(r._1) < exactBound && math.abs(r._2) < exactBound,
+        s"WeightedAvgExact: scaled sum ${r._1}/${r._2} exceeds 2^53 — " +
+          "no longer double-exact; reduce valueScale for headroom")
+      if (r._2 == 0L) Double.NaN else (r._1.toDouble / descale) / r._2.toDouble
+    }
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   object WeightedAvg extends Aggregator[WeightedValue, (Double, Double), Double] {
     override def zero: (Double, Double) = (0.0, 0.0)
     override def reduce(b: (Double, Double), a: WeightedValue): (Double, Double) =

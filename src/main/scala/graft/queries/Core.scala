@@ -325,14 +325,20 @@ object Core {
   }
 
   /** Custom typed Aggregator surface: quantity-weighted average price
-    * per returnflag via the udaf bridge. Rows-only under the driver
-    * (double reduce order is partition-dependent, so no exact oracle;
-    * AggregatorsSpec pins the arithmetic). */
+    * per returnflag via the udaf bridge. Exact-oracle form (VERDICT r7
+    * #3): prices are scaled to integer cents in the column layer
+    * (`round(price*100)` — exact for 2-dp money), quantities are
+    * integral, and [[graft.functions.Aggregators.WeightedAvgExact]]
+    * sums longs — order-independent, so the result is
+    * partition-layout-invariant and hash-comparable against the DuckDB
+    * twin. The one division happens once in `finish`, double-exact on
+    * both engines. */
   private val q46: Q = (s, d) => {
-    val wavg = udaf(graft.functions.Aggregators.WeightedAvg)
+    val wavg = udaf(new graft.functions.Aggregators.WeightedAvgExact(2))
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("qty_weighted_avg_price"),
+      .agg(wavg(round(col("l_extendedprice") * 100).cast(LongType),
+        col("l_quantity").cast(LongType)).as("qty_weighted_avg_price"),
         count(lit(1)).as("n_items"))
       .orderBy(col("l_returnflag"))
   }
@@ -633,6 +639,19 @@ object Core {
         |  wo AS (ORDER BY order_day),
         |  w7 AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
         |  wu AS (ORDER BY order_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    // q46's twin mirrors WeightedAvgExact step for step: integer-cents
+    // scaling (round(price*100) — exact for 2-dp money), exact BIGINT
+    // sums, then ONE double division spelled identically on both
+    // engines ((sum/100.0)/sumw, left-assoc). l_quantity is integral
+    // (both engines' double->BIGINT agree on integral values).
+    "q46_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  (CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |            * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0)
+        |    / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |    AS qty_weighted_avg_price,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q42_pivot" ->
       s"""SELECT l_returnflag,
          |  CAST(CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DECIMAL(18,2)) AS DOUBLE) AS qty_f,

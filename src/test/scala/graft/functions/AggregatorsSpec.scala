@@ -31,6 +31,28 @@ class AggregatorsSpec extends SparkTestBase {
     assert(result.head._2.isNaN)
   }
 
+  test("WeightedAvgExact is partition-layout-invariant (exact long sums)") {
+    // same rows, two layouts: the double-buffer WeightedAvg may differ
+    // in the last ulp between these; the exact form must be IDENTICAL
+    // bits — that is the property that buys q46 its DuckDB oracle.
+    val wavg = udaf(new WeightedAvgExact(2))
+    def run(parts: Int): Double = {
+      val rows = (1 to 1000).map(i => ("k", (i * 137 % 9973).toLong, (i % 50 + 1).toLong))
+      rows.toDF("k", "cents", "w").repartition(parts)
+        .groupBy("k").agg(wavg(col("cents"), col("w")).as("v"))
+        .collect().head.getDouble(1)
+    }
+    assert(java.lang.Double.doubleToLongBits(run(1)) ==
+      java.lang.Double.doubleToLongBits(run(7)))
+  }
+
+  test("WeightedAvgExact: zero weight yields NaN; 2^53 overflow fails loudly") {
+    val agg = new WeightedAvgExact(2)
+    assert(agg.finish((0L, 0L)).isNaN)
+    assert(agg.finish((12345L, 10L)) == (12345L.toDouble / 100.0) / 10.0)
+    intercept[IllegalArgumentException](agg.finish(((1L << 53) + 1, 10L)))
+  }
+
   test("CountMinSketch rejects index arrays whose arity drifts from its depth (ADVICE r5)") {
     // a short row would throw IndexOutOfBounds per row; a long one
     // would silently drop hash functions — both must fail loudly
