@@ -111,9 +111,21 @@ object Bench {
       graft.ops.Dedup.releaseSketchCaches()
       elapsed
     }
+    // The headline warm number is the MEDIAN of three steady-state
+    // runs (VERDICT r7 #2): a single warm run recorded a 2.3x-wrong
+    // artifact when a transient host stall landed inside its window
+    // (r7: three queries contiguous in run order regressed 4-6x in
+    // the artifact yet ran faster than ever on an idle re-run). The
+    // median discards one stalled run entirely; three runs is the
+    // fewest with that property.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = once(name, fn)
-      val warm = if (cold < 0) -1.0 else once(name, fn)
+      val warm =
+        if (cold < 0) -1.0
+        else {
+          val runs = Array.fill(3)(once(name, fn))
+          if (runs.exists(_ < 0)) -1.0 else { java.util.Arrays.sort(runs); runs(1) }
+        }
       (name, cold, warm)
     }
     def jsonMap(f: ((String, Double, Double)) => Double): String =
@@ -128,7 +140,7 @@ object Bench {
     val total = scaled.map(_._3).sum
     val constTotal = const.map(_._3).sum
     val coldTotal = scaled.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._3)},"queries_cold":${jsonMap(_._2)},"cold_total":$coldTotal,"const_total":$constTotal,"star_build":$starBuildSec,"prepass_sec":$prepassSec,"prepass_failed":${if (prepassSec < 0) -1 else prepassFailed},"prepass_sf":"$prepassDir","total_all":${total + constTotal},"failed":$failed,"runs_per_query":2,"timed_run":"steady_state","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._3)},"queries_cold":${jsonMap(_._2)},"cold_total":$coldTotal,"const_total":$constTotal,"star_build":$starBuildSec,"prepass_sec":$prepassSec,"prepass_failed":${if (prepassSec < 0) -1 else prepassFailed},"prepass_sf":"$prepassDir","total_all":${total + constTotal},"failed":$failed,"runs_per_query":4,"timed_run":"median_of_3_steady_state","sf":"$sfDir"}""")
     spark.stop()
   }
 }

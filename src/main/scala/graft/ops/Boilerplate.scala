@@ -119,13 +119,13 @@ object Boilerplate {
     * cross an exchange are the <= k + ties winners. */
   val boilerplateTop: Q = (s, d) => {
     val k = 20
-    val f = Dedup.persistSketch(
+    // materialized (two-consumer rule): two subtrees below
+    val f = Dedup.materializedSketch(
       hashedBlockView(Tables.documents(s, d))
         .groupBy(col("bhash"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occurrences"))
         .filter(col("n_docs") >= minDocs))
-    f.count() // eager: two subtrees below — lazy persist would race
     val thr = f.orderBy(col("n_docs").desc).limit(k)
       .agg(min(col("n_docs")).as("thr"))
     val cand = f.join(broadcast(thr), col("n_docs") >= col("thr")).drop("thr")

@@ -61,6 +61,28 @@ object Dedup {
     p
   }
 
+  /** The house two-consumer discipline, in one place (VERDICT r7 #4,
+    * decided EAGER): a persisted frame consumed by two or more
+    * CONCURRENT stages must be materialized before the consumers run,
+    * because a lazily-populated cache is computed once per racing
+    * stage (measured: q35 18.8 s -> 11.9 s at sf1, ~1 s duplicated
+    * work in q34c — NOTES r6 #7). The deliberate cost: constructing
+    * the returned DataFrame runs a Spark job, so plan-building is not
+    * side-effect-free at these sites. Deferring the count to first
+    * action was considered and REJECTED — there is no DataFrame hook
+    * for "on first action", and a lazy persist alone reintroduces
+    * exactly the measured race. Every site is cardinality-small
+    * (vocab/sketch/agg frames, never the fact table). Use this
+    * helper, not an inline persistSketch+count, so the convention
+    * stays greppable; the one site that needs the count's VALUE for
+    * routing (Skew.vocabLookupJoin) keeps the inline pair and says
+    * so. */
+  private[graft] def materializedSketch(df: DataFrame): DataFrame = {
+    val p = persistSketch(df)
+    p.count()
+    p
+  }
+
   /** Release every sketch frame persisted since the last call. Safe to
     * call at any time: already-materialized results are unaffected, an
     * un-executed query that still references a released sketch simply
@@ -216,13 +238,12 @@ object Dedup {
     * explode fan-out and the dedupe shuffle move a few bytes per row. */
   private def mkBanded(repTh: DataFrame): (DataFrame, DataFrame) = {
     val rows = numHashes / bands
-    val sig = persistSketch(repTh
+    // materialized (two-consumer rule): the banded pair join and the
+    // sig re-join both read this frame, and the shingle+signature
+    // projection is the tier's expensive step.
+    val sig = materializedSketch(repTh
       .select(col("thash"), col("doc_id"), shinglesFromTokenHashes(col("th")).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"))))
-    // EAGER for the same concurrent-stage reason as mkChunked: the
-    // banded pair join and the sig re-join both read this frame, and
-    // the shingle+signature projection is the tier's expensive step.
-    sig.count()
     val banded = sig.select(
       col("doc_id"), col("thash"),
       explode(array((0 until bands).map { b =>
@@ -380,14 +401,11 @@ object Dedup {
   /** (sketch frame, exploded 16-bit-chunk bucket view) for a rep
     * corpus — shared by the pair search and the bucket diagnostics. */
   private def mkChunked(repTh: DataFrame): (DataFrame, DataFrame) = {
-    // EAGER: the bucket self-join reads this frame from two concurrent
-    // stages; a lazily-populated cache gets computed once per stage
-    // (q34c finding, same race). Cheap for the HOF projection this
-    // replaced, but simhashAgg is a shuffle-backed aggregation —
-    // measured at the sf1 probe: q35 18.8 s warm with the race,
-    // 9.8 s with the eager count.
-    val sh = persistSketch(simhashAgg(repTh))
-    sh.count()
+    // materialized (two-consumer rule): the bucket self-join reads
+    // this frame from two concurrent stages, and simhashAgg is a
+    // shuffle-backed aggregation — measured at the sf1 probe: q35
+    // 18.8 s warm with the race, 9.8 s with the eager count.
+    val sh = materializedSketch(simhashAgg(repTh))
     val chunked = sh.select(col("doc_id"), col("thash"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -473,7 +491,9 @@ object Dedup {
     // true metrics per located pair (attribute-projection discipline:
     // token-hash arrays become attributes before the lambda-heavy
     // shingle/simhash expressions consume them)
-    val truth = persistSketch(located
+    // materialized (two-consumer rule): truth feeds all three tiers'
+    // probe branches
+    val truth = materializedSketch(located
       .withColumn("th_a", tokenHashes(col("orig_text")))
       .withColumn("th_b", tokenHashes(col("dup_text")))
       .select(col("doc_a"), col("doc_b"),
@@ -484,29 +504,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         jaccardOf(col("sh_a"), col("sh_b")).as("true_jaccard"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("true_hamming")))
-    // eager for the same concurrent-stage reason as the tier frames
-    // below: truth feeds all three tiers' probe branches
-    truth.count()
     val (reps, members) = collapseExact(docs)
     val repTh = persistSketch(repTokenHashes(reps))
     def tierRow(tier: String, eligible: Column, found: DataFrame): DataFrame = {
       // each tier's found-set is read TWICE (hit probe + n_reported);
       // persist the tiny id-only pair frame or the un-persisted ngram
       // tier would re-run its whole corpus scan + block join for the
-      // second read (the "union duplicates subtrees" rule). The
-      // persist is materialized EAGERLY (count() below): persistence
-      // alone is lazy, and the final union executes all six probe
-      // subtrees as CONCURRENT stages of one job — concurrent stages
-      // that hit a not-yet-populated cache each compute the full
-      // upstream pipeline (first block write wins, the rest is
-      // discarded work), and the three tiers race on the SHARED
-      // repTh cache. Sequential eager materialization removes the
-      // race (measured ~1 s of the ~8 s warm time at sf0.1; the
-      // remainder is the intrinsic cost of the three tier pipelines
-      // this query exists to audit — see ProbeQ34cPhases).
-      val f = persistSketch(
+      // second read (the "union duplicates subtrees" rule), and
+      // materialize it (two-consumer rule): the final union executes
+      // all six probe subtrees as CONCURRENT stages of one job, and
+      // the three tiers race on the SHARED repTh cache (measured ~1 s
+      // of the ~8 s warm time at sf0.1; the remainder is the
+      // intrinsic cost of the three tier pipelines this query exists
+      // to audit — see ProbeQ34cPhases).
+      val f = materializedSketch(
         found.select(col("doc_a"), col("doc_b")).dropDuplicates("doc_a", "doc_b"))
-      f.count()
       truth.filter(eligible)
         .join(f.withColumn("_hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_truth"),

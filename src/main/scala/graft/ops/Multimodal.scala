@@ -548,8 +548,8 @@ object Multimodal {
     * answer; the planted-truth quality bars live in MultimodalSpec. */
   private def phashBandReport(s: SparkSession, hashes0: DataFrame): DataFrame = {
     import s.implicits._
-    val hashes = Dedup.persistSketch(hashes0)
-    hashes.count() // eager: reps + members + count subtrees below race a lazy cache
+    // materialized (two-consumer rule): reps + members + count subtrees
+    val hashes = Dedup.materializedSketch(hashes0)
     val pairs = phashNearDupPairs(hashes, radius = 6)
       .withColumn("band",
         when(col("hamming") === 0, "h0_identical")
@@ -595,11 +595,11 @@ object Multimodal {
         imageHashes(mediaTable(s, d).filter(r => r.doc_id <= wm)), round = 0L)
     }
     val store = new PhashIndexStore(s, path)
-    val delta = Dedup.persistSketch(
+    // materialized (two-consumer rule): pair join + accounting read
+    // delta concurrently; pairs feeds the 3-band join twice
+    val delta = Dedup.materializedSketch(
       imageHashes(mediaTable(s, d).filter(r => r.doc_id > wm)))
-    delta.count() // eager: pair join + accounting read it concurrently
-    val pairs = Dedup.persistSketch(store.newPairsAgainst(delta, radius = 6))
-    pairs.count()
+    val pairs = Dedup.materializedSketch(store.newPairsAgainst(delta, radius = 6))
     val bands = Seq("h0_identical", "h1_3_near", "h4_6_similar").toDF("band")
     bands.join(
         pairs.withColumn("band",

@@ -71,6 +71,10 @@ object Skew {
     case VocabJoin.Broadcast => probe.join(broadcast(lookup), Seq(key))
     case VocabJoin.Salted    => saltedLookupJoin(probe, lookup, key, saltSource, salts)
     case VocabJoin.Adaptive =>
+      // inline persist+count, NOT Dedup.materializedSketch: this is
+      // the one site where the materializing count's VALUE is data
+      // (it routes broadcast-vs-salted), so the helper would cost a
+      // second job just to rename the call
       val cached = Dedup.persistSketch(lookup)
       val n = cached.count()
       if (n <= maxBroadcastRows) probe.join(broadcast(cached), Seq(key))

@@ -383,26 +383,26 @@ object TextAnalysis {
       maxBroadcastWinners: Long = Skew.vocabBroadcastMaxRows): DataFrame = {
     // toks/th must be attributes before lambdas consume them —
     // expressions inlined into lambda bodies re-evaluate per element
-    val withTh = Dedup.persistSketch(docs
+    // materialized (two-consumer rule): freq pass + string pass
+    val withTh = Dedup.materializedSketch(docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= passageN)
       .select(col("doc_id"), col("toks"),
         transform(col("toks"), t => xxhash64(t)).as("th")))
-    withTh.count() // eager: freq pass + string pass both read it
     val idx = sequence(lit(1), size(col("th")) - (passageN - 1))
     val ghash = (i: Column) =>
       xxhash64((0 until passageN).map(o => element_at(col("th"), i + o)): _*)
 
     // pass 1: id-only frequency table of cross-doc duplicated grams
-    val freq = Dedup.persistSketch(withTh
+    // materialized (two-consumer rule): threshold scan + winners filter
+    val freq = Dedup.materializedSketch(withTh
       .select(col("doc_id"), explode(transform(idx, ghash)).as("g"))
       .groupBy(col("g"), col("doc_id"))
       .agg(count(lit(1)).as("n_in_doc"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_in_doc")).as("n_occurrences"))
       .filter(col("n_docs") >= 2))
-    freq.count() // eager: threshold scan + winners filter both read it
 
     // boundary-threshold gate (q96's trick lifted to the pair order):
     // every true top-k row has (n_docs, n_occurrences) >= the k-th
@@ -504,13 +504,13 @@ object TextAnalysis {
   val invIndexTopK = 25
 
   val invertedIndex: Q = (s, d) => {
-    val perDoc = Dedup.persistSketch(
+    // materialized (two-consumer rule): df agg + postings join
+    val perDoc = Dedup.materializedSketch(
       Tables.documents(s, d)
         .filter(col("text").isNotNull)
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy(col("token"), col("doc_id"))
         .agg(count(lit(1)).as("n_occ")))
-    perDoc.count() // eager: df agg + postings join both read it
     val dfCounts = perDoc.groupBy(col("token"))
       .agg(count(lit(1)).as("df"), sum(col("n_occ")).as("n_occurrences"))
     val thr = dfCounts.orderBy(col("df").desc, col("token")).limit(invIndexTopK)
@@ -564,11 +564,11 @@ object TextAnalysis {
               vocabBroadcastMaxRows: Long = Skew.vocabBroadcastMaxRows)
       : DataFrame = {
     val base = docs.filter(col("text").isNotNull)
-    val perDoc = Dedup.persistSketch(
+    // materialized (two-consumer rule): df agg + scoring
+    val perDoc = Dedup.materializedSketch(
       base.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf")))
-    perDoc.count() // eager: df agg + scoring both read it (concurrent-stage rule)
     val dfc = perDoc.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = base.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

@@ -465,13 +465,17 @@ object Core {
     val li = Tables.lineitem(s, d)
     val cutoff = li.agg(
       date_sub(max(to_date(col("l_shipdate"))), 90).as("cut"))
-    val rev = graft.ops.Dedup.persistSketch(
+    // materialized (two-consumer rule): max + filter read it from
+    // concurrent stages. NOTE the cost contract: building this
+    // DataFrame runs the lineitem scan + agg as a side effect — plan
+    // construction at this site is not action-free (ADVICE r7;
+    // decided as the documented convention, see materializedSketch).
+    val rev = graft.ops.Dedup.materializedSketch(
       li.crossJoin(broadcast(cutoff))
         .filter(to_date(col("l_shipdate")) >= col("cut"))
         .groupBy(col("l_suppkey"))
         .agg(dsum(discPrice(col("l_extendedprice"), col("l_discount")),
           rescale = 4).as("total_revenue")))
-    rev.count() // eager: max + filter read it from concurrent stages
     val top = rev.agg(max(col("total_revenue")).as("max_rev"))
     rev.crossJoin(broadcast(top))
       .filter(col("total_revenue") === col("max_rev"))
