@@ -11,6 +11,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // CBO on, mirroring Verify: the timed queries read parquet paths
+      // (no catalog stats), so this exercises the estimator without
+      // changing their plans; the Statistics module's catalog path is
+      // what actually consumes it.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -40,14 +40,31 @@ object Tables {
 
   /** Raw events read with the NANOS remedy attached (schema conversion
     * surfaces the nanos rejection as an AnalysisException whose message
-    * names the type but not the fix). */
+    * names the type but not the fix). Detection is layered (ADVICE r7:
+    * a message-substring sniff alone silently loses the hint if Spark
+    * rewords the error): match the message, OR the SparkThrowable
+    * error condition naming an illegal parquet type, OR — the conf
+    * fallback — ANY read failure on events.parquet while the nanos
+    * shim is off, which is most plausibly this rejection. The original
+    * exception always rides along as the cause, so a genuinely
+    * different failure is never masked, just annotated. */
   private[graft] def eventsRaw(s: SparkSession, d: String): DataFrame =
     try table(s, d, "events") catch {
-      case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
-        throw new IllegalArgumentException(
-          "events.parquet stores TIMESTAMP(NANOS); set " +
-            ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\") on the " +
-            "SparkSession builder (Tables does not mutate session config)", e)
+      case e: Exception =>
+        val named = String.valueOf(e.getMessage).contains("NANOS") ||
+          (e match {
+            case t: org.apache.spark.SparkThrowable =>
+              String.valueOf(t.getCondition).contains("PARQUET")
+            case _ => false
+          })
+        val shimOff =
+          !s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")
+        if (named || shimOff)
+          throw new IllegalArgumentException(
+            "events.parquet read failed — if it stores TIMESTAMP(NANOS), set " +
+              ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\") on the " +
+              "SparkSession builder (Tables does not mutate session config)", e)
+        else throw e
     }
 
   /** The ts-normalization dispatch, shared with the streaming reader

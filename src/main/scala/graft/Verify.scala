@@ -16,6 +16,12 @@ object Verify {
       // Spark 4 defaults ANSI on, which would throw instead.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // CBO on (VERDICT r7 #6): inert for the path-read registered
+      // queries (no catalog stats to consume) but it makes the gate
+      // prove the whole catalog stays green under the estimator the
+      // ad-hoc/stats path (graft.ops.Statistics) relies on.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -295,10 +295,15 @@ object Bpe {
 
   /** True when `units` holds (a, b) adjacently somewhere — exactly the
     * words whose segmentation (and pair contributions) the merge (a, b)
-    * changes; the greedy rewrite is the identity everywhere else. */
+    * changes; the greedy rewrite is the identity everywhere else.
+    * Length expressions clamp at 0 (ADVICE r7): this predicate runs
+    * over EVERY seg row, and for a 0-unit word `size - 1` is -1, which
+    * slice rejects at runtime — greatest() makes the predicate simply
+    * false for 0/1-unit words instead. */
   private def hasAdjacent(a: String, b: String): Column = {
-    val heads = slice(col("units"), lit(1), size(col("units")) - 1)
-    val tails = slice(col("units"), lit(2), size(col("units")) - 1)
+    val len = greatest(size(col("units")) - 1, lit(0))
+    val heads = slice(col("units"), lit(1), len)
+    val tails = slice(col("units"), lit(2), len)
     exists(arrays_zip(heads, tails),
       p => p.getField("0") === lit(a) && p.getField("1") === lit(b))
   }

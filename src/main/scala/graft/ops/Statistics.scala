@@ -24,6 +24,16 @@ object Statistics {
   /** Catalog-table name for a testdata table registered for stats. */
   def statsTable(t: String): String = s"stats_$t"
 
+  /** Every testdata table with an ANALYZE-able schema (VERDICT r7 #6):
+    * the full star schema plus documents and events — all scalar
+    * columns, so FOR ALL COLUMNS succeeds. embeddings is excluded
+    * deliberately: its array<float> column has no column-stats
+    * support, and table-level stats alone would not feed join
+    * estimation anything the size-in-bytes default doesn't. */
+  val testdataTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "documents", "events")
+
   /** Register each testdata parquet table as an external catalog
     * table (statistics need a catalog entry to hang off) and compute
     * table + all-column statistics. Idempotent: re-registering

@@ -510,7 +510,115 @@ object Core {
       .orderBy(col("nation"), col("segment"))
   }
 
+  /** q105 — the TPC-H Q20 shape (supplier semi-join under a nested IN
+    * with a correlated scalar aggregate), adapted to this schema (no
+    * partsupp table: the supply relation is the distinct (l_partkey,
+    * l_suppkey) pair set of lineitem itself, and Q20's `availqty >
+    * 0.5 * shipped` becomes "the pair's trailing-month quantity
+    * exceeds half its all-time quantity", volume floor n >= 2).
+    * The oracle twin keeps the correlated spelling verbatim — an IN
+    * whose inner query runs TWO correlated scalar subqueries per pair
+    * (each a lineitem rescan) — as the cross-algorithm check. The
+    * Spark side is the decorrelated form a 100 TB plan wants: the
+    * part semi-join pushes BELOW the aggregate (the part filter is on
+    * a group key, so filtering before grouping is
+    * equivalence-preserving), then ONE exchange of lineitem on the
+    * pair key computes qty_all and qty_recent as conditional aggs of
+    * the same pass — no second scan, no per-pair rescans — and the
+    * qualifying pair set collapses to a tiny supplier semi-join.
+    * The threshold is multiplicative over exact decimals (q90/q98
+    * micro-ratio discipline); a pair with no recent shipments has
+    * NULL qty_recent, and NULL * 2 > all is NULL -> dropped, exactly
+    * the correlated twin's empty-scalar-subquery semantics. */
+  private val q105: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val smallParts = Tables.part(s, d)
+      .filter(col("p_name").like("small%")).select(col("p_partkey"))
+    val pairs = li
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n_ship"),
+        sum(col("l_quantity").cast(D6)).as("qty_all"),
+        sum(when(to_date(col("l_shipdate")) >= lit("2001-10-01"),
+          col("l_quantity").cast(D6))).as("qty_recent"))
+      .filter(col("n_ship") >= 2 && col("qty_recent") * 2 > col("qty_all"))
+    val qualSupp = pairs.select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(qualSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** q106 — the TPC-H Q18 shape (large-volume orders): customers'
+    * orders whose total quantity clears a threshold, found via
+    * `o_orderkey IN (SELECT l_orderkey ... GROUP BY ... HAVING sum >
+    * 250)`. The IN-over-aggregate is its own decorrelation family
+    * (semi-join against a GROUPED subquery — q105's IN is against a
+    * correlated-scalar-filtered set, q44/q98's are per-row scalars).
+    * The oracle twin keeps the IN + HAVING spelling and aggregates
+    * lineitem TWICE (once in the subquery, once for the output sum);
+    * the Spark side aggregates ONCE — the per-order sum serves both
+    * the filter and the output column, because the outer group (cust,
+    * order) is functionally order-keyed — then joins orders and the
+    * customer dim onto the tiny qualifying set. One lineitem
+    * exchange, one orders join, broadcast dim. Top-100 under a total
+    * (qty DESC, orderkey) order, Q18's result discipline. */
+  private val q106: Q = (s, d) => {
+    val perOrder = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(D6)).as("qty_dec"))
+      .filter(col("qty_dec") > 250)
+    Tables.orders(s, d)
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        col("qty_dec").cast(DecimalType(18, 2)).cast(DoubleType).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** q107 — the TPC-H Q2 shape (cheapest supplier per part): keep the
+    * supply pairs whose price EQUALS the part's correlated minimum —
+    * `pair_price = (SELECT min(...) WHERE same part)` — adapted to
+    * this schema (no partsupp: the supply relation is the per-pair
+    * min l_extendedprice; min is a SELECTION, not arithmetic, so
+    * double equality is engine-safe). The oracle twin keeps the
+    * correlated min-equality verbatim. The Spark side spells it as
+    * `rank() = 1` over (part, price) — Q2's equal-the-min semantics
+    * INCLUDING ties (all suppliers at the min survive), which is
+    * exactly [[graft.plans.TopKPerGroup]]'s tie-exact keeper, so this
+    * query exercises the custom operator's rank()=1 path under a
+    * DuckDB oracle. The explicit repartition on l_partkey is the q87
+    * trick: hash(partkey) satisfies the (partkey, suppkey) aggregate
+    * AND the rank's partitioning, so the agg and the top-1 ride ONE
+    * exchange. */
+  private val q107: Q = (s, d) => {
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("pair_price"))
+    val pairPrice = Tables.lineitem(s, d)
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("pair_price"))
+    pairPrice
+      .withColumn("rn", rank().over(w)).filter(col("rn") === 1).drop("rn")
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("red%"))
+        .select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("pair_price"))
+      .orderBy(col("p_partkey"), col("s_name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q105_recent_supply_shift" -> q105,
+    "q106_large_orders" -> q106,
+    "q107_cheapest_supplier" -> q107,
     "q98_small_qty_revenue" -> q98,
     "q99_top_revenue_supplier" -> q99,
     "q100_balance_concentration" -> q100,
@@ -541,6 +649,60 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
+    // the CORRELATED Q20 spelling: nested IN + two correlated scalar
+    // subqueries per supply pair (each a lineitem rescan) — DuckDB
+    // decorrelates its own way; the hash compare checks both
+    // algorithms land on identical rows
+    "q105_recent_supply_shift" ->
+      """SELECT s_suppkey, s_name, n_name AS nation
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT ps.l_suppkey
+        |  FROM (SELECT l_partkey, l_suppkey FROM lineitem
+        |        GROUP BY 1, 2 HAVING count(*) >= 2) ps
+        |  WHERE ps.l_partkey IN
+        |      (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |    AND (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,6)))
+        |         FROM lineitem l2
+        |         WHERE l2.l_partkey = ps.l_partkey
+        |           AND l2.l_suppkey = ps.l_suppkey
+        |           AND CAST(l2.l_shipdate AS DATE) >= DATE '2001-10-01') * 2
+        |      > (SELECT sum(CAST(l3.l_quantity AS DECIMAL(18,6)))
+        |         FROM lineitem l3
+        |         WHERE l3.l_partkey = ps.l_partkey
+        |           AND l3.l_suppkey = ps.l_suppkey))
+        |ORDER BY s_suppkey""".stripMargin,
+    // the Q18 spelling: IN over a grouped HAVING subquery; lineitem
+    // aggregated twice (the Spark side aggregates once)
+    "q106_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS DOUBLE) AS total_qty
+        |FROM customer c
+        |JOIN orders o ON c_custkey = o_custkey
+        |JOIN lineitem l ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    // the Q2 spelling: correlated scalar min-equality over the supply
+    // pair relation (min is selection, not arithmetic — double
+    // equality is engine-safe)
+    "q107_cheapest_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS pair_price
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p_partkey, p_name, s_name, pair_price
+        |FROM ps
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_name LIKE 'red%'
+        |  AND pair_price = (SELECT min(ps2.pair_price) FROM ps ps2
+        |                    WHERE ps2.l_partkey = ps.l_partkey)
+        |ORDER BY p_partkey, s_name""".stripMargin,
     // the CORRELATED Q17 original — per-row scalar subqueries, split
     // into count+sum so the half-average predicate stays in exact
     // multiplicative decimal form (no double average on either engine)

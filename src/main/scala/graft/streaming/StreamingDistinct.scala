@@ -44,6 +44,9 @@ object StreamingDistinct {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, storePath)
       }
+      // named so a session-level StreamAudit can attribute its
+      // per-batch lines to this pipeline
+      .queryName("graft_distinct_stream")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -89,6 +89,9 @@ object StreamingNearDup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, storePath, pairsDir)
       }
+      // named so a session-level StreamAudit can attribute its
+      // per-batch lines to this pipeline
+      .queryName("graft_neardup_stream")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

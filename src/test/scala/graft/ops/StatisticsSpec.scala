@@ -28,6 +28,22 @@ class StatisticsSpec extends SparkTestBase {
     }
   }
 
+  test("ANALYZE covers the full testdata catalog, documents and events included") {
+    Statistics.analyzeTables(spark, sf, Statistics.testdataTables)
+    withCbo(true) {
+      for (t <- Statistics.testdataTables) {
+        val rows = Statistics.estimatedRows(spark, t)
+        assert(rows.exists(_ > 0), s"ANALYZE left no rowCount for $t")
+      }
+      // sanity on relative magnitudes the optimizer will reason with
+      val ev = Statistics.estimatedRows(spark, "events").get
+      val docs = Statistics.estimatedRows(spark, "documents").get
+      val nat = Statistics.estimatedRows(spark, "nation").get
+      assert(ev > docs && docs > nat,
+        s"events ($ev) > documents ($docs) > nation ($nat) expected")
+    }
+  }
+
   test("CBO join reorder overrides a bad syntactic order (no hints anywhere)") {
     Statistics.analyzeTables(spark, sf, tables)
     val ruleBased = withCbo(false)(Statistics.joinOrder(Statistics.threeWayJoin(spark)))

@@ -13,10 +13,22 @@ class StreamingDistinctSpec extends SparkTestBase {
   test("micro-batches append sketch rounds; estimates track exact distincts") {
     val root = tmpDir("sdist")
     val eventsDir = s"$root/events"
+    val auditPath = s"$root/audit.jsonl"
+    val audit = StreamAudit.attach(spark, auditPath)
     events((1L, 1L, "view"), (2L, 2L, "view"), (3L, 1L, "click"))
       .write.parquet(eventsDir)
-    StreamingDistinct.start(spark, eventsDir, s"$root/sk", s"$root/ckpt")
-      .awaitTermination()
+    try {
+      StreamingDistinct.start(spark, eventsDir, s"$root/sk", s"$root/ckpt")
+        .awaitTermination()
+      // the audit sink attributes the batch to the named query and
+      // records its input rows (delivery is async — poll)
+      assert(StreamAudit.awaitLines(auditPath, "graft_distinct_stream", 1),
+        "audit line for the distinct stream never arrived")
+      val m = StreamAudit.metrics(spark, auditPath)
+        .filter(col("query") === "graft_distinct_stream").collect()
+      assert(m.map(_.getAs[Long]("input_rows")).sum == 3L,
+        s"audited input rows diverge: ${m.toSeq}")
+    } finally audit.detach()
     val est0 = StreamingDistinct.estimates(spark, s"$root/sk")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est0 == Map("view" -> 2L, "click" -> 1L))
