@@ -20,7 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++ graft.queries.Flights.queries ++
-      graft.queries.StarQueries.queries ++
+      graft.queries.StarQueries.queries ++ graft.queries.Stats.queries ++
       graft.ops.TextAnalysis.queries ++ graft.ops.EventTime.queries ++
       graft.ops.Similarity.queries ++ graft.ops.Dedup.queries ++
       graft.ops.Multimodal.queries ++ graft.ops.Curation.queries ++
@@ -31,7 +31,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracle ++ graft.queries.Flights.oracle ++
-      graft.queries.StarQueries.oracle ++
+      graft.queries.StarQueries.oracle ++ graft.queries.Stats.oracle ++
       graft.ops.TextAnalysis.oracle ++ graft.ops.EventTime.oracle ++
       graft.ops.Similarity.oracle ++ graft.ops.Dedup.oracle ++
       graft.ops.Multimodal.oracle ++ graft.ops.Curation.oracle ++

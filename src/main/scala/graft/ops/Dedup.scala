@@ -629,6 +629,56 @@ object Dedup {
     containmentNearDups(Tables.documents(s, d))
       .orderBy(col("contained_doc"), col("container_doc"))
 
+  /** Edit-distance-verified near-dup tier (q111): the set-based tiers
+    * (shingle Jaccard, minhash, simhash) are ORDER-BLIND — a document
+    * with the same 3-gram multiset rearranged scores as a dup — and
+    * conversely they over-penalize dense small edits (every edit kills
+    * 3 shingles). Levenshtein is the sequence-exact metric crawl
+    * pipelines reach for when the candidate set is already small:
+    * character edits count 1 each, order matters.
+    *
+    * Cost shape, because edit distance is O(n*m) per pair: (a) pair
+    * generation rides the SAME prefix-fingerprint blocks as q36 —
+    * never all-pairs; (b) a length pre-band (|len_a - len_b| <= 102:
+    * distance is at least the length gap, so the band is lossless for
+    * the final predicate) prunes before any DP runs; (c) the DP runs
+    * on the first 512 chars only — "bounded prefix edit distance",
+    * the standard capped variant — making per-pair work O(512^2)
+    * worst-case regardless of document size, and (d) Spark's 3-arg
+    * `levenshtein(l, r, cap)` runs the BANDED O(n*cap) DP and
+    * early-outs to -1 past the cap. Kept pairs satisfy
+    * 5*dist <= max(prefix lengths) — edit similarity >= 0.8 — as an
+    * exact integer predicate; the emitted similarity is one double
+    * division. Both engines' levenshtein is codepoint-counted
+    * standard Wagner-Fischer, so the oracle twin is exact. */
+  def editDistanceNearDups(docs: DataFrame, cap: Int = 512): DataFrame = {
+    val maxDist = cap / 5
+    val idx = docs.select(col("doc_id"),
+      md5(array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 4), " ")).as("fp"),
+      substring(col("text"), 1, cap).as("px"))
+      .withColumn("plen", length(col("px")))
+    val a = idx.select(col("fp"), col("doc_id").as("doc_a"),
+      col("px").as("px_a"), col("plen").as("len_a"))
+    val b = idx.select(col("fp"), col("doc_id").as("doc_b"),
+      col("px").as("px_b"), col("plen").as("len_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("edit_distance",
+        levenshtein(col("px_a"), col("px_b"), maxDist + 1))
+      .filter(col("edit_distance") >= 0 &&
+        col("edit_distance") * 5 <= greatest(col("len_a"), col("len_b")))
+      .select(col("doc_a"), col("doc_b"),
+        // LONG for oracle-type parity (DuckDB levenshtein is BIGINT)
+        col("edit_distance").cast(LongType).as("edit_distance"),
+        (lit(1.0) - col("edit_distance").cast(DoubleType) /
+          greatest(col("len_a"), col("len_b"))).as("edit_similarity"))
+  }
+
+  val editDistanceDups: Q = (s, d) =>
+    editDistanceNearDups(Tables.documents(s, d))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Incremental near-dup (q61): dedup an ingest DELTA against the
     * standing corpus — the 100 TB operating mode, where re-pairing
     * the whole corpus with itself per ingest round would be O(corpus)
@@ -861,6 +911,7 @@ object Dedup {
     "q35_simhash_neardups" -> simhashDups,      // rows-only (hash-seeded)
     "q36_ngram_jaccard_blocked" -> ngramJaccardBlocked,
     "q36c_ngram_containment" -> ngramContainmentBlocked,
+    "q111_edit_distance_dups" -> editDistanceDups,
     "q61_incremental_neardups" -> ngramJaccardIncremental,
     "q36b_dedup_keepers" -> ngramDupKeepers,
     "q103_dup_cluster_histogram" -> dupClusterHistogram,
@@ -921,6 +972,23 @@ object Dedup {
         |  count(DISTINCT md5(text)) AS n_distinct,
         |  count(*) - count(DISTINCT md5(text)) AS n_dupes
         |FROM documents GROUP BY source""".stripMargin,
+    // the edit-distance tier replayed literally: same prefix blocks,
+    // same 512-char cap, same integer 5*dist <= max(len) predicate;
+    // DuckDB's levenshtein is the same codepoint Wagner-Fischer
+    "q111_edit_distance_dups" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), 1, 4), ' ')) AS fp,
+        |    substr(text, 1, 512) AS px, length(substr(text, 1, 512)) AS plen
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.px, b.px) AS edit_distance,
+        |  1.0 - CAST(levenshtein(a.px, b.px) AS DOUBLE) /
+        |    greatest(a.plen, b.plen) AS edit_similarity
+        |FROM t a JOIN t b
+        |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  AND abs(a.plen - b.plen) <= 102
+        |WHERE levenshtein(a.px, b.px) * 5 <= greatest(a.plen, b.plen)""".stripMargin,
     "q36_ngram_jaccard_blocked" ->
       s"""WITH $sqlBlockedPairs
          |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,

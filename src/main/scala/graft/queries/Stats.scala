@@ -1,0 +1,295 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact distributed statistics: regression, outlier detection, and
+  * concentration analysis under the engine's cross-engine bit-identity
+  * discipline (see [[Qx]]).
+  *
+  * The built-in `regr_slope`/`corr`/`stddev` aggregates sum doubles in
+  * partition order, so their results are not reproducible across
+  * engines (or across two runs with different partitioning). Every
+  * query here instead reduces the data to EXACT decimal/integer moment
+  * sums (order-independent by construction), then applies the closed-
+  * form formula as a fixed sequence of scalar IEEE-754 ops — both
+  * engines see identical operands and identical operation trees, so
+  * the doubles match bit-for-bit, the same trust q102's
+  * (rank-1)/(n-1) already relies on.
+  *
+  * Scale posture: each query is one (or two) hash-aggregations onto a
+  * handful of group keys — partial-aggregable, map-side combined, no
+  * fact-table shuffle anywhere (the second pass of the outlier query
+  * joins a BROADCAST stats table back onto the scan).
+  */
+object Stats {
+  import Qx._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exactness envelope guard for the moment sums (same contract as
+    * [[Qx.guarded]]): decimal totals must round-trip through DOUBLE
+    * exactly, i.e. the scaled integer stays below 2^53. A total past
+    * the bound raises instead of silently losing ulps. */
+  private def exactDouble(c: Column, rescale: Int): Column = {
+    val r = c.cast(DecimalType(18, rescale))
+    val bound = new java.math.BigDecimal(1L << 53).movePointLeft(rescale)
+    when(c.isNotNull && (r.isNull || abs(r) >= lit(bound)),
+      raise_error(concat(lit("graft.Stats: moment sum past the 2^53 exactness bound: "),
+        c.cast(StringType))).cast(DecimalType(18, rescale)))
+      .otherwise(r).cast(DoubleType)
+  }
+
+  /** q108 — per-group ordinary-least-squares regression and Pearson
+    * correlation of discount on quantity ("do larger orders get
+    * deeper discounts"), the exact-arithmetic form of
+    * `regr_slope / regr_intercept / corr`.
+    *
+    * One aggregation computes the five moment sums (Sx, Sy, Sxx,
+    * Sxy, Syy) in exact decimals — quantity is integral (rescale 0),
+    * discount has 2 dp (2; products 4) — then the closed forms run
+    * on the exact-sum doubles:
+    *   slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+    *   intercept = (Sy - slope*Sx) / n
+    *   corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+    * Every operand is bit-identical across engines and the formula is
+    * a fixed parenthesized tree, so the emitted doubles are too
+    * (sqrt is correctly rounded per IEEE-754).
+    *
+    * Scale: one scan, map-side combine onto 3 group keys; sum bounds
+    * hold to SF100 and [[exactDouble]] raises loudly past that. */
+  private val q108: Q = (s, d) => {
+    val x = col("l_quantity").cast(D6)
+    val y = col("l_discount").cast(D6)
+    val stats = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(x).as("sx_d"), sum(y).as("sy_d"),
+        sum((x * x).cast(D6)).as("sxx_d"),
+        sum((x * y).cast(D6)).as("sxy_d"),
+        sum((y * y).cast(D6)).as("syy_d"))
+      .select(col("l_returnflag"), col("n_items"),
+        col("n_items").cast(DoubleType).as("n"),
+        exactDouble(col("sx_d"), 0).as("sx"),
+        exactDouble(col("sy_d"), 2).as("sy"),
+        exactDouble(col("sxx_d"), 0).as("sxx"),
+        exactDouble(col("sxy_d"), 2).as("sxy"),
+        exactDouble(col("syy_d"), 4).as("syy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = covN / varXN
+    stats.select(col("l_returnflag"), col("n_items"),
+        slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+        (covN / sqrt(varXN * varYN)).as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q109 — 3-sigma outlier rates per (returnflag, linestatus), with
+    * ZERO floating point anywhere: prices become exact cent integers,
+    * and the classic |x - mean| > 3*stddev test is cleared of its
+    * divisions and its square root:
+    *   (n*x - S)^2 > 9 * (n*S2 - S^2)
+    * evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB twin) —
+    * both exact 128-bit-class integer arithmetic, so the flagged set
+    * is bit-identical by construction, no IEEE trust needed at all.
+    *
+    * Two passes over the fact, NO fact shuffle: pass 1 map-side
+    * combines (n, S, S2) onto a handful of keys; pass 2 re-scans with
+    * the tiny stats table BROADCAST back on and counts flagged rows,
+    * again map-side combined. The intermediate magnitudes fit
+    * DECIMAL(38,0) through SF100 (documented per term); past that the
+    * first pass should center on a coarse first-pass mean before
+    * squaring (two-pass Welford), which keeps (n*x - S) small —
+    * noted, not implemented.
+    *
+    * `outlier_ppm` is an exact integer floor division, q104's ppm
+    * discipline. */
+  private val q109: Q = (s, d) => {
+    // exact cents: 2-dp double -> DECIMAL(18,2) (correct rounding of
+    // the double's shortest decimal form on both engines) -> integer
+    val cents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(18, 0))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"), cents.as("cents"))
+    val stats = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast(DecimalType(18, 0)).as("n_d"),
+        sum(col("cents")).as("s_d"),
+        sum((col("cents") * col("cents")).cast(DecimalType(38, 0))).as("s2_d"))
+    val lhs = (col("n_d") * col("cents") - col("s_d")).cast(DecimalType(38, 0))
+    val rhs = (col("n_d") * col("s2_d") - col("s_d") * col("s_d")).cast(DecimalType(38, 0))
+    // non-ANSI decimal overflow yields NULL silently; the envelope is
+    // SF100-safe but a breach must be loud, not a dropped row
+    val guardedFlag = when(lhs.isNull || rhs.isNull,
+        raise_error(lit("graft.Stats q109: DECIMAL(38,0) overflow — center first (class doc)")))
+      .otherwise(lhs * lhs > rhs * 9)
+    li.join(broadcast(stats), Seq("l_returnflag", "l_linestatus"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(guardedFlag, 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_items"),
+        col("n_outliers"),
+        expr("1000000 * n_outliers div n_items").as("outlier_ppm"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q112 — the TPC-H Q7 shape (volume shipping between two trade
+    * partners): revenue by (supplier nation, customer nation, ship
+    * year) for flows in either direction between two chosen nations.
+    *
+    * The 100 TB plan this spells: both nation filters push to the DIM
+    * side BEFORE any fact join — the qualified suppliers broadcast
+    * onto lineitem (pruning the fact to ~2/25 of its rows with no
+    * shuffle), the qualified customers broadcast onto orders — and
+    * only then do the two pruned facts meet in the single big
+    * exchange on orderkey. Filtering after a lineitem-orders-customer
+    * join (the naive spelling) would shuffle 12x the rows. The final
+    * pair filter (either direction, unequal) runs on two ints. */
+  private val q112: Q = (s, d) => {
+    val nations = Seq("NATION_3", "NATION_7")
+    val nat = Tables.nation(s, d)
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(s, d)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast(DecimalType(18, 4)).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+  }
+
+  /** q113 — Pareto concentration: the smallest head set of suppliers
+    * (by revenue, ties broken by key) covering 80% of total revenue,
+    * emitted per supplier with its exact cumulative share.
+    *
+    * All comparisons run in exact decimals: a supplier is in the head
+    * while the revenue BEFORE it (cum - own) is under 0.8 * total,
+    * with 0.8 an exact DECIMAL(1,1) — the threshold never touches a
+    * double. Revenues rescale to DECIMAL(18,4) right after the
+    * aggregation (lossless, <= 4 real dp; holds totals to 10^14, so
+    * SF100-safe) — the tight width keeps every downstream decimal op
+    * inside BOTH engines' 38-digit cap (DuckDB ERRORS on a multiply
+    * that would widen past 38, so a DECIMAL(38,6) window sum times
+    * anything is a twin-killer). The share emitted per row is one
+    * double division of two exact decimals.
+    *
+    * Scale: the per-supplier aggregation map-side combines onto the
+    * supplier key (one exchange); the window + global total then run
+    * over the AGGREGATED frame (|suppliers| rows, not |lineitem|) —
+    * single-partition window over a dimension-sized frame, the same
+    * shape q99 pinned as acceptable (the frame is dim-cardinality;
+    * at 10^8 suppliers you'd range-partition the cumsum). */
+  private val q113: Q = (s, d) => {
+    val perSupp = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast(DecimalType(18, 4)).as("rev_d"))
+    val w = Window.orderBy(col("rev_d").desc, col("l_suppkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSupp
+      .withColumn("cum_d", sum(col("rev_d")).over(w))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rev_d").desc, col("l_suppkey"))))
+      .crossJoin(broadcast(perSupp.agg(
+        sum(col("rev_d")).cast(DecimalType(18, 4)).as("total_d"))))
+      .filter((col("cum_d") - col("rev_d")).cast(DecimalType(18, 4)) <
+        col("total_d") * lit(new java.math.BigDecimal("0.8")))
+      .select(col("rank"), col("l_suppkey"),
+        col("rev_d").cast(DoubleType).as("revenue"),
+        (col("cum_d").cast(DecimalType(18, 4)).cast(DoubleType) /
+          col("total_d").cast(DoubleType)).as("cum_share"))
+      .orderBy(col("rank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q108_discount_qty_regression" -> q108,
+    "q109_price_outliers" -> q109,
+    "q112_trade_volume" -> q112,
+    "q113_pareto_suppliers" -> q113)
+
+  val oracle: Map[String, String] = Map(
+    "q108_discount_qty_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n_items,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,0)) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DECIMAL(18,0)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(CAST(l_discount AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_items,
+        |  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+        |  (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept,
+        |  (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS corr
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q109_price_outliers" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(count(*) AS HUGEINT) AS n_h,
+        |    CAST(sum(cents) AS HUGEINT) AS s_h,
+        |    CAST(sum(cents * cents) AS HUGEINT) AS s2_h
+        |  FROM c GROUP BY 1, 2)
+        |SELECT c.l_returnflag, c.l_linestatus,
+        |  count(*) AS n_items,
+        |  CAST(sum(CASE WHEN (n_h*cents - s_h)*(n_h*cents - s_h) > 9*(n_h*s2_h - s_h*s_h)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST((1000000 * sum(CASE WHEN (n_h*cents - s_h)*(n_h*cents - s_h) > 9*(n_h*s2_h - s_h*s_h)
+        |                      THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS outlier_ppm
+        |FROM c JOIN st USING (l_returnflag, l_linestatus)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q112_trade_volume" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  year(CAST(l_shipdate AS DATE)) AS ship_year,
+         |  ${Qx.sqlDsum(Qx.sqlDiscPrice, rescale = 4)} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+         |  AND cn.n_name IN ('NATION_3', 'NATION_7')
+         |  AND sn.n_name <> cn.n_name
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q113_pareto_suppliers" ->
+      s"""WITH per AS (
+         |  SELECT l_suppkey, CAST(sum($sqlDiscPrice) AS DECIMAL(18,4)) AS rev_d
+         |  FROM lineitem GROUP BY l_suppkey),
+         |cum AS (
+         |  SELECT l_suppkey, rev_d,
+         |    sum(rev_d) OVER (ORDER BY rev_d DESC, l_suppkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d,
+         |    row_number() OVER (ORDER BY rev_d DESC, l_suppkey) AS rank,
+         |    CAST(sum(rev_d) OVER () AS DECIMAL(18,4)) AS total_d
+         |  FROM per)
+         |SELECT rank, l_suppkey,
+         |  CAST(rev_d AS DOUBLE) AS revenue,
+         |  CAST(CAST(cum_d AS DECIMAL(18,4)) AS DOUBLE) /
+         |    CAST(total_d AS DOUBLE) AS cum_share
+         |FROM cum
+         |WHERE CAST(cum_d - rev_d AS DECIMAL(18,4)) < total_d * CAST(0.8 AS DECIMAL(1,1))
+         |ORDER BY rank""".stripMargin)
+}

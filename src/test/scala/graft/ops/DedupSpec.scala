@@ -335,4 +335,58 @@ class DedupSpec extends SparkTestBase {
     assert(got(1) == Seq("a b"))
     assert(got(2) == Seq("x"))
   }
+
+  test("edit-distance tier: exact distances within blocks, 0.8-similarity gate") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      1L -> base,
+      2L -> base.replace("epsilon", "epsilom"),        // 1 substitution
+      3L -> base.replace(" zeta", ""),                 // 5 deletions
+      4L -> ("omega " + base),                          // different 4-token prefix
+      5L -> base.replaceAll("[aeiou]", "x")            // same prefix? no — first token changes
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistanceNearDups(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("edit_distance"), r.getAs[Double]("edit_similarity"))).toMap
+    // in-block near-identical pairs found with exact Levenshtein counts
+    assert(pairs((1L, 2L))._1 == 1L)
+    assert(pairs((1L, 3L))._1 == 5L)
+    assert(pairs((2L, 3L))._1 == 6L)
+    // a prefix-shifted copy never pairs: the block key is the first
+    // four tokens (the documented tier contract — mid-document edits
+    // pair, head edits belong to the sketch tiers)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // the vowel-mangled doc shares no block either (first token changed)
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
+    // similarity is 1 - dist/max(len)
+    val (d12, s12) = pairs((1L, 2L))
+    assert(math.abs(s12 - (1.0 - d12.toDouble / base.length)) < 1e-12)
+  }
+
+  test("edit-distance tier: the 20% gate drops dissimilar same-block pairs " +
+    "and the length band is lossless") {
+    val prefix = "common head tokens here "
+    val docs = Seq(
+      1L -> (prefix + ("x" * 100)),
+      2L -> (prefix + ("y" * 100)),   // same block, distance 100 > 20% of 124
+      3L -> (prefix + ("x" * 99) + "z") // 1 edit from doc 1
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistanceNearDups(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == Set((1L, 3L)))
+    // band losslessness: a pair dropped by the |len| band could never
+    // pass the gate — max length gap that survives is cap/5
+    val far = Seq(1L -> "a b c d", 2L -> ("a b c d " + ("w " * 300)))
+      .toDF("doc_id", "text")
+    assert(Dedup.editDistanceNearDups(far).count() == 0)
+  }
+
+  test("edit-distance tier caps the DP at the 512-char prefix") {
+    // identical beyond the cap, different only after char 512: the
+    // bounded-prefix semantics treat them as exact dups (distance 0)
+    val head = "shared first four tokens " + ("p" * 600)
+    val docs = Seq(1L -> (head + "AAAA"), 2L -> (head + "BBBB")).toDF("doc_id", "text")
+    val rows = Dedup.editDistanceNearDups(docs).collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("edit_distance") == 0L)
+  }
 }

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The exact-statistics family (q108/q109/q112/q113). The oracle gate
+  * pins cross-engine bit-identity; these tests pin the MATH — each
+  * query's closed-form output is cross-checked against an independent
+  * Spark spelling (the built-in double aggregates, or a directly
+  * computed threshold), so a formula typo can't hide behind a twin
+  * that repeats the same typo. */
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("q108 regression matches the built-in regr_slope/corr to float tolerance") {
+    val got = q("q108_discount_qty_regression").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("slope"), r.getAs[Double]("intercept"), r.getAs[Double]("corr")))
+      .toMap
+    val ref = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("regr_slope(l_discount, l_quantity)").as("s"),
+        expr("regr_intercept(l_discount, l_quantity)").as("i"),
+        corr(col("l_discount"), col("l_quantity")).as("c"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("s"), r.getAs[Double]("i"), r.getAs[Double]("c")))
+      .toMap
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    got.foreach { case (k, (s, i, c)) =>
+      val (rs, ri, rc) = ref(k)
+      assert(math.abs(s - rs) < 1e-9, s"slope($k): $s vs builtin $rs")
+      assert(math.abs(i - ri) < 1e-9, s"intercept($k): $i vs builtin $ri")
+      assert(math.abs(c - rc) < 1e-9, s"corr($k): $c vs builtin $rc")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
+  test("q109 flags exactly the |x-mean| > 3*stddev_pop rows (double cross-check)") {
+    val got = q("q109_price_outliers").collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus")) ->
+        (r.getAs[Long]("n_items"), r.getAs[Long]("n_outliers"), r.getAs[Long]("outlier_ppm")))
+      .toMap
+    // independent spelling: window mean/stddev_pop in doubles; the
+    // group margins are far from the 3-sigma boundary so double
+    // round-off cannot flip a row at this SF
+    val li = graft.Tables.lineitem(spark, sf)
+    val stats = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(avg(col("l_extendedprice")).as("mu"),
+        stddev_pop(col("l_extendedprice")).as("sd"))
+    val ref = li.join(stats, Seq("l_returnflag", "l_linestatus"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("l_extendedprice") - col("mu")) > col("sd") * 3, 1L)
+          .otherwise(0L)).as("o"))
+      .collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("o")))
+      .toMap
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    got.foreach { case (k, (n, o, ppm)) =>
+      assert((n, o) == ref(k), s"group $k: got ($n,$o) vs double cross-check ${ref(k)}")
+      assert(ppm == 1000000L * o / n)
+    }
+  }
+
+  test("q112 trade flows cover both directions of the nation pair only") {
+    val rows = q("q112_trade_volume").collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r =>
+      (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))).toSet
+    assert(pairs.subsetOf(Set(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))))
+    rows.foreach(r => assert(r.getAs[Double]("revenue") > 0))
+  }
+
+  test("q113 head set is the minimal 80% prefix: monotone shares, crossing row last") {
+    val rows = q("q113_pareto_suppliers").orderBy(col("rank")).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    // ranks are the contiguous prefix 1..n and shares strictly increase
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a < b })
+    // every row but the last is strictly below the threshold; the
+    // last row crosses it — the definition of a minimal prefix
+    assert(shares.dropRight(1).forall(_ < 0.8))
+    assert(shares.last >= 0.8)
+    // revenues arrive in the rank order (desc, key tiebreak)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+}
