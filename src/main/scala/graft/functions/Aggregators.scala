@@ -57,6 +57,35 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** Bloom-filter bitmap build ([[graft.ops.BloomJoin]]): same
+    * division of labor as [[CountMinSketch]] — the caller computes
+    * the k bit positions as codegen'd column expressions and this
+    * aggregator only sets bits in a flat m-bit long array. Partial-
+    * aggregable: reduce sets, merge ORs, so the exchange carries one
+    * m/8-byte bitmap per map partition. */
+  class BloomBits(val mBits: Int) extends Aggregator[Seq[Int], Array[Long], Array[Long]] {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits $mBits must be a positive multiple of 64")
+    override def zero: Array[Long] = new Array[Long](mBits / 64)
+    override def reduce(b: Array[Long], pos: Seq[Int]): Array[Long] = {
+      val it = pos.iterator
+      while (it.hasNext) {
+        val p = it.next()
+        b(p >>> 6) |= 1L << (p & 63)
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** Exact weighted mean over pre-scaled integer inputs: the caller
     * converts value to fixed-point units (`round(value * 10^scale)`
     * as LONG — exact for data with <= scale real decimal places) and
