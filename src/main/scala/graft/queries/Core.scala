@@ -615,10 +615,67 @@ object Core {
       .orderBy(col("p_partkey"), col("s_name"))
   }
 
+  /** q114 — the TPC-H Q19 shape (disjunctive predicate pushdown):
+    * revenue for three (brand, size-band, quantity-band) disjuncts,
+    * written ONCE as the OR-of-ANDs the business rule states. The
+    * optimizer question Q19 poses: can the engine factor the
+    * part-only conjuncts out of the disjunction and push them below
+    * the join? Spark's PushExtraPredicateThroughJoin extracts the
+    * convertible disjunction `(brand=1 ∧ size≤10) ∨ (brand=2 ∧
+    * size≤20) ∨ (brand=3 ∧ size≤30)` to the part scan (visible as a
+    * PushedFilters Or(...) in the scan node) — the dim side shrinks
+    * to 3/25 of brands BEFORE the join instead of filtering rows
+    * after it; the quantity conjuncts stay on the fact scan the same
+    * way. Per-brand output rows (Q19's scalar total is the rollup). */
+  private val q114: Q = (s, d) => {
+    val branch = (col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" &&
+        col("p_size").between(1, 20) && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" &&
+        col("p_size").between(1, 30) && col("l_quantity").between(20, 30))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .groupBy(col("p_brand"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast(DecimalType(18, 4)).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** q115 — equi-depth (equal-height) histogram of the price column:
+    * ntile(10) over a TOTAL order (price, then the unique orderkey/
+    * linenumber pair so ties split deterministically), then per-bucket
+    * count/min/max/exact-decimal sum. The optimizer-statistics
+    * operator as a query: equi-depth bucket bounds are what a CBO
+    * histogram stores, and both engines define ntile identically
+    * (first n mod k buckets get the extra row), so the whole thing
+    * sits under the hash oracle.
+    *
+    * Scale: ntile needs a global sort — the one legitimately
+    * order-global operator here — and Spark spells it
+    * range-partition + local sort (no single-node sort); the
+    * aggregation then rides the same range partitioning. */
+  private val q115: Q = (s, d) => {
+    val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", ntile(10).over(w))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"),
+        dsum(col("l_extendedprice"), rescale = 2).as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q105_recent_supply_shift" -> q105,
     "q106_large_orders" -> q106,
     "q107_cheapest_supplier" -> q107,
+    "q114_disjunctive_bands" -> q114,
+    "q115_equidepth_histogram" -> q115,
     "q98_small_qty_revenue" -> q98,
     "q99_top_revenue_supplier" -> q99,
     "q100_balance_concentration" -> q100,
@@ -649,6 +706,27 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
+    "q114_disjunctive_bands" ->
+      s"""SELECT p_brand,
+         |  ${Qx.sqlDsum(Qx.sqlDiscPrice, rescale = 4)} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+         |         AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+         |         AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+         |         AND l_quantity BETWEEN 20 AND 30)
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q115_equidepth_histogram" ->
+      s"""SELECT bucket, count(*) AS n_items,
+         |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+         |  ${Qx.sqlDsum("l_extendedprice", rescale = 2)} AS sum_price
+         |FROM (
+         |  SELECT l_extendedprice,
+         |    ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+         |  FROM lineitem)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     // the CORRELATED Q20 spelling: nested IN + two correlated scalar
     // subqueries per supply pair (each a lineitem rescan) — DuckDB
     // decorrelates its own way; the hash compare checks both

@@ -1,0 +1,44 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Plan-shape pins for the optimizer-exercising Core queries: these
+  * queries exist to prove a specific Catalyst behavior, so the spec
+  * asserts the PLAN, not just the rows (the oracle gate covers rows). */
+class CoreShapesSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("q114: the part-only disjunction is pushed below the join to the part scan") {
+    val plan = q("q114_disjunctive_bands").queryExecution.executedPlan.toString
+    // the factored OR over (p_brand, p_size) must reach the parquet
+    // source as a pushed filter — dim rows die at the scan, pre-join
+    val pushedToPart = plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("Or(") && l.contains("p_brand"))
+    assert(pushedToPart, s"no Or(...p_brand...) in PushedFilters:\n$plan")
+    // and the quantity side reaches the lineitem scan likewise
+    val pushedToFact = plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_quantity"))
+    assert(pushedToFact, s"no l_quantity pushdown on the fact scan:\n$plan")
+  }
+
+  test("q115: buckets are equal-height with ntile's n mod k split, cover all rows") {
+    val rows = q("q115_equidepth_histogram").collect()
+    val n = graft.Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == n)
+    val sizes = rows.sortBy(_.getAs[Int]("bucket")).map(_.getAs[Long]("n_items"))
+    // ntile: first (n mod 10) buckets hold ceil(n/10), the rest floor
+    val (hi, lo, cut) = (n / 10 + (if (n % 10 > 0) 1 else 0), n / 10, (n % 10).toInt)
+    sizes.zipWithIndex.foreach { case (s, i) =>
+      assert(s == (if (i < cut || n % 10 == 0) if (n % 10 == 0) lo else hi else lo),
+        s"bucket ${i + 1} size $s, expected ${if (i < cut) hi else lo}")
+    }
+    // bucket ranges tile the domain in order
+    val sorted = rows.sortBy(_.getAs[Int]("bucket"))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+    }
+  }
+}
