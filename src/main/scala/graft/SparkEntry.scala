@@ -26,7 +26,7 @@ object SparkEntry {
       graft.ops.Multimodal.queries ++ graft.ops.Curation.queries ++
       graft.ops.Assembly.queries ++ graft.ops.Bpe.queries ++
       graft.ops.Boilerplate.queries ++ graft.ops.Layout.queries ++
-      graft.ops.BloomJoin.queries
+      graft.ops.BloomJoin.queries ++ graft.ops.Scd.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,7 +38,7 @@ object SparkEntry {
       graft.ops.Multimodal.oracle ++ graft.ops.Curation.oracle ++
       graft.ops.Assembly.oracle ++ graft.ops.Bpe.oracle ++
       graft.ops.Boilerplate.oracle ++ graft.ops.Layout.oracle ++
-      graft.ops.BloomJoin.oracle
+      graft.ops.BloomJoin.oracle ++ graft.ops.Scd.oracle
 
   /** Queries driven by checked-in fixtures rather than the sf-scaled
     * testdata tables: their runtime is constant in SF, so Bench reports

@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Slowly-changing-dimension (type 2) machinery: versioned attribute
+  * history with [valid_from, valid_to) intervals and a current flag —
+  * the warehouse answer to "what did this dimension row say WHEN the
+  * fact happened", which the star schema's type-1 upsert
+  * ([[graft.flights.StarSchema]] T-9) deliberately forgets.
+  *
+  * Two entry points for the two operating modes:
+  *  - [[fromSnapshots]]: batch-derive the whole history from a pile of
+  *    timestamped observations — change-point compression via lag/lead
+  *    windows, one exchange on the entity key. This is the backfill /
+  *    bootstrap path and is fully SQL-expressible, so it carries the
+  *    DuckDB twin (q116).
+  *  - [[merge]]: apply one new batch of observations to a standing
+  *    history — the incremental path a nightly pipeline runs. One
+  *    key-partitioned join against the CURRENT slice only (closed
+  *    versions are never touched, so cost scales with |current| +
+  *    |batch|, not |history|). Spec-pinned (ScdSpec), including
+  *    merge-vs-rebuild equivalence and idempotent re-apply.
+  *
+  * At 100 TB both paths hash-partition on the entity key and never
+  * sort globally; `fromSnapshots`'s windows and `merge`'s join reuse
+  * the same exchange. valid_to is an open-right bound (NULL = still
+  * current) so interval containment is `from <= ts AND (to IS NULL OR
+  * ts < to)` — half-open, adjacent versions never overlap. */
+object Scd {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Change-point-compress timestamped snapshots into SCD2 history.
+    *
+    * `snapshots` must be unique per (key, orderCols); `attrs` are the
+    * tracked columns. A version row is emitted where the attr tuple
+    * differs from the entity's previous observation; valid_from is
+    * the observation ts, valid_to the NEXT version's valid_from
+    * (NULL for the open current version). */
+  def fromSnapshots(snapshots: DataFrame, key: Seq[String], attrs: Seq[String],
+                    ts: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(ts) +: tieBreak.map(col)).toIndexedSeq
+    val w = Window.partitionBy(key.map(col).toIndexedSeq: _*).orderBy(order: _*)
+    val changed = attrs.map(a =>
+      lag(col(a), 1).over(w).isNull || lag(col(a), 1).over(w) =!= col(a))
+      .reduce(_ || _)
+    // NULL-attr caveat: lag(a) =!= a is NULL when either side is NULL;
+    // isNull on the first row catches the open, and a NULL attr value
+    // is treated as "no change" against a NULL predecessor — callers
+    // with nullable attrs should pre-coalesce to a sentinel.
+    val versions = snapshots
+      .withColumn("_chg", changed)
+      .filter(col("_chg"))
+      .drop("_chg")
+    val wv = Window.partitionBy(key.map(col).toIndexedSeq: _*).orderBy(order: _*)
+    versions
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(wv))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((key.map(col) ++ attrs.map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current"))).toIndexedSeq: _*)
+  }
+
+  /** Incrementally apply `batch` (key ++ attrs ++ ts, one row per key
+    * at most — pre-compress multi-row batches with [[fromSnapshots]])
+    * to a standing `history` with the same layout as [[fromSnapshots]]
+    * output. Closed versions pass through untouched; a current version
+    * whose attrs differ from the batch row is closed at the batch ts;
+    * new/changed keys open a new current version. A batch row whose
+    * attrs equal the current version is a no-op (idempotent). */
+  def merge(history: DataFrame, batch: DataFrame, key: Seq[String],
+            attrs: Seq[String], ts: String): DataFrame = {
+    val closed = history.filter(!col("is_current"))
+    val current = history.filter(col("is_current"))
+    val b = batch.select((key.map(col) ++ attrs.map(c => col(c).as(s"_b_$c")) :+
+      col(ts).as("_b_ts")).toIndexedSeq: _*)
+    val joined = current.join(b, key, "full_outer")
+    val differs = attrs.map(a =>
+      !(col(a) <=> col(s"_b_$a"))).reduce(_ || _)
+    // current rows: keep open if no batch row or attrs unchanged;
+    // close at the batch ts when the batch changes them
+    val keptCurrent = joined.filter(col("valid_from").isNotNull)
+      .select((key.map(col) ++ attrs.map(col) ++ Seq(
+        col("valid_from"),
+        when(col("_b_ts").isNotNull && differs, col("_b_ts")).as("valid_to"),
+        (col("_b_ts").isNull || !differs).as("is_current"))).toIndexedSeq: _*)
+    // batch rows that open a new version: new key, or changed attrs
+    val opened = joined.filter(col("_b_ts").isNotNull &&
+        (col("valid_from").isNull || differs))
+      .select((key.map(col) ++ attrs.map(a => col(s"_b_$a").as(a)) ++ Seq(
+        col("_b_ts").as("valid_from"),
+        lit(null).cast(TimestampType).as("valid_to"),
+        lit(true).as("is_current"))).toIndexedSeq: _*)
+    closed.select(keptCurrent.columns.map(col).toIndexedSeq: _*)
+      .unionByName(keptCurrent)
+      .unionByName(opened)
+  }
+
+  /** Point-in-time lookup: the version of each entity valid at `at`
+    * (half-open containment). The as-of join a fact backfill runs. */
+  def asOf(history: DataFrame, at: Column): DataFrame =
+    history.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || at < col("valid_to")))
+
+  /** q116 — per-user value-band history over the event stream: each
+    * user's `value` reading quantized to exact 100-unit bands (integer
+    * arithmetic on cents — no double boundaries), change-point
+    * compressed into SCD2 intervals. The telemetry state-change
+    * history every fleet dashboard wants, and the [[fromSnapshots]]
+    * operator under the DuckDB oracle. Timestamps emit as formatted
+    * strings (house rule for cross-engine timestamp parity). */
+  val userBandHistory: Q = (s, d) => {
+    val tsFmt = "yyyy-MM-dd HH:mm:ss"
+    val snaps = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .withColumn("band", expr("cents div 10000"))
+      .drop("cents")
+    fromSnapshots(snaps, Seq("user_id"), Seq("band"), "ts", Seq("event_id"))
+      .select(col("user_id"), col("band"),
+        date_format(col("valid_from"), tsFmt).as("valid_from"),
+        date_format(col("valid_to"), tsFmt).as("valid_to"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q116_scd2_band_history" -> userBandHistory)
+
+  val oracle: Map[String, String] = Map(
+    "q116_scd2_band_history" ->
+      """WITH snaps AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000 AS band
+        |  FROM events),
+        |chg AS (
+        |  SELECT *, lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM snaps),
+        |vers AS (
+        |  SELECT user_id, band, ts, event_id FROM chg WHERE prev IS NULL OR prev <> band)
+        |SELECT user_id, band,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM vers ORDER BY user_id, valid_from""".stripMargin)
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ScdSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val snapshots = Seq(
+    // user 1: A -> A -> B -> B -> A  => versions A, B, A
+    (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+    (1L, ts("2024-01-02 00:00:00"), 2L, "A"),
+    (1L, ts("2024-01-03 00:00:00"), 3L, "B"),
+    (1L, ts("2024-01-04 00:00:00"), 4L, "B"),
+    (1L, ts("2024-01-05 00:00:00"), 5L, "A"),
+    // user 2: constant => one open version
+    (2L, ts("2024-01-02 00:00:00"), 6L, "X"),
+    (2L, ts("2024-01-09 00:00:00"), 7L, "X")
+  ).toDF("user_id", "ts", "event_id", "attr")
+
+  test("fromSnapshots change-point compresses into half-open, non-overlapping versions") {
+    val h = Scd.fromSnapshots(snapshots, Seq("user_id"), Seq("attr"), "ts", Seq("event_id"))
+      .orderBy(col("user_id"), col("valid_from")).collect()
+    val u1 = h.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.map(_.getAs[String]("attr")).toSeq == Seq("A", "B", "A"))
+    assert(u1.map(r => Option(r.getAs[Timestamp]("valid_to"))).toSeq ==
+      Seq(Some(ts("2024-01-03 00:00:00")), Some(ts("2024-01-05 00:00:00")), None))
+    assert(u1.map(_.getAs[Boolean]("is_current")).toSeq == Seq(false, false, true))
+    // each version's valid_to equals the next valid_from (no gaps/overlap)
+    u1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Timestamp]("valid_to") == b.getAs[Timestamp]("valid_from"))
+    }
+    val u2 = h.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.length == 1 && u2.head.getAs[Boolean]("is_current"))
+  }
+
+  test("merge: new key opens, changed attrs close+open, unchanged is a no-op") {
+    val history = Scd.fromSnapshots(snapshots, Seq("user_id"), Seq("attr"), "ts", Seq("event_id"))
+    val batch = Seq(
+      (1L, "C", ts("2024-02-01 00:00:00")),  // change: close A, open C
+      (2L, "X", ts("2024-02-01 00:00:00")),  // unchanged: no-op
+      (3L, "Z", ts("2024-02-01 00:00:00"))   // new key: open Z
+    ).toDF("user_id", "attr", "ts")
+    val merged = Scd.merge(history, batch, Seq("user_id"), Seq("attr"), "ts")
+    val cur = merged.filter(col("is_current")).orderBy(col("user_id")).collect()
+    assert(cur.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("attr"))).toSeq ==
+      Seq((1L, "C"), (2L, "X"), (3L, "Z")))
+    // user 1's former current A is now closed at the batch ts
+    val closedA = merged.filter(col("user_id") === 1L && col("attr") === "A" &&
+      col("valid_from") === ts("2024-01-05 00:00:00")).collect().head
+    assert(!closedA.getAs[Boolean]("is_current") &&
+      closedA.getAs[Timestamp]("valid_to") == ts("2024-02-01 00:00:00"))
+    // user 2 still has exactly one version (idempotent no-op)
+    assert(merged.filter(col("user_id") === 2L).count() == 1)
+    // total: 3 closed u1 history rows? u1 had A,B,A(open) = 3; after
+    // close+open = 4; u2 1; u3 1
+    assert(merged.count() == 6)
+  }
+
+  test("merge equals rebuild: applying the batch matches fromSnapshots on the union") {
+    val batch = Seq(
+      (1L, ts("2024-02-01 00:00:00"), 100L, "C"),
+      (2L, ts("2024-02-01 00:00:00"), 101L, "X"),
+      (3L, ts("2024-02-01 00:00:00"), 102L, "Z")
+    ).toDF("user_id", "ts", "event_id", "attr")
+    val history = Scd.fromSnapshots(snapshots, Seq("user_id"), Seq("attr"), "ts", Seq("event_id"))
+    val merged = Scd.merge(history, batch.drop("event_id"),
+      Seq("user_id"), Seq("attr"), "ts")
+    val rebuilt = Scd.fromSnapshots(snapshots.unionByName(batch),
+      Seq("user_id"), Seq("attr"), "ts", Seq("event_id"))
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select("user_id", "attr", "valid_from", "valid_to", "is_current")
+      .collect().map(_.toSeq).toSet
+    assert(key(merged) == key(rebuilt))
+  }
+
+  test("merge is idempotent: re-applying the same batch changes nothing") {
+    val history = Scd.fromSnapshots(snapshots, Seq("user_id"), Seq("attr"), "ts", Seq("event_id"))
+    val batch = Seq((1L, "C", ts("2024-02-01 00:00:00"))).toDF("user_id", "attr", "ts")
+    val once = Scd.merge(history, batch, Seq("user_id"), Seq("attr"), "ts")
+    val twice = Scd.merge(once, batch, Seq("user_id"), Seq("attr"), "ts")
+    assert(once.collect().map(_.toSeq).toSet == twice.collect().map(_.toSeq).toSet)
+  }
+
+  test("asOf returns the version valid at the probe instant") {
+    val history = Scd.fromSnapshots(snapshots, Seq("user_id"), Seq("attr"), "ts", Seq("event_id"))
+    val at = Scd.asOf(history, lit(ts("2024-01-04 12:00:00")))
+      .filter(col("user_id") === 1L).collect()
+    assert(at.length == 1 && at.head.getAs[String]("attr") == "B")
+    // boundary: at exactly a version's valid_from, the NEW version wins
+    val boundary = Scd.asOf(history, lit(ts("2024-01-05 00:00:00")))
+      .filter(col("user_id") === 1L).collect()
+    assert(boundary.length == 1 && boundary.head.getAs[String]("attr") == "A" &&
+      boundary.head.getAs[Boolean]("is_current"))
+  }
+}
