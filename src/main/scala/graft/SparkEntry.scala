@@ -26,7 +26,8 @@ object SparkEntry {
       graft.ops.Multimodal.queries ++ graft.ops.Curation.queries ++
       graft.ops.Assembly.queries ++ graft.ops.Bpe.queries ++
       graft.ops.Boilerplate.queries ++ graft.ops.Layout.queries ++
-      graft.ops.BloomJoin.queries ++ graft.ops.Scd.queries
+      graft.ops.BloomJoin.queries ++ graft.ops.Scd.queries ++
+      graft.ops.Expectations.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,7 +39,8 @@ object SparkEntry {
       graft.ops.Multimodal.oracle ++ graft.ops.Curation.oracle ++
       graft.ops.Assembly.oracle ++ graft.ops.Bpe.oracle ++
       graft.ops.Boilerplate.oracle ++ graft.ops.Layout.oracle ++
-      graft.ops.BloomJoin.oracle ++ graft.ops.Scd.oracle
+      graft.ops.BloomJoin.oracle ++ graft.ops.Scd.oracle ++
+      graft.ops.Expectations.oracle
 
   /** Queries driven by checked-in fixtures rather than the sf-scaled
     * testdata tables: their runtime is constant in SF, so Bench reports

@@ -610,7 +610,46 @@ object Similarity {
       .orderBy(col("method"), col("qid"))
   }
 
+  /** q118 — c-TF-IDF cluster labeling: the topic-modeling read on the
+    * semantic clusters (what BERTopic runs after HDBSCAN). Per class,
+    * the top-5 terms by a class-based tf-idf: term frequency inside
+    * the class, normalized by class size, penalized by the number of
+    * classes containing the term — spelled entirely in exact integer
+    * arithmetic (`1e6 * tf div (class_tokens * df_classes)`, the ppm
+    * discipline), so unlike the log-weighted spelling the whole
+    * ranking sits under the DuckDB hash oracle. Classes come from the
+    * embeddings table's ground-truth labels (the same clusters the
+    * q71 family discovers), keeping the query deterministic.
+    *
+    * Scale: one exchange on (label, term) for tf, a label-keyed
+    * rollup (tiny, broadcast back), one vocab-keyed exchange for the
+    * class document frequency, and the top-k per label rides
+    * [[graft.plans.TopKPerGroup]]'s row_number rewrite. */
+  val clusterLabels: Q = (s, d) => {
+    val k = 5
+    val lab = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"), col("label"))
+    val tf = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .join(lab, Seq("doc_id"))
+      .select(col("label"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("label"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val classTokens = tf.groupBy(col("label")).agg(sum(col("tf")).as("class_tokens"))
+    val dfClasses = tf.groupBy(col("term")).agg(count(lit(1)).as("df_classes"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("score_ppm").desc, col("term"))
+    tf.join(broadcast(classTokens), Seq("label"))
+      .join(dfClasses, Seq("term"))
+      .withColumn("score_ppm", expr("1000000 * tf div (class_tokens * df_classes)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col("term"), col("tf"),
+        col("df_classes"), col("score_ppm"))
+      .orderBy(col("label"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q118_cluster_labels" -> clusterLabels,
     "q30_cosine_topk" -> bruteTopK,
     "q31_ann_lsh_topk" -> lshTopK, // rows-only check: approximate op
     "q31b_ann_recall" -> annRecall, // rows-only: measured ANN quality
@@ -620,6 +659,24 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q118_cluster_labels" ->
+      s"""WITH tf AS (
+         |  SELECT label, term, count(*) AS tf FROM (
+         |    SELECT e.label,
+         |      unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS term
+         |    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+         |  WHERE length(term) > 0 GROUP BY 1, 2),
+         |ct AS (SELECT label, CAST(sum(tf) AS BIGINT) AS class_tokens
+         |       FROM tf GROUP BY 1),
+         |dfc AS (SELECT term, count(*) AS df_classes FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.label, tf.term, tf.tf, dfc.df_classes,
+         |    (1000000 * tf.tf) // (ct.class_tokens * dfc.df_classes) AS score_ppm
+         |  FROM tf JOIN ct USING (label) JOIN dfc USING (term))
+         |SELECT label, rank, term, tf, df_classes, score_ppm FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY label
+         |    ORDER BY score_ppm DESC, term) AS rank FROM scored)
+         |WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
     "q30_cosine_topk" ->
       s"""WITH elems AS (
          |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -273,4 +273,23 @@ class SimilaritySpec extends SparkTestBase {
       .forall { case (a, b) => a < 15 && b < 15 && a / 5 == b / 5 },
       "a cross-cluster clone pair scored >= 0.9 with 96 cells")
   }
+
+  test("q118 cluster labels: 5 ranked terms per class, score formula holds") {
+    val rows = Similarity.clusterLabels(spark, "/root/testdata/sf0.001").collect()
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    assert(byLabel.nonEmpty)
+    byLabel.foreach { case (l, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5), s"label $l ranks")
+      // scores arrive in rank order and respect the exact ppm formula's
+      // monotonicity (ties broken by term)
+      val ordered = rs.sortBy(_.getAs[Int]("rank"))
+      val scores = ordered.map(_.getAs[Long]("score_ppm"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // a top term is at least class-frequent: df_classes >= 1 and its
+      // tf is positive
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("tf") > 0 && r.getAs[Long]("df_classes") >= 1)
+      }
+    }
+  }
 }
