@@ -582,7 +582,43 @@ object Assembly {
 
   val metadataAudit: Q = (s, d) => metadataAuditOf(Tables.documents(s, d))
 
+  /** q123 — deterministic epoch shuffle + shard audit: the global
+    * training-order permutation every epoch needs, spelled WITHOUT a
+    * global sort. Order is the md5 of (doc_id, epoch seed) — a
+    * pseudorandom but fully reproducible permutation key; the shard
+    * is its first hex nibble (16 shards), so shard assignment and
+    * within-shard order come from the SAME key and a training reader
+    * streams shard files in key order to replay the exact
+    * permutation. Reseeding by epoch re-deals both order and shard
+    * membership — visible here as first_in_order and the shard
+    * populations changing between the two audited epochs.
+    *
+    * Scale shape: the audit shuffles only (doc_id, n_chars) — never
+    * text — and the per-(epoch, shard) rollup is one map-side-
+    * combined hash agg onto 32 rows; the epoch dimension is an
+    * explode on the scan, not a second scan. The materialization
+    * path this audits would range-write by (shard, key): still no
+    * global sort, just a 16-way hash partition + partition-local
+    * sort — the permutation comes from the KEY, which is why the
+    * md5-order trick beats orderBy(rand()) at 100 TB (rand is
+    * neither reproducible nor partition-stable; a seeded global sort
+    * is a full range exchange of the corpus). */
+  val epochShuffle: Q = (s, d) => {
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .withColumn("epoch", explode(array(lit("epoch-0"), lit("epoch-1"))))
+      .withColumn("shuffle_key",
+        md5(concat(col("doc_id").cast(StringType), lit(":"), col("epoch"))))
+      .withColumn("shard", substring(col("shuffle_key"), 1, 1))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(concat(col("shuffle_key"), lit(":"),
+          col("doc_id").cast(StringType))).as("first_in_order"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q123_epoch_shuffle" -> epochShuffle,
     "q69_document_chunks" -> documentChunks,
     "q70_token_budget_selection" -> tokenBudgetSelection,
     "q72_novel_bigram_rate" -> novelBigramRate,
@@ -630,6 +666,19 @@ object Assembly {
     s"CAST((strpos('0123456789abcdef', substr(md5(concat(CAST($idExpr AS VARCHAR), ':$salt')), 1, 1)) - 1) % $nShards AS INTEGER)"
 
   val oracle: Map[String, String] = Map(
+    "q123_epoch_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT e.epoch,
+        |    md5(concat(CAST(doc_id AS VARCHAR), ':', e.epoch)) AS shuffle_key,
+        |    doc_id, n_chars
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(['epoch-0', 'epoch-1']) AS epoch) e
+        |)
+        |SELECT epoch, substr(shuffle_key, 1, 1) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(concat(shuffle_key, ':', CAST(doc_id AS VARCHAR))) AS first_in_order
+        |FROM keyed GROUP BY 1, 2""".stripMargin,
     "q59b_temperature_mixture" ->
       s"""WITH counts AS (
          |  SELECT source, count(*) AS n_source FROM documents GROUP BY source

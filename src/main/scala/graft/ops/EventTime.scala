@@ -460,7 +460,87 @@ object EventTime {
     (new HllDistinctStore(s, path), wm)
   }
 
+  /** q119 — hourly gap-fill + forward-fill (the time-series
+    * regularization step every downstream model/report wants: a dense
+    * per-user hourly series even where no events arrived). Three
+    * moves: (1) aggregate events to (user, hour); (2) generate each
+    * user's dense hour spine with `sequence(min, max, 1 hour)` +
+    * explode — the spine is derived PER KEY from that key's own
+    * range, never a cross join against a global calendar, so its
+    * size is Σ_user span_hours, bounded by users x corpus span; (3)
+    * left-join observations onto the spine and forward-fill the
+    * value with `last(_, ignoreNulls)` over the user's hour order.
+    *
+    * Scale shape: the explicit `repartition(user_id)` is the q87/q107
+    * one-exchange trick — hash(user_id) satisfies the (user, hour)
+    * aggregate, the per-user min/max agg, the spine-side of the
+    * self-join, AND the forward-fill window, so the whole pipeline
+    * rides ONE exchange of the events scan (AQE would otherwise
+    * insert three). Forward-fill is a running window (rows unbounded
+    * preceding), i.e. one partition-local sorted pass, the same
+    * frame discipline as q29's as-of carry. */
+  val hourlyGapFill: Q = (s, d) => hourlyGapFillOf(Tables.events(s, d))
+
+  def hourlyGapFillOf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"), Qx.dsum(col("value")).as("sum_value"))
+    val spine = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("observed", col("n_events").isNotNull.cast(IntegerType))
+      .withColumn("filled_value", last(col("sum_value"), ignoreNulls = true).over(wFill))
+      .select(col("user_id"), date_format(col("hour"), tsFmt).as("hour_start"),
+        col("observed"), coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("filled_value"))
+      .orderBy(col("user_id"), col("hour_start"))
+  }
+
+  /** q121 — gaps-and-islands: per-user streaks of consecutive ACTIVE
+    * DAYS (the classic islands trick: day minus row_number is
+    * constant within a run of consecutive days, so it is the island
+    * key — pure column arithmetic, no iteration). Emits the per-user
+    * streak profile: active days, number of streaks, longest streak,
+    * and the start of the longest streak (earliest on length ties,
+    * via min(struct) selection — exact, no window re-pass).
+    *
+    * Scale shape: same one-exchange discipline as q119 — hash(user)
+    * carries the distinct-(user, day) aggregate, the row_number
+    * window, the (user, island) agg, and the final per-user rollup.
+    * Streak length arithmetic happens on integer date offsets; no
+    * timestamps cross an aggregation boundary. */
+  val activityStreaks: Q = (s, d) => activityStreaksOf(Tables.events(s, d))
+
+  def activityStreaksOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val days = events
+      .repartition(col("user_id"))
+      .select(col("user_id"), date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .distinct()
+    val streaks = days
+      .withColumn("island", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    streaks.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        // argmin selection: min of (-len, start) is the longest streak,
+        // earliest start on length ties — one agg, no second window pass
+        min(struct((-col("len")).as("neg_len"), col("start_day").as("sd"))).as("pick"))
+      .select(col("user_id"), col("n_active_days"), col("n_streaks"),
+        (-col("pick.neg_len")).as("longest_streak"),
+        date_format(col("pick.sd"), "yyyy-MM-dd").as("longest_start"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q119_hourly_gap_fill" -> hourlyGapFill,
+    "q121_activity_streaks" -> activityStreaks,
     "q101_session_transitions" -> sessionTransitions,
     "q93_hll_distinct_incremental" -> hllDistinctIncremental,
     "q89_asof_with_tolerance" -> asofWithTolerance,
@@ -478,6 +558,44 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q119_hourly_gap_fill" ->
+      s"""WITH hourly AS (
+         |  SELECT user_id, date_trunc('hour', ts) AS hour,
+         |    count(*) AS n_events, ${Qx.sqlDsum("value")} AS sum_value
+         |  FROM events GROUP BY 1, 2
+         |), spine AS (
+         |  SELECT user_id,
+         |    unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR)) AS hour
+         |  FROM hourly GROUP BY user_id
+         |)
+         |SELECT s.user_id,
+         |  strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour_start,
+         |  CAST(h.n_events IS NOT NULL AS INTEGER) AS observed,
+         |  coalesce(h.n_events, 0) AS n_events,
+         |  last_value(h.sum_value IGNORE NULLS) OVER (
+         |    PARTITION BY s.user_id ORDER BY s.hour
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+         |FROM spine s LEFT JOIN hourly h
+         |  ON s.user_id = h.user_id AND s.hour = h.hour""".stripMargin,
+    "q121_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events
+        |), islands AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+        |  FROM days
+        |), streaks AS (
+        |  SELECT user_id, island, count(*) AS len, min(day) AS start_day
+        |  FROM islands GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start_day) AS rk
+        |  FROM streaks
+        |)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, count(*) AS n_streaks,
+        |  max(CASE WHEN rk = 1 THEN len END) AS longest_streak,
+        |  strftime(max(CASE WHEN rk = 1 THEN start_day END), '%Y-%m-%d') AS longest_start
+        |FROM ranked GROUP BY user_id""".stripMargin,
     // the identical lag-gap sessionization + lead transition windows;
     // (ts, event_id) is a total order, so the running-sum default
     // RANGE frame equals ROWS on both engines

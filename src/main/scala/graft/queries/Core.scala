@@ -670,7 +670,39 @@ object Core {
       .orderBy(col("bucket"))
   }
 
+  /** q120 — modal value per group (the exact "mode" aggregate Spark
+    * lacks as a builtin): the most frequent order priority within
+    * each customer market segment, tie-broken to the
+    * lexicographically smallest priority so the winner is a function
+    * of the DATA, never of partitioning. Spelled count-then-select:
+    * a (segment, priority) hash agg (map-side combined; at most
+    * |segments| x |priorities| rows survive it), then
+    * `row_number() = 1` over (count DESC, priority ASC) — the
+    * deterministic-tie sibling of q107's rank()=1 min-selection, and
+    * a live k=1 path through [[graft.plans.TopKPerGroup]]'s heap
+    * rewrite. share_ppm prices HOW modal the mode is in the integer
+    * micro-ratio discipline (exact div, no double division). The
+    * seg_total window shares the rank window's partitioning, so both
+    * ride the one post-agg exchange. */
+  private val q120: Q = (s, d) => {
+    val part = Window.partitionBy(col("c_mktsegment"))
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("seg_total", sum(col("n_orders")).over(part))
+      .withColumn("rk", row_number().over(
+        part.orderBy(col("n_orders").desc, col("o_orderpriority"))))
+      .filter(col("rk") === 1)
+      .select(col("c_mktsegment"), col("o_orderpriority"), col("n_orders"),
+        expr("n_orders * 1000000L div seg_total").as("share_ppm"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q120_priority_mode" -> q120,
     "q105_recent_supply_shift" -> q105,
     "q106_large_orders" -> q106,
     "q107_cheapest_supplier" -> q107,
@@ -706,6 +738,20 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
+    "q120_priority_mode" ->
+      """WITH counts AS (
+        |  SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2
+        |), t AS (
+        |  SELECT *, sum(n_orders) OVER (PARTITION BY c_mktsegment) AS seg_total,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY n_orders DESC, o_orderpriority) AS rk
+        |  FROM counts
+        |)
+        |SELECT c_mktsegment, o_orderpriority, n_orders,
+        |  CAST(n_orders * 1000000 // seg_total AS BIGINT) AS share_ppm
+        |FROM t WHERE rk = 1 ORDER BY c_mktsegment""".stripMargin,
     "q114_disjunctive_bands" ->
       s"""SELECT p_brand,
          |  ${Qx.sqlDsum(Qx.sqlDiscPrice, rescale = 4)} AS revenue,

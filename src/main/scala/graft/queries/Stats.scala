@@ -218,13 +218,69 @@ object Stats {
       .orderBy(col("rank"))
   }
 
+  /** q122 — exact per-group quantile profile (p25/p50/p75/p90 of
+    * price per return flag) under the NEAREST-RANK definition: the
+    * quantile is the value at row ceil(p·n) of the group's total
+    * order — a SELECTION, not interpolation, so the result is an
+    * actual data value and cross-engine equality is exact by
+    * construction (interpolated `percentile`/`quantile_cont` would
+    * rest on both engines sharing one float expression tree; rank
+    * indices here are pure integer arithmetic: (p·n + 99) div 100).
+    *
+    * The scalable exact-quantile shape: a per-group VALUE HISTOGRAM
+    * first (hash agg, map-side combined — the fact table collapses
+    * to distinct (group, value) pairs), then the cumulative count
+    * runs over the histogram, not the raw rows. A low-cardinality
+    * partitionBy window is the textbook scale hazard (3 groups = 3
+    * reducers see everything); compressing to distinct values first
+    * bounds each reducer at |distinct prices| rows regardless of SF,
+    * which is why this spelling survives 100 TB and the naive
+    * row_number-over-rows one does not. Quantile picks are
+    * conditional aggs over the monotone cum column (smallest value
+    * whose cumulative count reaches the rank) — no second sort, no
+    * self-join. */
+  private val q122: Q = (s, d) => {
+    val grp = Window.partitionBy(col("l_returnflag"))
+    val hist = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(grp.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", max(col("cum")).over(grp))
+    def pick(pct: Int) =
+      min(when(expr(s"cum >= ($pct * n + 99) div 100"), col("price"))).as(s"p$pct")
+    cum.groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n_items"), pick(25), pick(50), pick(75), pick(90))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q122_quantile_profile" -> q122,
     "q108_discount_qty_regression" -> q108,
     "q109_price_outliers" -> q109,
     "q112_trade_volume" -> q112,
     "q113_pareto_suppliers" -> q113)
 
   val oracle: Map[String, String] = Map(
+    "q122_quantile_profile" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag, l_extendedprice AS price, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT l_returnflag, price,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist
+        |), t AS (
+        |  SELECT *, max(cum) OVER (PARTITION BY l_returnflag) AS n FROM cum
+        |)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_items,
+        |  min(CASE WHEN cum >= (25 * n + 99) // 100 THEN price END) AS p25,
+        |  min(CASE WHEN cum >= (50 * n + 99) // 100 THEN price END) AS p50,
+        |  min(CASE WHEN cum >= (75 * n + 99) // 100 THEN price END) AS p75,
+        |  min(CASE WHEN cum >= (90 * n + 99) // 100 THEN price END) AS p90
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q108_discount_qty_regression" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n_items,

@@ -400,4 +400,31 @@ class AssemblySpec extends SparkTestBase {
       assert(packs == (0L to packs.max).toSeq)
     }
   }
+
+  test("epoch shuffle: shards partition the corpus; reseeding re-deals order and membership") {
+    val rows = graft.SparkEntry.queries("q123_epoch_shuffle")(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    val byEpoch = rows.groupBy(_.getAs[String]("epoch"))
+    assert(byEpoch.keySet == Set("epoch-0", "epoch-1"))
+    byEpoch.foreach { case (ep, rs) =>
+      // every doc lands in exactly one shard per epoch; shard ids are hex nibbles
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == nDocs, s"$ep partition")
+      assert(rs.map(_.getAs[String]("shard")).forall(s =>
+        s.length == 1 && "0123456789abcdef".contains(s)))
+      // first_in_order is the shard's minimal shuffle key: its first
+      // nibble must be the shard itself (order and placement share the key)
+      rs.foreach(r => assert(
+        r.getAs[String]("first_in_order").take(1) == r.getAs[String]("shard")))
+    }
+    // reseeding must actually re-deal: some shard's head doc changes
+    def heads(ep: String) = byEpoch(ep)
+      .map(r => r.getAs[String]("shard") -> r.getAs[String]("first_in_order").split(":").last)
+      .toMap
+    val (h0, h1) = (heads("epoch-0"), heads("epoch-1"))
+    assert(h0.keySet.exists(s => h1.get(s).exists(_ != h0(s))),
+      "epoch reseed changed no shard head — the permutation did not change")
+    // determinism: a second run is bit-identical
+    val again = graft.SparkEntry.queries("q123_epoch_shuffle")(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
 }

@@ -163,4 +163,52 @@ class EventTimeSpec extends SparkTestBase {
       ("2024-01-08 00:00:00", 1) -> 1L  // user 3 returns next week
     ))
   }
+
+  test("gap fill emits a dense per-user hourly spine with forward-filled values") {
+    val events = Seq(
+      // user 1, hour 10: two events (sum 5.0); hours 11-12 silent;
+      // hour 13 observed again — the fill must carry 5.0 across the gap
+      (1L, ts("2024-01-01 10:15:00"), 2.0),
+      (1L, ts("2024-01-01 10:45:00"), 3.0),
+      (1L, ts("2024-01-01 13:05:00"), 7.0),
+      // user 2: a single hour — spine of exactly one row, no fill rows
+      (2L, ts("2024-01-02 00:30:00"), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val out = EventTime.hourlyGapFillOf(events).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("hour_start")) ->
+        ((r.getAs[Int]("observed"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("filled_value"))))
+      .toMap
+    assert(out.size == 5, s"spine must be dense min..max per user: $out")
+    assert(out((1L, "2024-01-01 10:00:00")) == ((1, 2L, 5.0)))
+    assert(out((1L, "2024-01-01 11:00:00")) == ((0, 0L, 5.0)))
+    assert(out((1L, "2024-01-01 12:00:00")) == ((0, 0L, 5.0)))
+    assert(out((1L, "2024-01-01 13:00:00")) == ((1, 1L, 7.0)))
+    assert(out((2L, "2024-01-02 00:00:00")) == ((1, 1L, 1.0)))
+  }
+
+  test("activity streaks: islands split on missing days; earliest start wins length ties") {
+    val events = Seq(
+      // user 1: days 1-3 (streak of 3), day 6 (streak of 1),
+      // days 8-10 (streak of 3 again — the TIE; day 1 must win as start).
+      // Day 2 has two events: distinct-day dedup must count it once.
+      (1L, ts("2024-01-01 09:00:00"), 1.0),
+      (1L, ts("2024-01-02 09:00:00"), 1.0),
+      (1L, ts("2024-01-02 18:00:00"), 1.0),
+      (1L, ts("2024-01-03 09:00:00"), 1.0),
+      (1L, ts("2024-01-06 09:00:00"), 1.0),
+      (1L, ts("2024-01-08 09:00:00"), 1.0),
+      (1L, ts("2024-01-09 09:00:00"), 1.0),
+      (1L, ts("2024-01-10 09:00:00"), 1.0),
+      // user 2: one active day
+      (2L, ts("2024-03-05 12:00:00"), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val out = EventTime.activityStreaksOf(events).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_active_days"), r.getAs[Long]("n_streaks"),
+          r.getAs[Long]("longest_streak"), r.getAs[String]("longest_start"))))
+      .toMap
+    assert(out(1L) == ((7L, 3L, 3L, "2024-01-01")))
+    assert(out(2L) == ((1L, 1L, 1L, "2024-03-05")))
+  }
 }

@@ -41,4 +41,28 @@ class CoreShapesSpec extends SparkTestBase {
       assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
     }
   }
+
+  test("q120: winner is the true mode with smallest-priority tie-break; exact share") {
+    val rows = q("q120_priority_mode").collect()
+    // independent driver-side mode from the raw counts
+    val counts = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority")).count()
+      .collect()
+      .map(r => (r.getAs[String]("c_mktsegment"),
+        r.getAs[String]("o_orderpriority"), r.getAs[Long]("count")))
+    val bySeg = counts.groupBy(_._1)
+    assert(rows.length == bySeg.size, "exactly one winner per segment")
+    rows.foreach { r =>
+      val seg = r.getAs[String]("c_mktsegment")
+      val grp = bySeg(seg)
+      // mode: max count, then lexicographically smallest priority
+      val want = grp.minBy(t => (-t._3, t._2))
+      assert(r.getAs[String]("o_orderpriority") == want._2, s"mode($seg)")
+      assert(r.getAs[Long]("n_orders") == want._3)
+      val total = grp.map(_._3).sum
+      assert(r.getAs[Long]("share_ppm") == want._3 * 1000000L / total)
+    }
+  }
 }

@@ -91,4 +91,29 @@ class StatsSpec extends SparkTestBase {
     val revs = rows.map(_.getAs[Double]("revenue"))
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q122 quantiles equal the driver-side nearest-rank values exactly") {
+    val got = q("q122_quantile_profile").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Long]("n_items"), r.getAs[Double]("p25"), r.getAs[Double]("p50"),
+          r.getAs[Double]("p75"), r.getAs[Double]("p90"))))
+      .toMap
+    // independent oracle: collect + sort per group, index ceil(p*n)
+    val raw = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(got.keySet == raw.keySet && got.nonEmpty)
+    raw.foreach { case (k, sortedVals) =>
+      val n = sortedVals.length.toLong
+      def nr(pct: Int) = sortedVals(((pct * n + 99) / 100 - 1).toInt)
+      val (gn, p25, p50, p75, p90) = got(k)
+      assert(gn == n, s"n_items($k)")
+      // nearest-rank quantiles are SELECTED values, so equality is
+      // exact — no tolerance
+      assert(p25 == nr(25) && p50 == nr(50) && p75 == nr(75) && p90 == nr(90),
+        s"quantiles($k): got ${(p25, p50, p75, p90)} want ${(nr(25), nr(50), nr(75), nr(90))}")
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p90)
+    }
+  }
 }
