@@ -462,42 +462,58 @@ object EventTime {
 
   /** q119 — hourly gap-fill + forward-fill (the time-series
     * regularization step every downstream model/report wants: a dense
-    * per-user hourly series even where no events arrived). Three
-    * moves: (1) aggregate events to (user, hour); (2) generate each
-    * user's dense hour spine with `sequence(min, max, 1 hour)` +
-    * explode — the spine is derived PER KEY from that key's own
-    * range, never a cross join against a global calendar, so its
-    * size is Σ_user span_hours, bounded by users x corpus span; (3)
-    * left-join observations onto the spine and forward-fill the
-    * value with `last(_, ignoreNulls)` over the user's hour order.
+    * per-user hourly series even where no events arrived). The dense
+    * spine covers each user's [min hour, max hour]; silent hours
+    * carry the last observed value forward.
     *
-    * Scale shape: the explicit `repartition(user_id)` is the q87/q107
-    * one-exchange trick — hash(user_id) satisfies the (user, hour)
-    * aggregate, the per-user min/max agg, the spine-side of the
-    * self-join, AND the forward-fill window, so the whole pipeline
-    * rides ONE exchange of the events scan (AQE would otherwise
-    * insert three). Forward-fill is a running window (rows unbounded
-    * preceding), i.e. one partition-local sorted pass, the same
-    * frame discipline as q29's as-of carry. */
+    * The textbook spelling — generate a dense spine, LEFT JOIN the
+    * observations, forward-fill with last(ignoreNulls) — hides two
+    * scale taxes: the spine⋈observations join re-shuffles BOTH sides
+    * on the full (user, hour) key (Spark's co-partition rule demands
+    * all join keys by default, so the hash(user) partitioning the agg
+    * already has does not carry it), and the spine/observation
+    * branches duplicate the aggregate subtree. This form has NO JOIN:
+    * after the (user, hour) aggregate, one lag() window pass knows
+    * each observation's predecessor, so each row EMITS its own
+    * preceding gap — `explode(concat(fillers, self))` where fillers
+    * is a per-row built array of (gap hour, 0 events, predecessor's
+    * value) structs. Run-length gap expansion: output work is
+    * proportional to the gap being filled, forward-fill is by
+    * construction (every filler copies its generating row's
+    * predecessor value — consecutive gap hours share one
+    * predecessor), and the whole pipeline — agg, lag window, explode
+    * — rides the ONE explicit hash(user_id) exchange (plan-spec
+    * pinned with broadcast disabled). Empty-gap rows take
+    * `array_repeat(_, 0)` (sequence(1,0) would step BACKWARD, not
+    * produce an empty array — the classic trap). */
   val hourlyGapFill: Q = (s, d) => hourlyGapFillOf(Tables.events(s, d))
 
   def hourlyGapFillOf(events: DataFrame): DataFrame = {
+    val hourUs = 3600000000L
     val hourly = events
       .repartition(col("user_id"))
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"), Qx.dsum(col("value")).as("sum_value"))
-    val spine = hourly.groupBy(col("user_id"))
-      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    def fillAt(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column = struct(
+      timestamp_micros(unix_micros(col("prev_hour")) + i * lit(hourUs)).as("hour"),
+      lit(0).as("observed"), lit(0L).as("n_events"),
+      col("prev_value").as("filled_value"))
+    hourly
+      .withColumn("prev_hour", lag(col("hour"), 1).over(w))
+      .withColumn("prev_value", lag(col("sum_value"), 1).over(w))
+      .withColumn("n_fill", coalesce(
+        (unix_micros(col("hour")) - unix_micros(col("prev_hour"))).cast(DoubleType)
+          .divide(lit(hourUs.toDouble)).cast(LongType) - 1L, lit(0L)))
+      .select(col("user_id"), explode(concat(
+        when(col("n_fill") >= 1, transform(sequence(lit(1L), col("n_fill")), fillAt(_)))
+          .otherwise(array_repeat(fillAt(lit(1L)), 0)),
+        array(struct(col("hour"), lit(1).as("observed"), col("n_events"),
+          col("sum_value").as("filled_value"))))).as("p"))
       .select(col("user_id"),
-        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
-    val wFill = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(hourly, Seq("user_id", "hour"), "left")
-      .withColumn("observed", col("n_events").isNotNull.cast(IntegerType))
-      .withColumn("filled_value", last(col("sum_value"), ignoreNulls = true).over(wFill))
-      .select(col("user_id"), date_format(col("hour"), tsFmt).as("hour_start"),
-        col("observed"), coalesce(col("n_events"), lit(0L)).as("n_events"),
-        col("filled_value"))
+        date_format(col("p.hour"), tsFmt).as("hour_start"),
+        col("p.observed").as("observed"), col("p.n_events").as("n_events"),
+        col("p.filled_value").as("filled_value"))
       .orderBy(col("user_id"), col("hour_start"))
   }
 
@@ -538,7 +554,38 @@ object EventTime {
       .orderBy(col("user_id"))
   }
 
+  /** q124 — rolling 7-day distinct active users per day: the classic
+    * sliding-window COUNT DISTINCT, which windowed aggregation cannot
+    * express (distinctness is not decomposable over a sliding frame).
+    * The scalable spelling is CONTRIBUTION EXPLODE: collapse the fact
+    * table to distinct (user, day) FIRST — at most users x days rows
+    * — then each active day contributes its user to the 7 window-ends
+    * it falls into (a 7x fan-out of the collapsed frame, not of the
+    * events), and a count-distinct per window-end finishes. The
+    * re-scan alternative (7 self-joins or a range join back to raw
+    * events) touches the fact table 7 times; this touches it once.
+    * Window-ends outside the observed day range are clipped by a
+    * broadcast min/max — partial leading windows inside the range
+    * stay, as a rolling-metric consumer expects. */
+  val rollingActiveUsers: Q = (s, d) => rollingActiveUsersOf(Tables.events(s, d))
+
+  def rollingActiveUsersOf(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .distinct()
+    val bounds = days.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    days
+      .withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(col("user_id"), date_add(col("day"), col("off")).as("win_end"))
+      .join(broadcast(bounds), col("win_end").between(col("lo"), col("hi")))
+      .groupBy(col("win_end"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+      .select(date_format(col("win_end"), "yyyy-MM-dd").as("win_end"), col("active_7d"))
+      .orderBy(col("win_end"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q124_rolling_active_users" -> rollingActiveUsers,
     "q119_hourly_gap_fill" -> hourlyGapFill,
     "q121_activity_streaks" -> activityStreaks,
     "q101_session_transitions" -> sessionTransitions,
@@ -558,6 +605,21 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    "q124_rolling_active_users" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events
+        |), bounds AS (
+        |  SELECT min(day) AS lo, max(day) AS hi FROM days
+        |), contrib AS (
+        |  SELECT user_id, day + CAST(o.off AS INTEGER) AS win_end
+        |  FROM days CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o
+        |)
+        |SELECT strftime(win_end, '%Y-%m-%d') AS win_end,
+        |  count(DISTINCT user_id) AS active_7d
+        |FROM contrib, bounds
+        |WHERE win_end BETWEEN lo AND hi
+        |GROUP BY win_end""".stripMargin,
     "q119_hourly_gap_fill" ->
       s"""WITH hourly AS (
          |  SELECT user_id, date_trunc('hour', ts) AS hour,

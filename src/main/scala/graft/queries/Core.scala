@@ -644,29 +644,61 @@ object Core {
       .orderBy(col("p_brand"))
   }
 
-  /** q115 — equi-depth (equal-height) histogram of the price column:
-    * ntile(10) over a TOTAL order (price, then the unique orderkey/
-    * linenumber pair so ties split deterministically), then per-bucket
+  /** q115 — equi-depth (equal-height) histogram of the price column
+    * with EXACT ntile(10) semantics (first n mod k buckets get the
+    * extra row; ties split across bucket boundaries), per-bucket
     * count/min/max/exact-decimal sum. The optimizer-statistics
-    * operator as a query: equi-depth bucket bounds are what a CBO
-    * histogram stores, and both engines define ntile identically
-    * (first n mod k buckets get the extra row), so the whole thing
-    * sits under the hash oracle.
+    * operator as a query: equi-depth bounds are what a CBO histogram
+    * stores, and both engines define ntile identically, so the whole
+    * thing sits under the hash oracle (the DuckDB twin KEEPS the
+    * literal ntile window spelling as the cross-check).
     *
-    * Scale: ntile needs a global sort — the one legitimately
-    * order-global operator here — and Spark spells it
-    * range-partition + local sort (no single-node sort); the
-    * aggregation then rides the same range partitioning. */
+    * Scale: the naive spelling — `ntile over (ORDER BY price)` on the
+    * raw rows — is a single-partition WindowExec in Spark (an
+    * unpartitioned window moves EVERY fact row to one reducer; the
+    * original round-8 spelling did exactly that and logged the
+    * warning). This form replaces it with the q122 discipline plus
+    * arithmetic: collapse to the distinct-VALUE histogram (hash agg,
+    * map-combined), run the cumulative count over distinct values
+    * (window input bounded by the price domain, not the row count —
+    * and two-phase sharded prefix sum, q55b-style, lifts even that if
+    * a domain ever needs it), then compute each value-run's bucket
+    * overlap in closed form: ntile's bucket boundaries are pure
+    * integer arithmetic in (rank, n, k), so a run spanning ranks
+    * [cum-cnt+1, cum] explodes into at most (buckets it crosses)
+    * pieces. Output is bit-identical to the window form: a tied price
+    * split across buckets contributes only COUNTS to each side, and
+    * the counts are what the closed form computes. */
   private val q115: Q = (s, d) => {
-    val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(s, d)
-      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("bucket", ntile(10).over(w))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_items"),
-        min(col("l_extendedprice")).as("lo"),
-        max(col("l_extendedprice")).as("hi"),
-        dsum(col("l_extendedprice"), rescale = 2).as("sum_price"))
+    val hist = Tables.lineitem(s, d)
+      .groupBy(col("l_extendedprice").as("price"))
+      .agg(count(lit(1)).as("cnt"))
+    val wcum = Window.orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wcum))
+    val total = cum.agg(max(col("cum")).as("n"))
+    // ntile geometry: r = n mod k buckets of size big = n div k + 1,
+    // then k - r of size small = n div k; bucketOf/loRank/hiRank are
+    // its closed-form inverse (non-ANSI div-by-zero yields NULL only
+    // in the branch n < k makes unreachable)
+    def bucketOf(rank: String) =
+      expr(s"CAST(CASE WHEN r > 0 AND $rank <= r * big THEN ($rank - 1) div big" +
+        s" ELSE r + ($rank - 1 - r * big) div small END AS INT) + 1")
+    val pieces = cum.crossJoin(broadcast(total))
+      .withColumn("r", expr("n % 10"))
+      .withColumn("big", expr("n div 10 + 1"))
+      .withColumn("small", expr("n div 10"))
+      .withColumn("start_rank", col("cum") - col("cnt") + 1)
+      .withColumn("bucket", explode(sequence(bucketOf("start_rank"), bucketOf("cum"))))
+      .withColumn("lo_rank", expr("CASE WHEN bucket <= r THEN (bucket - 1) * big + 1" +
+        " ELSE r * big + (bucket - 1 - r) * small + 1 END"))
+      .withColumn("hi_rank", expr("lo_rank + (CASE WHEN bucket <= r THEN big ELSE small END) - 1"))
+      .withColumn("rows_here",
+        least(col("hi_rank"), col("cum")) - greatest(col("lo_rank"), col("start_rank")) + 1)
+    pieces.groupBy(col("bucket"))
+      .agg(sum(col("rows_here")).as("n_items"),
+        min(col("price")).as("lo"), max(col("price")).as("hi"),
+        dsum((col("price").cast(D6) * col("rows_here")).cast(D6), rescale = 2).as("sum_price"))
       .orderBy(col("bucket"))
   }
 
@@ -701,7 +733,34 @@ object Core {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q125 — explicit GROUPING SETS with grouping() markers: the
+    * mixed-granularity rollup a reporting layer asks for in one pass
+    * — (flag, status) detail, per-flag subtotal, per-STATUS subtotal
+    * (which ROLLUP cannot produce), and the grand total — plus the
+    * grouping() indicator columns that distinguish "subtotal row"
+    * from "a genuinely NULL group key". Spark plans all four sets as
+    * ONE Expand + one hash aggregate (4x row fan-out map-side, then
+    * the same partial/final agg as any groupBy) — not four scans;
+    * this and q10/q39 together pin the whole
+    * rollup/cube/grouping-sets family. SQL spelling over a temp view
+    * because the typed API exposes only rollup/cube (q40's SQL-surface
+    * precedent). */
+  private val q125: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q125_lineitem")
+    s.sql(s"""
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        CAST(grouping(l_linestatus) AS INT) AS g_status,
+        count(*) AS n_items,
+        ${Qx.sqlDsum("l_quantity", rescale = 2)} AS sum_qty
+      FROM graft_q125_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                              (l_linestatus), ())
+      ORDER BY g_flag, g_status, l_returnflag, l_linestatus""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q125_grouping_sets" -> q125,
     "q120_priority_mode" -> q120,
     "q105_recent_supply_shift" -> q105,
     "q106_large_orders" -> q106,
@@ -738,6 +797,15 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
+    "q125_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+         |  CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+         |  count(*) AS n_items,
+         |  ${Qx.sqlDsum("l_quantity", rescale = 2)} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+         |                        (l_linestatus), ())""".stripMargin,
     "q120_priority_mode" ->
       """WITH counts AS (
         |  SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders

@@ -211,4 +211,53 @@ class EventTimeSpec extends SparkTestBase {
     assert(out(1L) == ((7L, 3L, 3L, "2024-01-01")))
     assert(out(2L) == ((1L, 1L, 1L, "2024-03-05")))
   }
+
+  test("rolling 7-day active users: contribution explode equals the naive window count") {
+    val events = Seq(
+      // user 1 active on days 1 and 5; user 2 on day 3; user 3 on days 1,2
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-05 10:00:00"), 1.0),
+      (1L, ts("2024-01-05 11:00:00"), 1.0), // same day twice: counts once
+      (2L, ts("2024-01-03 10:00:00"), 1.0),
+      (3L, ts("2024-01-01 10:00:00"), 1.0),
+      (3L, ts("2024-01-02 10:00:00"), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val out = EventTime.rollingActiveUsersOf(events).collect()
+      .map(r => r.getAs[String]("win_end") -> r.getAs[Long]("active_7d")).toMap
+    // naive oracle: for each day in [min, max], distinct users active
+    // in [day-6, day]
+    val active = Map(1L -> Set(1, 5), 2L -> Set(3), 3L -> Set(1, 2))
+    val want = (1 to 5).map { day =>
+      f"2024-01-0$day" -> active.count { case (_, ds) =>
+        ds.exists(a => a <= day && a >= day - 6) }.toLong
+    }.toMap
+    assert(out == want, s"got $out want $want")
+    // spot values: day 1 sees users 1+3; day 5 sees all three (1 active
+    // day 5, 2 active day 3, 3 active days 1-2 — all within 7 days)
+    assert(out("2024-01-01") == 2L && out("2024-01-05") == 3L)
+  }
+
+  test("gap fill and streaks ride ONE shuffle of the events scan") {
+    // the scale claim in both scaladocs: hash(user_id) from the explicit
+    // repartition satisfies every downstream clustering (aggs, windows,
+    // spine join), so exactly one ShuffleExchange appears in the plan —
+    // a second one would mean a full re-exchange of the fact table.
+    // Broadcast joins are disabled for the check: at test scale Spark
+    // happily broadcasts the observation side of q119's spine join
+    // (recomputing its lineage on the build side), but 100 TB is the
+    // regime under audit and there the join must co-locate on the one
+    // existing exchange, which is exactly what this pins.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      for (name <- Seq("q119_hourly_gap_fill", "q121_activity_streaks")) {
+        val plan = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan.toString
+        val exchanges = plan.linesIterator.count(l =>
+          l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+        assert(exchanges == 1, s"$name: want 1 hash exchange, got $exchanges:\n$plan")
+      }
+    } finally spark.conf.set(thresholdKey, saved)
+  }
 }

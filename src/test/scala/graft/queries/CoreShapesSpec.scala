@@ -42,6 +42,31 @@ class CoreShapesSpec extends SparkTestBase {
     }
   }
 
+  test("q125: grouping sets run as ONE Expand+agg; subtotals reconcile") {
+    val df = q("q125_grouping_sets")
+    val plan = df.queryExecution.executedPlan.toString
+    // all four sets come from one Expand fan-out over one scan — the
+    // whole point vs four scans unioned
+    assert(plan.linesIterator.count(_.trim.matches("[+:\\-\\s]*Expand .*")) == 1,
+      s"want exactly one Expand:\n$plan")
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"grouping sets must not multiply the scan:\n$plan")
+    val rows = df.collect()
+    def n(p: org.apache.spark.sql.Row => Boolean) =
+      rows.filter(p).map(_.getAs[Long]("n_items")).sum
+    val detail = n(r => r.getAs[Int]("g_flag") == 0 && r.getAs[Int]("g_status") == 0)
+    val byFlag = n(r => r.getAs[Int]("g_flag") == 0 && r.getAs[Int]("g_status") == 1)
+    val byStatus = n(r => r.getAs[Int]("g_flag") == 1 && r.getAs[Int]("g_status") == 0)
+    val grand = n(r => r.getAs[Int]("g_flag") == 1 && r.getAs[Int]("g_status") == 1)
+    // every set partitions the same input
+    assert(detail == grand && byFlag == grand && byStatus == grand && grand > 0)
+    // the per-STATUS subtotal is the set ROLLUP cannot produce —
+    // assert it really exists with a NULL flag and non-null status
+    assert(rows.exists(r => r.getAs[Int]("g_flag") == 1 &&
+      r.getAs[Int]("g_status") == 0 && r.isNullAt(r.fieldIndex("l_returnflag")) &&
+      !r.isNullAt(r.fieldIndex("l_linestatus"))))
+  }
+
   test("q120: winner is the true mode with smallest-priority tie-break; exact share") {
     val rows = q("q120_priority_mode").collect()
     // independent driver-side mode from the raw counts
