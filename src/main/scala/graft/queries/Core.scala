@@ -759,7 +759,36 @@ object Core {
       ORDER BY g_flag, g_status, l_returnflag, l_linestatus""")
   }
 
+  /** q126 — the TPC-H Q14 shape (promo revenue share): a conditional
+    * aggregate ratio over one fact⋈dim month slice. The optimizer
+    * content: the date band is pushed to the lineitem scan (row-group
+    * pruning does the month's worth of work), the part dim broadcasts,
+    * and BOTH the conditional numerator and the denominator come out
+    * of ONE aggregation pass — no second scan for the total. Ratio
+    * discipline: exact decimal sums, one double division (q90/q98's
+    * micro-ratio trust). */
+  private val q126: Q = (s, d) => {
+    val dp = discPrice(col("l_extendedprice"), col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", dp).otherwise(lit(0).cast(D6)))
+          .cast(DecimalType(18, 4)).as("promo_d"),
+        sum(dp).cast(DecimalType(18, 4)).as("total_d"),
+        count(lit(1)).as("n_items"))
+      .select(
+        (lit(100.0) * col("promo_d").cast(DoubleType) / col("total_d").cast(DoubleType))
+          .as("promo_share_pct"),
+        col("promo_d").cast(DoubleType).as("promo_revenue"),
+        col("total_d").cast(DoubleType).as("total_revenue"),
+        col("n_items"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q126_promo_share" -> q126,
     "q125_grouping_sets" -> q125,
     "q120_priority_mode" -> q120,
     "q105_recent_supply_shift" -> q105,
@@ -797,6 +826,20 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
+    "q126_promo_share" ->
+      s"""WITH agg AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN ${Qx.sqlDiscPrice}
+         |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,4)) AS promo_d,
+         |    CAST(sum(${Qx.sqlDiscPrice}) AS DECIMAL(18,4)) AS total_d,
+         |    count(*) AS n_items
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         |)
+         |SELECT 100.0 * CAST(promo_d AS DOUBLE) / CAST(total_d AS DOUBLE) AS promo_share_pct,
+         |  CAST(promo_d AS DOUBLE) AS promo_revenue,
+         |  CAST(total_d AS DOUBLE) AS total_revenue, n_items
+         |FROM agg""".stripMargin,
     "q125_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,

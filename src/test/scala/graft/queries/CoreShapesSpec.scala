@@ -68,7 +68,13 @@ class CoreShapesSpec extends SparkTestBase {
   }
 
   test("q120: winner is the true mode with smallest-priority tie-break; exact share") {
-    val rows = q("q120_priority_mode").collect()
+    val df = q("q120_priority_mode")
+    // the row_number()=1 selection must take the TopKPerGroup heap
+    // rewrite (k=1), not the stock Window+Filter — the seg_total
+    // window node below it must not block the pattern
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "rank-limit rewrite did not fire on q120's row_number()=1 filter")
+    val rows = df.collect()
     // independent driver-side mode from the raw counts
     val counts = graft.Tables.orders(spark, sf)
       .join(graft.Tables.customer(spark, sf),
