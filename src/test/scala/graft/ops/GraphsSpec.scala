@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The integer-PageRank contract: the distributed computation must
+  * equal a from-scratch driver-side replication of the same integer
+  * arithmetic (the oracle gate already pins cross-engine equality;
+  * this pins the MATH against an implementation that shares no Spark
+  * code with the query). */
+class GraphsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q127 pagerank equals an independent driver-side integer replication") {
+    val got = graft.SparkEntry.queries("q127_trade_pagerank")(spark, sf).collect()
+      .map(r => (r.getAs[String]("entity"), r.getAs[Long]("entity_id")) ->
+        r.getAs[Long]("rank_u"))
+
+    // independent edges: collect the distinct trade pairs
+    val pairs = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (s, c) => Seq(s -> c, c -> s) }
+    val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.length.toLong }
+    val nodes = deg.keySet.toSeq.sorted
+    val n = nodes.length.toLong
+    val base = Graphs.massU / n
+    val tp = base * 15L / 100L
+    var rank = nodes.map(_ -> base).toMap
+    for (_ <- 1 to Graphs.iterations) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (src, dst) =>
+        contrib(dst) += rank(src) / deg(src)
+      }
+      rank = nodes.map(v => v -> (tp + 85L * contrib(v) / 100L)).toMap
+    }
+    val want = rank.toSeq
+      .map { case (node, r) =>
+        ((if (node % 2 == 0) "supplier" else "customer", node / 2), r)
+      }
+      .sortBy { case ((e, id), r) => (-r, e, id) }
+      .take(20)
+
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // mass sanity: integer division only LEAKS mass, never creates it
+    assert(rank.values.sum <= Graphs.massU)
+    assert(rank.values.forall(_ >= tp))
+  }
+}
