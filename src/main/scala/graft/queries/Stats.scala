@@ -255,7 +255,99 @@ object Stats {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Exact GLOBAL row_number over `orderCols` without a global window:
+    * the distributed-ranking shape every "assign each row its ntile /
+    * percentile / rank" task needs at scale, where
+    * `row_number().over(Window.orderBy(...))` is a single-partition
+    * WindowExec (the q115 trap) and the distinct-value-histogram trick
+    * fails on near-unique keys (the histogram IS the table).
+    *
+    * Two-phase prefix counting: (1) range-repartition on the order
+    * columns — a distributed sort's exchange, no single reducer; (2)
+    * count rows per range partition, take the P-row count table to the
+    * driver, and broadcast the exclusive prefix offsets back; (3) each
+    * partition ranks LOCALLY (the window partitions on the range
+    * partition id, so it is partition-local by construction) and adds
+    * its offset. The range boundaries come from sampling and vary run
+    * to run, but the emitted rank is a pure function of the total
+    * order — boundary placement only moves where the offset lands.
+    * `orderCols` must be a total order (include a unique tiebreaker)
+    * or ranks within ties are partition-dependent. */
+  def globalRank(df: DataFrame, orderCols: Seq[String], rankName: String): DataFrame = {
+    val ranged = graft.ops.Dedup.materializedSketch(
+      df.repartitionByRange(orderCols.map(col): _*)
+        .withColumn("_pid", spark_partition_id()))
+    val counts = ranged.groupBy(col("_pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // exclusive prefix: partition p's ranks start after all rows of
+    // the ranges before it
+    val offsetRows = counts.scanLeft(0L)(_ + _._2).zip(counts)
+      .map { case (off, (pid, _)) => (pid, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsetRows.toSeq.toDF("_pid", "_off")
+    val w = Window.partitionBy(col("_pid")).orderBy(orderCols.map(col): _*)
+    ranged.join(broadcast(offDf), Seq("_pid"))
+      .withColumn(rankName, col("_off") + row_number().over(w))
+      .drop("_pid", "_off")
+  }
+
+  /** Closed-form ntile(k) from a global rank (same arithmetic as
+    * q122/q115's nearest-rank family): first n mod k buckets take
+    * n div k + 1 rows. n and k are driver-side constants, so the
+    * expression is pure literals + one div. */
+  def ntileOfRank(rank: Column, n: Long, k: Int): Column = {
+    val r = n % k
+    val big = n / k + 1
+    val small = n / k
+    // exact integer division: strip the remainder first so the double
+    // division is of an exact multiple (Column./ is FP division, and a
+    // raw long/long quotient could round across the floor boundary)
+    def idiv(a: Column, b: Long): Column =
+      ((a - pmod(a, lit(b))) / lit(b)).cast(LongType)
+    (when(lit(r) > 0 && rank <= lit(r * big), idiv(rank - 1, big))
+      .otherwise(lit(r) + idiv(rank - 1 - lit(r * big), small)) + 1)
+      .cast(IntegerType)
+  }
+
+  /** q128 — RFM segmentation (recency / frequency / monetary), the
+    * classic customer-value cube: per customer, ntile(5) quintiles of
+    * last-order date, order count, and exact lifetime spend, rolled
+    * up to (r, f, m) segment counts with exact average spend. Each
+    * quintile assignment runs through [[globalRank]] + closed-form
+    * [[ntileOfRank]] — three distributed rankings, zero
+    * single-partition windows — while the DuckDB twin spells the same
+    * thing as three literal `ntile(5)` windows over the same total
+    * orders (custkey tiebreak), pinning the whole two-phase machinery
+    * under the hash oracle. */
+  private val q128: Q = (s, d) => {
+    // materialized (two-consumer rule): the count below and the first
+    // ranking both consume it, and each quintile pass re-reads its
+    // predecessor from the ranking's own cache
+    val cust = graft.ops.Dedup.materializedSketch(Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("last_day"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D6)).cast(DecimalType(18, 2)).as("spend_d")))
+    val n = cust.count()
+    def quintile(df: DataFrame, orderC: Seq[String], rank: String, q: String) = {
+      globalRank(df, orderC, rank)
+        .withColumn(q, ntileOfRank(col(rank), n, 5)).drop(rank)
+    }
+    val scored = quintile(
+      quintile(
+        quintile(cust, Seq("last_day", "o_custkey"), "_rr", "r_q"),
+        Seq("n_orders", "o_custkey"), "_rf", "f_q"),
+      Seq("spend_d", "o_custkey"), "_rm", "m_q")
+    scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("spend_d")).cast(DecimalType(18, 2)).cast(DoubleType) /
+          count(lit(1))).as("avg_spend"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q128_rfm_segments" -> q128,
     "q122_quantile_profile" -> q122,
     "q108_discount_qty_regression" -> q108,
     "q109_price_outliers" -> q109,
@@ -263,6 +355,23 @@ object Stats {
     "q113_pareto_suppliers" -> q113)
 
   val oracle: Map[String, String] = Map(
+    "q128_rfm_segments" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    max(strftime(o_orderdate, '%Y-%m-%d')) AS last_day,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS spend_d
+        |  FROM orders GROUP BY o_custkey
+        |), scored AS (
+        |  SELECT *,
+        |    ntile(5) OVER (ORDER BY last_day, o_custkey) AS r_q,
+        |    ntile(5) OVER (ORDER BY n_orders, o_custkey) AS f_q,
+        |    ntile(5) OVER (ORDER BY spend_d, o_custkey) AS m_q
+        |  FROM cust
+        |)
+        |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+        |  CAST(CAST(sum(spend_d) AS DECIMAL(18,2)) AS DOUBLE) / count(*) AS avg_spend
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q122_quantile_profile" ->
       """WITH hist AS (
         |  SELECT l_returnflag, l_extendedprice AS price, count(*) AS cnt

@@ -92,6 +92,50 @@ class StatsSpec extends SparkTestBase {
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("globalRank equals the single-partition row_number on a total order") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"))
+    val got = Stats.globalRank(df, Seq("o_custkey", "o_orderkey"), "rk")
+      .collect().map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("rk"))).toMap
+    val want = df.withColumn("rk",
+        row_number().over(W.orderBy(col("o_custkey"), col("o_orderkey"))).cast("long"))
+      .collect().map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("rk"))).toMap
+    assert(got == want)
+    // and no single-partition window in the distributed plan: every
+    // window partitions on the range-partition id
+    val plan = Stats.globalRank(df, Seq("o_custkey", "o_orderkey"), "rk")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition()"), plan)
+  }
+
+  test("ntileOfRank matches Spark's ntile across remainder shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    for ((n, k) <- Seq((25L, 10), (30L, 10), (7L, 10), (1L, 5), (100L, 7))) {
+      val df = (1L to n).toDF("rk")
+      val got = df.withColumn("b", Stats.ntileOfRank(col("rk"), n, k))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = df.withColumn("b", ntile(k).over(W.orderBy(col("rk"))))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == want, s"n=$n k=$k: $got vs $want")
+    }
+  }
+
+  test("q128 quintiles partition customers evenly; segments cover everyone") {
+    val rows = q("q128_rfm_segments").collect()
+    val nCust = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    for (dim <- Seq("r_q", "f_q", "m_q")) {
+      val byQ = rows.groupBy(_.getAs[Int](dim))
+        .view.mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap
+      assert(byQ.keySet.subsetOf((1 to 5).toSet))
+      // ntile balance: bucket sizes differ by at most one
+      assert(byQ.values.max - byQ.values.min <= 1, s"$dim: $byQ")
+    }
+  }
+
   test("q122 quantiles equal the driver-side nearest-rank values exactly") {
     val got = q("q122_quantile_profile").collect()
       .map(r => r.getAs[String]("l_returnflag") ->
