@@ -346,7 +346,51 @@ object Stats {
       .orderBy(col("r_q"), col("f_q"), col("m_q"))
   }
 
+  /** q129 — market-basket association rules over order contents:
+    * support / confidence / lift for part pairs that co-occur in at
+    * least two orders, the classic co-purchase analysis. All three
+    * metrics are integer micro-ratios — lift is computed as the
+    * two-step `((n_ab·10⁶ div n_a) · N) div n_b` so every
+    * intermediate stays under ~10¹⁴ even at SF100 (a single-division
+    * spelling would overflow int64 in the n_ab·N·10⁶ numerator;
+    * both engines evaluate the identical two-step tree, so the
+    * defined metric is still bit-exact).
+    *
+    * Scale shape: the pair space never materializes globally — the
+    * self-join is ORDER-LOCAL (items of one order pair only with each
+    * other; baskets are bounded by order size, so fan-out is
+    * Σ C(|basket|,2)), then a hash agg onto the pair key with
+    * map-side combine. Item counts join back adaptively (parts-sized
+    * dim), and the top-20-by-lift is a TakeOrderedAndProject, not a
+    * global sort. */
+  private val q129: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(itemCnt.select(col("l_partkey").as("part_a"), col("n_item").as("n_a")),
+        Seq("part_a"))
+      .join(itemCnt.select(col("l_partkey").as("part_b"), col("n_item").as("n_b")),
+        Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("n_ab * 1000000L div n_orders").as("support_ppm"),
+        expr("n_ab * 1000000L div n_a").as("confidence_ppm"),
+        expr("((n_ab * 1000000L div n_a) * n_orders) div n_b").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q129_market_basket" -> q129,
     "q128_rfm_segments" -> q128,
     "q122_quantile_profile" -> q122,
     "q108_discount_qty_regression" -> q108,
@@ -355,6 +399,29 @@ object Stats {
     "q113_pareto_suppliers" -> q113)
 
   val oracle: Map[String, String] = Map(
+    "q129_market_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), n AS (
+        |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+        |), item_cnt AS (
+        |  SELECT l_partkey, count(*) AS n_item FROM items GROUP BY l_partkey
+        |), pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT part_a, part_b, n_ab, ca.n_item AS n_a, cb.n_item AS n_b,
+        |  CAST(n_ab * 1000000 // n_orders AS BIGINT) AS support_ppm,
+        |  CAST(n_ab * 1000000 // ca.n_item AS BIGINT) AS confidence_ppm,
+        |  CAST(((n_ab * 1000000 // ca.n_item) * n_orders) // cb.n_item AS BIGINT) AS lift_ppm
+        |FROM pairs
+        |JOIN item_cnt ca ON part_a = ca.l_partkey
+        |JOIN item_cnt cb ON part_b = cb.l_partkey
+        |CROSS JOIN n
+        |ORDER BY lift_ppm DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
     "q128_rfm_segments" ->
       """WITH cust AS (
         |  SELECT o_custkey,

@@ -136,6 +136,30 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("q129 basket metrics recompute exactly from their own counts") {
+    val rows = q("q129_market_basket").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val items = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = items.select(col("l_orderkey")).distinct().count()
+    // independent per-item order counts
+    val itemCnt = items.groupBy(col("l_partkey")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))
+      val (nab, na, nb) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(a < b && nab >= 2 && nab <= math.min(na, nb))
+      assert(na == itemCnt(a) && nb == itemCnt(b))
+      assert(r.getAs[Long]("support_ppm") == nab * 1000000L / nOrders)
+      assert(r.getAs[Long]("confidence_ppm") == nab * 1000000L / na)
+      assert(r.getAs[Long]("lift_ppm") == (nab * 1000000L / na) * nOrders / nb)
+    }
+    // the ranking is by lift desc with a total tiebreak
+    val lifts = rows.map(r => (-r.getAs[Long]("lift_ppm"),
+      r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))).toSeq
+    assert(lifts == lifts.sorted)
+  }
+
   test("q122 quantiles equal the driver-side nearest-rank values exactly") {
     val got = q("q122_quantile_profile").collect()
       .map(r => r.getAs[String]("l_returnflag") ->
