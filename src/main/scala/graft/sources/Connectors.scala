@@ -55,6 +55,21 @@ object Connectors {
       df.write.mode(saveMode(ifExists)).parquet(s"$root/$table")
   }
 
+  /** ORC read (the second columnar lake format Spark ships natively;
+    * predicate pushdown and column pruning reach the ORC scan exactly
+    * as they do parquet's — ConnectorsSpec pins PushedFilters on a
+    * round-trip). Schema always pinned, same as CSV/JSON. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC sink — same directory-per-table layout and if_exists
+    * vocabulary as the parquet store, so the two formats are
+    * interchangeable behind [[TableSink]]. */
+  final case class OrcSink(root: String) extends TableSink {
+    def write(df: DataFrame, table: String, ifExists: String): Unit =
+      df.write.mode(saveMode(ifExists)).orc(s"$root/$table")
+  }
+
   /** JDBC sink preserving the reference's staging/warehouse contract
     * (MySQL staging / PostgreSQL warehouse via SQLAlchemy in the
     * reference; any JDBC url here). Round-trip semantics — replace /
