@@ -389,7 +389,37 @@ object Stats {
       .limit(20)
   }
 
+  /** q130 — quantile-sketch audit (the q31b/q34c "record quality as
+    * data" pattern, for percentiles): per return flag and percentile,
+    * the error of `approx_percentile` (Spark's GK-style
+    * QuantileSummaries at accuracy 1000) against the in-engine exact
+    * `percentile`. Rows-only by design: the sketch's merge order
+    * depends on partitioning, so there is no cross-engine twin — the
+    * point is that a corpus or accuracy change that degrades sketch
+    * error shows up as a changed NUMBER in the correctness artifact
+    * every round. The exact side here is the audit's baseline only;
+    * the production-scale exact path is q122's distinct-value
+    * histogram (built-in `percentile` buffers each group in memory). */
+  private val q130: Q = (s, d) => {
+    val ps = Seq(25, 50, 75, 90)
+    val pArr = array(ps.map(p => lit(p / 100.0)): _*)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), pArr).as("exact_v"),
+        approx_percentile(col("l_extendedprice"), pArr, lit(1000)).as("approx_v"))
+      .select(col("l_returnflag"),
+        explode(arrays_zip(
+          array(ps.map(p => lit(p)): _*).as("pct"),
+          col("exact_v").as("exact"), col("approx_v").as("approx"))).as("z"))
+      .select(col("l_returnflag"), col("z.pct").as("pct"),
+        col("z.exact").as("exact_price"), col("z.approx").as("approx_price"))
+      .withColumn("rel_err_ppm",
+        expr("CAST(abs(approx_price - exact_price) / exact_price * 1000000 AS BIGINT)"))
+      .orderBy(col("l_returnflag"), col("pct"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q130_quantile_sketch_audit" -> q130,
     "q129_market_basket" -> q129,
     "q128_rfm_segments" -> q128,
     "q122_quantile_profile" -> q122,

@@ -160,6 +160,22 @@ class StatsSpec extends SparkTestBase {
     assert(lifts == lifts.sorted)
   }
 
+  test("q130 sketch audit: every (flag, pct) priced, approx within the accuracy bound") {
+    val rows = q("q130_quantile_sketch_audit").collect()
+    val flags = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag")).distinct().count()
+    assert(rows.length == flags * 4)
+    rows.foreach { r =>
+      val (ex, ap) = (r.getAs[Double]("exact_price"), r.getAs[Double]("approx_price"))
+      assert(ex > 0 && ap > 0)
+      // accuracy 1000 => rank error <= n/1000; on this distribution
+      // that is far below 5% of value — a blown sketch (or a
+      // regression in the audit itself) trips this loudly
+      assert(r.getAs[Long]("rel_err_ppm") < 50000L,
+        s"${r.getAs[String]("l_returnflag")}/p${r.getAs[Int]("pct")}: $ap vs $ex")
+    }
+  }
+
   test("q122 quantiles equal the driver-side nearest-rank values exactly") {
     val got = q("q122_quantile_profile").collect()
       .map(r => r.getAs[String]("l_returnflag") ->
