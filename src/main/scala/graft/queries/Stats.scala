@@ -418,7 +418,45 @@ object Stats {
       .orderBy(col("l_returnflag"), col("pct"))
   }
 
+  /** q131 — per-dimension embedding column profile: the vector-quality
+    * audit an ANN/semantic pipeline runs before trusting a corpus of
+    * embeddings (dead dimensions, unnormalized scales, constant or
+    * zero-heavy axes all poison cosine metrics silently). Per
+    * dimension: count, zero count, min/max/mean, and population
+    * variance — every statistic EXACT in integer micro-units
+    * (`floor(v * 10⁶)`: floor, not rounding, because a dyadic float
+    * can land exactly on a decimal rounding tie and HALF_UP/HALF_EVEN
+    * then differ across engines; floor has no ties). Variance runs
+    * through DECIMAL(38,0) cross terms — n·Σx² and (Σx)² reach ~10²⁷
+    * at SF100, far past int64 — with one integer division at the end
+    * whose quotient is bounded by the value range (≤ 4·10¹², so the
+    * long-typed `div` result cannot wrap; ProbeDecimalDiv pins that
+    * both engines truncate toward zero).
+    *
+    * Scale shape: posexplode fans each vector into |dim| skinny rows
+    * that partial-aggregate map-side onto |dim| groups before the
+    * exchange — the shuffle carries (dim, moments), never vectors. */
+  private val q131: Q = (s, d) => {
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("v_u"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vals"),
+        sum(when(col("v_u") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("v_u")).as("min_u"), max(col("v_u")).as("max_u"),
+        sum(col("v_u")).as("s_u"),
+        sum(expr("CAST(v_u AS DECIMAL(38,0)) * v_u")).as("sq_d"))
+      .select(col("dim"), col("n_vals"), col("n_zero"), col("min_u"), col("max_u"),
+        expr("s_u div n_vals").as("mean_u"),
+        expr("CAST((CAST(n_vals AS DECIMAL(38,0)) * sq_d - " +
+          "CAST(s_u AS DECIMAL(38,0)) * s_u) div " +
+          "(CAST(n_vals AS DECIMAL(38,0)) * n_vals) AS BIGINT)").as("var_u2"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q131_embedding_profile" -> q131,
     "q130_quantile_sketch_audit" -> q130,
     "q129_market_basket" -> q129,
     "q128_rfm_segments" -> q128,
@@ -429,6 +467,20 @@ object Stats {
     "q113_pareto_suppliers" -> q113)
 
   val oracle: Map[String, String] = Map(
+    "q131_embedding_profile" ->
+      """WITH vals AS (
+        |  SELECT CAST(t.i - 1 AS INTEGER) AS dim,
+        |    CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS v_u
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |)
+        |SELECT dim, count(*) AS n_vals,
+        |  CAST(sum(CASE WHEN v_u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  min(v_u) AS min_u, max(v_u) AS max_u,
+        |  CAST(sum(v_u) // count(*) AS BIGINT) AS mean_u,
+        |  CAST((count(*) * sum(CAST(v_u AS HUGEINT) * v_u)
+        |        - CAST(sum(v_u) AS HUGEINT) * sum(v_u))
+        |       // (CAST(count(*) AS HUGEINT) * count(*)) AS BIGINT) AS var_u2
+        |FROM vals GROUP BY dim ORDER BY dim""".stripMargin,
     "q129_market_basket" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -176,6 +176,33 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("q131 embedding profile matches the built-in double stats to quantization error") {
+    val rows = q("q131_embedding_profile").collect()
+    val nVec = graft.Tables.embeddings(spark, sf).count()
+    // complete contiguous dimension coverage, every dim over every vector
+    assert(rows.map(_.getAs[Int]("dim")).sorted.toSeq == (0 until rows.length))
+    assert(rows.forall(_.getAs[Long]("n_vals") == nVec))
+    // independent spelling: double mean/var_pop per dim (the floor
+    // quantization moves each value < 1 micro-unit, so mean is within
+    // 1 unit and variance within ~2*range units)
+    val ref = graft.Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(avg(col("v").cast("double")).as("mu"),
+        var_pop(col("v").cast("double")).as("vr"))
+      .collect().map(r => r.getAs[Int]("dim") ->
+        (r.getAs[Double]("mu"), r.getAs[Double]("vr"))).toMap
+    rows.foreach { r =>
+      val (mu, vr) = ref(r.getAs[Int]("dim"))
+      assert(math.abs(r.getAs[Long]("mean_u") - mu * 1e6) <= 1.5,
+        s"dim ${r.getAs[Int]("dim")} mean")
+      assert(math.abs(r.getAs[Long]("var_u2") - vr * 1e12) <= 5e6,
+        s"dim ${r.getAs[Int]("dim")} var: ${r.getAs[Long]("var_u2")} vs ${vr * 1e12}")
+      assert(r.getAs[Long]("min_u") <= r.getAs[Long]("mean_u") &&
+        r.getAs[Long]("mean_u") <= r.getAs[Long]("max_u"))
+    }
+  }
+
   test("q122 quantiles equal the driver-side nearest-rank values exactly") {
     val got = q("q122_quantile_profile").collect()
       .map(r => r.getAs[String]("l_returnflag") ->
