@@ -455,7 +455,32 @@ object Stats {
       .orderBy(col("dim"))
   }
 
+  /** q132 — per-vector norm audit, q131's row-wise sibling: the L2
+    * norm² of every embedding in exact integer micro²-units (same
+    * tie-free floor quantization), rolled into an equi-width norm²
+    * histogram. A cosine-similarity pipeline assumes unit-ish norms;
+    * this shows the actual norm distribution — zero vectors, an
+    * un-normalized source, or a scale drift land in distant buckets
+    * instead of silently skewing every similarity score. Entirely
+    * map-side until the |buckets|-sized rollup: the norm² is one
+    * in-row fold (64 dims — the per-row HOF cost the q62 probe showed
+    * is only a loss when it REPLACES a codegen'd aggregation; here
+    * there is nothing cross-row to aggregate), carried in
+    * DECIMAL(38,0) so SF never overflows it. */
+  private val q132: Q = (s, d) => {
+    val vU = "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"
+    Tables.embeddings(s, d)
+      .select(expr(s"aggregate(embedding, CAST(0 AS DECIMAL(38,0)), " +
+        s"(acc, v) -> acc + CAST($vU AS DECIMAL(38,0)) * $vU)").as("n2_d"))
+      .groupBy(expr("CAST(n2_d div 100000000000 AS BIGINT)").as("norm_bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("CAST(min(n2_d) AS BIGINT)").as("min_n2_u"),
+        expr("CAST(max(n2_d) AS BIGINT)").as("max_n2_u"))
+      .orderBy(col("norm_bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q132_vector_norms" -> q132,
     "q131_embedding_profile" -> q131,
     "q130_quantile_sketch_audit" -> q130,
     "q129_market_basket" -> q129,
@@ -467,6 +492,18 @@ object Stats {
     "q113_pareto_suppliers" -> q113)
 
   val oracle: Map[String, String] = Map(
+    "q132_vector_norms" ->
+      """WITH n2 AS (
+        |  SELECT list_sum(list_transform(embedding,
+        |    v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS HUGEINT)
+        |         * CAST(floor(CAST(v AS DOUBLE) * 1000000) AS HUGEINT))) AS n2_h
+        |  FROM embeddings
+        |)
+        |SELECT CAST(n2_h // 100000000000 AS BIGINT) AS norm_bucket,
+        |  count(*) AS n_vectors,
+        |  CAST(min(n2_h) AS BIGINT) AS min_n2_u,
+        |  CAST(max(n2_h) AS BIGINT) AS max_n2_u
+        |FROM n2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q131_embedding_profile" ->
       """WITH vals AS (
         |  SELECT CAST(t.i - 1 AS INTEGER) AS dim,

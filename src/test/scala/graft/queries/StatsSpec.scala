@@ -203,6 +203,21 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("q132 norm buckets cover all vectors; bounds sit inside their bucket") {
+    val rows = q("q132_vector_norms").collect()
+    val nVec = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == nVec)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("norm_bucket")
+      val (lo, hi) = (r.getAs[Long]("min_n2_u"), r.getAs[Long]("max_n2_u"))
+      assert(lo <= hi && lo / 100000000000L == b && hi / 100000000000L == b)
+    }
+    // the synthetic embeddings are unit-ish: the mass sits around
+    // norm^2 = 1e12 (buckets 9-10), not at 0 and not at the 64e12 cap
+    val heavy = rows.maxBy(_.getAs[Long]("n_vectors")).getAs[Long]("norm_bucket")
+    assert(heavy >= 5 && heavy <= 15, s"unexpected modal norm bucket $heavy")
+  }
+
   test("q122 quantiles equal the driver-side nearest-rank values exactly") {
     val got = q("q122_quantile_profile").collect()
       .map(r => r.getAs[String]("l_returnflag") ->
