@@ -638,7 +638,7 @@ object Assembly {
 
   import TextAnalysis.sqlToks
 
-  private def sqlSplit(idExpr: String = "doc_id", salt: String = "v1") =
+  private[ops] def sqlSplit(idExpr: String = "doc_id", salt: String = "v1") =
     s"""CASE
        |    WHEN substr(md5(concat(CAST($idExpr AS VARCHAR), ':$salt')), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
        |    WHEN substr(md5(concat(CAST($idExpr AS VARCHAR), ':$salt')), 1, 1) BETWEEN 'c' AND 'd' THEN 'val'

@@ -978,6 +978,9 @@ object Dedup {
     "q111_edit_distance_dups" -> editDistanceDups,
     "q61_incremental_neardups" -> ngramJaccardIncremental,
     "q36b_dedup_keepers" -> ngramDupKeepers,
+    // lambda-wrapped: clusterSplit is declared below this map, and a
+    // direct val reference would capture null at init order
+    "q133_cluster_split" -> ((s, d) => clusterSplit(s, d)),
     "q103_dup_cluster_histogram" -> dupClusterHistogram,
     "q104_dedup_impact_by_source" -> dedupImpactBySource,
     "q37_embedding_neardups" -> embeddingDups,  // rows-only (LSH-seeded)
@@ -1023,7 +1026,77 @@ object Dedup {
       |    ON k.src = d.doc_id
       |)""".stripMargin
 
+  /** q133 — leakage-free (cluster-aware) dataset split: the op that
+    * CLOSES the loop q57's contamination audit opens. An id-keyed
+    * split (q56) can put two near-duplicates on opposite sides of the
+    * train/eval fence — the eval set then "tests" memorized text. Here
+    * the split key is the document's CLUSTER id (its q36b keeper), so
+    * every near-dup family lands wholly in one split by construction.
+    * Output: per-split doc and cluster counts, plus the corpus-level
+    * leakage audit — near-dup pairs crossing splits under this
+    * assignment (provably zero: both endpoints share a keeper, and
+    * the split is a function of the keeper) next to the count the
+    * naive id-keyed split would have leaked.
+    *
+    * Scale: the keeper closure is q36b's O(diameter) label
+    * propagation; the split is one md5 per CLUSTER key; the audit
+    * joins the id-only pair list against the id-only split map
+    * twice. The DuckDB twin replays pair generation, the recursive
+    * closure, both split assignments, and the audit verbatim. */
+  val clusterSplit: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // persisted: the closure's edge cut and the leakage audit both
+    // read the pair list (dupKeepers runs its loop eagerly at
+    // construction, so the cache is populated before the audit plan
+    // executes)
+    val pairs = persistSketch(
+      ngramJaccardBlocked(s, d).filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b")))
+    val keepers = materializedSketch(
+      dupKeepers(docs.select(col("doc_id")), pairs))
+    val withSplit = materializedSketch(keepers
+      .withColumn("split", Assembly.splitColumn(col("keeper")))
+      .withColumn("naive_split", Assembly.splitColumn(col("doc_id"))))
+    val audit = pairs
+      .join(withSplit.select(col("doc_id").as("doc_a"),
+        col("split").as("sp_a"), col("naive_split").as("nsp_a")), Seq("doc_a"))
+      .join(withSplit.select(col("doc_id").as("doc_b"),
+        col("split").as("sp_b"), col("naive_split").as("nsp_b")), Seq("doc_b"))
+      .agg(
+        coalesce(sum(when(col("sp_a") =!= col("sp_b"), 1L).otherwise(0L)), lit(0L))
+          .as("cross_pairs_cluster"),
+        coalesce(sum(when(col("nsp_a") =!= col("nsp_b"), 1L).otherwise(0L)), lit(0L))
+          .as("cross_pairs_naive"))
+    withSplit.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("keeper")).as("n_clusters"))
+      .crossJoin(broadcast(audit))
+      .orderBy(col("split"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q133_cluster_split" ->
+      s"""WITH RECURSIVE $sqlBlockedPairs,
+         |$sqlKeeperClosure,
+         |sp AS (
+         |  SELECT doc_id, keeper,
+         |    ${Assembly.sqlSplit("keeper")} AS split,
+         |    ${Assembly.sqlSplit("doc_id")} AS naive_split
+         |  FROM keepers
+         |), audit AS (
+         |  SELECT
+         |    CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |      AS cross_pairs_cluster,
+         |    CAST(coalesce(sum(CASE WHEN a.naive_split <> b.naive_split THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |      AS cross_pairs_naive
+         |  FROM strong p
+         |  JOIN sp a ON p.doc_a = a.doc_id
+         |  JOIN sp b ON p.doc_b = b.doc_id
+         |)
+         |SELECT split, count(*) AS n_docs, count(DISTINCT keeper) AS n_clusters,
+         |  cross_pairs_cluster, cross_pairs_naive
+         |FROM sp CROSS JOIN audit
+         |GROUP BY split, cross_pairs_cluster, cross_pairs_naive
+         |ORDER BY split""".stripMargin,
     "q32_dedup_exact" ->
       """SELECT n_copies, count(*) AS n_groups, min(keeper_doc_id) AS min_keeper
         |FROM (

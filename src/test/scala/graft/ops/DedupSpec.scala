@@ -389,4 +389,20 @@ class DedupSpec extends SparkTestBase {
     val rows = Dedup.editDistanceNearDups(docs).collect()
     assert(rows.length == 1 && rows.head.getAs[Long]("edit_distance") == 0L)
   }
+
+  test("cluster split: zero cross-split near-dup pairs, naive split leaks") {
+    val rows = graft.SparkEntry.queries("q133_cluster_split")(
+      spark, "/root/testdata/sf0.001").collect()
+    val nDocs = graft.Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs, "splits partition the corpus")
+    rows.foreach { r =>
+      // the defining property: no near-dup pair crosses a split
+      assert(r.getAs[Long]("cross_pairs_cluster") == 0L)
+      assert(r.getAs[Long]("n_clusters") <= r.getAs[Long]("n_docs"))
+    }
+    // the audit is only meaningful if the naive split WOULD have
+    // leaked on this corpus (planted dups exist at every SF)
+    assert(rows.head.getAs[Long]("cross_pairs_naive") > 0L,
+      "corpus has no cross-split near-dups under the id split — audit is vacuous")
+  }
 }
