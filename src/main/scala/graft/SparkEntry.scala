@@ -27,7 +27,8 @@ object SparkEntry {
       graft.ops.Assembly.queries ++ graft.ops.Bpe.queries ++
       graft.ops.Boilerplate.queries ++ graft.ops.Layout.queries ++
       graft.ops.BloomJoin.queries ++ graft.ops.Scd.queries ++
-      graft.ops.Expectations.queries ++ graft.ops.Graphs.queries
+      graft.ops.Expectations.queries ++ graft.ops.Graphs.queries ++
+      graft.ops.RangeJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,7 +41,8 @@ object SparkEntry {
       graft.ops.Assembly.oracle ++ graft.ops.Bpe.oracle ++
       graft.ops.Boilerplate.oracle ++ graft.ops.Layout.oracle ++
       graft.ops.BloomJoin.oracle ++ graft.ops.Scd.oracle ++
-      graft.ops.Expectations.oracle ++ graft.ops.Graphs.oracle
+      graft.ops.Expectations.oracle ++ graft.ops.Graphs.oracle ++
+      graft.ops.RangeJoin.oracle
 
   /** Queries driven by checked-in fixtures rather than the sf-scaled
     * testdata tables: their runtime is constant in SF, so Bench reports

@@ -787,7 +787,144 @@ object Core {
         col("n_items"))
   }
 
+  /** q134 — the TPC-H Q8 shape (national market share): of the PROMO
+    * parts sold to customers in one region, what revenue share did
+    * suppliers from one nation take, per order year. The widest join
+    * tree in the catalog — lineitem ⋈ part ⋈ supplier ⋈ nation ⋈
+    * orders ⋈ customer ⋈ nation ⋈ region — and the plan it spells is
+    * the 100 TB one: every dimension filter reduces its OWN side
+    * before any fact touch (PROMO parts and supplier→nation broadcast
+    * onto lineitem, the region's customers broadcast onto orders), so
+    * the single big exchange — lineitem ⋈ orders on orderkey — moves
+    * only pre-pruned rows. The share is a conditional-aggregate ratio
+    * from ONE aggregation pass (q126's discipline: exact decimal
+    * sums, one double division at the end). */
+  private val q134: Q = (s, d) => {
+    val dp = discPrice(col("l_extendedprice"), col("l_discount"))
+    val suppNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val regionCust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("order_year"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("order_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", dp).otherwise(lit(0).cast(D6)))
+          .cast(DecimalType(18, 4)).as("nation_d"),
+        sum(dp).cast(DecimalType(18, 4)).as("total_d"),
+        count(lit(1)).as("n_items"))
+      .select(col("order_year"),
+        (lit(100.0) * col("nation_d").cast(DoubleType) / col("total_d").cast(DoubleType))
+          .as("mkt_share_pct"),
+        col("nation_d").cast(DoubleType).as("nation_revenue"),
+        col("total_d").cast(DoubleType).as("total_revenue"),
+        col("n_items"))
+      .orderBy(col("order_year"))
+  }
+
+  /** q135 — the TPC-H Q4 shape (order-priority checking): orders
+    * placed in one quarter with AT LEAST ONE line item shipped more
+    * than 60 days after the order date, counted per priority. The
+    * decorrelation family this adds: a correlated EXISTS whose inner
+    * predicate references BOTH relations non-equi (l_shipdate >
+    * o_orderdate + 60 days) — the oracle twin keeps that correlated
+    * spelling verbatim; the Spark side is the LEFT SEMI join with the
+    * mixed equi + non-equi condition, which the planner executes as a
+    * hash semi-join on orderkey with the date conjunct as a residual
+    * (never a nested loop). The quarter filter prunes the orders scan
+    * before the exchange, and semi-join semantics dedup the
+    * multi-late-line case by construction. */
+  private val q135: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-10-01").cast(TimestampType))
+      .join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q136 — the TPC-H Q13 shape (customer order distribution): how
+    * many customers placed 0, 1, 2, … qualifying orders — the
+    * count-of-counts over a FILTERED LEFT join, whose defining trap
+    * is that the filter must live in the JOIN CONDITION (a WHERE
+    * would delete the zero-order customers the query exists to
+    * count). The oracle twin keeps that left-join spelling; the Spark
+    * side runs the scale form: aggregate orders by custkey FIRST (one
+    * map-combined exchange of the big side), then a LEFT join from
+    * the customer dim onto the counts with coalesce(0) — row-level
+    * orders never pass through the customer join. The histogram pass
+    * is a second tiny aggregation. */
+  private val q136: Q = (s, d) => {
+    val perCust = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("c_count"))
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("c_count").desc)
+  }
+
+  /** q137 — the TPC-H Q10 shape (returned-item reporting): the top 20
+    * customers by revenue lost to returns in one half-year. Plan
+    * content: the date band prunes the orders scan, the returnflag
+    * filter prunes lineitem, the two pruned facts meet in ONE
+    * orderkey exchange, the custkey aggregation map-combines, and the
+    * dims broadcast on last. The top-20 is `ORDER BY … LIMIT 20` over
+    * a total order (revenue DESC, custkey), which Spark executes as
+    * TakeOrderedAndProject — per-partition heaps + a driver merge of
+    * 20-row tops, never a global sort (the revenue is an exact
+    * decimal, so the cross-engine order is exact too). */
+  private val q137: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast(DecimalType(18, 4)).as("rev_d"),
+        count(lit(1)).as("n_items"))
+      .join(broadcast(Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("nation"),
+        col("rev_d").cast(DoubleType).as("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q134_market_share" -> q134,
+    "q135_late_shipment_priority" -> q135,
+    "q136_customer_order_distribution" -> q136,
+    "q137_returned_top_customers" -> q137,
     "q126_promo_share" -> q126,
     "q125_grouping_sets" -> q125,
     "q120_priority_mode" -> q120,
@@ -826,6 +963,66 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
+    "q134_market_share" ->
+      """WITH agg AS (
+        |  SELECT year(CAST(o_orderdate AS DATE)) AS order_year,
+        |    CAST(sum(CASE WHEN sn.n_name = 'NATION_5'
+        |      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,4)) AS nation_d,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS total_d,
+        |    count(*) AS n_items
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  GROUP BY 1
+        |)
+        |SELECT order_year,
+        |  100.0 * CAST(nation_d AS DOUBLE) / CAST(total_d AS DOUBLE) AS mkt_share_pct,
+        |  CAST(nation_d AS DOUBLE) AS nation_revenue,
+        |  CAST(total_d AS DOUBLE) AS total_revenue,
+        |  n_items
+        |FROM agg ORDER BY order_year""".stripMargin,
+    "q135_late_shipment_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q136_customer_order_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey
+        |)
+        |SELECT c_count, count(*) AS n_customers
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY n_customers DESC, c_count DESC""".stripMargin,
+    "q137_returned_top_customers" ->
+      s"""SELECT c_custkey, c_name, n_name AS nation,
+         |  CAST(CAST(sum($sqlDiscPrice) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-07-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
     "q126_promo_share" ->
       s"""WITH agg AS (
          |  SELECT

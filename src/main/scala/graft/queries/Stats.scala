@@ -255,6 +255,58 @@ object Stats {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q139 — robust outliers via median absolute deviation, q109's
+    * heavy-tail-safe sibling (3-sigma is itself dragged by the
+    * outliers it hunts; median/MAD are breakdown-point-0.5 robust).
+    * Everything is exact integer cents under the NEAREST-RANK
+    * median (q122's selection definition — an actual data value, so
+    * cross-engine equality is exact; no interpolation, no doubles).
+    *
+    * The scale trick: ONE fact scan total. The per-group value
+    * histogram (hash agg, map-combined) is the only pass over
+    * lineitem; the deviation histogram is then derived FROM the value
+    * histogram (|x - med| re-keys distinct values, weights ride
+    * along), and the outlier count (|x - med| > 3·MAD) is a
+    * conditional sum over that same histogram. Both median picks run
+    * the q122 cum-over-distinct-values window — reducer input is
+    * bounded by |distinct prices| per group regardless of SF — and
+    * the two stats frames join back BROADCAST. */
+  private val q139: Q = (s, d) => {
+    val cents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(18, 0)).cast(LongType)
+    val hist = graft.ops.Dedup.materializedSketch(
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), cents.as("cents"))
+        .agg(count(lit(1)).as("cnt")))
+    val grp = Window.partitionBy(col("l_returnflag"))
+    def nearestRankMedian(h: DataFrame, valueCol: String, out: String): DataFrame =
+      h.withColumn("cum", sum(col("cnt")).over(grp.orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", max(col("cum")).over(grp))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n_items"),
+          min(when(expr("cum >= (50 * n + 99) div 100"), col(valueCol))).as(out))
+    val med = nearestRankMedian(hist, "cents", "median_cents")
+      .select(col("l_returnflag"), col("n_items"), col("median_cents"))
+    val devHist = hist.join(broadcast(med), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), abs(col("cents") - col("median_cents")).as("dev"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = nearestRankMedian(devHist, "dev", "mad_cents")
+      .select(col("l_returnflag"), col("mad_cents"))
+    hist.join(broadcast(med), Seq("l_returnflag"))
+      .join(broadcast(mad), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("n_items")).as("n_items"),
+        max(col("median_cents")).as("median_cents"),
+        max(col("mad_cents")).as("mad_cents"),
+        sum(when(abs(col("cents") - col("median_cents")) > col("mad_cents") * 3,
+          col("cnt")).otherwise(0L)).as("n_outliers"))
+      .select(col("l_returnflag"), col("n_items"), col("median_cents"),
+        col("mad_cents"), col("n_outliers"),
+        expr("1000000 * n_outliers div n_items").as("outlier_ppm"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Exact GLOBAL row_number over `orderCols` without a global window:
     * the distributed-ranking shape every "assign each row its ntile /
     * percentile / rank" task needs at scale, where
@@ -486,6 +538,7 @@ object Stats {
     "q129_market_basket" -> q129,
     "q128_rfm_segments" -> q128,
     "q122_quantile_profile" -> q122,
+    "q139_mad_outliers" -> q139,
     "q108_discount_qty_regression" -> q108,
     "q109_price_outliers" -> q109,
     "q112_trade_volume" -> q112,
@@ -558,6 +611,48 @@ object Stats {
         |SELECT r_q, f_q, m_q, count(*) AS n_customers,
         |  CAST(CAST(sum(spend_d) AS DECIMAL(18,2)) AS DOUBLE) / count(*) AS avg_spend
         |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q139_mad_outliers" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        |), cum1 AS (
+        |  SELECT *, sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist
+        |), t1 AS (
+        |  SELECT *, max(cum) OVER (PARTITION BY l_returnflag) AS n FROM cum1
+        |), med AS (
+        |  SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_items,
+        |    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN cents END) AS median_cents
+        |  FROM t1 GROUP BY l_returnflag
+        |), dev_hist AS (
+        |  SELECT h.l_returnflag, abs(h.cents - m.median_cents) AS dev,
+        |    sum(h.cnt) AS cnt
+        |  FROM hist h JOIN med m USING (l_returnflag)
+        |  GROUP BY 1, 2
+        |), cum2 AS (
+        |  SELECT *, sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM dev_hist
+        |), t2 AS (
+        |  SELECT *, max(cum) OVER (PARTITION BY l_returnflag) AS n FROM cum2
+        |), mad AS (
+        |  SELECT l_returnflag,
+        |    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN dev END) AS mad_cents
+        |  FROM t2 GROUP BY l_returnflag
+        |)
+        |SELECT h.l_returnflag, m.n_items, m.median_cents, a.mad_cents,
+        |  CAST(sum(CASE WHEN abs(h.cents - m.median_cents) > a.mad_cents * 3
+        |    THEN h.cnt ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(1000000 * sum(CASE WHEN abs(h.cents - m.median_cents) > a.mad_cents * 3
+        |    THEN h.cnt ELSE 0 END) // m.n_items AS BIGINT) AS outlier_ppm
+        |FROM hist h
+        |JOIN med m USING (l_returnflag)
+        |JOIN mad a USING (l_returnflag)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY h.l_returnflag""".stripMargin,
     "q122_quantile_profile" ->
       """WITH hist AS (
         |  SELECT l_returnflag, l_extendedprice AS price, count(*) AS cnt

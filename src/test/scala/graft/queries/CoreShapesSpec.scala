@@ -96,4 +96,63 @@ class CoreShapesSpec extends SparkTestBase {
       assert(r.getAs[Long]("share_ppm") == want._3 * 1000000L / total)
     }
   }
+
+  test("q134: share recomputes from its own revenue columns; facts meet in one exchange") {
+    val df = q("q134_market_share")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nat, tot) = (r.getAs[Double]("nation_revenue"), r.getAs[Double]("total_revenue"))
+      assert(nat >= 0 && nat <= tot && tot > 0)
+      assert(r.getAs[Double]("mkt_share_pct") == 100.0 * nat / tot)
+    }
+    // every dim side broadcasts; the only shuffled join is li ⋈ orders
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+      s"more than the one fact-fact exchange:\n$plan")
+  }
+
+  test("q135: semi-join counts each late order once; matches a driver-side EXISTS") {
+    val rows = q("q135_late_shipment_priority").collect()
+    // independent spelling: join + distinct orderkeys, then count
+    val late = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      .join(graft.Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("o_orderkey"), col("o_orderpriority")).distinct()
+      .groupBy(col("o_orderpriority")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    assert(rows.map(r => r.getAs[String]("o_orderpriority") ->
+      r.getAs[Long]("n_orders")).toMap == late)
+  }
+
+  test("q136: distribution covers every customer; zero bucket counts the orderless") {
+    val rows = q("q136_customer_order_distribution").collect()
+    val nCust = graft.Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    // cross-check the zero bucket: customers minus distinct custkeys
+    // holding at least one qualifying order
+    val withOrders = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select(col("o_custkey")).distinct().count()
+    val zero = rows.find(_.getAs[Long]("c_count") == 0L)
+      .map(_.getAs[Long]("n_customers")).getOrElse(0L)
+    assert(zero == nCust - withOrders)
+  }
+
+  test("q137: top-20 plan is TakeOrdered, not a global sort; revenue order total") {
+    val df = q("q137_returned_top_customers")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"LIMIT over ORDER BY should plan as TakeOrderedAndProject:\n$plan")
+    val rows = df.collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val keys = rows.map(r => (-r.getAs[Double]("revenue"), r.getAs[Long]("c_custkey"))).toSeq
+    assert(keys == keys.sorted, "rows must arrive in (revenue DESC, custkey) order")
+    rows.foreach(r => assert(r.getAs[Double]("revenue") > 0))
+  }
 }

@@ -218,6 +218,34 @@ class StatsSpec extends SparkTestBase {
     assert(heavy >= 5 && heavy <= 15, s"unexpected modal norm bucket $heavy")
   }
 
+  test("q139 median/MAD/outliers equal a driver-side recompute exactly") {
+    val got = q("q139_mad_outliers").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Long]("n_items"), r.getAs[Long]("median_cents"),
+          r.getAs[Long]("mad_cents"), r.getAs[Long]("n_outliers"),
+          r.getAs[Long]("outlier_ppm"))))
+      .toMap
+    val raw = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    assert(got.keySet == raw.keySet && got.nonEmpty)
+    raw.foreach { case (k, cs) =>
+      val n = cs.length.toLong
+      def nearestRank(sorted: Array[Long]): Long =
+        sorted(((50 * n + 99) / 100 - 1).toInt)
+      val med = nearestRank(cs.sorted)
+      val mad = nearestRank(cs.map(c => math.abs(c - med)).sorted)
+      val out = cs.count(c => math.abs(c - med) > 3 * mad).toLong
+      assert(got(k) == ((n, med, mad, out, 1000000L * out / n)),
+        s"group $k: got ${got(k)} want ${(n, med, mad, out, 1000000L * out / n)}")
+      // MAD flags a robust (possibly different) outlier set vs 3-sigma;
+      // both must be a small minority on this distribution
+      assert(out < n / 4)
+    }
+  }
+
   test("q122 quantiles equal the driver-side nearest-rank values exactly") {
     val got = q("q122_quantile_profile").collect()
       .map(r => r.getAs[String]("l_returnflag") ->
