@@ -943,6 +943,33 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** q140 — soft dedup: keep one representative per near-dup family
+    * but carry the family's multiplicity as a SAMPLING WEIGHT instead
+    * of discarding the information (the "dedup then upweight"
+    * alternative to a hard cut — training pipelines that want
+    * one-copy text with frequency-faithful sampling need exactly this
+    * table). Per kept document: its weight (family size), how many
+    * distinct sources the family spans (a >1 value marks genuinely
+    * cross-source text, the kind a per-source cap would mishandle),
+    * the lexicographically first source as the provenance example,
+    * and the characters the cut saved. Derived from the q36b closure
+    * with one id-only join to (source, n_chars) and one hash agg on
+    * the keeper — only kept-rows-sized output past the closure. */
+  val dedupWeights: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    ngramDupKeepers(s, d)
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("keeper"))
+      .agg(count(lit(1)).as("weight"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("source")).as("first_source"),
+        sum(col("n_chars")).as("family_chars"),
+        sum(when(col("keeper") =!= col("doc_id"), col("n_chars"))
+          .otherwise(lit(0L))).as("chars_saved"))
+      .orderBy(col("keeper"))
+  }
+
   // ---- tier 5: embedding cosine near-dup ----------------------------
 
   /** Semantic near-dups via the multi-table Similarity LSH index (no
@@ -983,6 +1010,7 @@ object Dedup {
     "q133_cluster_split" -> ((s, d) => clusterSplit(s, d)),
     "q103_dup_cluster_histogram" -> dupClusterHistogram,
     "q104_dedup_impact_by_source" -> dedupImpactBySource,
+    "q140_dedup_weights" -> dedupWeights,
     "q37_embedding_neardups" -> embeddingDups,  // rows-only (LSH-seeded)
   )
 
@@ -1171,5 +1199,18 @@ object Dedup {
          |    // count(*) AS removed_ppm
          |FROM keepers k JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // the keeper closure re-aggregated to per-family weights with
+    // source-span and character accounting
+    "q140_dedup_weights" ->
+      s"""WITH RECURSIVE $sqlBlockedPairs,
+         |$sqlKeeperClosure
+         |SELECT k.keeper,
+         |  count(*) AS weight,
+         |  CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+         |  min(d.source) AS first_source,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS family_chars,
+         |  CAST(sum(CASE WHEN k.keeper <> d.doc_id THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_saved
+         |FROM keepers k JOIN documents d USING (doc_id)
+         |GROUP BY k.keeper ORDER BY k.keeper""".stripMargin,
   )
 }

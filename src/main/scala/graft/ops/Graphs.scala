@@ -91,8 +91,67 @@ object Graphs {
       .limit(20)
   }
 
+  /** BFS frontier depth for q143 — the exact max hop both engines
+    * expand to (unreached-by-then nodes are absent on both sides). */
+  val bfsMaxHops = 4
+
+  /** q143 — BFS hop census over the trade graph: how many nodes sit
+    * at each hop distance from a seed set (every 10th supplier),
+    * split by entity side — the reachability/propagation primitive
+    * (influence radius, recall expansion, blast-radius analysis)
+    * next to [[pageRank]]'s scoring one. Distance is MIN hops, which
+    * layered BFS yields by construction: each round expands only the
+    * newest frontier and anti-joins everything already reached, so a
+    * node joins `reached` exactly once, at its true distance — no
+    * numeric comparison, no convergence test, cross-engine exact by
+    * pure set algebra. The DuckDB twin is the textbook bounded
+    * recursive CTE folded with min(hop), cross-algorithm evidence.
+    *
+    * Scale shape per round: one join of the (cached, src-partitioned
+    * — the [[pageRank]] discipline) edge list against the
+    * frontier-sized id set + one anti join against the reached set;
+    * each round's `reached` is materialized so plan depth stays O(1)
+    * per hop instead of compounding. On the bipartite trade graph
+    * hops alternate sides, pinning the entity split in the spec. */
+  val tradeBfs: Q = (s, d) => {
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("s_node"),
+        (col("o_custkey") * 2 + 1).as("c_node"))
+      .distinct()
+    val edges = Dedup.materializedSketch(
+      pairs.select(col("s_node").as("src"), col("c_node").as("dst"))
+        .unionByName(pairs.select(col("c_node").as("src"), col("s_node").as("dst")))
+        .repartition(col("src")))
+    val seeds = pairs.select(col("s_node").as("node")).distinct()
+      .filter(expr("(node div 2) % 10 = 0"))
+    var reached = Dedup.materializedSketch(
+      seeds.withColumn("hop", lit(0)))
+    for (h <- 1 to bfsMaxHops) {
+      val frontier = reached.filter(col("hop") === h - 1)
+        .select(col("node").as("src"))
+      // no broadcast hint: a BFS frontier is graph-sized by hop 2 on
+      // a dense graph (unlike pageRank's nodes-sized share vector) —
+      // AQE broadcasts the small early frontiers on its own, and the
+      // src-partitioned cached edges co-locate the big ones
+      val next = edges.join(frontier, Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+      reached = Dedup.materializedSketch(reached.unionByName(next))
+    }
+    reached
+      .groupBy(col("hop"),
+        when(col("node") % 2 === 0, "supplier").otherwise("customer").as("entity"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(expr("node div 2")).as("min_entity_id"),
+        max(expr("node div 2")).as("max_entity_id"))
+      .orderBy(col("hop"), col("entity"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q127_trade_pagerank" -> pageRank,
+    "q143_trade_bfs" -> tradeBfs,
   )
 
   /** The five iterations unrolled as chained CTEs; generated by the
@@ -135,6 +194,30 @@ object Graphs {
            |FROM r$iterations
            |ORDER BY rank_u DESC, entity, entity_id
            |LIMIT 20""".stripMargin,
+      "q143_trade_bfs" ->
+        s"""WITH RECURSIVE pairs AS (
+           |  SELECT DISTINCT l_suppkey * 2 AS s_node, o_custkey * 2 + 1 AS c_node
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |), edges AS (
+           |  SELECT s_node AS src, c_node AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT c_node AS src, s_node AS dst FROM pairs
+           |), seeds AS (
+           |  SELECT DISTINCT s_node AS node FROM pairs WHERE (s_node // 2) % 10 = 0
+           |), walk(node, hop) AS (
+           |  SELECT node, 0 FROM seeds
+           |  UNION
+           |  SELECT e.dst, w.hop + 1 FROM walk w JOIN edges e ON w.node = e.src
+           |  WHERE w.hop < $bfsMaxHops
+           |), dist AS (
+           |  SELECT node, min(hop) AS hop FROM walk GROUP BY node
+           |)
+           |SELECT hop,
+           |  CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS entity,
+           |  count(*) AS n_nodes,
+           |  CAST(min(node // 2) AS BIGINT) AS min_entity_id,
+           |  CAST(max(node // 2) AS BIGINT) AS max_entity_id
+           |FROM dist GROUP BY 1, 2 ORDER BY hop, entity""".stripMargin,
     )
   }
 }

@@ -148,6 +148,85 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Per-source token-distribution drift (q141): total-variation
+    * distance between each source's token distribution and the whole
+    * corpus's, over the corpus top-k tokens — the mixture-health
+    * audit run before weighting sources into a training mix (a source
+    * whose unigram profile sits far from the corpus is jargon, spam,
+    * or another language wearing the wrong tag; q64 watches the
+    * SPLIT axis, this watches the SOURCE axis). Per the q63/q64
+    * discipline the L1 terms are exact integers — per token
+    * |n_st·T_corpus − n_tok·T_src| in DECIMAL(38,0) (factors < 2^63,
+    * products < 8.5e37, cannot wrap) — and the only division is the
+    * final exact `div` to ppm (TV ≤ 2e6 ppm, so the BIGINT output
+    * cannot overflow at any SF). Absent (source, token) pairs
+    * contribute n_st = 0 via the source×top-k grid, which is
+    * |sources|·k rows — broadcast-sized by construction.
+    *
+    * Shape: ONE explode + (source, token) hash agg is the only
+    * corpus-sized work; token totals, source totals, and the top-k
+    * derive from that counts frame (materialized — three consumers),
+    * never from a second scan. */
+  val sourceTokenDrift: Q = (s, d) => {
+    val k = 100
+    val dec = DecimalType(38, 0)
+    val cntSt = Dedup.materializedSketch(Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n_st")))
+    val tokTotals = Dedup.materializedSketch(
+      cntSt.groupBy(col("token")).agg(sum(col("n_st")).as("n_tok")))
+    val srcTotals = cntSt.groupBy(col("source")).agg(sum(col("n_st")).as("tot_src"))
+    val corpusTotal = tokTotals.agg(sum(col("n_tok")).as("tot_corpus"))
+    val top = tokTotals.orderBy(col("n_tok").desc, col("token")).limit(k)
+    srcTotals.crossJoin(broadcast(top))
+      .join(cntSt, Seq("source", "token"), "left")
+      .crossJoin(broadcast(corpusTotal))
+      .withColumn("term",
+        abs(coalesce(col("n_st"), lit(0L)).cast(dec) * col("tot_corpus")
+          - col("n_tok").cast(dec) * col("tot_src")))
+      .groupBy(col("source"))
+      .agg(max(col("tot_src")).as("n_tokens"),
+        expr("CAST((1000000 * sum(term)) div " +
+          "(CAST(max(tot_src) AS DECIMAL(38,0)) * max(tot_corpus)) AS BIGINT)")
+          .as("tv_ppm"),
+        expr("CAST(max(1000000 * term div " +
+          "(CAST(tot_src AS DECIMAL(38,0)) * tot_corpus)) AS BIGINT)")
+          .as("max_term_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Vocabulary coverage curve (q142): for vocabulary cutoffs k, what
+    * fraction of token OCCURRENCES the top-k types cover — the
+    * tokenizer/vocab-size sizing audit (the knee of this curve is
+    * where a frequency-cutoff vocab stops paying for itself; the
+    * remainder is the OOV mass a <unk> token would absorb). Types are
+    * ranked by (count DESC, token) — a total order, so ranks are
+    * cross-engine exact — through [[graft.queries.Stats.globalRank]]
+    * (range-partitioned two-phase ranking: the vocabulary at 100 TB
+    * is itself too large for a single-partition row_number). Coverage
+    * at each cutoff is a CONDITIONAL SUM over the ranked frame (no
+    * cumulative window — fixed cutoffs need no prefix sum), one pass,
+    * unpivoted to a row per k. Exact-integer ppm. */
+  val vocabCoverage: Q = (s, d) => {
+    val ks = Seq(5, 10, 20)
+    val counts = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
+      .withColumn("neg_occ", -col("n_occ"))
+    val ranked = graft.queries.Stats.globalRank(counts, Seq("neg_occ", "token"), "rank")
+    val agg = ranked.agg(
+      (sum(col("n_occ")).cast(LongType)).as("total_occ"),
+      count(lit(1)).as("n_types") +: ks.map(k =>
+        sum(when(col("rank") <= k, col("n_occ")).otherwise(0L)).as(s"c$k")): _*)
+    agg.select(expr(s"stack(${ks.size}, " +
+        ks.map(k => s"$k, c$k").mkString(", ") + ") AS (vocab_k, occ_covered)"),
+        col("total_occ"), col("n_types"))
+      .select(col("vocab_k"), col("occ_covered"), col("total_occ"),
+        least(col("vocab_k").cast(LongType), col("n_types")).as("n_types_covered"),
+        expr("1000000 * occ_covered div total_occ").as("coverage_ppm"))
+      .orderBy(col("vocab_k"))
+  }
+
   /** Vocabulary top-k (q60): corpus-wide token frequencies with doc
     * frequency — the vocab-building/Zipf-audit pass. One explode
     * (Generate, pipelined with the scan) into a hash aggregation on
@@ -616,6 +695,8 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    "q141_source_token_drift" -> sourceTokenDrift,
+    "q142_vocab_coverage" -> vocabCoverage,
     "q97_lexical_diversity" -> lexicalDiversity,
     "q91_tfidf_terms" -> tfidfTerms,
     "q96_inverted_index" -> invertedIndex,
@@ -819,6 +900,58 @@ object TextAnalysis {
          |  CAST(max(n) AS DOUBLE) / sum(n) AS top_bigram_frac,
          |  (sum(n) < 8 OR CAST(max(n) AS DOUBLE) / sum(n) < 0.2) AS keep
          |FROM c GROUP BY doc_id""".stripMargin,
+    "q141_source_token_drift" ->
+      s"""WITH cnt AS (
+         |  SELECT source, token, count(*) AS n_st FROM (
+         |    SELECT source, unnest(${sqlToks("text")}) AS token FROM documents)
+         |  GROUP BY 1, 2
+         |), tok AS (
+         |  SELECT token, sum(n_st) AS n_tok FROM cnt GROUP BY token
+         |), src AS (
+         |  SELECT source, sum(n_st) AS tot_src FROM cnt GROUP BY source
+         |), tot AS (
+         |  SELECT sum(n_tok) AS tot_corpus FROM tok
+         |), top AS (
+         |  SELECT token, n_tok FROM tok ORDER BY n_tok DESC, token LIMIT 100
+         |), terms AS (
+         |  SELECT s.source, s.tot_src, tot.tot_corpus,
+         |    abs(CAST(coalesce(c.n_st, 0) AS HUGEINT) * tot.tot_corpus
+         |        - CAST(t.n_tok AS HUGEINT) * s.tot_src) AS term
+         |  FROM src s CROSS JOIN top t
+         |  LEFT JOIN cnt c ON c.source = s.source AND c.token = t.token
+         |  CROSS JOIN tot
+         |)
+         |SELECT source, CAST(max(tot_src) AS BIGINT) AS n_tokens,
+         |  CAST((1000000 * sum(term))
+         |    // (CAST(max(tot_src) AS HUGEINT) * max(tot_corpus)) AS BIGINT) AS tv_ppm,
+         |  CAST(max(1000000 * term
+         |    // (CAST(tot_src AS HUGEINT) * tot_corpus)) AS BIGINT) AS max_term_ppm
+         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    "q142_vocab_coverage" ->
+      s"""WITH cnt AS (
+         |  SELECT token, count(*) AS n_occ FROM (
+         |    SELECT unnest(${sqlToks("text")}) AS token FROM documents)
+         |  GROUP BY token
+         |), ranked AS (
+         |  SELECT n_occ, row_number() OVER (ORDER BY n_occ DESC, token) AS rank
+         |  FROM cnt
+         |), agg AS (
+         |  SELECT CAST(sum(n_occ) AS BIGINT) AS total_occ, count(*) AS n_types,
+         |    CAST(sum(CASE WHEN rank <= 5 THEN n_occ ELSE 0 END) AS BIGINT) AS c5,
+         |    CAST(sum(CASE WHEN rank <= 10 THEN n_occ ELSE 0 END) AS BIGINT) AS c10,
+         |    CAST(sum(CASE WHEN rank <= 20 THEN n_occ ELSE 0 END) AS BIGINT) AS c20
+         |  FROM ranked
+         |), rows_k AS (
+         |  SELECT 5 AS vocab_k, c5 AS occ_covered, total_occ, n_types FROM agg
+         |  UNION ALL
+         |  SELECT 10, c10, total_occ, n_types FROM agg
+         |  UNION ALL
+         |  SELECT 20, c20, total_occ, n_types FROM agg
+         |)
+         |SELECT vocab_k, occ_covered, total_occ,
+         |  least(CAST(vocab_k AS BIGINT), n_types) AS n_types_covered,
+         |  1000000 * occ_covered // total_occ AS coverage_ppm
+         |FROM rows_k ORDER BY vocab_k""".stripMargin,
     "q60_vocab_topk" ->
       s"""SELECT token, count(*) AS n_occurrences,
          |  count(DISTINCT doc_id) AS n_docs

@@ -405,4 +405,28 @@ class DedupSpec extends SparkTestBase {
     assert(rows.head.getAs[Long]("cross_pairs_naive") > 0L,
       "corpus has no cross-split near-dups under the id split — audit is vacuous")
   }
+
+  test("q140 weights reconcile with the keeper closure, q103 histogram, and corpus totals") {
+    val sfd = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q140_dedup_weights")(spark, sfd).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfd)
+    val nDocs = docs.count()
+    val nChars = docs.agg(sum(col("n_chars"))).head().getLong(0)
+    // weights partition the corpus: every doc is in exactly one family
+    assert(rows.map(_.getAs[Long]("weight")).sum == nDocs)
+    assert(rows.map(_.getAs[Long]("family_chars")).sum == nChars)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("weight") >= 1L)
+      assert(r.getAs[Long]("n_sources") >= 1L &&
+        r.getAs[Long]("n_sources") <= r.getAs[Long]("weight"))
+      assert(r.getAs[Long]("chars_saved") <= r.getAs[Long]("family_chars"))
+    }
+    // the weight distribution IS q103's cluster-size histogram
+    val hist = graft.SparkEntry.queries("q103_dup_cluster_histogram")(spark, sfd)
+      .collect().map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters")).toMap
+    val fromWeights = rows.groupBy(_.getAs[Long]("weight"))
+      .map { case (w, rs) => w -> rs.length.toLong }
+    assert(fromWeights == hist, s"weights $fromWeights vs q103 $hist")
+  }
 }

@@ -48,4 +48,43 @@ class GraphsSpec extends SparkTestBase {
     assert(rank.values.sum <= Graphs.massU)
     assert(rank.values.forall(_ >= tp))
   }
+
+  test("q143 BFS hop census equals a driver-side BFS; hops alternate sides") {
+    val rows = graft.SparkEntry.queries("q143_trade_bfs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+
+    // independent BFS over collected edges, sharing no Spark code
+    val pairs = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs.map(p => p._1 -> p._2) ++ pairs.map(p => p._2 -> p._1))
+      .groupBy(_._1).map { case (k, es) => k -> es.map(_._2).toSet }
+    val seeds = pairs.map(_._1).filter(s => (s / 2) % 10 == 0).toSet
+    assert(seeds.nonEmpty, "seed set empty at this SF — adjust the seed rule")
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (h <- 1 to Graphs.bfsMaxHops) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .diff(dist.keySet)
+      dist = dist ++ next.map(_ -> h)
+      frontier = next
+    }
+    val want = dist.groupBy { case (node, hop) =>
+        (hop, if (node % 2 == 0) "supplier" else "customer")
+      }
+      .map { case ((hop, e), m) =>
+        (hop, e) -> (m.size.toLong, m.keys.map(_ / 2).min, m.keys.map(_ / 2).max)
+      }
+    val got = rows.map(r => (r.getAs[Int]("hop"), r.getAs[String]("entity")) ->
+      (r.getAs[Long]("n_nodes"), r.getAs[Long]("min_entity_id"),
+        r.getAs[Long]("max_entity_id"))).toMap
+    assert(got == want, s"got $got\nwant $want")
+    // bipartite: even hops are suppliers, odd hops customers
+    rows.foreach { r =>
+      val e = if (r.getAs[Int]("hop") % 2 == 0) "supplier" else "customer"
+      assert(r.getAs[String]("entity") == e,
+        s"hop ${r.getAs[Int]("hop")} holds a ${r.getAs[String]("entity")}")
+    }
+  }
 }

@@ -370,4 +370,56 @@ class TextAnalysisSpec extends SparkTestBase {
     val direct = docs.select(sum(size(TextAnalysis.tokens(col("text"))))).head().getLong(0)
     assert(rows.map(_.getAs[Long]("sum_tokens")).sum == direct)
   }
+
+  test("q141 drift equals a driver-side exact TV recompute; bounds hold") {
+    val rows = graft.SparkEntry.queries("q141_source_token_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent recompute from raw (source, token) counts
+    val raw = graft.Tables.documents(spark, sf)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("source", "token").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val tokTot = raw.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val srcTot = raw.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val totC = BigInt(tokTot.values.sum)
+    val top = tokTot.toSeq.sortBy { case (t, n) => (-n, t) }.take(100)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val totS = BigInt(srcTot(src))
+      assert(r.getAs[Long]("n_tokens") == srcTot(src))
+      val terms = top.map { case (t, nTok) =>
+        (BigInt(raw.getOrElse((src, t), 0L)) * totC - BigInt(nTok) * totS).abs
+      }
+      val tv = (BigInt(1000000) * terms.sum) / (totS * totC)
+      val mx = terms.map(term => BigInt(1000000) * term / (totS * totC)).max
+      assert(r.getAs[Long]("tv_ppm") == tv.toLong, s"tv($src)")
+      assert(r.getAs[Long]("max_term_ppm") == mx.toLong, s"max_term($src)")
+      // TV over a token subset is within [0, 2]
+      assert(tv >= 0 && tv <= 2000000)
+      assert(mx <= tv)
+    }
+  }
+
+  test("q142 coverage curve is monotone and equals a driver-side recompute") {
+    val rows = graft.SparkEntry.queries("q142_vocab_coverage")(spark, sf)
+      .orderBy(col("vocab_k")).collect()
+    assert(rows.map(_.getAs[Int]("vocab_k")).toSeq == Seq(5, 10, 20))
+    val counts = graft.Tables.documents(spark, sf)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val ranked = counts.sortBy { case (t, n) => (-n, t) }
+    val total = counts.map(_._2).sum
+    rows.foreach { r =>
+      val k = r.getAs[Int]("vocab_k")
+      val cov = ranked.take(k).map(_._2).sum
+      assert(r.getAs[Long]("occ_covered") == cov, s"cov($k)")
+      assert(r.getAs[Long]("total_occ") == total)
+      assert(r.getAs[Long]("n_types_covered") == math.min(k.toLong, counts.size.toLong))
+      assert(r.getAs[Long]("coverage_ppm") == 1000000L * cov / total)
+    }
+    val ppms = rows.map(_.getAs[Long]("coverage_ppm"))
+    assert(ppms.zip(ppms.tail).forall { case (a, b) => a <= b },
+      "coverage must be monotone in k")
+  }
 }
