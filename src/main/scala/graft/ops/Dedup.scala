@@ -665,6 +665,30 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q145 — Jaccard band histogram over the blocked candidate pairs:
+    * the threshold-tuning operating curve for the n-gram dedup tier
+    * as per-round DATA (how many candidate pairs sit in each 0.1-wide
+    * similarity band — where a curator should CUT is visible as the
+    * valley between the near-dup mass at the top bands and the
+    * incidental-overlap mass at the bottom; a threshold moved without
+    * this table is a guess). Bands are EXACT integers — band =
+    * (10·|A∩B|) div |A∪B|, never a float compare at a boundary — so
+    * the histogram sits under the full hash oracle even though the
+    * per-pair Jaccard itself is a double. Same blocked index and
+    * id-only join shape as q36; output is ≤ 11 rows. */
+  val jaccardBandHistogram: Q = (s, d) => {
+    val withFp = fpShingleIndex(Tables.documents(s, d))
+    val a = withFp.select(col("fp"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = withFp.select(col("fp"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(expr("CAST((10L * size(array_intersect(sh_a, sh_b))) div " +
+        "size(array_union(sh_a, sh_b)) AS INT)").as("jaccard_band"))
+      .groupBy(col("jaccard_band"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("jaccard_band"))
+  }
+
   /** Asymmetric containment near-dup (q36c): |A∩B| / |A| over the
     * same blocked hashed-shingle index as q36. Jaccard misses the
     * quote/subset case — a short document wholly CONTAINED in a long
@@ -1001,6 +1025,7 @@ object Dedup {
     "q34c_neardup_recall" -> nearDupRecall,     // rows-only: recall-vs-truth record
     "q35_simhash_neardups" -> simhashDups,      // rows-only (hash-seeded)
     "q36_ngram_jaccard_blocked" -> ngramJaccardBlocked,
+    "q145_jaccard_band_histogram" -> jaccardBandHistogram,
     "q36c_ngram_containment" -> ngramContainmentBlocked,
     "q111_edit_distance_dups" -> editDistanceDups,
     "q61_incremental_neardups" -> ngramJaccardIncremental,
@@ -1157,6 +1182,24 @@ object Dedup {
     "q36_ngram_jaccard_blocked" ->
       s"""WITH $sqlBlockedPairs
          |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+    // the same blocked pair space, banded by the exact integer
+    // (10·|A∩B|) div |A∪B| — string shingles here, hashed on the
+    // Spark side, cardinality-equal per the q36 convention
+    "q145_jaccard_band_histogram" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), 1, 4), ' ')) AS fp,
+        |    list_distinct([array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' ')
+        |      FOR i IN range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 1) + 1)]) AS sh
+        |  FROM documents
+        |), p AS (
+        |  SELECT len(list_intersect(a.sh, b.sh)) AS i,
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS u
+        |  FROM t a JOIN t b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |)
+        |SELECT CAST((10 * i) // u AS INTEGER) AS jaccard_band,
+        |  count(*) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q36c_ngram_containment" ->
       s"""WITH $sqlBlockedPairs
          |SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,

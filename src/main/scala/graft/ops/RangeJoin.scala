@@ -53,8 +53,13 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String, grain: Long): DataFrame = {
     require(grain > 0, s"grain must be positive, got $grain")
-    val iv = intervals.withColumn("_bucket",
-      explode(sequence(floorDiv(col(loCol), grain), floorDiv(col(hiCol), grain))))
+    // inverted intervals (lo > hi) match nothing under the containment
+    // predicate, but a descending Sequence would THROW — filter them
+    // (and NULL-ended intervals, which sequence also rejects) first
+    val iv = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("_bucket",
+        explode(sequence(floorDiv(col(loCol), grain), floorDiv(col(hiCol), grain))))
     points.withColumn("_bucket", floorDiv(col(pointCol), grain))
       .join(iv, Seq("_bucket"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))

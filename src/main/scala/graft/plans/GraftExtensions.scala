@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollapseTitleCase)
     ext.injectOptimizerRule(_ => RewriteRankLimitToTopK)
+    ext.injectOptimizerRule(_ => RewriteRangeJoin)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }

@@ -920,7 +920,44 @@ object Core {
       .limit(20)
   }
 
+  /** q144 — the TPC-H Q9 shape (product-type profit): margin by
+    * supplier nation and order year for one part family, where margin
+    * = discounted revenue − supply cost. This schema has no partsupp,
+    * so cost is modeled as 60% of retail value (p_retailprice ×
+    * quantity × 0.6) — the JOIN TREE is the point: lineitem picks up
+    * part (name-filtered, broadcast), supplier→nation (broadcast),
+    * then meets orders in the single fact-fact exchange for the year.
+    * Q9's trap is that the name filter must prune the part dim BEFORE
+    * the fact join (a post-join filter would shuffle 6× the rows);
+    * the broadcast semi-shape spells that directly. All arithmetic in
+    * exact decimals: revenue has ≤4 real dp, cost ≤3 (2-dp retail ×
+    * integral qty × one-dp 0.6), so the margin rescales losslessly to
+    * scale 4 under [[Qx.dsum]]'s loud overflow guard. */
+  private val q144: Q = (s, d) => {
+    val dp = discPrice(col("l_extendedprice"), col("l_discount"))
+    val cost = ((col("p_retailprice").cast(D6) * col("l_quantity").cast(D6)).cast(D6)
+      * lit(new java.math.BigDecimal("0.6"))).cast(D6)
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_name").like("%widget%"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("nation"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).as("order_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("order_year"))
+      .agg(dsum((dp - cost).cast(D6), rescale = 4).as("margin"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("nation"), col("order_year"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q144_margin_by_nation" -> q144,
     "q134_market_share" -> q134,
     "q135_late_shipment_priority" -> q135,
     "q136_customer_order_distribution" -> q136,
@@ -963,6 +1000,20 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
+    "q144_margin_by_nation" ->
+      """SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS order_year,
+        |  CAST(CAST(sum(CAST(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |    - CAST(CAST(CAST(p_retailprice AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(18,6))
+        |           * CAST(0.6 AS DECIMAL(2,1)) AS DECIMAL(18,6))
+        |  AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS margin,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q134_market_share" ->
       """WITH agg AS (
         |  SELECT year(CAST(o_orderdate AS DATE)) AS order_year,

@@ -406,6 +406,30 @@ class DedupSpec extends SparkTestBase {
       "corpus has no cross-split near-dups under the id split — audit is vacuous")
   }
 
+  test("q145 band histogram reconciles with q36's per-pair jaccards") {
+    val sfd = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q145_jaccard_band_histogram")(spark, sfd)
+      .collect().map(r => r.getAs[Int]("jaccard_band") -> r.getAs[Long]("n_pairs")).toMap
+    assert(rows.nonEmpty)
+    // q36 emits every blocked candidate pair with its double jaccard;
+    // its exact-integer band must reproduce the histogram
+    val pairs = graft.SparkEntry.queries("q36_ngram_jaccard_blocked")(spark, sfd)
+      .collect().map(_.getAs[Double]("jaccard"))
+    assert(rows.values.sum == pairs.length.toLong)
+    // the planted near-dup families concentrate in the top bands
+    // (a " dup" suffix costs one trailing shingle, so band 9; an
+    // exact-text pair, when one shares a block, lands in 10)
+    assert(rows.keySet.max >= 9, s"no near-dup mass in the top bands: $rows")
+    assert(rows.keySet.forall(b => b >= 0 && b <= 10))
+    // double-side recompute: floor(10*j) only at representable
+    // boundaries — use the exact fractions via q36's own arithmetic
+    // is not available from the double alone, so check bands within
+    // float tolerance: a pair's band is floor(10*j) except ties
+    val approx = pairs.map(j => math.min(10, math.floor(10.0 * j + 1e-9).toInt))
+      .groupBy(identity).map { case (b, v) => b -> v.length.toLong }
+    assert(approx == rows, s"approx $approx vs exact $rows")
+  }
+
   test("q140 weights reconcile with the keeper closure, q103 histogram, and corpus totals") {
     val sfd = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("q140_dedup_weights")(spark, sfd).collect()

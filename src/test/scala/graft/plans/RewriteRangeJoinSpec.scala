@@ -1,0 +1,140 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The automatic range-join rewrite. Every test compares the
+  * rewritten join's ROWS against the nested-loop result of the same
+  * predicate (ground truth by construction), and pins the PLAN shape
+  * the rule exists to produce — plus, just as load-bearing, the
+  * cases where it must NOT fire. */
+class RewriteRangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // points spanning negatives, zero, bucket boundaries; interval set
+  // with multi-bucket widths, an inverted pair, and a point interval
+  private def pts: DataFrame =
+    (-3000L to 3000L by 37L).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+  private def ivs: DataFrame = Seq(
+    (1L, -2500L, -1000L), (2L, -1100L, 500L), (3L, 0L, 0L),
+    (4L, 100L, 2900L), (5L, 2048L, 2049L), (6L, 900L, 100L) /* inverted */)
+    .toDF("iid", "lo", "hi")
+
+  private def groundTruth: Set[(Long, Long)] =
+    pts.crossJoin(ivs)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Run `f` with broadcasting disabled so the size gate always
+    * passes and a non-rewritten plan would be a CartesianProduct. */
+  private def noBroadcast[T](f: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try f finally spark.conf.set(key, old)
+  }
+
+  test("pure range join rewrites to a hash join and matches the nested-loop rows") {
+    noBroadcast {
+      val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"rewrite did not fire:\n$plan")
+      assert(plan.contains("Generate") && plan.contains("Join"), plan)
+      val got = joined.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet == groundTruth && got.length == got.toSet.size,
+        "rows must match the theta join exactly, with no bucket duplicates")
+    }
+  }
+
+  test("strict and reversed comparison spellings rewrite and stay exact") {
+    noBroadcast {
+      // lo < p AND hi > p — strict, both written bound-first
+      val joined = pts.join(ivs, col("lo") < col("p") && col("hi") > col("p"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"rewrite did not fire on strict bounds:\n$plan")
+      val want = pts.crossJoin(ivs)
+        .filter(col("lo") < col("p") && col("hi") > col("p"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = joined.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    }
+  }
+
+  test("extra residual conjuncts ride along unchanged") {
+    noBroadcast {
+      val joined = pts.join(ivs,
+        col("p") >= col("lo") && col("p") <= col("hi") && col("iid") =!= 3L &&
+          col("pid") % 2 === 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"residual conjuncts blocked the rewrite:\n$plan")
+      val want = pts.crossJoin(ivs)
+        .filter(col("p") >= col("lo") && col("p") <= col("hi") && col("iid") =!= 3L &&
+          col("pid") % 2 === 0)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = joined.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    }
+  }
+
+  test("a join that already has an equi key is left alone") {
+    noBroadcast {
+      val ivk = ivs.withColumn("k", col("iid") % 5)
+      val ptk = pts.withColumn("k", col("pid") % 5)
+      val joined = ptk.join(ivk,
+        ptk("k") === ivk("k") && col("p") >= col("lo") && col("p") <= col("hi"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("__rj_bucket"),
+        s"must not rewrite an equi+range join:\n$plan")
+      // and it still answers correctly through the stock hash join
+      val want = ptk.crossJoin(ivk.withColumnRenamed("k", "k2"))
+        .filter(col("k") === col("k2") &&
+          col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = joined.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    }
+  }
+
+  test("below the broadcast threshold the rule stands down (BNLJ is the better plan)") {
+    // default threshold (10 MB) dwarfs these toy frames
+    val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__rj_bucket"),
+      s"must not rewrite when a side broadcasts:\n$plan")
+    assert(joined.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == groundTruth)
+  }
+
+  test("the rewrite can be disabled by conf") {
+    noBroadcast {
+      spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+      try {
+        val plan = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+          .queryExecution.optimizedPlan.toString
+        assert(!plan.contains("__rj_bucket"))
+      } finally spark.conf.unset("spark.graft.rangeJoin.enabled")
+    }
+  }
+
+  test("SQL spelling with BETWEEN rewrites too") {
+    noBroadcast {
+      pts.createOrReplaceTempView("rj_pts")
+      ivs.createOrReplaceTempView("rj_ivs")
+      val joined = spark.sql(
+        "SELECT pid, iid FROM rj_pts JOIN rj_ivs ON p BETWEEN lo AND hi")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"BETWEEN did not rewrite:\n$plan")
+      assert(joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == groundTruth)
+    }
+  }
+}

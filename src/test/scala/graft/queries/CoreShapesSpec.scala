@@ -144,6 +144,31 @@ class CoreShapesSpec extends SparkTestBase {
     assert(zero == nCust - withOrders)
   }
 
+  test("q144: margin matches a double cross-check; name filter prunes the part scan") {
+    val df = q("q144_margin_by_nation")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // independent double spelling (tolerance-checked)
+    val ref = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.part(spark, sf).filter(col("p_name").like("%widget%")),
+        col("l_partkey") === col("p_partkey"))
+      .join(graft.Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(graft.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("y"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - col("p_retailprice") * col("l_quantity") * 0.6).as("m"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[String]("nation"), r.getAs[Int]("order_year"))
+      assert(math.abs(r.getAs[Double]("margin") - ref(k)) < 1e-4, s"margin($k)")
+    }
+    // the part-name filter reaches the part scan as a pushed predicate
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("p_name")), plan)
+  }
+
   test("q137: top-20 plan is TakeOrdered, not a global sort; revenue order total") {
     val df = q("q137_returned_top_customers")
     val plan = df.queryExecution.executedPlan.toString
