@@ -584,7 +584,52 @@ object EventTime {
       .orderBy(col("win_end"))
   }
 
+  /** q147 — capped running balance (wallet audit): per user, replay
+    * events in time order crediting purchase/signup value and
+    * debiting the rest, with the balance FLOORED at zero — the
+    * canonical NON-ASSOCIATIVE ordered fold, the computation class
+    * plain window functions cannot express (a capped cumsum's state
+    * depends on every prefix clip; there is no frame spelling).
+    * Reports final balance, how many events hit the floor, and the
+    * event count — exact integer cents throughout.
+    *
+    * The engine altitude for genuinely sequential per-key logic:
+    * ONE user-keyed exchange collects each user's events into a
+    * sorted struct array, and the fold runs as an `aggregate` HOF
+    * over that array — per-row compute, no UDF, no driver loop, and
+    * the shuffle is bounded by per-user event counts (the q67
+    * "one shuffle that must carry the data" argument; a user with
+    * unbounded history would chunk by epoch with carry-over state,
+    * the q55b two-phase pattern — noted, not needed at any tested
+    * SF). The DuckDB twin replays the same fold as a bounded
+    * recursive CTE stepping row_number-ordered events — cross-
+    * algorithm evidence that the HOF fold implements the recurrence. */
+  val cappedWallet: Q = (s, d) => {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(18, 0)).cast(LongType)
+    val delta = when(col("event_type").isin("purchase", "signup"), cents)
+      .otherwise(-cents)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), delta.as("delta"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("delta"))))
+        .as("evs"))
+      .select(col("user_id"),
+        expr("""aggregate(evs,
+            named_struct('bal', CAST(0 AS BIGINT), 'floors', CAST(0 AS BIGINT)),
+            (st, e) -> named_struct(
+              'bal', greatest(st.bal + e.delta, CAST(0 AS BIGINT)),
+              'floors', st.floors + CASE WHEN st.bal + e.delta < 0
+                                         THEN CAST(1 AS BIGINT)
+                                         ELSE CAST(0 AS BIGINT) END))""").as("st"),
+        size(col("evs")).as("n_events"))
+      .select(col("user_id"), col("st.bal").as("final_balance_cents"),
+        col("st.floors").as("n_floor_hits"), col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q147_capped_wallet" -> cappedWallet,
     "q124_rolling_active_users" -> rollingActiveUsers,
     "q119_hourly_gap_fill" -> hourlyGapFill,
     "q121_activity_streaks" -> activityStreaks,
@@ -605,6 +650,34 @@ object EventTime {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same capped fold as a bounded recursive CTE: step rn -> rn+1
+    // per user; recursion depth = max events per user
+    "q147_capped_wallet" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_type IN ('purchase', 'signup')
+        |         THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS delta,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id,
+        |      CASE WHEN event_type IN ('purchase', 'signup')
+        |           THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS rn
+        |  FROM events
+        |), walk(user_id, rn, bal, floors) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT w.user_id, w.rn + 1,
+        |    greatest(w.bal + e.delta, 0),
+        |    w.floors + CASE WHEN w.bal + e.delta < 0 THEN 1 ELSE 0 END
+        |  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+        |), n AS (
+        |  SELECT user_id, count(*) AS n_events FROM ev GROUP BY user_id
+        |)
+        |SELECT w.user_id, w.bal AS final_balance_cents,
+        |  w.floors AS n_floor_hits, CAST(n.n_events AS INTEGER) AS n_events
+        |FROM walk w JOIN n ON w.user_id = n.user_id AND w.rn = n.n_events
+        |ORDER BY w.user_id""".stripMargin,
     "q124_rolling_active_users" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

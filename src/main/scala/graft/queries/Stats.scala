@@ -255,6 +255,44 @@ object Stats {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q146 — skyline (Pareto front) of the price/quantity trade-off:
+    * the lineitems no other lineitem beats on BOTH axes (cheaper-or-
+    * equal AND larger-or-equal quantity, strictly better on at least
+    * one) — the multi-objective "best offers" operator relational
+    * engines lack as a builtin. The naive spelling is a quadratic
+    * NOT EXISTS self-join (the DuckDB twin keeps it verbatim as the
+    * cross-algorithm check); the scale form here runs entirely on
+    * the DISTINCT-VALUE grid (q122's discipline): collapse to
+    * distinct (price, qty) pairs, keep the max qty per price, and a
+    * point survives iff its qty strictly exceeds the running max qty
+    * over all STRICTLY cheaper prices — a RANGE-frame window
+    * ([-∞, -1] over exact integer cents) whose input is bounded by
+    * |distinct prices|, not row count. Exact integers end to end, so
+    * the surviving set is bit-identical by construction. */
+  private val q146: Q = (s, d) => {
+    val cents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(18, 0)).cast(LongType)
+    val qty = col("l_quantity").cast(DecimalType(18, 0)).cast(LongType)
+    val grid = Tables.lineitem(s, d)
+      .select(cents.as("price_cents"), qty.as("qty"))
+      .groupBy(col("price_cents"), col("qty"))
+      .agg(count(lit(1)).as("n_items"))
+    // per price keep the max-qty grid point WITH its multiplicity:
+    // (qty, n_items) is unique per qty here, so the struct max picks
+    // the max-qty pair deterministically
+    val perPrice = grid.groupBy(col("price_cents"))
+      .agg(max(struct(col("qty"), col("n_items"))).as("m"))
+      .select(col("price_cents"), col("m.qty").as("best_qty"),
+        col("m.n_items").as("n_items"))
+    val w = Window.orderBy(col("price_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    perPrice
+      .withColumn("cheaper_best", max(col("best_qty")).over(w))
+      .filter(col("cheaper_best").isNull || col("best_qty") > col("cheaper_best"))
+      .select(col("price_cents"), col("best_qty"), col("n_items"))
+      .orderBy(col("price_cents"))
+  }
+
   /** q139 — robust outliers via median absolute deviation, q109's
     * heavy-tail-safe sibling (3-sigma is itself dragged by the
     * outliers it hunts; median/MAD are breakdown-point-0.5 robust).
@@ -539,6 +577,7 @@ object Stats {
     "q128_rfm_segments" -> q128,
     "q122_quantile_profile" -> q122,
     "q139_mad_outliers" -> q139,
+    "q146_price_qty_skyline" -> q146,
     "q108_discount_qty_regression" -> q108,
     "q109_price_outliers" -> q109,
     "q112_trade_volume" -> q112,
@@ -611,6 +650,21 @@ object Stats {
         |SELECT r_q, f_q, m_q, count(*) AS n_customers,
         |  CAST(CAST(sum(spend_d) AS DECIMAL(18,2)) AS DOUBLE) / count(*) AS avg_spend
         |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q146_price_qty_skyline" ->
+      """WITH pts AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS qty
+        |  FROM lineitem
+        |), grid AS (
+        |  SELECT price_cents, qty, count(*) AS n_items FROM pts GROUP BY 1, 2
+        |)
+        |SELECT g.price_cents, g.qty AS best_qty, g.n_items
+        |FROM grid g
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM grid o
+        |  WHERE o.price_cents <= g.price_cents AND o.qty >= g.qty
+        |    AND (o.price_cents < g.price_cents OR o.qty > g.qty))
+        |ORDER BY g.price_cents""".stripMargin,
     "q139_mad_outliers" ->
       """WITH hist AS (
         |  SELECT l_returnflag,

@@ -260,4 +260,41 @@ class EventTimeSpec extends SparkTestBase {
       }
     } finally spark.conf.set(thresholdKey, saved)
   }
+
+  test("q147 capped wallet equals a driver-side sequential replay") {
+    import org.apache.spark.sql.functions._
+    val sfd = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q147_capped_wallet")(spark, sfd).collect()
+    assert(rows.nonEmpty)
+    val raw = graft.Tables.events(spark, sfd)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"),
+        if (Set("purchase", "signup")(r.getAs[String]("event_type")))
+          r.getAs[Long]("cents") else -r.getAs[Long]("cents")))
+    val want = raw.groupBy(_._1).map { case (u, evs) =>
+      // full-precision timestamp key: getTime truncates to millis and
+      // would mis-order micro-separated events
+      def tsKey(t: java.sql.Timestamp): Long =
+        math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
+      val ordered = evs.sortBy(e => (tsKey(e._2), e._3)).map(_._4)
+      var bal = 0L; var floors = 0L
+      ordered.foreach { d =>
+        if (bal + d < 0) { floors += 1; bal = 0 } else bal += d
+      }
+      u -> ((bal, floors, ordered.length))
+    }
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val got = (r.getAs[Long]("final_balance_cents"), r.getAs[Long]("n_floor_hits"),
+        r.getAs[Int]("n_events"))
+      assert(got == want(u), s"user $u: got $got want ${want(u)}")
+    }
+    // the fold genuinely clips somewhere on this corpus — otherwise
+    // the capped semantics are untested
+    assert(rows.map(_.getAs[Long]("n_floor_hits")).sum > 0)
+  }
 }

@@ -246,6 +246,30 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("q146 skyline equals a driver-side NOT-EXISTS recompute; front is monotone") {
+    val rows = q("q146_price_qty_skyline").collect()
+    assert(rows.nonEmpty)
+    val pts = graft.Tables.lineitem(spark, sf)
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("p"),
+        col("l_quantity").cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val grid = pts.groupBy(identity).map { case (k, v) => (k._1, k._2, v.length.toLong) }
+    val want = grid.filter { case (p, qv, _) =>
+      !grid.exists { case (p2, q2, _) =>
+        p2 <= p && q2 >= qv && (p2 < p || q2 > qv)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = rows.map(r => (r.getAs[Long]("price_cents"), r.getAs[Long]("best_qty"),
+      r.getAs[Long]("n_items"))).toSeq
+    assert(got == want, s"got ${got.take(5)}... want ${want.take(5)}...")
+    // a 2-D front is strictly monotone: price up, qty strictly up
+    // looking back from the cheap end... qty must strictly DECREASE
+    // as price falls; equivalently along increasing price qty rises
+    val qs = got.map(_._2)
+    assert(qs.zip(qs.tail).forall { case (a, b) => a < b },
+      "front quantities must strictly increase with price")
+  }
+
   test("q122 quantiles equal the driver-side nearest-rank values exactly") {
     val got = q("q122_quantile_profile").collect()
       .map(r => r.getAs[String]("l_returnflag") ->

@@ -17,6 +17,8 @@ object ProbeQN {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.graft.rangeJoin.enabled",
+        sys.env.getOrElse("GRAFT_RANGEJOIN", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
