@@ -749,11 +749,40 @@ object Dedup {
       col("px").as("px_a"), col("plen").as("len_a"))
     val b = idx.select(col("fp"), col("doc_id").as("doc_b"),
       col("px").as("px_b"), col("plen").as("len_b"))
-    a.join(b, Seq("fp"))
-      .filter(col("doc_a") < col("doc_b") &&
-        abs(col("len_a") - col("len_b")) <= maxDist)
-      .withColumn("edit_distance",
-        levenshtein(col("px_a"), col("px_b"), maxDist + 1))
+    // Two DP-cost fixes, found by the sf1 probe (165 s -> ~20 s,
+    // output-identical; ProbeLev isolates the numbers):
+    //
+    // 1. ONE DP evaluation per pair. The lazy spelling — distance in
+    //    a Project, then a Filter on it, then a similarity Projection
+    //    — lets CollapseProject + filter pushdown inline the
+    //    levenshtein into EVERY reference (~4 copies across operator
+    //    boundaries, where codegen CSE cannot reach), quadrupling the
+    //    dominant cost. The scored pair frame is therefore
+    //    MATERIALIZED (id + lengths + distance — px is dropped, so
+    //    the cache is skinny and bounded by the pair count, which is
+    //    this tier's output scale) and the accept filter + similarity
+    //    projection read the cache.
+    //
+    // 2. Two-tier banded DP: the banded levenshtein costs
+    //    O(len * band) with NO early exit when the true distance is
+    //    small — and on a dup-heavy corpus almost every pair is a
+    //    tiny-distance copy (sf1 probe: 1998/2000 sampled pairs at
+    //    d <= 16, band 207 paid anyway). Tier 1 runs a narrow band
+    //    (cap 16, ~6x fewer cells); only its misses pay the wide
+    //    contractual band. The CASE is lazy, and within ONE Project
+    //    codegen CSE keeps tier 1 single-evaluation.
+    val quickBound = 16
+    val scored = materializedSketch(
+      a.join(b, Seq("fp"))
+        .filter(col("doc_a") < col("doc_b") &&
+          abs(col("len_a") - col("len_b")) <= maxDist)
+        .withColumn("d_quick",
+          levenshtein(col("px_a"), col("px_b"), quickBound + 1))
+        .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+          when(col("d_quick") >= 0, col("d_quick"))
+            .otherwise(levenshtein(col("px_a"), col("px_b"), maxDist + 1))
+            .as("edit_distance")))
+    scored
       .filter(col("edit_distance") >= 0 &&
         col("edit_distance") * 5 <= greatest(col("len_a"), col("len_b")))
       .select(col("doc_a"), col("doc_b"),
