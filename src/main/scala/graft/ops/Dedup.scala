@@ -1023,6 +1023,34 @@ object Dedup {
       .orderBy(col("keeper"))
   }
 
+  /** q149 — cross-source duplication matrix: for every pair of
+    * sources, how many near-dup FAMILIES span both — the crawl
+    * diagnostic that tells mirror sites, syndication networks, and
+    * scraped-twice feeds apart from within-source template reuse
+    * (q104 prices what each source LOSES; this says WHO duplicates
+    * WHOM, which is what a collection-pipeline owner acts on —
+    * dropping a mirrored source outright beats deduping it forever).
+    * Derived from the keeper closure: collapse to distinct
+    * (family, source) rows with per-source doc counts (id-only hash
+    * agg), self-join WITHIN the family key for unordered source
+    * pairs, aggregate to the |sources|²-bounded matrix. Everything
+    * past the closure is dimension-sized. */
+  val crossSourceDupMatrix: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val famSrc = ngramDupKeepers(s, d)
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("keeper"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    famSrc.select(col("keeper"), col("source").as("src_a"), col("n_docs").as("docs_a"))
+      .join(famSrc.select(col("keeper"), col("source").as("src_b"),
+        col("n_docs").as("docs_b")), Seq("keeper"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_families"),
+        sum(col("docs_a") + col("docs_b")).as("n_docs_involved"))
+      .orderBy(col("n_shared_families").desc, col("src_a"), col("src_b"))
+  }
+
   // ---- tier 5: embedding cosine near-dup ----------------------------
 
   /** Semantic near-dups via the multi-table Similarity LSH index (no
@@ -1065,6 +1093,7 @@ object Dedup {
     "q103_dup_cluster_histogram" -> dupClusterHistogram,
     "q104_dedup_impact_by_source" -> dedupImpactBySource,
     "q140_dedup_weights" -> dedupWeights,
+    "q149_cross_source_dup_matrix" -> crossSourceDupMatrix,
     "q37_embedding_neardups" -> embeddingDups,  // rows-only (LSH-seeded)
   )
 
@@ -1284,5 +1313,22 @@ object Dedup {
          |  CAST(sum(CASE WHEN k.keeper <> d.doc_id THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_saved
          |FROM keepers k JOIN documents d USING (doc_id)
          |GROUP BY k.keeper ORDER BY k.keeper""".stripMargin,
+    // the keeper closure collapsed to (family, source) rows, then the
+    // unordered source-pair co-occurrence matrix
+    "q149_cross_source_dup_matrix" ->
+      s"""WITH RECURSIVE $sqlBlockedPairs,
+         |$sqlKeeperClosure,
+         |fam_src AS (
+         |  SELECT k.keeper, d.source, count(*) AS n_docs
+         |  FROM keepers k JOIN documents d USING (doc_id)
+         |  GROUP BY k.keeper, d.source
+         |)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  count(*) AS n_shared_families,
+         |  CAST(sum(a.n_docs + b.n_docs) AS BIGINT) AS n_docs_involved
+         |FROM fam_src a JOIN fam_src b
+         |  ON a.keeper = b.keeper AND a.source < b.source
+         |GROUP BY 1, 2
+         |ORDER BY n_shared_families DESC, src_a, src_b""".stripMargin,
   )
 }

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.queries.Qx
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -225,6 +226,48 @@ object TextAnalysis {
         least(col("vocab_k").cast(LongType), col("n_types")).as("n_types_covered"),
         expr("1000000 * occ_covered div total_occ").as("coverage_ppm"))
       .orderBy(col("vocab_k"))
+  }
+
+  /** Per-source token-mass concentration (q150): the Gini coefficient
+    * of per-document token counts within each source — the "is this
+    * source a few giant documents wearing many doc_ids" data-card
+    * statistic (a high-Gini source skews packing, sampling, and any
+    * per-doc quota silently). Exact integer arithmetic end to end:
+    * with documents ranked ascending by token count,
+    * G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i), and tie order
+    * provably cannot change Σ i·x_i (swapping equal x between ranks
+    * i, j leaves i·x + j·x fixed), so the value is a pure function of
+    * the data. The rank-weighted sum is computed WITHOUT any
+    * per-source row ranking (the q115 single-reducer trap at scale):
+    * collapse to the per-source distinct-count HISTOGRAM, cumulative
+    * counts over distinct values, and each value-run contributes
+    * x·(cum_prev·c + c·(c+1)/2) — the closed-form sum of its rank
+    * range. Reducer input is bounded by |distinct counts| per source
+    * regardless of SF; cross terms ride DECIMAL(38,0). */
+  val tokenGini: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val x = greatest(size(tokens(col("text"))), lit(0)).cast(LongType)
+    val hist = Tables.documents(s, d)
+      .select(col("source"), x.as("x"))
+      .groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
+    val grp = Window.partitionBy(col("source"))
+    val cum = hist
+      .withColumn("cumc", sum(col("c")).over(grp.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_prev", col("cumc") - col("c"))
+    // c·(c+1)/2 via decimal division: the product is always even, so
+    // the scale-6 quotient is exactly integral and the (38,0) cast is
+    // lossless ((c·(c+1)) div 2 would come back as a wrappable BIGINT)
+    cum.groupBy(col("source"))
+      .agg(max(col("cumc")).as("n_docs"),
+        sum(col("x") * col("c")).as("total_tokens"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * (CAST(cum_prev AS DECIMAL(38,0)) * c + " +
+          "CAST(CAST(c AS DECIMAL(38,0)) * (c + 1) / 2 AS DECIMAL(38,0)))").cast(dec))
+          .as("s2_d"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr("CAST((1000000 * (2 * s2_d - CAST(n_docs + 1 AS DECIMAL(38,0)) * total_tokens)) div " +
+          "(CAST(n_docs AS DECIMAL(38,0)) * total_tokens) AS BIGINT)").as("gini_ppm"))
+      .orderBy(col("source"))
   }
 
   /** Vocabulary top-k (q60): corpus-wide token frequencies with doc
@@ -697,6 +740,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "q141_source_token_drift" -> sourceTokenDrift,
     "q142_vocab_coverage" -> vocabCoverage,
+    "q150_token_gini" -> tokenGini,
     "q97_lexical_diversity" -> lexicalDiversity,
     "q91_tfidf_terms" -> tfidfTerms,
     "q96_inverted_index" -> invertedIndex,
@@ -927,6 +971,29 @@ object TextAnalysis {
          |  CAST(max(1000000 * term
          |    // (CAST(tot_src AS HUGEINT) * tot_corpus)) AS BIGINT) AS max_term_ppm
          |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    "q150_token_gini" ->
+      s"""WITH counts AS (
+         |  SELECT source,
+         |    greatest(len(${sqlToks("text")}), 0) AS x
+         |  FROM documents
+         |), hist AS (
+         |  SELECT source, x, count(*) AS c FROM counts GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT *, sum(c) OVER (PARTITION BY source ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+         |  FROM hist
+         |), agg AS (
+         |  SELECT source,
+         |    CAST(max(cumc) AS BIGINT) AS n_docs,
+         |    CAST(sum(x * c) AS BIGINT) AS total_tokens,
+         |    sum(CAST(x AS HUGEINT) * (CAST(cumc - c AS HUGEINT) * c
+         |        + (CAST(c AS HUGEINT) * (c + 1)) // 2)) AS s2_h
+         |  FROM cum GROUP BY source
+         |)
+         |SELECT source, n_docs, total_tokens,
+         |  CAST((1000000 * (2 * s2_h - CAST(n_docs + 1 AS HUGEINT) * total_tokens))
+         |    // (CAST(n_docs AS HUGEINT) * total_tokens) AS BIGINT) AS gini_ppm
+         |FROM agg ORDER BY source""".stripMargin,
     "q142_vocab_coverage" ->
       s"""WITH cnt AS (
          |  SELECT token, count(*) AS n_occ FROM (

@@ -956,7 +956,49 @@ object Core {
       .orderBy(col("nation"), col("order_year"))
   }
 
+  /** q148 — the TPC-H Q5 shape (local supplier volume): revenue per
+    * nation for orders where the CUSTOMER and the SUPPLIER sit in the
+    * SAME nation, one region, one year. Q5's defining wrinkle — and
+    * why it isn't q04/q112 — is the cross-dimension equality
+    * c_nationkey = s_nationkey enforced THROUGH the fact: the
+    * customer reaches lineitem via orders, the supplier directly, and
+    * the two nation keys meet only after both joins. Plan: region
+    * filter prunes nation (broadcast), customers/suppliers of those
+    * nations broadcast onto their facts carrying the nation key, the
+    * year band prunes orders at the scan, the one big exchange is
+    * lineitem ⋈ orders, and the local-supply equality runs as a
+    * residual int compare. Exact decimal revenue per the house
+    * ladder. */
+  private val q148: Q = (s, d) => {
+    val asianNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(asianNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey").as("cust_nation_key"),
+        col("n_name").as("nation"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(asianNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_nationkey").as("supp_nation_key"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation_key"), col("nation"))
+    Tables.lineitem(s, d)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("cust_nation_key") === col("supp_nation_key"))
+      .groupBy(col("nation"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast(DecimalType(18, 4)).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("nation"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q148_local_supplier_volume" -> q148,
     "q144_margin_by_nation" -> q144,
     "q134_market_share" -> q134,
     "q135_late_shipment_priority" -> q135,
@@ -1000,6 +1042,22 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
+    "q148_local_supplier_volume" ->
+      s"""SELECT n_name AS nation,
+         |  ${Qx.sqlDsum(Qx.sqlDiscPrice, rescale = 4)} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1
+         |ORDER BY revenue DESC, nation""".stripMargin,
     "q144_margin_by_nation" ->
       """SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS order_year,
         |  CAST(CAST(sum(CAST(

@@ -430,6 +430,26 @@ class DedupSpec extends SparkTestBase {
     assert(approx == rows, s"approx $approx vs exact $rows")
   }
 
+  test("q149 pair matrix reconciles with q140's per-family source spans") {
+    val sfd = "/root/testdata/sf0.001"
+    val pairs = graft.SparkEntry.queries("q149_cross_source_dup_matrix")(spark, sfd)
+      .collect()
+    // families spanning k sources contribute C(k,2) pair memberships
+    val spans = graft.SparkEntry.queries("q140_dedup_weights")(spark, sfd)
+      .collect().map(_.getAs[Long]("n_sources"))
+    val wantTotal = spans.map(k => k * (k - 1) / 2).sum
+    assert(pairs.map(_.getAs[Long]("n_shared_families")).sum == wantTotal,
+      "pair-membership mass must equal sum of C(n_sources, 2) over families")
+    pairs.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      assert(r.getAs[Long]("n_docs_involved") >= 2 * r.getAs[Long]("n_shared_families"))
+    }
+    // the ranking is total: (count desc, src_a, src_b)
+    val keys = pairs.map(r => (-r.getAs[Long]("n_shared_families"),
+      r.getAs[String]("src_a"), r.getAs[String]("src_b"))).toSeq
+    assert(keys == keys.sorted)
+  }
+
   test("q140 weights reconcile with the keeper closure, q103 histogram, and corpus totals") {
     val sfd = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("q140_dedup_weights")(spark, sfd).collect()

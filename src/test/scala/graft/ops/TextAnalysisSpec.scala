@@ -400,6 +400,30 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("q150 Gini equals a driver-side rank-formula recompute; bounds hold") {
+    val rows = graft.SparkEntry.queries("q150_token_gini")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = graft.Tables.documents(spark, sf)
+      .select(col("source"),
+        greatest(size(TextAnalysis.tokens(col("text"))), lit(0)).cast("long").as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    assert(rows.map(_.getAs[String]("source")).toSet == raw.keySet)
+    rows.foreach { r =>
+      val xs = raw(r.getAs[String]("source"))
+      val n = xs.length.toLong
+      val s1 = xs.sum
+      val s2 = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val gini = (BigInt(1000000) * (2 * s2 - BigInt(n + 1) * s1)) / (BigInt(n) * s1)
+      assert(r.getAs[Long]("n_docs") == n && r.getAs[Long]("total_tokens") == s1)
+      assert(r.getAs[Long]("gini_ppm") == gini.toLong,
+        s"gini(${r.getAs[String]("source")}): ${r.getAs[Long]("gini_ppm")} vs $gini")
+      // a Gini lives in [0, 1); these sources are length-varied but
+      // not degenerate, so the value is strictly interior
+      assert(gini >= 0 && gini < 1000000)
+    }
+  }
+
   test("q142 coverage curve is monotone and equals a driver-side recompute") {
     val rows = graft.SparkEntry.queries("q142_vocab_coverage")(spark, sf)
       .orderBy(col("vocab_k")).collect()

@@ -169,6 +169,36 @@ class CoreShapesSpec extends SparkTestBase {
       l.contains("PushedFilters") && l.contains("p_name")), plan)
   }
 
+  test("q148: local-supply revenue matches a double cross-check; one fact-fact exchange") {
+    val df = q("q148_local_supplier_volume")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val ref = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(graft.Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .join(graft.Tables.region(spark, sf).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(rows.map(_.getAs[String]("nation")).toSet == ref.keySet)
+    rows.foreach { r =>
+      val (rr, rn) = ref(r.getAs[String]("nation"))
+      assert(math.abs(r.getAs[Double]("revenue") - rr) < 1e-4)
+      assert(r.getAs[Long]("n_items") == rn)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+      s"more than the one fact-fact exchange:\n$plan")
+  }
+
   test("q137: top-20 plan is TakeOrdered, not a global sort; revenue order total") {
     val df = q("q137_returned_top_customers")
     val plan = df.queryExecution.executedPlan.toString
