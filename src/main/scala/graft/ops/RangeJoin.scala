@@ -1,8 +1,10 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Bucketized interval (range) joins — the join family Spark has no
   * native physical operator for: matching POINTS into INTERVALS when
@@ -38,32 +40,53 @@ object RangeJoin {
   /** Exact floor division for possibly-negative longs: `div`
     * truncates toward zero, but bucket arithmetic needs the floor
     * (a point at -1 and an interval lo at -1 must land in the same
-    * bucket as each other, not straddle zero). pmod is always
-    * non-negative, so (c - pmod(c, g)) is the largest multiple of g
-    * at or below c — integer arithmetic end to end. */
-  def floorDiv(c: Column, grain: Long): Column =
-    ((c - pmod(c, lit(grain))) / lit(grain)).cast("long")
+    * bucket as each other, not straddle zero). Integer arithmetic end
+    * to end — the quotient is Catalyst's IntegralDivide, NOT Column./
+    * (which coerces to double division and mis-rounds past 2^53, e.g.
+    * nanosecond-epoch longs — ADVICE r8), and the truncation→floor
+    * correction subtracts 1 only when the dividend is negative with a
+    * nonzero remainder. That formulation cannot overflow: the old
+    * (c - pmod(c, g)) subtraction underflowed within a partial grain
+    * of Long.MinValue, while here q-1 fires only for c < 0 with
+    * remainder ≠ 0, which grain = 1 (the only q = Long.MinValue case)
+    * makes unreachable. */
+  def floorDiv(c: Column, grain: Long): Column = {
+    require(grain > 0, s"grain must be positive, got $grain")
+    val cl = c.cast(LongType)
+    val q = GraftSqlBridge.column(IntegralDivide(
+      GraftSqlBridge.expression(cl), Literal(grain, LongType)))
+    when(cl < 0 && (cl % lit(grain)) =!= 0, q - 1).otherwise(q)
+  }
 
   /** Join `points` into `intervals` on containment
     * (lo <= point <= hi, both ends inclusive), bucketized on `grain`.
     * All three key columns must be integer (LongType-compatible)
     * units — quantize doubles to cents/micros first; exact unit
     * arithmetic is what makes the residual filter cross-engine-exact.
-    * Carries every other column of both inputs through. */
+    * Carries every other column of both inputs through — enforced by
+    * failing fast (not silently overwriting) if either input already
+    * carries the internal bucket-key name (ADVICE r8). */
+  private val bucketCol = "__graft_rj_bucket"
+
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String, grain: Long): DataFrame = {
     require(grain > 0, s"grain must be positive, got $grain")
+    Seq(points -> "points", intervals -> "intervals").foreach { case (df, side) =>
+      require(!df.columns.contains(bucketCol),
+        s"$side input already has a '$bucketCol' column — rename it; " +
+          "pointInInterval mints that name as its internal bucket key")
+    }
     // inverted intervals (lo > hi) match nothing under the containment
     // predicate, but a descending Sequence would THROW — filter them
     // (and NULL-ended intervals, which sequence also rejects) first
     val iv = intervals
       .filter(col(loCol) <= col(hiCol))
-      .withColumn("_bucket",
+      .withColumn(bucketCol,
         explode(sequence(floorDiv(col(loCol), grain), floorDiv(col(hiCol), grain))))
-    points.withColumn("_bucket", floorDiv(col(pointCol), grain))
-      .join(iv, Seq("_bucket"))
+    points.withColumn(bucketCol, floorDiv(col(pointCol), grain))
+      .join(iv, Seq(bucketCol))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
-      .drop("_bucket")
+      .drop(bucketCol)
   }
 
   /** q138 — balance band lookup: for each REGION's supplier

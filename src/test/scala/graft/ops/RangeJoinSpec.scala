@@ -21,6 +21,29 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got == Seq(-2L, -1L, -1L, 0L, 0L, 0L, 1L))
   }
 
+  test("floorDiv is exact past 2^53 and at the Long extremes (ADVICE r8)") {
+    // the r8 spelling divided via Column./ (double division): above
+    // 2^53 the rounding shifted bucket ids, and the pmod subtraction
+    // underflowed within a partial grain of Long.MinValue
+    val vals = Seq(Long.MaxValue, Long.MaxValue - 1L, (1L << 60) + 3L,
+      Long.MinValue, Long.MinValue + 5L, -(1L << 60) - 3L)
+    val got = vals.toDF("v")
+      .select(col("v"), RangeJoin.floorDiv(col("v"), 1000L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vals.foreach { v =>
+      assert(got(v) == Math.floorDiv(v, 1000L), s"floorDiv($v, 1000)")
+    }
+  }
+
+  test("a pre-existing bucket-name column fails fast instead of being clobbered") {
+    val points = Seq((1L, 5L)).toDF("__graft_rj_bucket", "p")
+    val intervals = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 10L)
+    }
+    assert(e.getMessage.contains("__graft_rj_bucket"))
+  }
+
   test("bucketized join equals the naive theta join, including boundary points") {
     val points = Seq(-100L, -50L, -1L, 0L, 1L, 7L, 49L, 50L, 51L, 200L, 999L)
       .zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
