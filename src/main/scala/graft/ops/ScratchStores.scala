@@ -54,6 +54,25 @@ private[ops] object ScratchStores {
     (s"$dir#$maxId#${fp.getLong(1)}#$contentHash", maxId * 4 / 5)
   }
 
+  /** A key for derived artifacts of arbitrary FILE-BACKED inputs (the
+    * trade-graph edge store shared by q127/q143): the sorted
+    * (uri, length, mtime) snapshot of every input file, digested.
+    * Driver-side listing only — no Spark job, unlike [[corpusKey]]'s
+    * content agg, because the graph inputs include the fact table and
+    * a fingerprint scan would cost a meaningful slice of what the
+    * shared store saves. Consequently the guard is exactly the memo
+    * guard documented above: an in-place rewrite forging identical
+    * (length, mtime) on every file is outside the contract, and a
+    * non-file source never reuses (fresh key per call). */
+  private[ops] def fileKey(tag: String, inputs: Seq[DataFrame]): String = {
+    val snaps = inputs.flatMap(snapshot)
+    if (snaps.isEmpty) s"$tag#nofiles#${java.util.UUID.randomUUID()}"
+    else {
+      val digest = scala.util.hashing.MurmurHash3.seqHash(snaps)
+      s"$tag#${snaps.size}#${snaps.map(_._2).sum}#$digest"
+    }
+  }
+
   /** Driver-side file listing only — no Spark job. */
   private def snapshot(docs: DataFrame): Seq[(String, Long, Long)] = {
     val conf = docs.sparkSession.sparkContext.hadoopConfiguration

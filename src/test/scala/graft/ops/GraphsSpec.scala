@@ -49,6 +49,44 @@ class GraphsSpec extends SparkTestBase {
     assert(rank.values.forall(_ >= tp))
   }
 
+  test("the pagerank scatter gates its broadcast on the share vector's size") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val share = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("src", "share")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      // share vector fits: the hint is applied
+      spark.conf.set(key, (10L << 20).toString)
+      val hinted = Graphs.scatter(edges, share, n = 3L)
+        .queryExecution.optimizedPlan.toString
+      assert(hinted.contains("broadcast"), s"expected a broadcast hint:\n$hinted")
+      // a graph whose node table outgrows the threshold: hint dropped,
+      // no BroadcastExchange — the join rides the src partitioning
+      spark.conf.set(key, "1")
+      val plain = Graphs.scatter(edges, share, n = 1000000L)
+      assert(!plain.queryExecution.optimizedPlan.toString.contains("broadcast"))
+      assert(!plain.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+      // both shapes produce identical rows
+      val a = Graphs.scatter(edges, share, 3L).orderBy("src", "dst").collect().toSeq
+      val b = plain.orderBy("src", "dst").collect().toSeq
+      assert(a == b)
+    } finally spark.conf.set(key, old)
+  }
+
+  test("q127 is unchanged when the broadcast gate forces the co-located join") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    val want = graft.SparkEntry.queries("q127_trade_pagerank")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    try {
+      spark.conf.set(key, "1")
+      val got = graft.SparkEntry.queries("q127_trade_pagerank")(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, "rank fixpoint must not depend on the join strategy")
+    } finally spark.conf.set(key, old)
+  }
+
   test("q143 BFS hop census equals a driver-side BFS; hops alternate sides") {
     val rows = graft.SparkEntry.queries("q143_trade_bfs")(spark, sf).collect()
     assert(rows.nonEmpty)
