@@ -673,10 +673,26 @@ object Core {
     val hist = Tables.lineitem(s, d)
       .groupBy(col("l_extendedprice").as("price"))
       .agg(count(lit(1)).as("cnt"))
-    val wcum = Window.orderBy(col("price"))
+    // cumulative count over the value histogram, SHARDED (VERDICT r8
+    // #3 retired the last unpartitioned windows): range-exchange on
+    // price, count per shard, broadcast the exclusive prefix offsets
+    // back, and run the window per shard — no single reducer even if
+    // the price domain ever rivals the row count. The total row count
+    // falls out of the shard counts for free.
+    val (ranged, shards) = graft.queries.Stats.rangeShards(
+      hist, Seq(col("price")), sum(col("cnt")).as("c"))
+    var acc = 0L
+    val offs = shards.map { r =>
+      val o = (r.getInt(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    import s.implicits._
+    val offDf = offs.toDF("_pid", "_off")
+    val wcum = Window.partitionBy(col("_pid")).orderBy(col("price"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(wcum))
-    val total = cum.agg(max(col("cum")).as("n"))
+    val cum = ranged.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("cum", col("_off") + sum(col("cnt")).over(wcum))
+      .drop("_pid", "_off")
+    val total = Seq(acc).toDF("n")
     // ntile geometry: r = n mod k buckets of size big = n div k + 1,
     // then k - r of size small = n div k; bucketOf/loRank/hiRank are
     // its closed-form inverse (non-ANSI div-by-zero yields NULL only
