@@ -20,6 +20,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Catalog mode (VERDICT r8 #8): SPARK_GRAFT_CATALOG=on ANALYZEs
+    // the testdata tables and routes Tables.* loads for the timed dir
+    // through the catalog, so CBO finally estimates the timed plans
+    // themselves. ANALYZE cost is recorded, not hidden; the JIT
+    // pre-pass below runs on a different dir and keeps path reads.
+    val catalogMode = sys.env.get("SPARK_GRAFT_CATALOG").contains("on")
+    val analyzeSec =
+      if (!catalogMode) -1.0
+      else {
+        val t = System.nanoTime()
+        graft.ops.Statistics.registerForQueries(spark, sfDir)
+        (System.nanoTime() - t) / 1e9
+      }
     // Warm the session (codegen, shuffle service, parquet footer reads)
     // so the first timed query isn't charged for JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -124,29 +137,36 @@ object Bench {
     // the artifact yet ran faster than ever on an idle re-run). The
     // median discards one stalled run entirely; three runs is the
     // fewest with that property.
+    // Per query: cold first run, then the MEDIAN of three steady-state
+    // runs as the headline and their MIN alongside (VERDICT r8 #2: the
+    // min bounds residual host-stall influence — a driver artifact
+    // whose median drifts from an idle-box run shows the stall in
+    // median-vs-min, no re-run needed).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = once(name, fn)
-      val warm =
-        if (cold < 0) -1.0
+      val (warm, wmin) =
+        if (cold < 0) (-1.0, -1.0)
         else {
           val runs = Array.fill(3)(once(name, fn))
-          if (runs.exists(_ < 0)) -1.0 else { java.util.Arrays.sort(runs); runs(1) }
+          if (runs.exists(_ < 0)) (-1.0, -1.0)
+          else { java.util.Arrays.sort(runs); (runs(1), runs(0)) }
         }
-      (name, cold, warm)
+      (name, cold, warm, wmin)
     }
-    def jsonMap(f: ((String, Double, Double)) => Double): String =
-      results.map { case r @ (k, _, _) => s"\"" + k + "\":" + f(r) }
+    def jsonMap(f: ((String, Double, Double, Double)) => Double): String =
+      results.map { case r @ (k, _, _, _) => s"\"" + k + "\":" + f(r) }
         .mkString("{", ",", "}")
     val ok = results.filter(_._3 >= 0)
     val failed = results.count(_._3 < 0)
     // Fixture-driven queries are sf-constant: their time does not scale
     // with the data and would dilute the headline number, so they are
     // reported under const_total and excluded from the sf-scaled total.
-    val (const, scaled) = ok.partition { case (k, _, _) => SparkEntry.constQueries(k) }
+    val (const, scaled) = ok.partition { case (k, _, _, _) => SparkEntry.constQueries(k) }
     val total = scaled.map(_._3).sum
     val constTotal = const.map(_._3).sum
     val coldTotal = scaled.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._3)},"queries_cold":${jsonMap(_._2)},"cold_total":$coldTotal,"const_total":$constTotal,"star_build":$starBuildSec,"prepass_sec":$prepassSec,"prepass_failed":${if (prepassSec < 0) -1 else prepassFailed},"prepass_sf":"$prepassDir","total_all":${total + constTotal},"failed":$failed,"runs_per_query":4,"timed_run":"median_of_3_steady_state","sf":"$sfDir"}""")
+    val minTotal = scaled.map(_._4).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._3)},"queries_cold":${jsonMap(_._2)},"queries_min":${jsonMap(_._4)},"cold_total":$coldTotal,"min_total":$minTotal,"const_total":$constTotal,"star_build":$starBuildSec,"prepass_sec":$prepassSec,"prepass_failed":${if (prepassSec < 0) -1 else prepassFailed},"prepass_sf":"$prepassDir","total_all":${total + constTotal},"failed":$failed,"runs_per_query":4,"timed_run":"median_of_3_steady_state","catalog_mode":$catalogMode,"analyze_sec":$analyzeSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

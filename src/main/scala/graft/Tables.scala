@@ -9,8 +9,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Catalyst prunes columns and pushes predicates into the parquet reader.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** When set (to a testdata dir), loads for THAT dir resolve through
+    * the ANALYZE'd catalog tables ([[graft.ops.Statistics]]) instead
+    * of raw paths, so CBO's estimator actually sees row counts and
+    * column stats in the timed path (VERDICT r8 #8 — path reads have
+    * no catalog entry to hang stats off). Loads for any other dir
+    * (e.g. the bench JIT pre-pass at a smaller SF) keep the path
+    * read: the catalog registration is per-dir and the guard is an
+    * exact dir match. Set via [[graft.ops.Statistics.registerForQueries]]. */
+  val catalogDirKey = "spark.graft.catalogDir"
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val catDir = spark.conf.get(catalogDirKey, "")
+    if (catDir == dir && graft.ops.Statistics.testdataTables.contains(name) &&
+        spark.catalog.tableExists(graft.ops.Statistics.statsTable(name)))
+      spark.table(graft.ops.Statistics.statsTable(name))
+    else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

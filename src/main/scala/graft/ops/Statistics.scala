@@ -47,6 +47,17 @@ object Statistics {
         s"ANALYZE TABLE ${statsTable(t)} COMPUTE STATISTICS FOR ALL COLUMNS")
     }
 
+  /** Catalog mode for the whole query catalog: ANALYZE every testdata
+    * table for `dir` and flip [[graft.Tables.catalogDirKey]] so
+    * [[graft.Tables.table]] resolves loads for that dir through the
+    * stats-bearing catalog entries. Bench's SPARK_GRAFT_CATALOG=on arm
+    * calls this, making the timed plans the ones CBO actually
+    * estimated (embeddings stays a path read — see [[testdataTables]]). */
+  def registerForQueries(spark: SparkSession, dir: String): Unit = {
+    analyzeTables(spark, dir, testdataTables)
+    spark.conf.set(graft.Tables.catalogDirKey, dir)
+  }
+
   /** A 3-way star join written in a deliberately BAD syntactic order —
     * the fact table (lineitem, the largest relation) first, the
     * heavily-filtered customer side last, and no broadcast/merge

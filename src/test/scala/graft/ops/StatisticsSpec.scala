@@ -60,4 +60,33 @@ class StatisticsSpec extends SparkTestBase {
     val got = withCbo(true)(Statistics.threeWayJoin(spark).collect().toSeq)
     assert(got == expected)
   }
+
+  test("catalog mode routes Tables loads through the ANALYZE'd entries, per dir") {
+    try {
+      Statistics.registerForQueries(spark, sf)
+      // registered dir: the load is the catalog table, stats visible
+      val viaCatalog = graft.Tables.lineitem(spark, sf)
+      val leaves = viaCatalog.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.exists {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.catalogTable.exists(_.identifier.table == "stats_lineitem")
+        case _ => false
+      }, "registered dir must resolve through the catalog")
+      assert(withCbo(true)(
+        viaCatalog.queryExecution.optimizedPlan.stats.rowCount.exists(_ > 0)))
+      // any OTHER dir keeps the raw path read (the bench pre-pass case)
+      val viaPath = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      assert(viaPath.queryExecution.optimizedPlan.collectLeaves().forall {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.catalogTable.isEmpty
+        case _ => true
+      }, "unregistered dirs must stay path reads")
+      // a representative query answers identically in catalog mode
+      val q = graft.SparkEntry.queries("q04_revenue_by_nation")
+      val got = q(spark, sf).collect().toSeq
+      spark.conf.unset(graft.Tables.catalogDirKey)
+      val want = q(spark, sf).collect().toSeq
+      assert(got == want)
+    } finally spark.conf.unset(graft.Tables.catalogDirKey)
+  }
 }
