@@ -20,22 +20,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * folding; cross-batch disorder is the source's responsibility (a
   * late event would need the q55b chunk-with-carry re-fold — the
   * batch query is the authority for replayable data, this operator is
-  * the low-latency view). StreamingWalletSpec pins parity against the
-  * batch fold over a 3-batch time-split replay.
+  * the low-latency view). That trust is no longer silent (VERDICT r8
+  * #6): the state carries the per-user event-time HIGH-WATER MARK,
+  * every event older than it counts into a monotone `disorder_hits`
+  * column on the emitted update, and a nonzero count is the signal
+  * that this view's balance may have folded in the wrong order and
+  * the batch q147 re-fold is needed. The late event still folds (in
+  * its arrival batch's sorted position) — dropping it would lose
+  * money movement; the counter is the audit trail.
   *
-  * State is one (balance, floors) pair per user — O(users) store,
-  * horizontally partitioned; no timeout, because a wallet's balance
-  * is live for the account's lifetime (bounded-retention variants
-  * would add a timeout that flushes dormant accounts to a store).
+  * State is one (balance, floors, high-water, disorders) tuple per
+  * user — O(users) store, horizontally partitioned; no timeout,
+  * because a wallet's balance is live for the account's lifetime
+  * (bounded-retention variants would add a timeout that flushes
+  * dormant accounts to a store).
   */
 object StreamingWallet {
   case class WalletEvent(user_id: Long, ts: Timestamp, event_id: Long,
                          delta_cents: Long)
 
-  case class WalletState(balance_cents: Long, floor_hits: Long, n_events: Long)
+  case class WalletState(balance_cents: Long, floor_hits: Long, n_events: Long,
+                         max_ts_key: Long = Long.MinValue, disorder_hits: Long = 0L)
 
   case class WalletUpdate(user_id: Long, balance_cents: Long,
-                          floor_hits: Long, n_events: Long)
+                          floor_hits: Long, n_events: Long, disorder_hits: Long)
 
   /** The same recurrence as the batch HOF fold: credit/debit in
     * (ts, event_id) order, clip at zero, count clips. */
@@ -62,9 +70,17 @@ object StreamingWallet {
           def tsKey(t: Timestamp): Long =
             math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
           val ordered = rows.toSeq.sortBy(e => (tsKey(e.ts), e.event_id))
-          val next = fold(prev, ordered.iterator.map(_.delta_cents))
+          // cross-batch disorder audit: events older than the state's
+          // high-water mark folded after younger ones already did —
+          // the order contract was violated for this key
+          val late = ordered.count(e => tsKey(e.ts) < prev.max_ts_key)
+          val hwm = (prev.max_ts_key +: ordered.map(e => tsKey(e.ts))).max
+          val folded = fold(prev, ordered.iterator.map(_.delta_cents))
+          val next = folded.copy(max_ts_key = hwm,
+            disorder_hits = prev.disorder_hits + late)
           state.update(next)
-          WalletUpdate(userId, next.balance_cents, next.floor_hits, next.n_events)
+          WalletUpdate(userId, next.balance_cents, next.floor_hits,
+            next.n_events, next.disorder_hits)
       }
   }
 

@@ -59,6 +59,43 @@ class StreamingWalletSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cross-batch disorder fires the disorder_hits audit counter") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamingWallet.WalletEvent]
+    val q = StreamingWallet.updates(mem.toDS())
+      .writeStream.format("memory").queryName("wallet3")
+      .option("checkpointLocation", tmpDir("wallet3-ckpt"))
+      .outputMode("update")
+      .start()
+    try {
+      // batch 1: 10:00 +100 → hwm 10:00, no disorder
+      mem.addData(StreamingWallet.WalletEvent(9L, ts("2024-01-01 10:00:00"), 1L, 100L))
+      q.processAllAvailable()
+      // batch 2: a LATE 09:00 -30 (older than the hwm) plus an in-order
+      // 11:00 -20 — exactly one disorder hit; per the documented
+      // contract the late event still folds, in this batch's sorted
+      // position: 100 - 30 - 20 = 50, no floor clip
+      mem.addData(
+        StreamingWallet.WalletEvent(9L, ts("2024-01-01 09:00:00"), 2L, -30L),
+        StreamingWallet.WalletEvent(9L, ts("2024-01-01 11:00:00"), 3L, -20L))
+      q.processAllAvailable()
+      val byEvents = spark.table("wallet3").collect()
+        .map(r => r.getAs[Long]("n_events") ->
+          (r.getAs[Long]("balance_cents"), r.getAs[Long]("disorder_hits"),
+            r.getAs[Long]("floor_hits"))).toMap
+      assert(byEvents(1L) == ((100L, 0L, 0L)), s"batch-1 update: $byEvents")
+      assert(byEvents(3L) == ((50L, 1L, 0L)),
+        s"the late event must fold AND count as one disorder hit: $byEvents")
+      // batch 3: an in-order event does not move the counter
+      mem.addData(StreamingWallet.WalletEvent(9L, ts("2024-01-01 12:00:00"), 4L, 5L))
+      q.processAllAvailable()
+      val last = spark.table("wallet3").collect()
+        .find(_.getAs[Long]("n_events") == 4L).get
+      assert(last.getAs[Long]("disorder_hits") == 1L &&
+        last.getAs[Long]("balance_cents") == 55L)
+    } finally q.stop()
+  }
+
   test("within-batch disorder is sorted before folding (order imposed per batch)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[StreamingWallet.WalletEvent]
