@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** Behavioral/lifecycle analytics over the events stream — the cohort,
+  * concurrency, and reach primitives every product-analytics warehouse
+  * (and every training-data telemetry pipeline) runs. All three are
+  * exact, oracle-checked, and spelled in the repo's sharded-prefix
+  * discipline: the only global orderings are over VALUE-DOMAIN frames
+  * (weeks, endpoint instants, days) and even those run through
+  * [[Stats.rangeShards]]'s two-phase pass, never a single reducer.
+  */
+object Cohorts {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q152 — weekly cohort retention: users grouped by the Monday week
+    * of their FIRST event; for each (cohort, week offset), how many
+    * are active, and the retention micro-ratio against the cohort's
+    * size (its offset-0 count — every user is active in their own
+    * first week by construction).
+    *
+    * Scale shape: ONE user-keyed exchange builds both the cohort
+    * label and the active-week set per user (`min` + `collect_set`
+    * in the same agg — the set is bounded by the CALENDAR, not the
+    * data: years of weeks is hundreds of entries), the explode fans
+    * back to (user, week) pairs already deduplicated, and the
+    * (cohort, offset) rollup is calendar²-sized. Cohort sizes come
+    * from the rollup itself (offset 0), joined back broadcast. */
+  val cohortRetention: Q = (s, d) => {
+    val byUser = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"),
+        collect_set(col("week")).as("weeks"))
+    val ret = Dedup.materializedSketch(byUser
+      .select(col("user_id"), col("cohort_week"),
+        explode(col("weeks")).as("week"))
+      .groupBy(col("cohort_week"),
+        expr("datediff(week, cohort_week) div 7").as("week_offset"))
+      .agg(count(lit(1)).as("n_active")))
+    val sizes = ret.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    ret.join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week").cast(DateType).as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        expr("1000000 * n_active div cohort_size").as("retention_ppm"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Session gap shared by q154 and its DuckDB twin: a new session
+    * starts after 30 minutes of per-user silence (exact microseconds,
+    * so sub-second boundary events split identically cross-engine). */
+  val sessionGapMicros = 1800000000L
+
+  /** q154 — peak concurrent sessions per day, the sweep-line interval
+    * operator: sessionize each user's events (30-minute gap), turn
+    * each session [start, end] into +1/-1 endpoints, and the running
+    * endpoint sum IS the number of concurrently open sessions; its
+    * per-day max is the capacity-planning number. Endpoints at the
+    * same instant process starts before ends (order t asc, delta
+    * desc), so touching sessions overlap and single-event sessions
+    * still register — the inclusive-ends convention, identical in the
+    * twin's window ORDER BY.
+    *
+    * Scale shape: sessionization is one user-keyed exchange (lag +
+    * running flag sum per user); endpoints collapse to the distinct
+    * (t, delta) grid with multiplicities BEFORE any global ordering;
+    * the global running sum is [[Stats.rangeShards]]'s two-phase
+    * prefix (range exchange + per-shard window + broadcast offsets),
+    * so no single reducer — the r8 lesson applied from birth rather
+    * than retrofitted. */
+  val peakConcurrency: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          expr("unix_micros(ts)") - col("prev_us") > sessionGapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val endpoints = sess.select(col("s_start").as("t"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("s_end").as("t"), lit(-1L).as("delta")))
+      .groupBy(col("t"), col("delta")).agg(sum(col("delta")).as("d"))
+    val sortExprs = Seq(col("t"), col("delta").desc)
+    val (ranged, shards) = Stats.rangeShards(endpoints, sortExprs, sum(col("d")).as("s"))
+    var acc = 0L
+    val offs = shards.map { r => val o = (r.getInt(0), acc); acc += r.getLong(1); o }.toSeq
+    import s.implicits._
+    val offDf = offs.toDF("_pid", "_off")
+    val wr = Window.partitionBy(col("_pid")).orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("conc", col("_off") + sum(col("d")).over(wr))
+      .groupBy(col("t").cast(DateType).as("day"))
+      .agg(max(col("conc")).as("peak_concurrency"),
+        sum(when(col("delta") === 1L, col("d")).otherwise(0L)).as("n_session_starts"))
+      .orderBy(col("day"))
+  }
+
+  /** q155 — cumulative user reach: per day, how many users appear for
+    * the FIRST time, the running total of users ever seen, and its
+    * micro-ratio of the final audience. The "distinct count over an
+    * ever-growing prefix" operator, made scalable by the first-touch
+    * identity: a user contributes to exactly one day's new count, so
+    * the cumulative distinct IS the prefix sum of the per-day
+    * first-seen histogram — one user-keyed agg + a day-domain prefix
+    * (sharded; total falls out of the shard sums driver-side). */
+  val cumulativeReach: Q = (s, d) => {
+    val firstDays = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .groupBy(col("first_ts").cast(DateType).as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val (ranged, shards) = Stats.rangeShards(firstDays, Seq(col("day")),
+      sum(col("n_new")).as("s"))
+    var acc = 0L
+    val offs = shards.map { r => val o = (r.getInt(0), acc); acc += r.getLong(1); o }.toSeq
+    import s.implicits._
+    val offDf = offs.toDF("_pid", "_off")
+    val total = acc
+    val w = Window.partitionBy(col("_pid")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("cum_users", col("_off") + sum(col("n_new")).over(w))
+      .select(col("day"), col("n_new"), col("cum_users"),
+        expr(s"1000000 * cum_users div $total").as("reach_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q152_cohort_retention" -> cohortRetention,
+    "q154_peak_concurrency" -> peakConcurrency,
+    "q155_cumulative_reach" -> cumulativeReach,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q152_cohort_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+        |), firsts AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+        |), ret AS (
+        |  SELECT cohort_week,
+        |    CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+        |    count(*) AS n_active
+        |  FROM uw JOIN firsts USING (user_id)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(r.cohort_week AS DATE) AS cohort_week, r.week_offset,
+        |  r.n_active, s.n_active AS cohort_size,
+        |  1000000 * r.n_active // s.n_active AS retention_ppm
+        |FROM ret r JOIN ret s
+        |  ON r.cohort_week = s.cohort_week AND s.week_offset = 0
+        |ORDER BY r.cohort_week, r.week_offset""".stripMargin,
+    "q154_peak_concurrency" ->
+      s"""WITH se AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $sessionGapMicros
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), sess AS (
+         |  SELECT user_id, ts,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM se
+         |), spans AS (
+         |  SELECT min(ts) AS s_start, max(ts) AS s_end
+         |  FROM sess GROUP BY user_id, sid
+         |), ep AS (
+         |  SELECT s_start AS t, CAST(1 AS BIGINT) AS delta FROM spans
+         |  UNION ALL
+         |  SELECT s_end, CAST(-1 AS BIGINT) FROM spans
+         |), grid AS (
+         |  SELECT t, delta, sum(delta) AS d FROM ep GROUP BY 1, 2
+         |), run AS (
+         |  SELECT t, delta, d,
+         |    sum(d) OVER (ORDER BY t, delta DESC ROWS UNBOUNDED PRECEDING) AS conc
+         |  FROM grid
+         |)
+         |SELECT CAST(t AS DATE) AS day,
+         |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
+         |  CAST(sum(CASE WHEN delta = 1 THEN d ELSE 0 END) AS BIGINT)
+         |    AS n_session_starts
+         |FROM run GROUP BY 1 ORDER BY day""".stripMargin,
+    "q155_cumulative_reach" ->
+      """WITH firsts AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS day FROM events GROUP BY user_id
+        |), hist AS (
+        |  SELECT day, count(*) AS n_new FROM firsts GROUP BY day
+        |), run AS (
+        |  SELECT day, n_new,
+        |    sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_users,
+        |    sum(n_new) OVER () AS total
+        |  FROM hist
+        |)
+        |SELECT day, n_new, CAST(cum_users AS BIGINT) AS cum_users,
+        |  CAST(1000000 * cum_users // total AS BIGINT) AS reach_ppm
+        |FROM run ORDER BY day""".stripMargin,
+  )
+}

@@ -1013,7 +1013,51 @@ object Core {
       .orderBy(col("revenue").desc, col("nation"))
   }
 
+  /** q156 — segment x priority crosstab through the PIVOT operator:
+    * order counts per market segment spread across one column per
+    * priority. The pivot VALUES are passed explicitly (the five
+    * priorities are schema constants of this corpus), which is the
+    * scale contract too: an explicit list keeps the plan a single
+    * groupBy with conditional aggregates — no distinct-value
+    * pre-scan, no dynamic schema, and the output width is fixed at
+    * plan time regardless of SF. Absent combinations coalesce to 0 so
+    * the contract matches the twin's conditional-count spelling.
+    * Renamed to identifier-safe column names for the oracle compare. */
+  private val pivotPriorities = Seq(
+    "1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high", "3-MEDIUM" -> "n_medium",
+    "4-NOT SPECIFIED" -> "n_not_specified", "5-LOW" -> "n_low")
+
+  private val q156: Q = (s, d) => {
+    val wide = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderpriority", pivotPriorities.map(_._1))
+      .agg(count(lit(1)))
+    pivotPriorities.foldLeft(wide) { case (df, (from, to)) =>
+      df.withColumn(to, coalesce(col(s"`$from`"), lit(0L))).drop(from)
+    }.orderBy(col("c_mktsegment"))
+  }
+
+  /** q157 — the UNPIVOT (melt) operator, pinned as pivot's inverse:
+    * q156's wide crosstab folded back to (segment, priority-column,
+    * count) long form. The DuckDB twin never pivots at all — it is
+    * the plain GROUP BY with the column-name mapping — so the hash
+    * oracle proves unpivot ∘ pivot is the identity on the long form.
+    * Unpivot is a per-row Expand (w output rows per input row, no
+    * shuffle), so the round-trip's only exchanges are q156's own. */
+  private val q157: Q = (s, d) => {
+    q156(s, d).unpivot(
+      Array(col("c_mktsegment")),
+      pivotPriorities.map(p => col(p._2)).toArray,
+      "priority_col", "n_orders")
+      .orderBy(col("c_mktsegment"), col("priority_col"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q156_segment_priority_pivot" -> q156,
+    "q157_pivot_roundtrip" -> q157,
     "q148_local_supplier_volume" -> q148,
     "q144_margin_by_nation" -> q144,
     "q134_market_share" -> q134,
@@ -1058,6 +1102,27 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
+    "q156_segment_priority_pivot" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_not_specified,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q157_pivot_roundtrip" ->
+      """SELECT c_mktsegment,
+        |  CASE o_orderpriority
+        |    WHEN '1-URGENT' THEN 'n_urgent'
+        |    WHEN '2-HIGH' THEN 'n_high'
+        |    WHEN '3-MEDIUM' THEN 'n_medium'
+        |    WHEN '4-NOT SPECIFIED' THEN 'n_not_specified'
+        |    ELSE 'n_low' END AS priority_col,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, priority_col""".stripMargin,
     "q148_local_supplier_volume" ->
       s"""SELECT n_name AS nation,
          |  ${Qx.sqlDsum(Qx.sqlDiscPrice, rescale = 4)} AS revenue,

@@ -656,7 +656,80 @@ object Stats {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
   }
 
+  /** q153 — chi-square independence audit between customer market
+    * segment and order priority, the categorical-association test a
+    * data-quality / drift pipeline runs over label columns (q141's
+    * drift sibling, but BETWEEN two columns instead of across time).
+    * Every cell carries its observed count, expected count, and
+    * chi-square contribution in EXACT integer micro-units: expected =
+    * R·C·10⁶ div n and contribution = ((n·O − R·C)² div (R·C))·10⁶
+    * div n, all in DECIMAL(38,0) (cross terms reach ~5·10³² at SF100
+    * — past int64, inside 38 digits; dividing by R·C BEFORE the 10⁶
+    * rescale keeps the worst intermediate under the cap, and the
+    * truncation order is part of the DEFINED statistic, replayed
+    * identically by the HUGEINT twin). Consumers sum contrib_micro
+    * for the statistic; dof is (|segments|−1)(|priorities|−1) by
+    * inspection of the row count.
+    *
+    * Scale shape: one fact exchange into the |segments|x|priorities|
+    * cell grid (map-side combined); every margin (R, C, n) derives
+    * from the CELLS, not the fact table, and joins back broadcast. */
+  private val q153: Q = (s, d) => {
+    val cells = graft.ops.Dedup.materializedSketch(Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("observed")))
+    val segTot = cells.groupBy(col("c_mktsegment")).agg(sum(col("observed")).as("r_tot"))
+    val priTot = cells.groupBy(col("o_orderpriority")).agg(sum(col("observed")).as("c_tot"))
+    val nTot = cells.agg(sum(col("observed")).as("n_tot"))
+    cells.join(broadcast(segTot), Seq("c_mktsegment"))
+      .join(broadcast(priTot), Seq("o_orderpriority"))
+      .crossJoin(broadcast(nTot))
+      .select(col("c_mktsegment"), col("o_orderpriority"), col("observed"),
+        expr("CAST(CAST(r_tot AS DECIMAL(38,0)) * c_tot * 1000000 div n_tot" +
+          " AS BIGINT)").as("expected_micro"),
+        expr("CAST(((CAST(n_tot AS DECIMAL(38,0)) * observed" +
+          " - CAST(r_tot AS DECIMAL(38,0)) * c_tot)" +
+          " * (CAST(n_tot AS DECIMAL(38,0)) * observed" +
+          " - CAST(r_tot AS DECIMAL(38,0)) * c_tot)" +
+          " div (CAST(r_tot AS DECIMAL(38,0)) * c_tot)) * 1000000 div n_tot" +
+          " AS BIGINT)").as("contrib_micro"))
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+  }
+
+  /** q158 — QUANTITY-weighted price quantiles per return flag: the
+    * weighted nearest-rank selection (value at the smallest cumulative
+    * WEIGHT reaching ceil(p·W)), i.e. "the price below which p% of
+    * shipped units move" — a different statistic from q122's
+    * row-counted quantiles, and the weighted-selection operator
+    * engines usually approximate. Same scalable spelling: collapse to
+    * the per-group (price → total weight) histogram first (one
+    * map-combined fact exchange), run the cumulative weight over
+    * DISTINCT prices (reducer bounded by the price domain per flag),
+    * pick with conditional mins over the monotone cum column. Weights
+    * are exact integer units (quantities are whole in this corpus;
+    * the cast defines the contract). */
+  private val q158: Q = (s, d) => {
+    val grp = Window.partitionBy(col("l_returnflag"))
+    val hist = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 0)).cast(LongType)).as("w"))
+    val cum = hist
+      .withColumn("cum", sum(col("w")).over(grp.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", max(col("cum")).over(grp))
+    def pick(pct: Int) =
+      min(when(expr(s"cum >= ($pct * tw + 99) div 100"), col("price"))).as(s"wp$pct")
+    cum.groupBy(col("l_returnflag"))
+      .agg(max(col("tw")).as("total_units"), pick(25), pick(50), pick(75))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q153_segment_priority_chi2" -> q153,
+    "q158_weighted_quantiles" -> q158,
     "q151_supplier_diversity" -> q151,
     "q132_vector_norms" -> q132,
     "q131_embedding_profile" -> q131,
@@ -672,6 +745,47 @@ object Stats {
     "q113_pareto_suppliers" -> q113)
 
   val oracle: Map[String, String] = Map(
+    "q153_segment_priority_chi2" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment, o_orderpriority, count(*) AS observed
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT c_mktsegment, sum(observed) AS r_tot FROM cells GROUP BY 1
+        |), c AS (
+        |  SELECT o_orderpriority, sum(observed) AS c_tot FROM cells GROUP BY 1
+        |), n AS (
+        |  SELECT sum(observed) AS n_tot FROM cells
+        |)
+        |SELECT cells.c_mktsegment, cells.o_orderpriority, observed,
+        |  CAST(CAST(r_tot AS HUGEINT) * c_tot * 1000000 // n_tot AS BIGINT)
+        |    AS expected_micro,
+        |  CAST(((CAST(n_tot AS HUGEINT) * observed - CAST(r_tot AS HUGEINT) * c_tot)
+        |       * (CAST(n_tot AS HUGEINT) * observed - CAST(r_tot AS HUGEINT) * c_tot)
+        |       // (CAST(r_tot AS HUGEINT) * c_tot)) * 1000000 // n_tot AS BIGINT)
+        |    AS contrib_micro
+        |FROM cells
+        |JOIN r USING (c_mktsegment)
+        |JOIN c USING (o_orderpriority)
+        |CROSS JOIN n
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+    "q158_weighted_quantiles" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag, l_extendedprice AS price,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT l_returnflag, price, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM hist
+        |)
+        |SELECT l_returnflag, CAST(max(tw) AS BIGINT) AS total_units,
+        |  min(CASE WHEN cum >= (25 * tw + 99) // 100 THEN price END) AS wp25,
+        |  min(CASE WHEN cum >= (50 * tw + 99) // 100 THEN price END) AS wp50,
+        |  min(CASE WHEN cum >= (75 * tw + 99) // 100 THEN price END) AS wp75
+        |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q151_supplier_diversity" ->
       """SELECT p_brand, p_type, p_size,
         |  count(DISTINCT l_suppkey) AS supplier_cnt
