@@ -18,11 +18,15 @@ import org.apache.spark.sql.types.DateType
 object Cohorts {
   type Q = (SparkSession, String) => DataFrame
 
-  /** q152 — weekly cohort retention: users grouped by the Monday week
-    * of their FIRST event; for each (cohort, week offset), how many
-    * are active, and the retention micro-ratio against the cohort's
-    * size (its offset-0 count — every user is active in their own
-    * first week by construction).
+  /** q152 — FIRST-TOUCH weekly retention, [[graft.ops.EventTime]]
+    * q78's complement: q78 anchors cohorts on the explicit `signup`
+    * event (and silently omits users who never emit one); here the
+    * cohort is the Monday week of a user's first event of ANY type —
+    * the acquisition-cohort definition product analytics uses when
+    * the signup signal is unreliable — and each (cohort, offset) row
+    * additionally carries the cohort's size and the exact retention
+    * micro-ratio against it (offset 0 is the size by construction:
+    * every user is active in their own first week).
     *
     * Scale shape: ONE user-keyed exchange builds both the cohort
     * label and the active-week set per user (`min` + `collect_set`
@@ -136,14 +140,38 @@ object Cohorts {
       .orderBy(col("day"))
   }
 
+  /** q159 — semi-structured property extraction: events carry a
+    * JSON-ish `props` payload ('{"k": 69}'); pull the numeric field
+    * with a REGEX (codegen'd string function — deliberately not a
+    * JSON parser: the oracle twin must run on a stock DuckDB with no
+    * extension loads, and both engines' regexp engines agree on this
+    * digit-group pattern), treat non-matching payloads as NULL (the
+    * coerce-to-null house semantics), and profile the field per event
+    * type. The per-row extraction is pure map-side work fused into
+    * the scan; the only exchange is the |event types|-sized rollup. */
+  val propsProfile: Q = (s, d) => {
+    val k = regexp_extract(col("props"), """"k"\s*:\s*(-?\d+)""", 1)
+    Tables.events(s, d)
+      .select(col("event_type"),
+        when(k =!= "", k).cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q152_cohort_retention" -> cohortRetention,
+    "q152_first_touch_retention" -> cohortRetention,
     "q154_peak_concurrency" -> peakConcurrency,
     "q155_cumulative_reach" -> cumulativeReach,
+    "q159_props_profile" -> propsProfile,
   )
 
   val oracle: Map[String, String] = Map(
-    "q152_cohort_retention" ->
+    "q152_first_touch_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
         |), firsts AS (
@@ -207,5 +235,17 @@ object Cohorts {
         |SELECT day, n_new, CAST(cum_users AS BIGINT) AS cum_users,
         |  CAST(1000000 * cum_users // total AS BIGINT) AS reach_ppm
         |FROM run ORDER BY day""".stripMargin,
+    "q159_props_profile" ->
+      """WITH ext AS (
+        |  SELECT event_type,
+        |    CAST(nullif(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1), '')
+        |         AS BIGINT) AS k
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  count(DISTINCT k) AS n_distinct_k
+        |FROM ext GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
