@@ -1013,21 +1013,16 @@ object Core {
       .orderBy(col("revenue").desc, col("nation"))
   }
 
-  /** q156 — segment x priority crosstab through the PIVOT operator:
-    * order counts per market segment spread across one column per
-    * priority. The pivot VALUES are passed explicitly (the five
-    * priorities are schema constants of this corpus), which is the
-    * scale contract too: an explicit list keeps the plan a single
-    * groupBy with conditional aggregates — no distinct-value
-    * pre-scan, no dynamic schema, and the output width is fixed at
-    * plan time regardless of SF. Absent combinations coalesce to 0 so
-    * the contract matches the twin's conditional-count spelling.
-    * Renamed to identifier-safe column names for the oracle compare. */
+  /** The q156 crosstab's pivot VALUES, passed explicitly: an explicit
+    * list keeps the pivot a single groupBy with conditional aggregates
+    * — no distinct-value pre-scan, no dynamic schema, output width
+    * fixed at plan time regardless of SF. Identifier-safe renames for
+    * the oracle compare. */
   private val pivotPriorities = Seq(
     "1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high", "3-MEDIUM" -> "n_medium",
     "4-NOT SPECIFIED" -> "n_not_specified", "5-LOW" -> "n_low")
 
-  private val q156: Q = (s, d) => {
+  private def segmentPriorityWide(s: SparkSession, d: String): DataFrame = {
     val wide = Tables.orders(s, d)
       .join(broadcast(Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"))),
@@ -1040,15 +1035,18 @@ object Core {
     }.orderBy(col("c_mktsegment"))
   }
 
-  /** q157 — the UNPIVOT (melt) operator, pinned as pivot's inverse:
-    * q156's wide crosstab folded back to (segment, priority-column,
-    * count) long form. The DuckDB twin never pivots at all — it is
-    * the plain GROUP BY with the column-name mapping — so the hash
-    * oracle proves unpivot ∘ pivot is the identity on the long form.
-    * Unpivot is a per-row Expand (w output rows per input row, no
-    * shuffle), so the round-trip's only exchanges are q156's own. */
-  private val q157: Q = (s, d) => {
-    q156(s, d).unpivot(
+  /** q156 — the pivot/unpivot INVERSE LAW under a hash oracle: a
+    * segment x priority crosstab (pivot with explicit values, absent
+    * combinations coalesced to 0) folded straight back to long form
+    * by unpivot. q42/q43 pin each operator separately against
+    * conditional-agg and UNION-ALL-stack twins; this pins their
+    * COMPOSITION — the DuckDB twin never pivots at all, it is the
+    * plain GROUP BY with the column-name mapping, so the hash match
+    * proves unpivot ∘ pivot is the identity on the long form. Unpivot
+    * is a per-row Expand (no shuffle), so the round-trip's only
+    * exchanges are the crosstab's own. */
+  private val q156: Q = (s, d) => {
+    segmentPriorityWide(s, d).unpivot(
       Array(col("c_mktsegment")),
       pivotPriorities.map(p => col(p._2)).toArray,
       "priority_col", "n_orders")
@@ -1056,8 +1054,7 @@ object Core {
   }
 
   val queries: Map[String, Q] = Map(
-    "q156_segment_priority_pivot" -> q156,
-    "q157_pivot_roundtrip" -> q157,
+    "q156_pivot_roundtrip" -> q156,
     "q148_local_supplier_volume" -> q148,
     "q144_margin_by_nation" -> q144,
     "q134_market_share" -> q134,
@@ -1102,17 +1099,7 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
-    "q156_segment_priority_pivot" ->
-      """SELECT c_mktsegment,
-        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
-        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
-        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_not_specified,
-        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    "q157_pivot_roundtrip" ->
+    "q156_pivot_roundtrip" ->
       """SELECT c_mktsegment,
         |  CASE o_orderpriority
         |    WHEN '1-URGENT' THEN 'n_urgent'
