@@ -80,7 +80,9 @@ object Cohorts {
     * than retrofitted. */
   val peakConcurrency: Q = (s, d) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val sess = Tables.events(s, d)
+    // materialized (house two-consumer rule): both endpoint arms of the
+    // union consume the session spans concurrently
+    val sess = Dedup.materializedSketch(Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("ts"))
       .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(w))
       .withColumn("brk",
@@ -90,7 +92,7 @@ object Cohorts {
       .withColumn("sid", sum(col("brk")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sid"))
-      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end")))
     val endpoints = sess.select(col("s_start").as("t"), lit(1L).as("delta"))
       .unionByName(sess.select(col("s_end").as("t"), lit(-1L).as("delta")))
       .groupBy(col("t"), col("delta")).agg(sum(col("delta")).as("d"))
