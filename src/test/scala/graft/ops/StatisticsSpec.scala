@@ -84,9 +84,18 @@ class StatisticsSpec extends SparkTestBase {
       // a representative query answers identically in catalog mode
       val q = graft.SparkEntry.queries("q04_revenue_by_nation")
       val got = q(spark, sf).collect().toSeq
+      // an NTZ-banded query must survive CBO estimation: Spark 4.1's
+      // filter estimator MatchErrors on TimestampNTZType column stats,
+      // which is why analyzeTables excludes NTZ columns from the
+      // column-stats pass (regression: first full catalog-mode bench
+      // failed five shipdate/orderdate band queries)
+      val ntzBanded = withCbo(true)(
+        graft.SparkEntry.queries("q126_promo_share")(spark, sf).collect().toSeq)
       spark.conf.unset(graft.Tables.catalogDirKey)
       val want = q(spark, sf).collect().toSeq
       assert(got == want)
+      assert(ntzBanded ==
+        graft.SparkEntry.queries("q126_promo_share")(spark, sf).collect().toSeq)
     } finally spark.conf.unset(graft.Tables.catalogDirKey)
   }
 }
