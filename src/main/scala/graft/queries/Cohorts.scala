@@ -56,60 +56,53 @@ object Cohorts {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
-  /** Session gap shared by q154 and its DuckDB twin: a new session
-    * starts after 30 minutes of per-user silence (exact microseconds,
-    * so sub-second boundary events split identically cross-engine). */
-  val sessionGapMicros = 1800000000L
-
-  /** q154 — peak concurrent sessions per day, the sweep-line interval
-    * operator: sessionize each user's events (30-minute gap), turn
-    * each session [start, end] into +1/-1 endpoints, and the running
-    * endpoint sum IS the number of concurrently open sessions; its
-    * per-day max is the capacity-planning number. Endpoints at the
-    * same instant process starts before ends (order t asc, delta
-    * desc), so touching sessions overlap and single-event sessions
-    * still register — the inclusive-ends convention, identical in the
-    * twin's window ORDER BY.
+  /** q154 — open-order BACKLOG curve over the warehouse side: an
+    * order is "open" from its order date through its LAST ship date
+    * (inclusive), and the monthly peak of concurrently open orders is
+    * the fulfillment-capacity metric. The interval here is DERIVED by
+    * a fact aggregation (per-order max ship date over lineitem) —
+    * unlike q83's event-gap sessions — and the sweep runs on the DAY
+    * grid: +1 on the order date, -1 on the day AFTER the last
+    * shipment (end-inclusive spelled as an exclusive bound, so no
+    * same-instant tie convention is even needed), running sum = open
+    * orders that day, then a per-month peak rollup
+    * (a month with no order-flow boundary emits no row — the carried
+    * plateau is visible in its neighbours, the q83 sampling note).
     *
-    * Scale shape: sessionization is one user-keyed exchange (lag +
-    * running flag sum per user); endpoints collapse to the distinct
-    * (t, delta) grid with multiplicities BEFORE any global ordering;
-    * the global running sum is [[Stats.rangeShards]]'s two-phase
-    * prefix (range exchange + per-shard window + broadcast offsets),
-    * so no single reducer — the r8 lesson applied from birth rather
-    * than retrofitted. */
-  val peakConcurrency: Q = (s, d) => {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    // materialized (house two-consumer rule): both endpoint arms of the
-    // union consume the session spans concurrently
-    val sess = Dedup.materializedSketch(Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("ts"))
-      .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(w))
-      .withColumn("brk",
-        when(col("prev_us").isNull ||
-          expr("unix_micros(ts)") - col("prev_us") > sessionGapMicros, 1L)
-          .otherwise(0L))
-      .withColumn("sid", sum(col("brk")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("sid"))
-      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end")))
-    val endpoints = sess.select(col("s_start").as("t"), lit(1L).as("delta"))
-      .unionByName(sess.select(col("s_end").as("t"), lit(-1L).as("delta")))
-      .groupBy(col("t"), col("delta")).agg(sum(col("delta")).as("d"))
-    val sortExprs = Seq(col("t"), col("delta").desc)
-    val (ranged, shards) = Stats.rangeShards(endpoints, sortExprs, sum(col("d")).as("s"))
+    * Scale shape: one orderkey-keyed exchange builds the spans (the
+    * lineitem agg map-combines); endpoints collapse to the DAY grid
+    * with multiplicities before any ordering; the global running sum
+    * is [[Stats.rangeShards]]'s two-phase prefix — the r8 lesson
+    * applied from birth rather than retrofitted. Orders with no
+    * lineitem rows never open (inner join), stated for the twin. */
+  val openOrderBacklog: Q = (s, d) => {
+    // materialized (house two-consumer rule): both endpoint arms of
+    // the union consume the spans concurrently
+    val spans = Dedup.materializedSketch(Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(min(col("o_orderdate").cast(DateType)).as("open_day"),
+        max(col("l_shipdate").cast(DateType)).as("last_ship_day")))
+    val endpoints = spans
+      .select(col("open_day").as("day"), lit(1L).as("delta"))
+      .unionByName(spans.select(date_add(col("last_ship_day"), 1).as("day"),
+        lit(-1L).as("delta")))
+      .groupBy(col("day")).agg(sum(col("delta")).as("d"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_opened"))
+    val (ranged, shards) = Stats.rangeShards(endpoints, Seq(col("day")),
+      sum(col("d")).as("s"))
     var acc = 0L
     val offs = shards.map { r => val o = (r.getInt(0), acc); acc += r.getLong(1); o }.toSeq
     import s.implicits._
     val offDf = offs.toDF("_pid", "_off")
-    val wr = Window.partitionBy(col("_pid")).orderBy(sortExprs: _*)
+    val wr = Window.partitionBy(col("_pid")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged.join(broadcast(offDf), Seq("_pid"))
-      .withColumn("conc", col("_off") + sum(col("d")).over(wr))
-      .groupBy(col("t").cast(DateType).as("day"))
-      .agg(max(col("conc")).as("peak_concurrency"),
-        sum(when(col("delta") === 1L, col("d")).otherwise(0L)).as("n_session_starts"))
-      .orderBy(col("day"))
+      .withColumn("open_orders", col("_off") + sum(col("d")).over(wr))
+      .groupBy(date_trunc("month", col("day")).cast(DateType).as("month"))
+      .agg(max(col("open_orders")).as("peak_open_orders"),
+        sum(col("n_opened")).as("n_opened"))
+      .orderBy(col("month"))
   }
 
   /** q155 — cumulative user reach: per day, how many users appear for
@@ -167,7 +160,7 @@ object Cohorts {
 
   val queries: Map[String, Q] = Map(
     "q152_first_touch_retention" -> cohortRetention,
-    "q154_peak_concurrency" -> peakConcurrency,
+    "q154_open_order_backlog" -> openOrderBacklog,
     "q155_cumulative_reach" -> cumulativeReach,
     "q159_props_profile" -> propsProfile,
   )
@@ -191,38 +184,29 @@ object Cohorts {
         |FROM ret r JOIN ret s
         |  ON r.cohort_week = s.cohort_week AND s.week_offset = 0
         |ORDER BY r.cohort_week, r.week_offset""".stripMargin,
-    "q154_peak_concurrency" ->
-      s"""WITH se AS (
-         |  SELECT user_id, event_id, ts,
-         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $sessionGapMicros
-         |         THEN 1 ELSE 0 END AS brk
-         |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-         |), sess AS (
-         |  SELECT user_id, ts,
-         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |                   ROWS UNBOUNDED PRECEDING) AS sid
-         |  FROM se
-         |), spans AS (
-         |  SELECT min(ts) AS s_start, max(ts) AS s_end
-         |  FROM sess GROUP BY user_id, sid
-         |), ep AS (
-         |  SELECT s_start AS t, CAST(1 AS BIGINT) AS delta FROM spans
-         |  UNION ALL
-         |  SELECT s_end, CAST(-1 AS BIGINT) FROM spans
-         |), grid AS (
-         |  SELECT t, delta, sum(delta) AS d FROM ep GROUP BY 1, 2
-         |), run AS (
-         |  SELECT t, delta, d,
-         |    sum(d) OVER (ORDER BY t, delta DESC ROWS UNBOUNDED PRECEDING) AS conc
-         |  FROM grid
-         |)
-         |SELECT CAST(t AS DATE) AS day,
-         |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
-         |  CAST(sum(CASE WHEN delta = 1 THEN d ELSE 0 END) AS BIGINT)
-         |    AS n_session_starts
-         |FROM run GROUP BY 1 ORDER BY day""".stripMargin,
+    "q154_open_order_backlog" ->
+      """WITH spans AS (
+        |  SELECT o_orderkey, CAST(min(o_orderdate) AS DATE) AS open_day,
+        |    CAST(max(l_shipdate) AS DATE) AS last_ship_day
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY o_orderkey
+        |), ep AS (
+        |  SELECT open_day AS day, CAST(1 AS BIGINT) AS delta FROM spans
+        |  UNION ALL
+        |  SELECT last_ship_day + 1, CAST(-1 AS BIGINT) FROM spans
+        |), grid AS (
+        |  SELECT day, sum(delta) AS d,
+        |    sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_opened
+        |  FROM ep GROUP BY day
+        |), run AS (
+        |  SELECT day, n_opened,
+        |    sum(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS open_orders
+        |  FROM grid
+        |)
+        |SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+        |  CAST(max(open_orders) AS BIGINT) AS peak_open_orders,
+        |  CAST(sum(n_opened) AS BIGINT) AS n_opened
+        |FROM run GROUP BY 1 ORDER BY month""".stripMargin,
     "q155_cumulative_reach" ->
       """WITH firsts AS (
         |  SELECT user_id, CAST(min(ts) AS DATE) AS day FROM events GROUP BY user_id
