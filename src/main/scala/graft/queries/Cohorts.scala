@@ -7,13 +7,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
 
-/** Behavioral/lifecycle analytics over the events stream — the cohort,
-  * concurrency, and reach primitives every product-analytics warehouse
-  * (and every training-data telemetry pipeline) runs. All three are
-  * exact, oracle-checked, and spelled in the repo's sharded-prefix
-  * discipline: the only global orderings are over VALUE-DOMAIN frames
-  * (weeks, endpoint instants, days) and even those run through
-  * [[Stats.rangeShards]]'s two-phase pass, never a single reducer.
+/** Behavioral/lifecycle analytics — the cohort, backlog, and reach
+  * primitives every product-analytics warehouse (and every
+  * training-data telemetry pipeline) runs, plus the props-payload
+  * extraction their event streams need first. All exact and
+  * oracle-checked, spelled in the repo's sharded-prefix discipline:
+  * the only global orderings are over VALUE-DOMAIN frames (weeks,
+  * days) and even those run through [[Stats.rangeShards]]'s two-phase
+  * pass, never a single reducer.
   */
 object Cohorts {
   type Q = (SparkSession, String) => DataFrame
