@@ -72,7 +72,11 @@ import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, In
   * Sequence cliff. When every interval is narrow the sentinel probe
   * rows hash-miss an empty build bucket and the only cost is the
   * doubled point-side shuffle rows — the price of never fanning out
-  * unboundedly on data the planner cannot see.
+  * unboundedly on data the planner cannot see. A workload that KNOWS
+  * its intervals are narrow can opt out (`maxFanout` <= 0): points
+  * then emit a single probe row and every interval explodes into its
+  * real buckets unconditionally — the unguarded plan, with the
+  * unguarded hazard, by explicit request only.
   */
 object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
   private val enabledKey = "spark.graft.rangeJoin.enabled"
@@ -195,22 +199,28 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     band.map { case (p, lo, hi) =>
       val grain = grainFor(family(p).get)
       val maxFanout = conf.getConfString(maxFanoutKey, "4096").toLong
+      val fallback = maxFanout > 0
       val salt = conf.getConfString(wideSaltKey, "32").toLong
       val pointOnLeft = sideOf(p, left, right).get
       val (pts, ivs) = if (pointOnLeft) (left, right) else (right, left)
 
       // ---- point side: two (is_wide, bucket) probe rows per point —
       // the real bucket for narrow intervals, one hash-salted sentinel
-      // for wide ones
+      // for wide ones (just the real bucket when the fallback is
+      // opted out)
       val pBucket = floorDiv(p, grain)
       val pSalt = Cast(Pmod(new Murmur3Hash(Seq(p)),
         Literal(salt.toInt, IntegerType)), LongType)
       val wP = AttributeReference("__rj_w_p", BooleanType, nullable = false)()
       val bP = AttributeReference("__rj_b_p", LongType, nullable = true)()
+      val narrowProbe =
+        CreateNamedStruct(Seq(Literal("w"), Literal(false), Literal("b"), pBucket))
+      val probes =
+        if (fallback) Seq(narrowProbe,
+          CreateNamedStruct(Seq(Literal("w"), Literal(true), Literal("b"), pSalt)))
+        else Seq(narrowProbe)
       val ptsGen = Generate(
-        Inline(CreateArray(Seq(
-          CreateNamedStruct(Seq(Literal("w"), Literal(false), Literal("b"), pBucket)),
-          CreateNamedStruct(Seq(Literal("w"), Literal(true), Literal("b"), pSalt))))),
+        Inline(CreateArray(probes)),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(wP, bP), child = pts)
 
@@ -222,18 +232,22 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       val bLo = floorDiv(lo, grain)
       val bHi = floorDiv(hi, grain)
       val widthB = Subtract(bHi, bLo)
-      val wide = Or(GreaterThan(widthB, Literal(maxFanout, LongType)),
-        LessThan(widthB, Literal(0L, LongType)))
+      val wide: Expression =
+        if (!fallback) Literal(false)
+        else Or(GreaterThan(widthB, Literal(maxFanout, LongType)),
+          LessThan(widthB, Literal(0L, LongType)))
       val bI = AttributeReference("__rj_b_i", LongType, nullable = true)()
       // Sequence is TimeZoneAwareExpression: without a timeZoneId it
       // reports unresolved even over longs, and the optimizer's plan
       // validator rejects the rewrite
       val step = Some(Literal(1L, LongType))
       val tz = Some(conf.sessionLocalTimeZone)
+      val realSeq = Sequence(bLo, bHi, step, tz)
       val ivGen = Generate(
-        Explode(If(wide,
-          Sequence(Literal(0L, LongType), Literal(salt - 1, LongType), step, tz),
-          Sequence(bLo, bHi, step, tz))),
+        Explode(if (!fallback) realSeq
+          else If(wide,
+            Sequence(Literal(0L, LongType), Literal(salt - 1, LongType), step, tz),
+            realSeq)),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(bI), child = ivFiltered)
       // the wide flag rides as a projected column (Generate preserves

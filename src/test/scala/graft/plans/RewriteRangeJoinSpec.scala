@@ -192,6 +192,21 @@ class RewriteRangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("maxFanout <= 0 opts out of the sentinel arm (single probe row, unguarded explode)") {
+    noBroadcast {
+      spark.conf.set("spark.graft.rangeJoin.maxFanout", "-1")
+      try {
+        val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+          s"opt-out must still rewrite:\n$plan")
+        val got = joined.select("pid", "iid").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.toSet == groundTruth && got.length == got.toSet.size)
+      } finally spark.conf.unset("spark.graft.rangeJoin.maxFanout")
+    }
+  }
+
   test("floor division survives the Long extremes (no pmod-subtraction underflow)") {
     noBroadcast {
       // points within a partial grain of Long.MinValue: the r8 spelling
