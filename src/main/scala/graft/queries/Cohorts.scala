@@ -51,7 +51,11 @@ object Cohorts {
     val sizes = ret.filter(col("week_offset") === 0)
       .select(col("cohort_week"), col("n_active").as("cohort_size"))
     ret.join(broadcast(sizes), Seq("cohort_week"))
-      .select(col("cohort_week").cast(DateType).as("cohort_week"),
+      // dates leave as formatted strings (house oracle convention:
+      // DATE columns surface as different dtypes across the two
+      // engines' clients, so the stable interchange form is the
+      // string; 'yyyy-MM-dd' sorts identically to the date)
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
         col("week_offset"), col("n_active"), col("cohort_size"),
         expr("1000000 * n_active div cohort_size").as("retention_ppm"))
       .orderBy(col("cohort_week"), col("week_offset"))
@@ -100,7 +104,8 @@ object Cohorts {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged.join(broadcast(offDf), Seq("_pid"))
       .withColumn("open_orders", col("_off") + sum(col("d")).over(wr))
-      .groupBy(date_trunc("month", col("day")).cast(DateType).as("month"))
+      // month as formatted string — the q152 oracle-dtype convention
+      .groupBy(date_format(date_trunc("month", col("day")), "yyyy-MM-dd").as("month"))
       .agg(max(col("open_orders")).as("peak_open_orders"),
         sum(col("n_opened")).as("n_opened"))
       .orderBy(col("month"))
@@ -131,7 +136,9 @@ object Cohorts {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged.join(broadcast(offDf), Seq("_pid"))
       .withColumn("cum_users", col("_off") + sum(col("n_new")).over(w))
-      .select(col("day"), col("n_new"), col("cum_users"),
+      // day as formatted string — the q152 oracle-dtype convention
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_new"), col("cum_users"),
         expr(s"1000000 * cum_users div $total").as("reach_ppm"))
       .orderBy(col("day"))
   }
@@ -179,7 +186,8 @@ object Cohorts {
         |  FROM uw JOIN firsts USING (user_id)
         |  GROUP BY 1, 2
         |)
-        |SELECT CAST(r.cohort_week AS DATE) AS cohort_week, r.week_offset,
+        |SELECT strftime(CAST(r.cohort_week AS DATE), '%Y-%m-%d') AS cohort_week,
+        |  r.week_offset,
         |  r.n_active, s.n_active AS cohort_size,
         |  1000000 * r.n_active // s.n_active AS retention_ppm
         |FROM ret r JOIN ret s
@@ -204,7 +212,7 @@ object Cohorts {
         |    sum(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS open_orders
         |  FROM grid
         |)
-        |SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+        |SELECT strftime(CAST(date_trunc('month', day) AS DATE), '%Y-%m-%d') AS month,
         |  CAST(max(open_orders) AS BIGINT) AS peak_open_orders,
         |  CAST(sum(n_opened) AS BIGINT) AS n_opened
         |FROM run GROUP BY 1 ORDER BY month""".stripMargin,
@@ -219,7 +227,8 @@ object Cohorts {
         |    sum(n_new) OVER () AS total
         |  FROM hist
         |)
-        |SELECT day, n_new, CAST(cum_users AS BIGINT) AS cum_users,
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_new,
+        |  CAST(cum_users AS BIGINT) AS cum_users,
         |  CAST(1000000 * cum_users // total AS BIGINT) AS reach_ppm
         |FROM run ORDER BY day""".stripMargin,
     "q159_props_profile" ->
