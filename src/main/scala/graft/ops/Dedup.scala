@@ -689,6 +689,102 @@ object Dedup {
       .orderBy(col("jaccard_band"))
   }
 
+  // ---- AllPairs/PPJoin: exact set-similarity join --------------------
+
+  /** q165 — EXACT set-similarity self-join via prefix filtering
+    * (the AllPairs/PPJoin family) over word-3-gram shingle sets (the
+    * dedup family's unit): every pair with shingle-Jaccard ≥
+    * τ = thresholdPct/100, with a COMPLETENESS GUARANTEE — unlike the
+    * q34 LSH tier (probabilistic recall, rows-only) and the q36 block
+    * (first-4-tokens heuristic: a pair differing in its opening words
+    * never meets), the prefix filter provably generates every
+    * qualifying pair, which is exactly what makes a DuckDB brute-force
+    * twin possible for a SCALABLE near-dup tier.
+    *
+    * The lemma (stated for the set elements — shingles here): order
+    * all elements by one global total order (document
+    * frequency ascending, element ascending — rarity-first minimizes
+    * candidate fanout; ANY consistent order preserves correctness).
+    * If J(A,B) ≥ τ then |A∩B| ≥ τ/(1+τ)·(|A|+|B|) ≥ τ·|X| for each
+    * side X (since the size filter bounds |A|,|B| within τ of each
+    * other, (|A|+|B|)/(1+τ) ≥ max). So if A shared NO token inside its
+    * first |A| − ⌈τ·|A|⌉ + 1 sorted tokens, at most ⌈τ·|A|⌉ − 1 < |A∩B|
+    * common tokens could remain — contradiction. Hence joining on
+    * prefix tokens generates every qualifying pair; verification then
+    * computes the EXACT Jaccard, so false candidates cost work but
+    * never correctness.
+    *
+    * Two further lossless prunes before verification: the size filter
+    * (J ≤ min/max, so 100·min(|A|,|B|) ≥ τ%·max is necessary) and the
+    * PPJoin positional filter — for the FIRST common prefix token at
+    * sorted positions (i, j), every common token sits at/after it in
+    * both sets, so overlap ≤ min(|A|−i, |B|−j) + 1; requiring that
+    * bound to reach ⌈τ(|A|+|B|)/(1+τ)⌉ is sound because a qualifying
+    * pair always passes at its first common token and the pair-level
+    * distinct keeps any-token-passes semantics a superset of
+    * first-token-passes.
+    *
+    * Scale shape: exact-collapse-first (identical texts pair through
+    * the members expansion at 1.0, never re-verified); document
+    * frequency is one map-combined shingle aggregation; the per-doc
+    * rarity ranking is a window partitioned by document (bounded by
+    * document length); candidates move (shingle, id, two ints) only;
+    * verification joins shingle arrays back BY ID for just the
+    * surviving pairs. The intrinsic cost bound is AllPairs'
+    * Σ C(prefix-df, 2) — no cap is applied because a cap would break
+    * the completeness contract that distinguishes this tier (the
+    * capped/probabilistic budget lives in the q34 LSH tier). Shingles
+    * stay STRINGS here so the twin replays the set algebra verbatim;
+    * a production corpus would hash them first (q36's 2^-64 collision
+    * budget) and carry 8-byte longs through the joins instead. */
+  def allPairsJaccard(docs: DataFrame, thresholdPct: Int = 50): DataFrame = {
+    val (reps, members) = collapseExact(docs)
+    val toks = materializedSketch(reps.select(col("thash"),
+        shingles(col("text")).as("toks"))
+      .withColumn("sz", size(col("toks"))))
+    val exploded = toks.select(col("thash"), col("sz"), explode(col("toks")).as("tok"))
+    val dfreq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("thash")).orderBy(col("df"), col("tok"))
+    val prefix = exploded.join(dfreq, Seq("tok"))
+      .withColumn("pos", row_number().over(wDoc))
+      // prefix length |X| - ceil(τ|X|) + 1, all integer arithmetic
+      .filter(col("pos") <= col("sz") - expr(s"($thresholdPct * sz + 99) div 100") + 1)
+      .select(col("tok"), col("thash"), col("sz"), col("pos"))
+    val cands = prefix.select(col("tok"), col("thash").as("thash_a"),
+        col("sz").as("sz_a"), col("pos").as("pos_a"))
+      .join(prefix.select(col("tok"), col("thash").as("thash_b"),
+        col("sz").as("sz_b"), col("pos").as("pos_b")), Seq("tok"))
+      .filter(col("thash_a") < col("thash_b"))
+      // size filter: τ%·max ≤ 100·min is necessary for J ≥ τ
+      .filter(least(col("sz_a"), col("sz_b")) * 100 >=
+        greatest(col("sz_a"), col("sz_b")) * thresholdPct)
+      // positional filter: overlap upper bound at this common token
+      // must reach the minimum overlap ⌈τ(sa+sb)/(1+τ)⌉
+      .filter(least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) + 1 >=
+        expr(s"($thresholdPct * (sz_a + sz_b) + ${100 + thresholdPct} - 1) div " +
+          s"${100 + thresholdPct}"))
+      .select(col("thash_a"), col("thash_b")).distinct()
+    val verified = cands
+      .join(toks.select(col("thash").as("thash_a"), col("toks").as("toks_a"),
+        col("sz").as("sz_a")), Seq("thash_a"))
+      .join(toks.select(col("thash").as("thash_b"), col("toks").as("toks_b"),
+        col("sz").as("sz_b")), Seq("thash_b"))
+      .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast(LongType))
+      .withColumn("n_union", (col("sz_a") + col("sz_b")).cast(LongType) - col("n_inter"))
+      .filter(col("n_inter") * 100 >= col("n_union") * thresholdPct)
+      .select(col("thash_a"), col("thash_b"), col("n_inter"), col("n_union"),
+        expr("n_inter * 1000000 div n_union").as("jaccard_ppm"))
+    val cross = expandPairs(verified, members, Seq("n_inter", "n_union", "jaccard_ppm"))
+    val within = withinGroupPairs(members)
+      .join(members.select(col("doc_id").as("doc_a"), col("thash")), Seq("doc_a"))
+      .join(toks.select(col("thash"), col("sz")), Seq("thash"))
+      .select(col("doc_a"), col("doc_b"), col("sz").cast(LongType).as("n_inter"),
+        col("sz").cast(LongType).as("n_union"), lit(1000000L).as("jaccard_ppm"))
+    cross.unionByName(within).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val allPairsJaccardQ: Q = (s, d) => allPairsJaccard(Tables.documents(s, d))
+
   /** Asymmetric containment near-dup (q36c): |A∩B| / |A| over the
     * same blocked hashed-shingle index as q36. Jaccard misses the
     * quote/subset case — a short document wholly CONTAINED in a long
@@ -1082,6 +1178,7 @@ object Dedup {
     "q34c_neardup_recall" -> nearDupRecall,     // rows-only: recall-vs-truth record
     "q35_simhash_neardups" -> simhashDups,      // rows-only (hash-seeded)
     "q36_ngram_jaccard_blocked" -> ngramJaccardBlocked,
+    "q165_allpairs_jaccard" -> allPairsJaccardQ,
     "q145_jaccard_band_histogram" -> jaccardBandHistogram,
     "q36c_ngram_containment" -> ngramContainmentBlocked,
     "q111_edit_distance_dups" -> editDistanceDups,
@@ -1240,6 +1337,32 @@ object Dedup {
     "q36_ngram_jaccard_blocked" ->
       s"""WITH $sqlBlockedPairs
          |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+    // the completeness guarantee IS what makes this twin possible: the
+    // brute-force all-pairs join (with only the lossless size filter)
+    // must equal the prefix-filtered Spark set exactly — any pair the
+    // prefix/positional filters wrongly pruned would surface here as a
+    // row-count mismatch
+    "q165_allpairs_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' ')
+        |      FOR i IN range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 1) + 1)]) AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, toks, len(toks) AS sz FROM t
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.toks, b.toks)) AS n_inter,
+        |    a.sz + b.sz AS stot
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |    AND least(a.sz, b.sz) * 100 >= greatest(a.sz, b.sz) * 50
+        |)
+        |SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+        |  CAST(stot - n_inter AS BIGINT) AS n_union,
+        |  CAST(n_inter * 1000000 // (stot - n_inter) AS BIGINT) AS jaccard_ppm
+        |FROM pairs
+        |WHERE n_inter * 100 >= (stot - n_inter) * 50
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // the same blocked pair space, banded by the exact integer
     // (10·|A∩B|) div |A∪B| — string shingles here, hashed on the
     // Spark side, cardinality-equal per the q36 convention

@@ -1,0 +1,46 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+/** The native sorted-merge intersection kernel: its one contract is
+  * count-equality with size(array_intersect) on sorted distinct
+  * inputs — pinned on edges and by property, plus the codegen path
+  * (a full DataFrame evaluation compiles the generated Java). */
+class SetOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def viaSpark(a: Seq[Long], b: Seq[Long]): (Int, Int) = {
+    val row = Seq((a.sorted.distinct, b.sorted.distinct)).toDF("a", "b")
+      .select(SetOps.sorted_inter_count(col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .head
+    (row.getInt(0), row.getInt(1))
+  }
+
+  test("edges: empty, disjoint, identical, containment") {
+    assert(viaSpark(Nil, Nil) == (0, 0))
+    assert(viaSpark(Seq(1L, 2L, 3L), Nil) == (0, 0))
+    assert(viaSpark(Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)) == (0, 0))
+    assert(viaSpark(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == (3, 3))
+    assert(viaSpark(Seq(1L, 2L, 3L, 4L), Seq(2L, 3L)) == (2, 2))
+    assert(viaSpark(Seq(Long.MinValue, 0L, Long.MaxValue),
+      Seq(Long.MinValue, Long.MaxValue)) == (2, 2))
+  }
+
+  test("property: merge count equals array_intersect cardinality (seeded random)") {
+    val rnd = new scala.util.Random(42)
+    // one DataFrame pass over many random pairs keeps this fast and
+    // still exercises the codegen'd path per row
+    val cases = Seq.fill(200) {
+      def arr() = Seq.fill(rnd.nextInt(40))(rnd.nextLong() % 50).sorted.distinct
+      (arr(), arr())
+    }
+    val rows = cases.toDF("a", "b")
+      .select(SetOps.sorted_inter_count(col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    rows.zip(cases).foreach { case (r, (a, b)) =>
+      assert(r.getInt(0) == r.getInt(1), s"a=$a b=$b")
+    }
+  }
+}

@@ -473,4 +473,49 @@ class DedupSpec extends SparkTestBase {
       .map { case (w, rs) => w -> rs.length.toLong }
     assert(fromWeights == hist, s"weights $fromWeights vs q103 $hist")
   }
+
+  test("allPairsJaccard is COMPLETE: equals the brute-force tau-Jaccard set") {
+    val docs = graft.Tables.documents(spark, sf)
+    val got = Dedup.allPairsJaccard(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"),
+        r.getAs[Long]("jaccard_ppm"))).toSet
+    // brute force: every unordered pair, exact shingle Jaccard >= 0.5
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val brute = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("n_union"))
+      .filter(col("n_inter") * 100 >= col("n_union") * 50)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        expr("n_inter * 1000000 div n_union").as("jaccard_ppm"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"),
+        r.getAs[Long]("jaccard_ppm"))).toSet
+    assert(brute.nonEmpty, "the planted corpus must contain tau-similar pairs")
+    assert(got == brute,
+      s"missed=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+  }
+
+  test("allPairsJaccard finds a pair the q36 first-4-token block cannot") {
+    // identical 10-token docs except the FIRST word: shingle Jaccard
+    // 7/9 >= 0.5, but the q36 block key (first 4 tokens) differs, so
+    // the heuristic block never pairs them - the exact tier must
+    val docs = Seq(
+      (1L, "alpha b c d e f g h i j"),
+      (2L, "zeta b c d e f g h i j")).toDF("doc_id", "text")
+    val got = Dedup.allPairsJaccard(docs).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("doc_a") == 1L && got.head.getAs[Long]("doc_b") == 2L)
+    assert(got.head.getAs[Long]("n_inter") == 7L && got.head.getAs[Long]("n_union") == 9L)
+    assert(got.head.getAs[Long]("jaccard_ppm") == 777777L)
+    // q36 on the same two docs: zero pairs (different first-4 blocks)
+    val fp = docs.select(
+      md5(array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 4), " ")).as("fp"))
+      .distinct().count()
+    assert(fp == 2L, "the two docs must land in different q36 blocks")
+  }
 }
