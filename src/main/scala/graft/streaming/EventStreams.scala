@@ -61,6 +61,36 @@ object EventStreams {
         col("view_ts"))
   }
 
+  /** The LEFT OUTER complement of [[purchaseAttributionJoin]]:
+    * purchases with NO view in the preceding window — the "organic
+    * purchase" detector. Same interval condition and watermarks, but
+    * the outer side exercises the OTHER half of stream-stream join
+    * state management: an unmatched purchase cannot be emitted when it
+    * arrives (a matching view may still come), so Spark holds it and
+    * emits the null-extended row only once the VIEW-side watermark
+    * passes purchase_ts — at which point no qualifying view can ever
+    * arrive. Output latency is therefore bounded by the watermark
+    * delay BY DESIGN (the price of a correct negative), where the
+    * inner join emits matches immediately. The null filter after the
+    * join is stateless. */
+  def unattributedPurchases(views: DataFrame, purchases: DataFrame,
+                            window: String = "2 hours",
+                            watermark: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(v,
+      expr(s"""v_user_id = user_id AND
+              |view_ts >= purchase_ts - interval $window AND
+              |view_ts <= purchase_ts""".stripMargin), "left_outer")
+      .filter(col("view_ts").isNull)
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"))
+  }
+
   /** Read the events parquet directory as a stream (test/demo entry),
     * normalizing `ts` by READ schema exactly like graft.Tables.events:
     * a TIMESTAMP(NANOS) file (read as LONG via the builder-set

@@ -124,4 +124,42 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out.contains((1L, ts("2024-01-01 09:50:00"), 1L)))
     assert(out.contains((2L, ts("2024-01-01 09:00:00"), 1L)))
   }
+
+  test("left-outer join emits an unattributed purchase only after the " +
+      "view watermark closes its window") {
+    implicit val sqlCtx = spark.sqlContext
+    val viewsIn = MemoryStream[(Timestamp, Long)]
+    val purchasesIn = MemoryStream[(Timestamp, Long, Long)]
+    val views = viewsIn.toDF().toDF("ts", "user_id")
+    val purchases = purchasesIn.toDF().toDF("ts", "user_id", "event_id")
+    val q = EventStreams.unattributedPurchases(views, purchases,
+      window = "1 hours", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("organic_out")
+      .outputMode("append").start()
+
+    // batch 1: purchase 100 has a view inside its window (attributed);
+    // purchase 200 has none — but it must NOT emit yet: a qualifying
+    // view could still arrive until the view watermark passes 10:30
+    viewsIn.addData((ts("2024-01-01 10:00:00"), 1L))
+    purchasesIn.addData(
+      (ts("2024-01-01 10:15:00"), 1L, 100L),
+      (ts("2024-01-01 10:30:00"), 2L, 200L))
+    q.processAllAvailable()
+    val early = spark.table("organic_out").count()
+    assert(early == 0L,
+      s"nothing may emit while the window is still open (got $early rows)")
+
+    // batch 2: advance BOTH watermarks far past the windows — the
+    // unmatched purchase's null-extended row is now provably final
+    viewsIn.addData((ts("2024-01-01 15:00:00"), 9L))
+    purchasesIn.addData((ts("2024-01-01 15:00:00"), 9L, 999L))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("organic_out")
+      .select(col("user_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((2L, 200L)), s"unmatched purchase must surface: $out")
+    assert(!out.exists(_._2 == 100L), "attributed purchase must never surface")
+  }
 }
