@@ -351,7 +351,10 @@ object EventTime {
     * stream through one partition, so the prefix sum is sharded the
     * q55b way — calendar days are contiguous in time, so (1) per-day
     * delta totals (a tiny agg) become exclusive day offsets via a
-    * window over the tiny day frame, broadcast back; (2) the running
+    * driver-side scan of the day frame (bounded by the CALENDAR, never
+    * the data — the q154/q163 offset discipline; the r8-retired
+    * unpartitioned-window spelling lived here until r9), broadcast
+    * back; (2) the running
     * sum runs WITHIN each day (parallel across days) and adds the
     * day's carry-in. Hours with no session boundary emit no row
     * (concurrency is sampled at boundaries; the plateau between
@@ -368,18 +371,27 @@ object EventTime {
       .select(col("user_id"),
         col("session_window.start").as("start_ts"),
         col("session_window.end").as("end_ts"))
-    val deltas = sess
+    // materialized (house two-consumer rule): the day-offset collect
+    // below and the final join both consume the sessionized deltas
+    val deltas = graft.ops.Dedup.materializedSketch(sess
       .select(col("user_id"), col("start_ts").as("ts"), lit(1L).as("delta"))
       .unionByName(sess
         .select(col("user_id"), col("end_ts").as("ts"), lit(-1L).as("delta")))
-      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("day", date_trunc("day", col("ts"))))
     val offsets = deltas.groupBy(col("day"))
       .agg(sum(col("delta")).as("day_sum"))
-    val w0 = Window.orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val dayOff = offsets
-      .withColumn("day_off", coalesce(sum(col("day_sum")).over(w0), lit(0L)))
-      .select(col("day"), col("day_off"))
+    // exclusive prefix over the calendar-bounded day frame, computed
+    // driver-side (same arithmetic the old single-reducer window ran;
+    // prefix sums are exact integers, so values are unchanged)
+    val dayRows = offsets.collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).sortBy(_._1.getTime)
+    var acc = 0L
+    val offRows = dayRows.map { case (dayTs, sm) =>
+      val o = (dayTs, acc); acc += sm; o
+    }.toSeq
+    val sp = events.sparkSession
+    import sp.implicits._
+    val dayOff = offRows.toDF("day", "day_off")
     val w1 = Window.partitionBy(col("day"))
       .orderBy(col("ts"), col("delta"), col("user_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -628,7 +640,54 @@ object EventTime {
       .orderBy(col("user_id"))
   }
 
+  /** q167 — time-to-convert curve: for every purchase with a preceding
+    * same-user click (the q29 as-of pairing, same single-exchange
+    * union spelling — no join), the click→purchase latency in whole
+    * minutes, rolled into the cumulative conversion-latency curve
+    * ("p% of conversions happen within m minutes") — the
+    * marketing/SLA read of the as-of operator. Latency is an EXACT
+    * integer (µs difference div 60e6 — floor on both engines for the
+    * non-negative difference), the histogram collapses pairs to the
+    * minute domain before any ordering, and the cumulative pass runs
+    * the [[graft.queries.Stats.rangeShards]] two-phase prefix over the
+    * minute-domain frame. cum_ppm is the one terminal integer
+    * division, against the driver-computed total (exact from the
+    * shard sums). */
+  val conversionLatency: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast(LongType).as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("purchase_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val hist = clicks.unionByName(purchases)
+      .withColumn("last_click_ts",
+        last(when(col("purchase_id").isNull, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("purchase_id").isNotNull && col("last_click_ts").isNotNull)
+      .groupBy(expr("(unix_micros(ts) - unix_micros(last_click_ts)) div 60000000")
+        .as("minute_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val (ranged, shards) = graft.queries.Stats.rangeShards(hist,
+      Seq(col("minute_bucket")), sum(col("n_pairs")).as("s"))
+    var acc = 0L
+    val offs = shards.map { r => val o = (r.getInt(0), acc); acc += r.getLong(1); o }.toSeq
+    val total = acc
+    import s.implicits._
+    val offDf = offs.toDF("_pid", "_off")
+    val wc = Window.partitionBy(col("_pid")).orderBy(col("minute_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("cum_pairs", col("_off") + sum(col("n_pairs")).over(wc))
+      .select(col("minute_bucket"), col("n_pairs"), col("cum_pairs"),
+        expr(s"1000000 * cum_pairs div ${total}L").as("cum_ppm"))
+      .orderBy(col("minute_bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q167_conversion_latency" -> conversionLatency,
     "q147_capped_wallet" -> cappedWallet,
     "q124_rolling_active_users" -> rollingActiveUsers,
     "q119_hourly_gap_fill" -> hourlyGapFill,
@@ -922,6 +981,34 @@ object EventTime {
          |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
          |  count(*) AS n_events, ${Qx.sqlDsum("value")} AS sum_value
          |FROM grp GROUP BY user_id, session_no""".stripMargin,
+    "q167_conversion_latency" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, CAST(NULL AS BIGINT) AS purchase_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |), marked AS (
+        |  SELECT *, last_value(CASE WHEN purchase_id IS NULL THEN ts END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, purchase_id ASC NULLS FIRST
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        |  FROM tagged
+        |), hist AS (
+        |  SELECT (epoch_us(ts) - epoch_us(last_click_ts)) // 60000000 AS minute_bucket,
+        |    count(*) AS n_pairs
+        |  FROM marked
+        |  WHERE purchase_id IS NOT NULL AND last_click_ts IS NOT NULL
+        |  GROUP BY 1
+        |), cum AS (
+        |  SELECT minute_bucket, n_pairs,
+        |    sum(n_pairs) OVER (ORDER BY minute_bucket ROWS UNBOUNDED PRECEDING)
+        |      AS cum_pairs,
+        |    sum(n_pairs) OVER () AS total
+        |  FROM hist
+        |)
+        |SELECT minute_bucket, n_pairs, CAST(cum_pairs AS BIGINT) AS cum_pairs,
+        |  CAST(1000000 * cum_pairs // total AS BIGINT) AS cum_ppm
+        |FROM cum ORDER BY minute_bucket""".stripMargin,
     "q29_asof_click_purchase" ->
       """WITH tagged AS (
         |  SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS purchase_id

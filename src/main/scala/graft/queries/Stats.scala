@@ -406,7 +406,7 @@ object Stats {
     * their shard plus a broadcast offset join, with values unchanged
     * (prefix arithmetic is exact; boundary placement only moves which
     * shard contributes what to the offsets). */
-  private[queries] def rangeShards(df: DataFrame, sortExprs: Seq[Column],
+  private[graft] def rangeShards(df: DataFrame, sortExprs: Seq[Column],
       aggs: Column*): (DataFrame, Array[org.apache.spark.sql.Row]) = {
     val ranged = graft.ops.Dedup.materializedSketch(
       df.repartitionByRange(sortExprs: _*).withColumn("_pid", spark_partition_id()))
@@ -727,7 +727,46 @@ object Stats {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q166 — fulfilment-latency profile per order priority: the
+    * distribution of order-to-ship days (each lineitem's ship date
+    * minus its order's date), as nearest-rank p50/p90 (q122's
+    * selection discipline — actual data values, no interpolation),
+    * max, and the exact mean in integer micro-days. q135 counts LATE
+    * shipments; this profiles the whole latency curve — the SLA view
+    * a fulfilment dashboard actually plots.
+    *
+    * Scale shape: ONE fact-fact exchange (lineitem joins orders on
+    * the order key; the orders side carries only key+date+priority),
+    * collapsed immediately to the (priority × latency-days) histogram
+    * — day differences are calendar-bounded (~120 distinct values),
+    * so the quantile windows are bounded by the value domain per
+    * priority, and the mean is an integer division of exact sums. */
+  private val q166: Q = (s, d) => {
+    val days = datediff(col("l_shipdate").cast(DateType),
+      col("o_orderdate").cast(DateType))
+    val hist = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), days.cast(LongType).as("lat_days"))
+      .agg(count(lit(1)).as("cnt"))
+    val grp = Window.partitionBy(col("o_orderpriority"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(grp.orderBy(col("lat_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", max(col("cum")).over(grp))
+      .withColumn("s", sum(col("lat_days") * col("cnt")).over(grp))
+    def pick(pct: Int) =
+      min(when(expr(s"cum >= ($pct * n + 99) div 100"), col("lat_days"))).as(s"p${pct}_days")
+    cum.groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n_items"), pick(50), pick(90),
+        max(col("lat_days")).as("max_days"),
+        expr("max(s) * 1000000 div max(n)").as("mean_micro_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q166_fulfilment_latency" -> q166,
     "q153_segment_priority_chi2" -> q153,
     "q158_weighted_quantiles" -> q158,
     "q151_supplier_diversity" -> q151,
@@ -745,6 +784,28 @@ object Stats {
     "q113_pareto_suppliers" -> q113)
 
   val oracle: Map[String, String] = Map(
+    "q166_fulfilment_latency" ->
+      """WITH hist AS (
+        |  SELECT o_orderpriority,
+        |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT)
+        |      AS lat_days,
+        |    count(*) AS cnt
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT *,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY lat_days
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n,
+        |    sum(lat_days * cnt) OVER (PARTITION BY o_orderpriority) AS s
+        |  FROM hist
+        |)
+        |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_items,
+        |  min(CASE WHEN cum >= (50 * n + 99) // 100 THEN lat_days END) AS p50_days,
+        |  min(CASE WHEN cum >= (90 * n + 99) // 100 THEN lat_days END) AS p90_days,
+        |  max(lat_days) AS max_days,
+        |  CAST(max(s) * 1000000 // max(n) AS BIGINT) AS mean_micro_days
+        |FROM cum GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q153_segment_priority_chi2" ->
       """WITH cells AS (
         |  SELECT c_mktsegment, o_orderpriority, count(*) AS observed
