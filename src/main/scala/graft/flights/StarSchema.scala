@@ -88,8 +88,14 @@ class StarWarehouse(spark: SparkSession, root: String) {
                         rows: DataFrame, nk: String, idCol: String): DataFrame = {
     val fresh = rows.join(existing.select(nk), Seq(nk), "left_anti")
     val maxId = existing.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
-    val keyed = fresh
-      .withColumn(idCol, lit(maxId) + row_number().over(Window.orderBy(col(nk))))
+    // two-phase distributed ranking (graft.queries.Stats.globalRank),
+    // not row_number over an unpartitioned window: these dims are tiny,
+    // but an SCD dimension at warehouse scale is not, and the ranking
+    // primitive costs the same here while never funnelling the delta
+    // through one reducer. nk is unique in `rows` (caller contract),
+    // so the order is total and the assigned keys are identical.
+    val keyed = graft.queries.Stats.globalRank(fresh, Seq(nk), "_rn")
+      .withColumn(idCol, lit(maxId) + col("_rn"))
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     if (!keyed.isEmpty) keyed.write.mode(SaveMode.Append).parquet(path)
     // readOrEmpty, not a bare read: on a first run where cleaning

@@ -305,22 +305,72 @@ object Core {
     * window sums with a segment tree (pairwise order), Spark
     * sequentially — only exact decimal addition is order-independent.
     * The running total rescales to DECIMAL(18,4) (bound ~9e11) since
-    * the cumulative sum outgrows the (18,6) exact-double range. */
+    * the cumulative sum outgrows the (18,6) exact-double range.
+    *
+    * Sharded (r9): the global day order runs through
+    * [[Stats.rangeShards]]'s two-phase pass instead of one reducer,
+    * with the piece prefix sums alone can't give a SLIDING frame —
+    * boundary-carry replication: each shard additionally receives the
+    * 6 globally-preceding days (driver-assembled from the per-shard
+    * day tails — P·6 rows, bounded by cluster width), so the -6..0
+    * frame of every native row sees its true predecessors; `rn` and
+    * the running total count ONLY native rows on top of the broadcast
+    * exclusive offsets, and carry rows are dropped after the window.
+    * Values are bit-identical to the single-reducer spelling (exact
+    * decimal addition is associative; carry rows reproduce exactly the
+    * rows the global frame would have read). */
   private val q45: Q = (s, d) => {
     val o = Tables.orders(s, d)
     val daily = o.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
       .agg(sum(col("o_totalprice").cast(D6)).cast(D6).as("day_total_dec"))
-    val byDay = Window.orderBy(col("order_day"))
-    daily
-      .withColumn("rn", row_number().over(byDay))
-      .withColumn("moving_avg_7d",
-        sum(col("day_total_dec")).over(byDay.rowsBetween(-6, 0))
-          .cast(D6).cast(DoubleType) / least(col("rn"), lit(7)))
-      .withColumn("running_total",
-        sum(col("day_total_dec")).over(byDay.rowsBetween(Window.unboundedPreceding, 0))
-          .cast(DecimalType(18, 4)).cast(DoubleType))
+    val (ranged, shards) = Stats.rangeShards(daily, Seq(col("order_day")),
+      count(lit(1)).as("c"), sum(col("day_total_dec")).as("sm"))
+    var nBefore = 0L
+    var sumBefore = java.math.BigDecimal.ZERO
+    val offs = shards.map { r =>
+      val o0 = (r.getInt(0), nBefore, sumBefore)
+      nBefore += r.getLong(1)
+      sumBefore = sumBefore.add(r.getDecimal(2))
+      o0
+    }.toSeq
+    // per-shard last-6-day tails -> the true previous-6 days of each
+    // shard, assembled driver-side (robust to small/empty shards: a
+    // shard with < 6 rows just contributes what it has and the walk
+    // continues into the shard before it)
+    val wTail = Window.partitionBy(col("_pid")).orderBy(col("order_day").desc)
+    val tails = ranged.withColumn("_tn", row_number().over(wTail))
+      .filter(col("_tn") <= 6).select(col("_pid"), col("order_day"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val pids = shards.map(_.getInt(0))
+    val byPid = tails.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val spec = pids.toSeq.flatMap { p =>
+      pids.filter(_ < p).sorted.reverse.iterator
+        .flatMap(q => byPid.getOrElse(q, Array.empty[String]).reverse)
+        .take(6).map(day => (p, day)).toSeq
+    }
+    import s.implicits._
+    val offDf = offs.toDF("_pid", "_coff", "_soff")
+    val carrySpec = spec.toDF("_cpid", "order_day")
+    val carries = ranged.join(broadcast(carrySpec), Seq("order_day"))
+      .select(col("_cpid").as("_pid"), col("order_day"), col("day_total_dec"),
+        lit(false).as("_native"))
+    val aug = ranged.select(col("_pid"), col("order_day"), col("day_total_dec"))
+      .withColumn("_native", lit(true))
+      .unionByName(carries)
+    val w = Window.partitionBy(col("_pid")).orderBy(col("order_day"))
+    val wMov = w.rowsBetween(-6, 0)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    aug.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("rn", col("_coff") +
+        sum(when(col("_native"), 1L).otherwise(0L)).over(wCum))
+      .withColumn("mov_dec", sum(col("day_total_dec")).over(wMov))
+      .withColumn("run_dec", col("_soff").cast(DecimalType(28, 6)) +
+        sum(when(col("_native"), col("day_total_dec"))).over(wCum))
+      .filter(col("_native"))
       .select(col("order_day"), col("day_total_dec").cast(DoubleType).as("day_total"),
-        col("moving_avg_7d"), col("running_total"))
+        (col("mov_dec").cast(D6).cast(DoubleType) /
+          least(col("rn"), lit(7))).as("moving_avg_7d"),
+        col("run_dec").cast(DecimalType(18, 4)).cast(DoubleType).as("running_total"))
       .orderBy(col("order_day"))
   }
 
