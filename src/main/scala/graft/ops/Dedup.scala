@@ -220,12 +220,21 @@ object Dedup {
     * an attribute (not an inline expression) — expressions referenced
     * inside lambda bodies are re-evaluated per element, which would
     * make this O(tokens^2). Same Jaccard structure as string shingles
-    * with no per-shingle string building. */
+    * with no per-shingle string building.
+    *
+    * Emitted SORTED ASCENDING (r9): the [[jaccardOfSorted]] merge
+    * kernel's contract, paid once per document instead of a hash set
+    * per candidate PAIR (ProbeInterCount: 10x on pair-heavy
+    * verification, value-identical). Every other consumer is
+    * order-invariant by construction — [[minhashSignature]] is an
+    * array_min fold, band keys derive from the signature, and the
+    * decontamination grams explode — so sorting changes no output
+    * anywhere, including the hash-seeded rows-only tiers. */
   def shinglesFromTokenHashes(th: Column, n: Int = 3): Column = {
     val idx = sequence(lit(1), greatest(size(th) - (n - 1), lit(1)))
-    array_distinct(transform(idx, i =>
+    array_sort(array_distinct(transform(idx, i =>
       xxhash64((0 until n).map(o =>
-        coalesce(element_at(th, i + o), lit(0L))): _*)))
+        coalesce(element_at(th, i + o), lit(0L))): _*))))
   }
 
   def tokenHashes(text: Column): Column =
@@ -360,9 +369,7 @@ object Dedup {
   private def minhashNearDupsFromCandidates(cands: DataFrame, members: DataFrame,
                                             threshold: Double): DataFrame = {
     val repPairs = cands
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", jaccardOfSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("thash_a"), col("thash_b"), col("jaccard"))
     val cross = expandPairs(repPairs, members, Seq("jaccard"))
@@ -529,7 +536,7 @@ object Dedup {
         simhashFromHashes(col("th_a")).as("sim_a"),
         simhashFromHashes(col("th_b")).as("sim_b"))
       .select(col("doc_a"), col("doc_b"),
-        jaccardOf(col("sh_a"), col("sh_b")).as("true_jaccard"),
+        jaccardOfSorted(col("sh_a"), col("sh_b")).as("true_jaccard"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("true_hamming")))
     val (reps, members) = collapseExact(docs)
     val repTh = persistSketch(repTokenHashes(reps))
@@ -624,7 +631,7 @@ object Dedup {
       .join(idx.select(col("fp"), col("doc_id").as("doc_b"),
         col("thash").as("thash_b"), col("sh").as("sh_b")), Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccardOf(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardOfSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("thash_a"), col("thash_b"), col("jaccard"))
     val cross = expandPairs(repPairs, members, Seq("jaccard"))
@@ -651,8 +658,26 @@ object Dedup {
       tokenHashes(col("text")).as("th"))
       .select(col("doc_id"), col("fp"), shinglesFromTokenHashes(col("th")).as("sh"))
 
+  /** Exact Jaccard via hash-set intersect/union — for arrays with no
+    * sorted guarantee (q165's string shingles). Hashed-shingle tiers
+    * use [[jaccardOfSorted]] instead. */
   private[ops] def jaccardOf(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+
+  /** Exact Jaccard through the codegen'd sorted-merge kernel
+    * ([[graft.functions.SetOps]]): zero allocation per pair, union by
+    * arithmetic. REQUIRES both arrays sorted ascending with distinct
+    * elements — [[shinglesFromTokenHashes]]'s emission contract.
+    * Counts equal the hash-set spelling exactly (SetOpsSpec), so
+    * swapping it under an oracle-checked tier changes no output;
+    * ProbeInterCount prices the difference at 10x on pair-heavy
+    * verification stages. The kernel appears twice (numerator and
+    * union arithmetic); whole-stage codegen's subexpression
+    * elimination evaluates it once per pair. */
+  private[ops] def jaccardOfSorted(a: Column, b: Column): Column = {
+    val i = graft.functions.SetOps.sorted_inter_count(a, b)
+    i.cast(DoubleType) / (size(a) + size(b) - i)
+  }
 
   val ngramJaccardBlocked: Q = (s, d) => {
     val withFp = fpShingleIndex(Tables.documents(s, d))
@@ -660,7 +685,7 @@ object Dedup {
     val b = withFp.select(col("fp"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccardOf(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardOfSorted(col("sh_a"), col("sh_b")))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -682,8 +707,12 @@ object Dedup {
     val b = withFp.select(col("fp"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(expr("CAST((10L * size(array_intersect(sh_a, sh_b))) div " +
-        "size(array_union(sh_a, sh_b)) AS INT)").as("jaccard_band"))
+      .withColumn("n_inter",
+        graft.functions.SetOps.sorted_inter_count(col("sh_a"), col("sh_b"))
+          .cast(LongType))
+      .withColumn("n_union",
+        size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+      .select(expr("CAST((10L * n_inter) div n_union AS INT)").as("jaccard_band"))
       .groupBy(col("jaccard_band"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("jaccard_band"))
@@ -803,8 +832,8 @@ object Dedup {
     a.join(b, Seq("fp"))
       .filter(col("contained_doc") =!= col("container_doc"))
       .withColumn("containment",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(col("sh_a")))
+        graft.functions.SetOps.sorted_inter_count(col("sh_a"), col("sh_b"))
+          .cast(DoubleType) / size(col("sh_a")))
       .filter(col("containment") >= threshold)
       .select(col("contained_doc"), col("container_doc"), col("containment"))
   }

@@ -67,7 +67,11 @@ class NearDupIndexStore(spark: SparkSession, val path: String)
         ix.filter(col("ingest_round") < r))
       .select(col("fp"), col("doc_id").as("old_doc"), col("sh").as("sh_o"))
     deltaIdx.join(corpusIdx, Seq("fp"))
-      .withColumn("jaccard", Dedup.jaccardOf(col("sh_n"), col("sh_o")))
+      // defensive sort on the STORED side: rounds persisted before the
+      // sorted-emission contract (r9) hold unsorted arrays; sorting an
+      // already-sorted array is cheap and pairs here are block-bounded
+      .withColumn("jaccard",
+        Dedup.jaccardOfSorted(col("sh_n"), array_sort(col("sh_o"))))
       .filter(col("jaccard") >= threshold)
       .select(col("new_doc"), col("old_doc"), col("jaccard"))
   }

@@ -58,6 +58,31 @@ object ProbeInterCount {
           .agg(sum(col("j"))).collect()(0)(0)
       }
     }
+    // pair-HEAVY variant: coarse 10-way blocking -> ~1.25M candidate
+    // pairs, the adversarial-corpus shape where the verification
+    // kernel dominates instead of the scan
+    val ha = idx.select((col("doc_id") % 10).as("blk"), col("sh").as("sh_a"),
+      col("shs").as("shs_a"), col("doc_id").as("da"))
+    val hb = idx.select((col("doc_id") % 10).as("blk"), col("sh").as("sh_b"),
+      col("shs").as("shs_b"), col("doc_id").as("db"))
+    val heavy = ha.join(hb, Seq("blk")).filter(col("da") < col("db"))
+    for (r <- 1 to 2) {
+      time(s"HEAVY array_intersect/array_union r$r") {
+        heavy.select(
+            (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b")))).as("j"))
+          .agg(sum(col("j"))).collect()(0)(0)
+      }
+      time(s"HEAVY sorted merge + arithmetic union r$r") {
+        heavy.select(
+            (graft.functions.SetOps.sorted_inter_count(col("shs_a"), col("shs_b"))
+              .cast("double") /
+              (size(col("shs_a")) + size(col("shs_b")) -
+                graft.functions.SetOps.sorted_inter_count(col("shs_a"), col("shs_b"))))
+              .as("j"))
+          .agg(sum(col("j"))).collect()(0)(0)
+      }
+    }
     idx.unpersist()
     spark.stop()
   }
