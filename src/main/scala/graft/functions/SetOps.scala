@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 
 /** Native set-intersection cardinality over SORTED long arrays, with
   * codegen — the near-dup verification kernel.
@@ -41,21 +41,48 @@ object SetOpsUtil {
     }
     c
   }
+
+  /** String-element variant: same merge over UTF8String binary order —
+    * the ordering array_sort applies to string arrays, so a
+    * sort-then-merge pipeline is consistent end to end. */
+  def interCountStr(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
 }
 
 /** sorted_inter_count(left, right): Int. Inputs must be
-  * ArrayType(LongType) sorted ascending with distinct, non-null
-  * elements (hashed-sketch columns). */
+  * ArrayType(LongType) or ArrayType(StringType), sorted ascending
+  * (array_sort order) with distinct, non-null elements (sketch /
+  * shingle columns). */
 case class SortedInterCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    SetOpsUtil.interCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  private def isString: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == StringType
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (isString)
+      SetOpsUtil.interCountStr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      SetOpsUtil.interCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isString) "interCountStr" else "interCount"
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.SetOpsUtil.interCount($a, $b)")
+      s"graft.functions.SetOpsUtil.$fn($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedInterCount =
     copy(left = l, right = r)

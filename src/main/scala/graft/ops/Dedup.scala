@@ -768,8 +768,11 @@ object Dedup {
     * budget) and carry 8-byte longs through the joins instead. */
   def allPairsJaccard(docs: DataFrame, thresholdPct: Int = 50): DataFrame = {
     val (reps, members) = collapseExact(docs)
+    // sorted at build (once per rep) so verification runs the
+    // sorted-merge kernel per pair — the string arm of the
+    // jaccardOfSorted discipline
     val toks = materializedSketch(reps.select(col("thash"),
-        shingles(col("text")).as("toks"))
+        array_sort(shingles(col("text"))).as("toks"))
       .withColumn("sz", size(col("toks"))))
     val exploded = toks.select(col("thash"), col("sz"), explode(col("toks")).as("tok"))
     val dfreq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -798,7 +801,9 @@ object Dedup {
         col("sz").as("sz_a")), Seq("thash_a"))
       .join(toks.select(col("thash").as("thash_b"), col("toks").as("toks_b"),
         col("sz").as("sz_b")), Seq("thash_b"))
-      .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast(LongType))
+      .withColumn("n_inter",
+        graft.functions.SetOps.sorted_inter_count(col("toks_a"), col("toks_b"))
+          .cast(LongType))
       .withColumn("n_union", (col("sz_a") + col("sz_b")).cast(LongType) - col("n_inter"))
       .filter(col("n_inter") * 100 >= col("n_union") * thresholdPct)
       .select(col("thash_a"), col("thash_b"), col("n_inter"), col("n_union"),

@@ -43,4 +43,21 @@ class SetOpsSpec extends SparkTestBase {
       assert(r.getInt(0) == r.getInt(1), s"a=$a b=$b")
     }
   }
+
+  test("string arrays: merge over UTF8 binary order matches array_intersect") {
+    val cases = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("alpha b c", "b c d"), Seq("b c d", "zeta b c")),
+      (Seq("é", "a"), Seq("é")),  // non-ASCII sorts after ASCII in UTF8
+      (Seq("aa", "ab", "b"), Seq("ab", "b", "ba")))
+    val rows = cases.map { case (a, b) => (a.sorted, b.sorted) }
+      .toDF("a", "b")
+      .select(SetOps.sorted_inter_count(array_sort(col("a")), array_sort(col("b"))).as("m"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      assert(r.getInt(0) == r.getInt(1), s"case $c")
+    }
+  }
 }
