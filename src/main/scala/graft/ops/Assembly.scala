@@ -617,7 +617,53 @@ object Assembly {
       .orderBy(col("epoch"), col("shard"))
   }
 
+  /** q168 — probability-proportional-to-size SYSTEMATIC sample
+    * (Madow's method): walk the cumulative-weight axis and select a
+    * document every W/k units, so a doc's selection multiplicity is
+    *   (cum_i·k) div W − (cum_{i−1}·k) div W
+    * — pure integer arithmetic, Σ multiplicity = k exactly by
+    * telescoping, and "certainty units" (w ≥ W/k) are always taken,
+    * possibly more than once. This is the curation primitive for
+    * size-proportional data mixing (sample documents ∝ their token
+    * mass), complementing q74's exact-COUNT stratified sample and
+    * q70's budget CUTOFF: here big documents are favored by
+    * construction, not truncated.
+    *
+    * Deterministic variant: the classic random start is dropped for
+    * re-run stability (the house determinism doctrine) — a start
+    * offset would be one broadcast literal if unbiasedness ever
+    * mattered more than reproducibility. Scale shape: the cumulative
+    * weight runs the [[graft.queries.Stats.rangeShards]] two-phase
+    * prefix over the doc order; the multiplicity is per-row
+    * arithmetic against broadcast offsets; cross terms ride
+    * DECIMAL(38,0) (cum·k reaches ~10¹⁷ at 100 TB — inside int64,
+    * but the decimal discipline costs nothing and never wraps). */
+  val ppsSampleK = 100
+
+  val ppsSample: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars").as("w"))
+    val (ranged, shards) = graft.queries.Stats.rangeShards(docs, Seq(col("doc_id")),
+      sum(col("w")).as("sm"))
+    var acc = 0L
+    val offs = shards.map { r => val o = (r.getInt(0), acc); acc += r.getLong(1); o }.toSeq
+    val totalW = acc
+    import s.implicits._
+    val offDf = offs.toDF("_pid", "_woff")
+    val wc = Window.partitionBy(col("_pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("cum", col("_woff") + sum(col("w")).over(wc))
+      .withColumn("multiplicity",
+        expr(s"CAST(CAST(cum AS DECIMAL(38,0)) * $ppsSampleK div ${totalW}L AS BIGINT)") -
+          expr(s"CAST(CAST(cum - w AS DECIMAL(38,0)) * $ppsSampleK div ${totalW}L AS BIGINT)"))
+      .filter(col("multiplicity") > 0)
+      .select(col("doc_id"), col("w").as("weight"), col("cum").as("cum_weight"),
+        col("multiplicity"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q168_pps_sample" -> ppsSample,
     "q123_epoch_shuffle" -> epochShuffle,
     "q69_document_chunks" -> documentChunks,
     "q70_token_budget_selection" -> tokenBudgetSelection,
@@ -666,6 +712,21 @@ object Assembly {
     s"CAST((strpos('0123456789abcdef', substr(md5(concat(CAST($idExpr AS VARCHAR), ':$salt')), 1, 1)) - 1) % $nShards AS INTEGER)"
 
   val oracle: Map[String, String] = Map(
+    "q168_pps_sample" ->
+      s"""WITH cumw AS (
+         |  SELECT doc_id, n_chars AS w,
+         |    sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(n_chars) OVER () AS tw
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, w, cum,
+         |    CAST(CAST(cum AS HUGEINT) * $ppsSampleK // tw AS BIGINT)
+         |      - CAST(CAST(cum - w AS HUGEINT) * $ppsSampleK // tw AS BIGINT)
+         |      AS multiplicity
+         |  FROM cumw
+         |)
+         |SELECT doc_id, w AS weight, CAST(cum AS BIGINT) AS cum_weight, multiplicity
+         |FROM m WHERE multiplicity > 0 ORDER BY doc_id""".stripMargin,
     "q123_epoch_shuffle" ->
       """WITH keyed AS (
         |  SELECT e.epoch,

@@ -757,25 +757,40 @@ object Dedup {
     * the members expansion at 1.0, never re-verified); document
     * frequency is one map-combined shingle aggregation; the per-doc
     * rarity ranking is a window partitioned by document (bounded by
-    * document length); candidates move (shingle, id, two ints) only;
-    * verification joins shingle arrays back BY ID for just the
-    * surviving pairs. The intrinsic cost bound is AllPairs'
+    * document length); candidates move (hashed shingle, id, two
+    * ints) only; verification joins the sorted hashed-shingle arrays
+    * back BY ID for just the surviving pairs and counts overlap with
+    * the sorted-merge kernel. The intrinsic cost bound is AllPairs'
     * Σ C(prefix-df, 2) — no cap is applied because a cap would break
     * the completeness contract that distinguishes this tier (the
-    * capped/probabilistic budget lives in the q34 LSH tier). Shingles
-    * stay STRINGS here so the twin replays the set algebra verbatim;
-    * a production corpus would hash them first (q36's 2^-64 collision
-    * budget) and carry 8-byte longs through the joins instead. */
+    * capped/probabilistic budget lives in the q34 LSH tier), and on a
+    * near-dup-saturated corpus the true answer itself is quadratic in
+    * family size (this corpus at sf1: 249k qualifying rep pairs from
+    * 50k docs — the 12M-candidate verification IS the work). */
   def allPairsJaccard(docs: DataFrame, thresholdPct: Int = 50): DataFrame = {
     val (reps, members) = collapseExact(docs)
-    // sorted at build (once per rep) so verification runs the
-    // sorted-merge kernel per pair — the string arm of the
-    // jaccardOfSorted discipline
-    val toks = materializedSketch(reps.select(col("thash"),
-        array_sort(shingles(col("text"))).as("toks"))
+    // HASHED shingle sets (the q36 convention: 8-byte longs through
+    // every join and compare instead of ~20-char strings; set
+    // cardinalities — and so every emitted count — equal the string
+    // computation the oracle replays, modulo the 2^-64 collision
+    // budget every hashed tier accepts). The sf1 probe priced the
+    // string spelling at 48 s with verification at 29 s of it — all
+    // array shipping and string compares over the 12M-candidate
+    // stream; hashing is a pure-win representation change, and a
+    // collision can only ADD a candidate (verification still decides),
+    // never lose one, so completeness is untouched.
+    // shinglesFromTokenHashes already emits sorted-distinct arrays —
+    // the merge kernel's contract.
+    val toks = materializedSketch(reps
+      .select(col("thash"), tokenHashes(col("text")).as("th"))
+      // th must be an attribute before shingling (the O(tokens^2)
+      // lambda-inlining trap documented on shinglesFromTokenHashes)
+      .select(col("thash"), shinglesFromTokenHashes(col("th")).as("toks"))
       .withColumn("sz", size(col("toks"))))
     val exploded = toks.select(col("thash"), col("sz"), explode(col("toks")).as("tok"))
     val dfreq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // ordering by (df, hashed shingle) — any consistent total order
+    // satisfies the prefix lemma; the hash IS a total order on longs
     val wDoc = Window.partitionBy(col("thash")).orderBy(col("df"), col("tok"))
     val prefix = exploded.join(dfreq, Seq("tok"))
       .withColumn("pos", row_number().over(wDoc))

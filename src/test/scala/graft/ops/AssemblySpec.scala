@@ -427,4 +427,29 @@ class AssemblySpec extends SparkTestBase {
     val again = graft.SparkEntry.queries("q123_epoch_shuffle")(spark, sf).collect()
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
+
+  test("q168 PPS sample: multiplicities telescope to exactly k, certainty units taken") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars"))
+    val totalW = docs.map(_._2).sum
+    val rows = graft.SparkEntry.queries("q168_pps_sample")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("weight"),
+        r.getAs[Long]("multiplicity")))
+    assert(rows.map(_._3).sum == 100L, "sum of multiplicities must be exactly k")
+    rows.foreach { case (id, w, m) =>
+      assert(m >= 1L)
+      // a doc can be selected at most once more than its proportional share
+      assert(m <= w * 100L / totalW + 1, s"doc $id multiplicity $m vs weight $w")
+    }
+    // certainty units: weight >= W/k is always selected
+    val selected = rows.map(_._1).toSet
+    docs.filter { case (_, w) => w * 100L >= totalW }
+      .foreach { case (id, _) => assert(selected.contains(id), s"certainty doc $id") }
+    // determinism: a second run is bit-identical
+    val again = graft.SparkEntry.queries("q168_pps_sample")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("weight"),
+        r.getAs[Long]("multiplicity")))
+    assert(rows.toSeq == again.toSeq)
+  }
 }
