@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
 /** Native set-intersection cardinality over SORTED long arrays, with
   * codegen — the near-dup verification kernel.
@@ -68,6 +69,22 @@ object SetOpsUtil {
 case class SortedInterCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
+
+  // Both sides must agree on the element type, and it must be one the
+  // merge kernels actually read (LongType via getLong, StringType via
+  // getUTF8String) — anything else would produce plausible-looking
+  // garbage at runtime, so reject it at analysis instead.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires both arguments to be array<bigint> or both " +
+            s"array<string>, got ${l.catalogString} and ${r.catalogString}")
+    }
 
   private def isString: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == StringType

@@ -644,11 +644,9 @@ object Assembly {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars").as("w"))
     val (ranged, shards) = graft.queries.Stats.rangeShards(docs, Seq(col("doc_id")),
       sum(col("w")).as("sm"))
-    var acc = 0L
-    val offs = shards.map { r => val o = (r.getInt(0), acc); acc += r.getLong(1); o }.toSeq
-    val totalW = acc
-    import s.implicits._
-    val offDf = offs.toDF("_pid", "_woff")
+    val (offDf, totals) = graft.queries.Stats.exclusiveOffsets(
+      s, shards, Seq("_woff"), Seq(0L))
+    val totalW = totals.head.asInstanceOf[Long]
     val wc = Window.partitionBy(col("_pid")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged.join(broadcast(offDf), Seq("_pid"))
@@ -662,7 +660,79 @@ object Assembly {
       .orderBy(col("doc_id"))
   }
 
+  /** q170 — Neyman (variance-optimal) sampling allocation: split a
+    * fixed sample budget across strata proportional to N_h·σ_h — the
+    * textbook allocation that minimizes the estimator's variance,
+    * completing the sampling family (q74 allocates a CONSTANT per
+    * stratum, q168 selects ∝ SIZE; this allocates ∝ size×spread, so
+    * a noisy source earns more of the budget than an equally-big
+    * uniform one). Exact integer end to end:
+    *   N_h²·σ_h² = N_h·Σx² − (Σx)²   (population-variance identity,
+    *                                  DECIMAL(38,0) moments)
+    * so the Neyman weight N_h·σ_h is the EXACT integer square root of
+    * that quantity (floored), and the budget splits by largest-
+    * remainder rounding — base_h = (n·w_h) div W, the n − Σbase
+    * leftovers to the largest remainders (source tiebreak) — which
+    * telescopes to exactly n allocated, q168's discipline. A zero-
+    * variance stratum earns weight 0 (one observation determines it);
+    * an all-constant corpus (W = 0) falls back to size-proportional
+    * weights so the budget still allocates.
+    *
+    * Scale shape: the moments are one map-combined exchange onto the
+    * source domain; the allocation arithmetic runs DRIVER-SIDE over
+    * the strata-domain-bounded moment table (the q83/q154 discipline
+    * — ~tens of rows at any SF) with java.math.BigInteger.sqrt as the
+    * exact isqrt. The DuckDB twin spells the SAME integers entirely
+    * in SQL — HUGEINT moments, floor(sqrt(double)) clamped by ±1
+    * correction arms (exact while N²σ² < 2^106: the double seed is
+    * within one of the true root), a window for the remainder rank —
+    * a genuinely different isqrt algorithm, so the hash match checks
+    * the arithmetic, not a shared implementation. */
+  val neymanBudget = 1000
+
+  val neymanAllocation: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val strata = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast(dec)).as("sx"),
+        sum(col("n_chars").cast(dec) * col("n_chars")).as("sxx"))
+      .collect()
+    val weighted = strata.map { r =>
+      val n = r.getLong(1)
+      val sx = BigInt(r.getDecimal(2).toBigInteger)
+      val sxx = BigInt(r.getDecimal(3).toBigInteger)
+      val v = BigInt(n) * sxx - sx * sx
+      (r.getString(0), n, BigInt(v.bigInteger.sqrt()))
+    }
+    val sumW = weighted.map(_._3).sum
+    val withW = // all-constant corpus: no variance signal anywhere —
+      // fall back to size-proportional weights (documented above)
+      if (sumW == 0) weighted.map { case (src, n, _) => (src, n, BigInt(n)) }
+      else weighted
+    val bigW = withW.map(_._3).sum
+    val based = withW.map { case (src, n, w) =>
+      val base = (w * neymanBudget / bigW).toLong
+      val rem = w * neymanBudget - base * bigW
+      (src, n, w, base, rem)
+    }
+    val leftovers = neymanBudget - based.map(_._4).sum
+    val bonus = based.sortBy { case (src, _, _, _, rem) => (-rem, src) }
+      .take(leftovers.toInt).map(_._1).toSet
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(based.sortBy(_._1).map { case (src, n, w, base, _) =>
+        org.apache.spark.sql.Row(src, n, w.toLong,
+          base + (if (bonus(src)) 1L else 0L))
+      }: _*)
+    s.createDataFrame(rows, StructType(Seq(
+      StructField("source", StringType),
+      StructField("n_docs", LongType),
+      StructField("neyman_weight", LongType),
+      StructField("alloc", LongType))))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q170_neyman_allocation" -> neymanAllocation,
     "q168_pps_sample" -> ppsSample,
     "q123_epoch_shuffle" -> epochShuffle,
     "q69_document_chunks" -> documentChunks,
@@ -819,6 +889,39 @@ object Assembly {
          |  CAST(len(ct) AS INTEGER) AS n_chunk_tokens,
          |  array_to_string(ct, ' ') AS chunk_text
          |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q170_neyman_allocation" ->
+      s"""WITH m AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    sum(CAST(n_chars AS HUGEINT)) AS sx,
+         |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+         |  FROM documents GROUP BY 1
+         |), v AS (
+         |  SELECT source, n_docs, n_docs * sxx - sx * sx AS var2 FROM m
+         |), f0 AS (  -- double sqrt seed, then clamp to the exact floor
+         |  SELECT *, CAST(floor(sqrt(CAST(var2 AS DOUBLE))) AS HUGEINT) AS f FROM v
+         |), fc AS (
+         |  SELECT source, n_docs,
+         |    CASE WHEN (f+1)*(f+1) <= var2 THEN f+1
+         |         WHEN f*f > var2 THEN f-1 ELSE f END AS w0
+         |  FROM f0
+         |), wts AS (  -- all-constant fallback: size-proportional
+         |  SELECT source, n_docs,
+         |    CASE WHEN (SELECT sum(w0) FROM fc) = 0
+         |         THEN CAST(n_docs AS HUGEINT) ELSE w0 END AS w
+         |  FROM fc
+         |), alloc AS (
+         |  SELECT source, n_docs, w,
+         |    (w * $neymanBudget) // (SELECT sum(w) FROM wts) AS base,
+         |    (w * $neymanBudget) % (SELECT sum(w) FROM wts) AS rem
+         |  FROM wts
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         |    $neymanBudget - (SELECT sum(base) FROM alloc) AS leftovers
+         |  FROM alloc
+         |)
+         |SELECT source, n_docs, CAST(w AS BIGINT) AS neyman_weight,
+         |  CAST(base + CASE WHEN rk <= leftovers THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM ranked ORDER BY source""".stripMargin,
     "q74_stratified_sample" ->
       s"""SELECT doc_id, source, lang, rank_key, CAST(sample_rank AS INTEGER) AS sample_rank
          |FROM (

@@ -658,12 +658,6 @@ object Dedup {
       tokenHashes(col("text")).as("th"))
       .select(col("doc_id"), col("fp"), shinglesFromTokenHashes(col("th")).as("sh"))
 
-  /** Exact Jaccard via hash-set intersect/union — for arrays with no
-    * sorted guarantee (q165's string shingles). Hashed-shingle tiers
-    * use [[jaccardOfSorted]] instead. */
-  private[ops] def jaccardOf(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
-
   /** Exact Jaccard through the codegen'd sorted-merge kernel
     * ([[graft.functions.SetOps]]): zero allocation per pair, union by
     * arithmetic. REQUIRES both arrays sorted ascending with distinct

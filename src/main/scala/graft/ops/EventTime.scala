@@ -672,11 +672,9 @@ object EventTime {
       .agg(count(lit(1)).as("n_pairs"))
     val (ranged, shards) = graft.queries.Stats.rangeShards(hist,
       Seq(col("minute_bucket")), sum(col("n_pairs")).as("s"))
-    var acc = 0L
-    val offs = shards.map { r => val o = (r.getInt(0), acc); acc += r.getLong(1); o }.toSeq
-    val total = acc
-    import s.implicits._
-    val offDf = offs.toDF("_pid", "_off")
+    val (offDf, totals) = graft.queries.Stats.exclusiveOffsets(
+      s, shards, Seq("_off"), Seq(0L))
+    val total = totals.head.asInstanceOf[Long]
     val wc = Window.partitionBy(col("_pid")).orderBy(col("minute_bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged.join(broadcast(offDf), Seq("_pid"))

@@ -96,10 +96,7 @@ object Cohorts {
         sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_opened"))
     val (ranged, shards) = Stats.rangeShards(endpoints, Seq(col("day")),
       sum(col("d")).as("s"))
-    var acc = 0L
-    val offs = shards.map { r => val o = (r.getInt(0), acc); acc += r.getLong(1); o }.toSeq
-    import s.implicits._
-    val offDf = offs.toDF("_pid", "_off")
+    val (offDf, _) = Stats.exclusiveOffsets(s, shards, Seq("_off"), Seq(0L))
     val wr = Window.partitionBy(col("_pid")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged.join(broadcast(offDf), Seq("_pid"))
@@ -127,11 +124,8 @@ object Cohorts {
       .agg(count(lit(1)).as("n_new"))
     val (ranged, shards) = Stats.rangeShards(firstDays, Seq(col("day")),
       sum(col("n_new")).as("s"))
-    var acc = 0L
-    val offs = shards.map { r => val o = (r.getInt(0), acc); acc += r.getLong(1); o }.toSeq
-    import s.implicits._
-    val offDf = offs.toDF("_pid", "_off")
-    val total = acc
+    val (offDf, totals) = Stats.exclusiveOffsets(s, shards, Seq("_off"), Seq(0L))
+    val total = totals.head.asInstanceOf[Long]
     val w = Window.partitionBy(col("_pid")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged.join(broadcast(offDf), Seq("_pid"))

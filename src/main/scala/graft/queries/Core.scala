@@ -325,14 +325,8 @@ object Core {
       .agg(sum(col("o_totalprice").cast(D6)).cast(D6).as("day_total_dec"))
     val (ranged, shards) = Stats.rangeShards(daily, Seq(col("order_day")),
       count(lit(1)).as("c"), sum(col("day_total_dec")).as("sm"))
-    var nBefore = 0L
-    var sumBefore = java.math.BigDecimal.ZERO
-    val offs = shards.map { r =>
-      val o0 = (r.getInt(0), nBefore, sumBefore)
-      nBefore += r.getLong(1)
-      sumBefore = sumBefore.add(r.getDecimal(2))
-      o0
-    }.toSeq
+    val (offDf, _) = Stats.exclusiveOffsets(s, shards, Seq("_coff", "_soff"),
+      Seq(0L, java.math.BigDecimal.ZERO))
     // per-shard last-6-day tails -> the true previous-6 days of each
     // shard, assembled driver-side (robust to small/empty shards: a
     // shard with < 6 rows just contributes what it has and the walk
@@ -349,7 +343,6 @@ object Core {
         .take(6).map(day => (p, day)).toSeq
     }
     import s.implicits._
-    val offDf = offs.toDF("_pid", "_coff", "_soff")
     val carrySpec = spec.toDF("_cpid", "order_day")
     val carries = ranged.join(broadcast(carrySpec), Seq("order_day"))
       .select(col("_cpid").as("_pid"), col("order_day"), col("day_total_dec"),
@@ -731,18 +724,15 @@ object Core {
     // falls out of the shard counts for free.
     val (ranged, shards) = graft.queries.Stats.rangeShards(
       hist, Seq(col("price")), sum(col("cnt")).as("c"))
-    var acc = 0L
-    val offs = shards.map { r =>
-      val o = (r.getInt(0), acc); acc += r.getLong(1); o
-    }.toSeq
+    val (offDf, totals) = graft.queries.Stats.exclusiveOffsets(
+      s, shards, Seq("_off"), Seq(0L))
     import s.implicits._
-    val offDf = offs.toDF("_pid", "_off")
     val wcum = Window.partitionBy(col("_pid")).orderBy(col("price"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = ranged.join(broadcast(offDf), Seq("_pid"))
       .withColumn("cum", col("_off") + sum(col("cnt")).over(wcum))
       .drop("_pid", "_off")
-    val total = Seq(acc).toDF("n")
+    val total = Seq(totals.head.asInstanceOf[Long]).toDF("n")
     // ntile geometry: r = n mod k buckets of size big = n div k + 1,
     // then k - r of size small = n div k; bucketOf/loRank/hiRank are
     // its closed-form inverse (non-ANSI div-by-zero yields NULL only
@@ -1063,6 +1053,48 @@ object Core {
       .orderBy(col("revenue").desc, col("nation"))
   }
 
+  /** q169 — the TPC-H Q12 shape (shipping-channel priority mix), the
+    * last of the 22 TPC-H query shapes: per shipping channel, how many
+    * line items belong to high-priority (URGENT/HIGH) vs low-priority
+    * orders — the conditional two-way count that Q12 uses to audit
+    * whether critical orders ride the slow channels. Adapted to this
+    * schema (no l_shipmode/l_commitdate/l_receiptdate): l_returnflag
+    * IN ('A','R') plays the shipmode IN-list, and Q12's same-row date
+    * comparison l_commitdate < l_receiptdate maps to the same-row
+    * column compare l_discount > l_tax — both scan-level predicates,
+    * preserving Q12's plan signature (every filter on the fact scan;
+    * the join exists only to fetch the priority column).
+    *
+    * Scale shape: Q12's canonical plan joins the filtered fact to
+    * orders row-by-row; here the lineitem side pre-collapses to
+    * (orderkey, channel, cnt) BEFORE the join — partial aggregation
+    * pushed below the join, legal because the final group key
+    * (channel) and the counted unit (line items) both survive the
+    * collapse — so the one fact-fact exchange carries at most
+    * |channels| rows per order instead of every line item. The DuckDB
+    * twin keeps Q12's verbatim join-then-conditional-count spelling
+    * as the cross-algorithm check. */
+  private val q169: Q = (s, d) => {
+    val perOrder = Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_discount") > col("l_tax") &&
+        to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+        to_date(col("l_shipdate")) < lit("1997-01-01"))
+      .groupBy(col("l_orderkey"), col("l_returnflag").as("return_channel"))
+      .agg(count(lit(1)).as("cnt"))
+    perOrder
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("return_channel"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          col("cnt")).otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          col("cnt")).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("return_channel"))
+  }
+
   /** The q156 crosstab's pivot VALUES, passed explicitly: an explicit
     * list keeps the pivot a single groupBy with conditional aggregates
     * — no distinct-value pre-scan, no dynamic schema, output width
@@ -1104,6 +1136,7 @@ object Core {
   }
 
   val queries: Map[String, Q] = Map(
+    "q169_priority_shipmix" -> q169,
     "q156_pivot_roundtrip" -> q156,
     "q148_local_supplier_volume" -> q148,
     "q144_margin_by_nation" -> q144,
@@ -1160,6 +1193,18 @@ object Core {
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2 ORDER BY c_mktsegment, priority_col""".stripMargin,
+    "q169_priority_shipmix" ->
+      """SELECT l_returnflag AS return_channel,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_discount > l_tax
+        |  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q148_local_supplier_volume" ->
       s"""SELECT n_name AS nation,
          |  ${Qx.sqlDsum(Qx.sqlDiscPrice, rescale = 4)} AS revenue,

@@ -93,6 +93,10 @@ object Drift {
       .groupBy(col("source"))
       .agg(max(col("n_s")).as("n_docs"), max(col("dev")).as("max_dev"),
         max(col("n_tot") - col("n_s")).as("n_rest"))
+      // A single-source corpus has no complement to drift against:
+      // guard the division (both engines — the twin carries the same
+      // HAVING) so the degenerate case is defined as "no rows".
+      .filter(col("n_rest") > 0)
       .select(col("source"), col("n_docs"),
         expr("CAST(max_dev * 1000000 div (CAST(n_docs AS DECIMAL(38,0)) * n_rest)" +
           " AS BIGINT)").as("ks_ppm"))
@@ -188,18 +192,10 @@ object Drift {
     val daily = dailyOrders(s, d).select(col("day"), col("n_orders"))
     val (ranged, shards) = Stats.rangeShards(daily, Seq(col("day")),
       count(lit(1)).as("c"), sum(col("n_orders")).as("sm"))
-    var rowsBefore = 0L
-    var sumBefore = 0L
-    val offs = shards.map { r =>
-      val o = (r.getInt(0), rowsBefore, sumBefore)
-      rowsBefore += r.getLong(1)
-      sumBefore += r.getLong(2)
-      o
-    }.toSeq
-    val tDays = rowsBefore
-    val nOrders = sumBefore
-    import s.implicits._
-    val offDf = offs.toDF("_pid", "_coff", "_soff")
+    val (offDf, totals) = Stats.exclusiveOffsets(s, shards,
+      Seq("_coff", "_soff"), Seq(0L, 0L))
+    val tDays = totals(0).asInstanceOf[Long]
+    val nOrders = totals(1).asInstanceOf[Long]
     val w = Window.partitionBy(col("_pid")).orderBy(col("day"))
     ranged.join(broadcast(offDf), Seq("_pid"))
       .withColumn("day_idx", col("_coff") + row_number().over(w))
@@ -248,12 +244,7 @@ object Drift {
       .groupBy(col("slope")).agg(count(lit(1)).as("cnt"))
     val (ranged, shards) = Stats.rangeShards(slopes, Seq(col("slope")),
       sum(col("cnt")).as("sm"))
-    var before = 0L
-    val offs = shards.map { r =>
-      val o = (r.getInt(0), before); before += r.getLong(1); o
-    }.toSeq
-    import s.implicits._
-    val offDf = offs.toDF("_pid", "_off")
+    val (offDf, _) = Stats.exclusiveOffsets(s, shards, Seq("_off"), Seq(0L))
     val w = Window.partitionBy(col("_pid")).orderBy(col("slope"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tsSlope = ranged.join(broadcast(offDf), Seq("_pid"))
@@ -320,7 +311,8 @@ object Drift {
         |  CAST(max(abs(CAST(cum_s AS HUGEINT) * (n_tot - n_s)
         |        - CAST(cum_g - cum_s AS HUGEINT) * n_s)) * 1000000
         |    // (CAST(max(n_s) AS HUGEINT) * max(n_tot - n_s)) AS BIGINT) AS ks_ppm
-        |FROM cum GROUP BY source ORDER BY source""".stripMargin,
+        |FROM cum GROUP BY source HAVING max(n_tot - n_s) > 0
+        |ORDER BY source""".stripMargin,
     "q161_benford_audit" ->
       s"""WITH cells AS (
          |  SELECT CAST(left(CAST(CAST($sqlCents AS BIGINT) AS VARCHAR), 1) AS INTEGER)

@@ -205,16 +205,8 @@ object Stats {
     val sortExprs = Seq(col("rev_d").desc, col("l_suppkey"))
     val (ranged, shards) = rangeShards(perSupp, sortExprs,
       count(lit(1)).as("c"), sum(col("rev_d")).as("sm"))
-    var rowsBefore = 0L
-    var sumBefore = java.math.BigDecimal.ZERO
-    val offs = shards.map { r =>
-      val o = (r.getInt(0), rowsBefore, sumBefore)
-      rowsBefore += r.getLong(1)
-      sumBefore = sumBefore.add(r.getDecimal(2))
-      o
-    }.toSeq
-    import s.implicits._
-    val offDf = offs.toDF("_pid", "_coff", "_soff")
+    val (offDf, _) = exclusiveOffsets(s, shards, Seq("_coff", "_soff"),
+      Seq(0L, java.math.BigDecimal.ZERO))
     val w = Window.partitionBy(col("_pid")).orderBy(sortExprs: _*)
     ranged.join(broadcast(offDf), Seq("_pid"))
       .withColumn("cum_d", col("_soff").cast(DecimalType(18, 4)) +
@@ -415,19 +407,54 @@ object Stats {
     (ranged, shards)
   }
 
+  /** Exclusive-prefix offsets over [[rangeShards]]' per-shard summary:
+    * aggregated column i of each shard row (positions 1..n, shard
+    * order) is summed over all PRECEDING shards, producing the
+    * broadcastable `(_pid, names…)` frame every two-phase prefix pass
+    * joins back, plus the grand totals (sum over ALL shards, one per
+    * name — the exact driver-side row/weight total several queries
+    * reuse). Long columns accumulate in Long, Decimal columns in exact
+    * BigDecimal; `zeros` fixes both the start value and the emitted
+    * column type, so an empty shard table still yields a well-typed
+    * frame. The invariants every former copy of this loop repeated —
+    * shards sorted by `_pid`, offset i excluding shard i, getter
+    * position matching the agg position — live here once. */
+  private[graft] def exclusiveOffsets(spark: SparkSession,
+      shards: Array[org.apache.spark.sql.Row], names: Seq[String],
+      zeros: Seq[Any]): (DataFrame, Seq[Any]) = {
+    require(names.nonEmpty && names.length == zeros.length,
+      "one zero per offset column")
+    val acc: Array[Any] = zeros.toArray
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](shards.length)
+    shards.foreach { r =>
+      rows.add(org.apache.spark.sql.Row.fromSeq(r.getInt(0) +: acc.toSeq))
+      var i = 0
+      while (i < acc.length) {
+        acc(i) = (acc(i), r.get(i + 1)) match {
+          case (a: java.lang.Long, v: java.lang.Long) =>
+            java.lang.Long.valueOf(a + v)
+          case (a: java.math.BigDecimal, v: java.math.BigDecimal) => a.add(v)
+          case (a, v) => throw new IllegalArgumentException(
+            s"unsupported offset accumulation: ${a.getClass} + ${v.getClass}")
+        }
+        i += 1
+      }
+    }
+    val fields = StructField("_pid", IntegerType, nullable = false) +:
+      names.zip(zeros).map { case (n, z) =>
+        StructField(n, z match {
+          case _: java.lang.Long        => LongType
+          case _: java.math.BigDecimal  => DecimalType(38, 18)
+          case other => throw new IllegalArgumentException(
+            s"unsupported offset type: ${other.getClass}")
+        }, nullable = false)
+      }
+    (spark.createDataFrame(rows, StructType(fields)), acc.toSeq)
+  }
+
   def globalRank(df: DataFrame, orderCols: Seq[String], rankName: String): DataFrame = {
-    val ranged = graft.ops.Dedup.materializedSketch(
-      df.repartitionByRange(orderCols.map(col): _*)
-        .withColumn("_pid", spark_partition_id()))
-    val counts = ranged.groupBy(col("_pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    // exclusive prefix: partition p's ranks start after all rows of
-    // the ranges before it
-    val offsetRows = counts.scanLeft(0L)(_ + _._2).zip(counts)
-      .map { case (off, (pid, _)) => (pid, off) }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = offsetRows.toSeq.toDF("_pid", "_off")
+    val (ranged, shards) = rangeShards(df, orderCols.map(col), count(lit(1)).as("c"))
+    val (offDf, _) = exclusiveOffsets(df.sparkSession, shards, Seq("_off"), Seq(0L))
     val w = Window.partitionBy(col("_pid")).orderBy(orderCols.map(col): _*)
     ranged.join(broadcast(offDf), Seq("_pid"))
       .withColumn(rankName, col("_off") + row_number().over(w))
@@ -761,7 +788,11 @@ object Stats {
     cum.groupBy(col("o_orderpriority"))
       .agg(max(col("n")).as("n_items"), pick(50), pick(90),
         max(col("lat_days")).as("max_days"),
-        expr("max(s) * 1000000 div max(n)").as("mean_micro_days"))
+        // Widen to DECIMAL(38,0) before the ×1e6: at extreme SFs the
+        // Int64 product s*1e6 can exceed Long.MaxValue (the DuckDB twin
+        // computes in HUGEINT); `div` on decimals still returns BIGINT.
+        expr("cast(max(s) as decimal(38,0)) * 1000000 div max(n)")
+          .as("mean_micro_days"))
       .orderBy(col("o_orderpriority"))
   }
 

@@ -44,6 +44,23 @@ class SetOpsSpec extends SparkTestBase {
     }
   }
 
+  test("mismatched or unsupported element types fail at analysis, not at runtime") {
+    // long vs string: the kernel would read garbage; must be an
+    // analysis error
+    val mixed = Seq((Seq(1L, 2L), Seq("a", "b"))).toDF("a", "b")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      mixed.select(SetOps.sorted_inter_count(col("a"), col("b"))).collect()
+    }
+    assert(e1.getMessage.contains("sorted_inter_count"))
+    // int arrays: getLong on int storage would crash at execution;
+    // must also be an analysis error
+    val ints = Seq((Seq(1, 2), Seq(2, 3))).toDF("a", "b")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(SetOps.sorted_inter_count(col("a"), col("b"))).collect()
+    }
+    assert(e2.getMessage.contains("sorted_inter_count"))
+  }
+
   test("string arrays: merge over UTF8 binary order matches array_intersect") {
     val cases = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d")),
