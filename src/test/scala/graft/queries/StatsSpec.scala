@@ -294,4 +294,35 @@ class StatsSpec extends SparkTestBase {
       assert(p25 <= p50 && p50 <= p75 && p75 <= p90)
     }
   }
+
+  test("exclusiveOffsets: exclusive prefix per shard, exact totals, typed empty frame") {
+    // mixed Long count + exact BigDecimal sum over an unevenly
+    // sharded frame — the contract all ten prefix-pass queries lean on
+    val df = (1 to 20).map(i => (i, new java.math.BigDecimal(s"$i.25")))
+      .toDF("k", "v").withColumn("v", col("v").cast("decimal(18,6)"))
+    val (ranged, shards) = Stats.rangeShards(df, Seq(col("k")),
+      count(lit(1)).as("c"), sum(col("v")).as("s"))
+    val (offDf, totals) = Stats.exclusiveOffsets(spark, shards,
+      Seq("_coff", "_soff"), Seq(0L, java.math.BigDecimal.ZERO))
+    assert(totals.head.asInstanceOf[Long] == 20L)
+    assert(totals(1).asInstanceOf[java.math.BigDecimal]
+      .compareTo(new java.math.BigDecimal("215.00")) == 0) // 210 + 20*0.25
+    // joining offsets back and adding the local prefix reproduces the
+    // serial running count/sum exactly, independent of shard layout
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_pid")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = ranged.join(broadcast(offDf), Seq("_pid"))
+      .select(col("k"), (col("_coff") + count(lit(1)).over(w)).as("rn"),
+        (col("_soff") + sum(col("v")).over(w)).as("run"))
+      .collect().map(r => (r.getLong(1), r.getDecimal(2).doubleValue()))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 20L))
+    assert(rows.last._2 == 215.0)
+    // empty shard table still yields a well-typed, empty offset frame
+    val (emptyDf, emptyTotals) = Stats.exclusiveOffsets(spark,
+      Array.empty, Seq("_off"), Seq(0L))
+    assert(emptyDf.columns.toSeq == Seq("_pid", "_off") && emptyDf.isEmpty)
+    assert(emptyTotals.head.asInstanceOf[Long] == 0L)
+  }
 }
