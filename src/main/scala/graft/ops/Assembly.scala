@@ -1073,14 +1073,12 @@ class TrainBigramStore(spark: org.apache.spark.sql.SparkSession, val path: Strin
   /** Index `docs`' TRAIN rows and commit their distinct bigram hashes
     * as ingest round `round` — idempotent under retry. */
   def appendRound(docs: DataFrame, round: Long): Unit = {
-    docs.select(Assembly.splitColumn(col("doc_id")).as("split"),
-        explode(Assembly.bigramHashes(col("text"))).as("bg"))
-      .filter(col("split") === "train")
-      .select(col("bg")).distinct()
-      .withColumn("ingest_round", lit(round))
-      .write.partitionBy("ingest_round")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    RoundPartitions.commit(
+      docs.select(Assembly.splitColumn(col("doc_id")).as("split"),
+          explode(Assembly.bigramHashes(col("text"))).as("bg"))
+        .filter(col("split") === "train")
+        .select(col("bg")).distinct(),
+      path, round)
     maybeCompact(round)
   }
 }

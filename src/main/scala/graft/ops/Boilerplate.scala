@@ -366,11 +366,9 @@ class BoilerplateStore(spark: org.apache.spark.sql.SparkSession, val path: Strin
   /** Count `docs`' blocks and commit them as ingest round `round` —
     * idempotent under retry (partition overwrite). */
   def appendRound(docs: DataFrame, round: Long): Unit = {
-    Boilerplate.blockFreqs(docs.select(col("doc_id"), col("text")))
-      .withColumn("ingest_round", lit(round))
-      .write.partitionBy("ingest_round")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    RoundPartitions.commit(
+      Boilerplate.blockFreqs(docs.select(col("doc_id"), col("text"))),
+      path, round)
     maybeCompact(round)
   }
 

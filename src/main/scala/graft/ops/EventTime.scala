@@ -1072,12 +1072,10 @@ class HllDistinctStore(spark: org.apache.spark.sql.SparkSession, val path: Strin
 
   /** Sketch `events`' users and commit them as ingest round `round`. */
   def appendRound(events: DataFrame, round: Long): Unit = {
-    events.groupBy(F.col("event_type"))
-      .agg(F.hll_sketch_agg(F.col("user_id")).as("sketch"))
-      .withColumn("ingest_round", F.lit(round))
-      .write.partitionBy("ingest_round")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite).parquet(path)
+    RoundPartitions.commit(
+      events.groupBy(F.col("event_type"))
+        .agg(F.hll_sketch_agg(F.col("user_id")).as("sketch")),
+      path, round)
     maybeCompact(round)
   }
 

@@ -104,7 +104,10 @@ object Graphs {
     // extra join.
     val nodes = Dedup.materializedSketch(deg.select(col("src").as("node"), col("deg")))
     val n = nodes.count()
-    val baseU = massU / n
+    // an empty graph (a corpus slice where nothing traded) has no rank
+    // mass to distribute; 0 keeps the arithmetic total and the result
+    // is empty through the node-frame joins either way
+    val baseU = if (n == 0) 0L else massU / n
     val teleportU = baseU * 15L / 100L
     var ranks = Dedup.materializedSketch(
       nodes.select(col("node"), col("deg"), lit(baseU).as("rank_u")))

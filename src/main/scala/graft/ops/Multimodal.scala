@@ -649,11 +649,8 @@ class PhashIndexStore(spark: SparkSession, val path: String)
   /** Commit `hashes` (doc_id, phash) as ingest round `round` —
     * idempotent under retry (partition overwrite). */
   def appendRound(hashes: DataFrame, round: Long): Unit = {
-    hashes.select(col("doc_id"), col("phash"))
-      .withColumn("ingest_round", lit(round))
-      .write.partitionBy("ingest_round")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    RoundPartitions.commit(hashes.select(col("doc_id"), col("phash")),
+      path, round)
     maybeCompact(round)
   }
 

@@ -42,11 +42,9 @@ class NearDupIndexStore(spark: SparkSession, val path: String)
   /** Index `docs` (doc_id, text) and commit them as ingest round
     * `round` — idempotent under retry (partition overwrite). */
   def appendRound(docs: DataFrame, round: Long): Unit = {
-    Dedup.fpShingleIndex(docs.select(col("doc_id"), col("text")))
-      .withColumn("ingest_round", lit(round))
-      .write.partitionBy("ingest_round")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite).parquet(path)
+    RoundPartitions.commit(
+      Dedup.fpShingleIndex(docs.select(col("doc_id"), col("text"))),
+      path, round)
     maybeCompact(round)
   }
 

@@ -179,3 +179,36 @@ private[ops] object CompactableRoundStore {
     * pipeline age. */
   val autoCompactRounds: Int = 8
 }
+
+/** The one way a round lands in a round-partitioned parquet artifact
+  * (the stores above, plus the streaming sinks' pairs/cleaned output
+  * dirs). Dynamic partition overwrite keeps a retried round replacing
+  * its own partial write — but it writes NO files for a zero-row
+  * frame, so an empty first round would leave a bare directory that
+  * schema inference cannot read back, poisoning every later read of
+  * the store ("empty" is a normal state at scale: a partition filter
+  * that matched nothing today, a micro-batch with no qualifying
+  * rows). A round that lands no data file therefore commits one
+  * schema-bearing empty file into its own partition dir — same
+  * per-round overwrite target, same content (zero rows), but the
+  * parquet footer keeps the artifact readable and typed.
+  *
+  * The post-write existence check (rather than a pre-write isEmpty)
+  * avoids double-evaluating the round's pipeline in the common
+  * non-empty case; under the replay contract a retried round carries
+  * the same data, so "previously non-empty, now empty" cannot occur
+  * and the check never leaves stale rows behind. */
+private[graft] object RoundPartitions {
+  def commit(rows: DataFrame, path: String, round: Long): Unit = {
+    rows.withColumn("ingest_round", lit(round))
+      .write.partitionBy("ingest_round")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).parquet(path)
+    val part = new org.apache.hadoop.fs.Path(s"$path/ingest_round=$round")
+    val fs = part.getFileSystem(
+      rows.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(part))
+      rows.limit(0).repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(part.toString)
+  }
+}

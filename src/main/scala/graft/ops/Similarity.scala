@@ -257,7 +257,14 @@ object Similarity {
       (emb.queryExecution.analyzed.semanticHash(), vecCol, k), _ => {
         val feats = emb.select(org.apache.spark.ml.functions
           .array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-        new org.apache.spark.ml.clustering.KMeans()
+        // An empty corpus cannot seed a quantizer (KMeans aborts with
+        // "nothing has been added to this summarizer"); one zero
+        // centroid keeps every assignment/probe expression well-formed
+        // and vacuous — all downstream joins run against zero corpus
+        // rows anyway. The check costs one limit-1 job, paid once per
+        // memoized (corpus, column, k).
+        if (feats.isEmpty) Array(Array.fill(embDim(emb, vecCol))(0.0))
+        else new org.apache.spark.ml.clustering.KMeans()
           .setK(k).setSeed(seed).setMaxIter(10)
           .fit(feats).clusterCenters.map(_.toArray)
       })
@@ -278,8 +285,13 @@ object Similarity {
     * generated code, so it is gated at [[literalCentroidCap]] cells;
     * past that, [[ivfAssignByJoin]] is the same arithmetic without
     * the ceiling. */
-  def ivfAssign(v: Column, centroids: Array[Array[Double]]): Column =
-    least(ivfScores(v, centroids): _*).getField("cid")
+  def ivfAssign(v: Column, centroids: Array[Array[Double]]): Column = {
+    val scores = ivfScores(v, centroids)
+    // least() rejects a single argument — the one-centroid quantizer
+    // (an empty corpus, see ivfCentroids) is its own argmin
+    if (scores.size == 1) scores.head.getField("cid")
+    else least(scores: _*).getField("cid")
+  }
 
   /** Cells up to which the literal-centroid assignment is used; above
     * it the join form takes over (generated-code size grows with

@@ -45,10 +45,7 @@ object StreamingBoilerplate {
         store.cutDelta(batch, beforeRound = Some(batchId))
       else // first batch: nothing standing, judge the batch by itself
         Boilerplate.removeBoilerplate(batch.select(col("doc_id"), col("text")))
-    cleaned.withColumn("ingest_round", lit(batchId))
-      .write.partitionBy("ingest_round")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite).parquet(cleanedDir)
+    graft.ops.RoundPartitions.commit(cleaned, cleanedDir, batchId)
     store.appendRound(batch, batchId)
   }
 

@@ -70,12 +70,10 @@ object StreamingNearDup {
     // pair once per round, and batch-0 re-reads pair docs against
     // themselves. The pair frame is tiny (near-dups over one delta),
     // so the distinct is a negligible shuffle.
-    pairs.filter(col("new_doc") =!= col("old_doc"))
-      .dropDuplicates("new_doc", "old_doc")
-      .withColumn("ingest_round", lit(batchId))
-      .write.partitionBy("ingest_round")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite).parquet(pairsDir)
+    graft.ops.RoundPartitions.commit(
+      pairs.filter(col("new_doc") =!= col("old_doc"))
+        .dropDuplicates("new_doc", "old_doc"),
+      pairsDir, batchId)
     store.appendRound(batch, batchId)
   }
 
