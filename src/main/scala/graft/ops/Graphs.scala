@@ -188,9 +188,96 @@ object Graphs {
       .orderBy(col("hop"), col("entity"))
   }
 
+  /** The SUPPORT-2 co-order pair table — part pairs co-ordered in at
+    * least two distinct orders, with their co-order count: the edge
+    * universe of both q129's association rules and q171's triangle
+    * census, built ONCE per (JVM, corpus) like [[tradeEdges]] (the
+    * VERDICT r8 #2 sharing discipline, applied to the second graph
+    * this warehouse implies). The ≥2 support floor is what keeps the
+    * graph SPARSE at scale: the expected number of random pairs
+    * co-ordered twice is m²/2·C(P,2) for m pair instances over P
+    * parts — roughly CONSTANT in SF (m and P both scale linearly) —
+    * so the edge list stays small while single-co-order noise pairs
+    * (linear in fact size) never materialize past the order-local
+    * self-join + count.
+    *
+    * Scale shape of the build: the self-join is ORDER-LOCAL (items
+    * of one order pair only with each other; fan-out Σ C(|basket|,2)
+    * bounded by basket size), then one hash agg onto the pair key
+    * with map-side combine — q129's audited shape, now paid once. */
+  private[graft] def coOrderPairs(s: SparkSession, d: String): DataFrame = {
+    val key = ScratchStores.fileKey("co-order-pairs", Seq(Tables.lineitem(s, d)))
+    val path = ScratchStores.pathFor(key, "graft-co-order-pairs") { p =>
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+          Seq("l_orderkey"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
+  /** q171 — triangle census over the co-purchase graph: the parts
+    * most embedded in 3-cliques of the support-2 co-order graph
+    * ([[coOrderPairs]]) — the local-clustering primitive (community
+    * cores, bundle detection) completing the graph family next to
+    * [[pageRank]]'s global scoring and [[tradeBfs]]'s reachability.
+    * Per-part triangle counts are exact integers; top 20 by count
+    * (ties on part id).
+    *
+    * Spark side runs the DEGREE-ORIENTED algorithm — the standard
+    * distributed-triangle trick: orient every edge from its
+    * (degree, id)-smaller endpoint to the larger, enumerate wedges
+    * only at each edge's SOURCE (out-neighbour pairs, ordered by the
+    * same key so each wedge appears once), and close them against
+    * the oriented edge list. Orientation bounds per-vertex wedge
+    * fan-out by out-degree ≤ O(√m) regardless of raw degree — the
+    * difference between a hub exploding into deg² wedges and the
+    * m^1.5 worst case the literature proves. Three joins total, all
+    * on id-sized frames (AQE broadcasts the small ones), vectors of
+    * the orientation key packed as one long (deg·2³² + id; both
+    * factors < 2³¹). The DuckDB twin runs the OTHER textbook
+    * algorithm — id-ordered three-way self-join (a<b<c) — so the two
+    * engines agree on the census through genuinely different
+    * enumeration orders. */
+  val triangleParts: Q = (s, d) => {
+    val edges = Dedup.materializedSketch(
+      coOrderPairs(s, d).select(col("part_a"), col("part_b")))
+    val deg = edges.select(col("part_a").as("p"))
+      .unionByName(edges.select(col("part_b").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val keyed = edges
+      .join(deg.select(col("p").as("part_a"), col("deg").as("da")), Seq("part_a"))
+      .join(deg.select(col("p").as("part_b"), col("deg").as("db")), Seq("part_b"))
+      .select(col("part_a"), col("part_b"),
+        (col("da") * lit(1L << 32) + col("part_a")).as("ka"),
+        (col("db") * lit(1L << 32) + col("part_b")).as("kb"))
+    val oriented = Dedup.materializedSketch(keyed.select(
+      when(col("ka") < col("kb"), col("part_a")).otherwise(col("part_b")).as("src"),
+      when(col("ka") < col("kb"), col("part_b")).otherwise(col("part_a")).as("dst"),
+      when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kdst")))
+    val wedges = oriented.select(col("src"), col("dst").as("x"), col("kdst").as("kx"))
+      .join(oriented.select(col("src"), col("dst").as("y"), col("kdst").as("ky")),
+        Seq("src"))
+      .filter(col("kx") < col("ky"))
+    val closed = wedges.join(oriented.select(col("src").as("x"), col("dst").as("y")),
+      Seq("x", "y"))
+    closed.select(col("src").as("l_partkey"))
+      .unionByName(closed.select(col("x").as("l_partkey")))
+      .unionByName(closed.select(col("y").as("l_partkey")))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("l_partkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q127_trade_pagerank" -> pageRank,
     "q143_trade_bfs" -> tradeBfs,
+    "q171_triangle_census" -> triangleParts,
   )
 
   /** The five iterations unrolled as chained CTEs; generated by the
@@ -257,6 +344,30 @@ object Graphs {
            |  CAST(min(node // 2) AS BIGINT) AS min_entity_id,
            |  CAST(max(node // 2) AS BIGINT) AS max_entity_id
            |FROM dist GROUP BY 1, 2 ORDER BY hop, entity""".stripMargin,
+      // id-ordered three-way self-join (a<b<c) — the OTHER textbook
+      // triangle enumeration, deliberately different from the Spark
+      // side's degree-oriented wedge closing
+      "q171_triangle_census" ->
+        """WITH items AS (
+          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          |), pairs AS (
+          |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          |  FROM items a JOIN items b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), tri AS (
+          |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+          |  FROM pairs e1
+          |  JOIN pairs e2 ON e1.pb = e2.pa
+          |  JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+          |), verts AS (
+          |  SELECT a AS l_partkey FROM tri
+          |  UNION ALL SELECT b FROM tri
+          |  UNION ALL SELECT c FROM tri
+          |)
+          |SELECT l_partkey, count(*) AS n_triangles
+          |FROM verts GROUP BY l_partkey
+          |ORDER BY n_triangles DESC, l_partkey LIMIT 20""".stripMargin,
     )
   }
 }

@@ -125,4 +125,38 @@ class GraphsSpec extends SparkTestBase {
         s"hop ${r.getAs[Int]("hop")} holds a ${r.getAs[String]("entity")}")
     }
   }
+
+  test("q171 triangle census equals a driver-side brute-force enumeration") {
+    val got = graft.SparkEntry.queries("q171_triangle_census")(spark, sf)
+      .collect().map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("n_triangles"))
+
+    // independent edges: support-2 co-order pairs recomputed from scratch
+    val items = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // NB: keySet after filter, NOT .collect{... => e} — collect on a
+    // Map producing pair values rebuilds a MAP, silently collapsing
+    // edges by their first endpoint
+    val edges = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+
+    // brute force: every vertex triple with all three edges present
+    val adj = edges.groupBy(_._1).map { case (a, es) => a -> es.map(_._2).toSet }
+    val triCount = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      (a, bs) <- adj.toSeq
+      b <- bs
+      c <- adj.getOrElse(b, Set.empty) // a < b < c by edge normalization
+      if bs.contains(c)
+    } { triCount(a) += 1; triCount(b) += 1; triCount(c) += 1 }
+    val want = triCount.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // the census is non-vacuous on this corpus
+    assert(got.nonEmpty)
+    // total participation is 3 per triangle
+    assert(triCount.values.sum % 3 == 0)
+  }
 }
