@@ -108,6 +108,62 @@ object Cohorts {
       .orderBy(col("month"))
   }
 
+  /** q172 — per-customer BUSY-PERIOD coverage: flatten each customer's
+    * order-fulfilment intervals ([order date, last ship date], the
+    * q154 spans keyed by customer) into maximal runs of covered DAYS,
+    * and report the customers with the most covered days — the
+    * interval-union primitive (union length + island count) q154's
+    * global concurrency sweep does not expose. Two intervals belong
+    * to one busy period when their day sets touch: an order opening
+    * the day AFTER another closes continues the same covered run, so
+    * "new period" is open_day > prev_max_close + 1 day — the
+    * DAY-SET semantics both engines compute.
+    *
+    * Spark side is the O(n log n) per-customer SWEEP: one
+    * customer-keyed window pass (running max of close over strictly
+    * preceding rows in (open, close, orderkey) order) flags period
+    * starts, a running sum numbers the periods, and a two-level agg
+    * folds members → periods → customer. Within a period intervals
+    * chain with no day gap by construction, so its covered days are
+    * exactly last(close) − first(open) + 1 — no day ever
+    * materializes. The DuckDB twin runs the OTHER algorithm — brute
+    * day EXPLOSION (generate_series per span, distinct days,
+    * lag-gap island count) — so the sweep's island algebra is
+    * checked against literal day sets, cross-algorithm. At 100 TB
+    * the explode form is the one that dies (rows × span days); the
+    * sweep carries one row per ORDER through a single customer-keyed
+    * exchange. */
+  val busyPeriods: Q = (s, d) => {
+    val spans = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"), col("o_orderkey"))
+      .agg(min(col("o_orderdate").cast(DateType)).as("open_day"),
+        // the synthetic corpus ships some lines BEFORE the order date;
+        // an order occupies at least its order day, so the close
+        // clamps to it (identically in the twin)
+        greatest(max(col("l_shipdate").cast(DateType)),
+          min(col("o_orderdate").cast(DateType))).as("close_day"))
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("open_day"), col("close_day"), col("o_orderkey"))
+    val flagged = spans
+      .withColumn("prev_max_close",
+        max(col("close_day")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_period",
+        when(col("prev_max_close").isNull ||
+          col("open_day") > date_add(col("prev_max_close"), 1), 1L).otherwise(0L))
+      .withColumn("period",
+        sum(col("new_period")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("o_custkey"), col("period"))
+      .agg(min(col("open_day")).as("p_start"), max(col("close_day")).as("p_end"),
+        count(lit(1)).as("n_orders"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        count(lit(1)).as("n_periods"),
+        sum(datediff(col("p_end"), col("p_start")) + 1).as("days_covered"))
+      .orderBy(col("days_covered").desc, col("o_custkey"))
+      .limit(20)
+  }
+
   /** q155 — cumulative user reach: per day, how many users appear for
     * the FIRST time, the running total of users ever seen, and its
     * micro-ratio of the final audience. The "distinct count over an
@@ -165,9 +221,38 @@ object Cohorts {
     "q154_open_order_backlog" -> openOrderBacklog,
     "q155_cumulative_reach" -> cumulativeReach,
     "q159_props_profile" -> propsProfile,
+    "q172_busy_periods" -> busyPeriods,
   )
 
   val oracle: Map[String, String] = Map(
+    // brute day-explosion (generate_series per span, distinct days,
+    // lag-gap islands) — deliberately the OTHER algorithm from the
+    // Spark side's O(n log n) interval sweep
+    "q172_busy_periods" ->
+      """WITH spans AS (
+        |  SELECT o_custkey, o_orderkey, CAST(min(o_orderdate) AS DATE) AS open_day,
+        |    greatest(CAST(max(l_shipdate) AS DATE),
+        |             CAST(min(o_orderdate) AS DATE)) AS close_day
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY o_custkey, o_orderkey
+        |), days AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(unnest(generate_series(open_day, close_day, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM spans
+        |), flags AS (
+        |  SELECT o_custkey, day,
+        |    CASE WHEN lag(day) OVER (PARTITION BY o_custkey ORDER BY day) = day - 1
+        |         THEN 0 ELSE 1 END AS new_period
+        |  FROM days
+        |), n AS (
+        |  SELECT o_custkey, count(*) AS n_orders FROM spans GROUP BY o_custkey
+        |)
+        |SELECT f.o_custkey, n.n_orders,
+        |  CAST(sum(f.new_period) AS BIGINT) AS n_periods,
+        |  count(*) AS days_covered
+        |FROM flags f JOIN n USING (o_custkey)
+        |GROUP BY f.o_custkey, n.n_orders
+        |ORDER BY days_covered DESC, f.o_custkey LIMIT 20""".stripMargin,
     "q152_first_touch_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
