@@ -640,6 +640,158 @@ object EventTime {
       .orderBy(col("user_id"))
   }
 
+  /** Debounce refractory gap: an event within this of the last KEPT
+    * event of its user is suppressed. */
+  val debounceGapUs = 300000000L // 5 minutes
+
+  /** q173 — per-user event DEBOUNCE: keep an event only when it falls
+    * at least [[debounceGapUs]] after the last KEPT event (the first
+    * always kept) — the telemetry-dedup primitive for burst-emitting
+    * clients. Like [[cappedWallet]] this is a NON-ASSOCIATIVE ordered
+    * fold (whether an event survives depends on which previous events
+    * survived, not on any fixed window — sessionization's lag-gap
+    * spelling computes a DIFFERENT, associative thing), so it runs as
+    * the same engine shape: ONE user-keyed exchange collects each
+    * user's (ts, id) pairs into a sorted array and an `aggregate` HOF
+    * replays the refractory chain — per-row compute, no UDF, no
+    * driver loop. Timestamps stay exact epoch-µs integers end to end.
+    * The DuckDB twin replays the identical recurrence as a bounded
+    * recursive CTE over row_number-ordered events (the q147
+    * cross-algorithm pairing). Unbounded per-user histories would
+    * chunk by epoch with carry-over state — the documented q147
+    * escape, not needed at tested SFs. */
+  val debounce: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("tsm"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("tsm"), col("event_id"))))
+        .as("evs"))
+      .select(col("user_id"), size(col("evs")).as("n_events"),
+        expr(s"""aggregate(evs,
+            named_struct('last_kept', CAST(0 AS BIGINT),
+                         'n_kept', CAST(0 AS BIGINT),
+                         'first_kept', CAST(0 AS BIGINT)),
+            (st, e) -> CASE
+              WHEN st.n_kept = 0 OR e.tsm - st.last_kept >= ${debounceGapUs}L
+              THEN named_struct('last_kept', e.tsm,
+                'n_kept', st.n_kept + 1L,
+                'first_kept', CASE WHEN st.n_kept = 0 THEN e.tsm
+                                   ELSE st.first_kept END)
+              ELSE st END)""").as("st"))
+      .select(col("user_id"), col("n_events"), col("st.n_kept").as("n_kept"),
+        col("st.first_kept").as("first_kept_us"),
+        col("st.last_kept").as("last_kept_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q174 — top event 3-PATHS: the most frequent consecutive
+    * (step1 → step2 → step3) event-type sequences across users'
+    * time-ordered streams — the path-analysis primitive one step up
+    * from q101's Markov transitions (bigrams), catching the
+    * three-step journeys a first-order chain by construction cannot
+    * see. Exact counts; top 20 by count with the full path as
+    * tiebreak.
+    *
+    * Scale shape: ONE user-keyed exchange, two `lead` windows in the
+    * same pass (one sort), then a hash agg onto the path key — whose
+    * domain is |event types|³, calendar-bounded, so the reducer side
+    * is tiny no matter the fact size — and a TakeOrderedAndProject.
+    * The DuckDB twin spells it as the OTHER algorithm: row_number +
+    * double self-join on rn+1 / rn+2. */
+  val eventPaths: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+        col("e3").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
+  /** q175 — FIFO credit-lot attribution: replay each user's ledger
+    * (the q147 deltas — positive amounts grant a credit LOT, negative
+    * consume from the oldest open lot first, consumption beyond the
+    * available balance is lost) and report per user the lot census the
+    * wallet's scalar balance cannot see: lots granted/exhausted/open,
+    * cents granted/consumed/remaining, the FIFO FRONTIER (grant time
+    * of the oldest lot still open) and shortfall hits. Zero-amount
+    * events are no-ops on both engines.
+    *
+    * The naive spelling is a QUEUE-state ordered fold — per-user list
+    * state that grows with open lots, the step past q147/q173's
+    * scalar folds. The engine insight is that the queue NEVER needs to
+    * materialize: FIFO consumes lots in grant order, so the total
+    * consumed (a SCALAR: grants minus the capped-fold final balance)
+    * determines every lot's fate by pure algebra — a lot is exhausted
+    * iff its running grant cumsum ≤ consumed, the frontier is the
+    * first lot past it. So the plan is the q147 capped `aggregate`
+    * fold (final balance + shortfalls) joined to a grant-cumsum
+    * window, every stage on the SAME user key: one exchange shape,
+    * O(1) state per user instead of O(open lots). The DuckDB twin
+    * deliberately runs the algorithm Spark avoided: a recursive CTE
+    * carrying the LITERAL lot list (list_transform/list_filter
+    * consume pass per debit) — cross-algorithm evidence for the
+    * reduction, a queue simulation checking a closed form. */
+  val fifoLots: Q = (s, d) => {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(18, 0)).cast(LongType)
+    val delta = when(col("event_type").isin("purchase", "signup"), cents)
+      .otherwise(-cents)
+    val evs = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"), delta.as("delta"))
+    // scalar capped fold — exactly q147's recurrence: remaining
+    // balance + shortfall count, one user-keyed exchange
+    val folded = evs.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("tsm"), col("event_id"),
+        col("delta")))).as("evs"))
+      .select(col("user_id"),
+        expr("""aggregate(evs,
+            named_struct('bal', CAST(0 AS BIGINT), 'short', CAST(0 AS BIGINT)),
+            (st, e) -> named_struct(
+              'bal', greatest(st.bal + e.delta, CAST(0 AS BIGINT)),
+              'short', st.short + CASE WHEN st.bal + e.delta < 0
+                                       THEN CAST(1 AS BIGINT)
+                                       ELSE CAST(0 AS BIGINT) END))""").as("st"))
+      .select(col("user_id"), col("st.bal").as("remaining_cents"),
+        col("st.short").as("n_shortfalls"))
+    // grant lots in FIFO (= grant) order with their running cumsum;
+    // same user key as the fold, so the join below adds no exchange
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsm"), col("event_id"), col("delta"))
+    val lots = evs.filter(col("delta") > 0)
+      .withColumn("cum", sum(col("delta")).over(wOrd))
+    val lotStatus = lots.join(folded, Seq("user_id"))
+      .withColumn("granted",
+        sum(col("delta")).over(Window.partitionBy(col("user_id"))))
+      .withColumn("consumed", col("granted") - col("remaining_cents"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_lots"),
+        max(col("granted")).as("granted_cents"),
+        max(col("consumed")).as("consumed_cents"),
+        sum(when(col("cum") <= col("consumed"), 1L).otherwise(0L))
+          .as("n_exhausted"),
+        min(when(col("cum") > col("consumed"), col("tsm")))
+          .as("fifo_frontier_us"))
+    folded.join(lotStatus, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("n_lots"), lit(0L)).as("n_lots"),
+        coalesce(col("granted_cents"), lit(0L)).as("granted_cents"),
+        coalesce(col("consumed_cents"), lit(0L)).as("consumed_cents"),
+        coalesce(col("n_exhausted"), lit(0L)).as("n_exhausted"),
+        (coalesce(col("n_lots"), lit(0L)) - coalesce(col("n_exhausted"), lit(0L)))
+          .as("n_open"),
+        col("fifo_frontier_us"),
+        col("remaining_cents"), col("n_shortfalls"))
+      .orderBy(col("user_id"))
+  }
+
   /** q167 — time-to-convert curve: for every purchase with a preceding
     * same-user click (the q29 as-of pairing, same single-exchange
     * union spelling — no join), the click→purchase latency in whole
@@ -686,6 +838,9 @@ object EventTime {
 
   val queries: Map[String, Q] = Map(
     "q167_conversion_latency" -> conversionLatency,
+    "q173_event_debounce" -> debounce,
+    "q174_event_paths" -> eventPaths,
+    "q175_fifo_lots" -> fifoLots,
     "q147_capped_wallet" -> cappedWallet,
     "q124_rolling_active_users" -> rollingActiveUsers,
     "q119_hourly_gap_fill" -> hourlyGapFill,
@@ -735,6 +890,114 @@ object EventTime {
         |  w.floors AS n_floor_hits, CAST(n.n_events AS INTEGER) AS n_events
         |FROM walk w JOIN n ON w.user_id = n.user_id AND w.rn = n.n_events
         |ORDER BY w.user_id""".stripMargin,
+    // the identical refractory recurrence replayed as a bounded
+    // recursive CTE over row_number-ordered events (the q147 pairing)
+    "q173_event_debounce" ->
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, epoch_us(ts) AS tsm,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events
+         |), walk(user_id, rn, last_kept, n_kept, first_kept) AS (
+         |  SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM (SELECT DISTINCT user_id FROM ev)
+         |  UNION ALL
+         |  SELECT w.user_id, w.rn + 1,
+         |    CASE WHEN w.n_kept = 0 OR e.tsm - w.last_kept >= ${debounceGapUs}
+         |         THEN e.tsm ELSE w.last_kept END,
+         |    w.n_kept + CASE WHEN w.n_kept = 0
+         |                      OR e.tsm - w.last_kept >= ${debounceGapUs}
+         |                    THEN 1 ELSE 0 END,
+         |    CASE WHEN w.n_kept = 0 THEN e.tsm ELSE w.first_kept END
+         |  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+         |), n AS (
+         |  SELECT user_id, count(*) AS n_events FROM ev GROUP BY user_id
+         |)
+         |SELECT w.user_id, CAST(n.n_events AS INTEGER) AS n_events,
+         |  w.n_kept, w.first_kept AS first_kept_us, w.last_kept AS last_kept_us
+         |FROM walk w JOIN n ON w.user_id = n.user_id AND w.rn = n.n_events
+         |ORDER BY w.user_id""".stripMargin,
+    // the algorithm the Spark side deliberately avoids: a recursive
+    // CTE carrying the LITERAL FIFO lot list, with a
+    // list_transform/list_filter consume pass per debit — the queue
+    // simulation that cross-checks the closed-form lot algebra
+    "q175_fifo_lots" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm, event_id,
+        |    CASE WHEN event_type IN ('purchase', 'signup')
+        |         THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS delta,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events
+        |), walk(user_id, rn, lots, short) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT),
+        |    CAST([] AS STRUCT(tsm BIGINT, rem BIGINT)[]), CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT w.user_id, w.rn + 1,
+        |    CASE WHEN e.delta > 0
+        |      THEN list_append(w.lots, {'tsm': e.tsm, 'rem': e.delta})
+        |      ELSE list_filter(
+        |        list_transform(w.lots, (l, i) -> CASE
+        |          WHEN list_sum(list_transform(w.lots[1:i], x -> x.rem))
+        |               <= least(-e.delta,
+        |                    coalesce(list_sum(list_transform(w.lots, x -> x.rem)), 0))
+        |            THEN NULL
+        |          WHEN list_sum(list_transform(w.lots[1:i], x -> x.rem)) - l.rem
+        |               < least(-e.delta,
+        |                    coalesce(list_sum(list_transform(w.lots, x -> x.rem)), 0))
+        |            THEN {'tsm': l.tsm,
+        |                  'rem': list_sum(list_transform(w.lots[1:i], x -> x.rem))
+        |                         - least(-e.delta,
+        |                             coalesce(list_sum(list_transform(w.lots, x -> x.rem)), 0))}
+        |          ELSE l END),
+        |        l -> l.tsm IS NOT NULL)
+        |    END,
+        |    w.short + CASE WHEN e.delta < 0 AND -e.delta >
+        |        coalesce(list_sum(list_transform(w.lots, x -> x.rem)), 0)
+        |      THEN 1 ELSE 0 END
+        |  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+        |), n AS (
+        |  SELECT user_id, count(*) AS n_events FROM ev GROUP BY user_id
+        |), fin AS (
+        |  SELECT w.user_id, w.lots, w.short
+        |  FROM walk w JOIN n ON w.user_id = n.user_id AND w.rn = n.n_events
+        |), credits AS (
+        |  SELECT user_id, count(*) AS n_lots,
+        |    CAST(sum(delta) AS BIGINT) AS granted
+        |  FROM ev WHERE delta > 0 GROUP BY user_id
+        |)
+        |SELECT f.user_id,
+        |  coalesce(c.n_lots, 0) AS n_lots,
+        |  coalesce(c.granted, 0) AS granted_cents,
+        |  CAST(coalesce(c.granted, 0)
+        |    - coalesce(list_sum(list_transform(f.lots, x -> x.rem)), 0)
+        |    AS BIGINT) AS consumed_cents,
+        |  CAST(coalesce(c.n_lots, 0) - len(f.lots) AS BIGINT) AS n_exhausted,
+        |  CAST(len(f.lots) AS BIGINT) AS n_open,
+        |  f.lots[1].tsm AS fifo_frontier_us,
+        |  CAST(coalesce(list_sum(list_transform(f.lots, x -> x.rem)), 0)
+        |    AS BIGINT) AS remaining_cents,
+        |  f.short AS n_shortfalls
+        |FROM fin f LEFT JOIN credits c USING (user_id)
+        |ORDER BY f.user_id""".stripMargin,
+    // row_number + double self-join on rn+1 / rn+2 — the other
+    // spelling of consecutive-triple enumeration
+    "q174_event_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT a.event_type AS step1, b.event_type AS step2,
+        |  c.event_type AS step3, count(*) AS n_paths
+        |FROM ev a
+        |JOIN ev b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+        |JOIN ev c ON a.user_id = c.user_id AND c.rn = a.rn + 2
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20""".stripMargin,
     "q124_rolling_active_users" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

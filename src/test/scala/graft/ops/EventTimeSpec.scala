@@ -297,4 +297,100 @@ class EventTimeSpec extends SparkTestBase {
     // the capped semantics are untested
     assert(rows.map(_.getAs[Long]("n_floor_hits")).sum > 0)
   }
+
+  test("q173 debounce equals a driver-side replay of the refractory chain") {
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = evs.groupBy(_._1).map { case (u, es) =>
+      val sorted = es.map(e => (e._2, e._3)).sorted
+      var (lastKept, nKept, firstKept) = (0L, 0L, 0L)
+      sorted.foreach { case (tsm, _) =>
+        if (nKept == 0 || tsm - lastKept >= EventTime.debounceGapUs) {
+          if (nKept == 0) firstKept = tsm
+          lastKept = tsm; nKept += 1
+        }
+      }
+      u -> (es.length, nKept, firstKept, lastKept)
+    }
+    val rows = graft.SparkEntry.queries("q173_event_debounce")(spark, sf).collect()
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val got = (r.getAs[Int]("n_events"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("first_kept_us"), r.getAs[Long]("last_kept_us"))
+      assert(got == want(u), s"user $u: got $got want ${want(u)}")
+    }
+    // the refractory gap genuinely suppresses something on this corpus
+    assert(rows.map(r => r.getAs[Int]("n_events").toLong - r.getAs[Long]("n_kept")).sum > 0)
+  }
+
+  test("q175 FIFO lots equal a driver-side literal queue replay") {
+    val sf = "/root/testdata/sf0.001"
+    val cents = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 0)).cast("long")
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"), col("event_id"),
+        when(col("event_type").isin("purchase", "signup"), cents)
+          .otherwise(-cents).as("delta"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // the algorithm the Spark side avoids: a literal FIFO lot queue
+    val want = evs.groupBy(_._1).map { case (u, es) =>
+      var lots = Vector[(Long, Long)]() // (tsm, rem)
+      var (short, nLots, granted) = (0L, 0L, 0L)
+      es.map(e => (e._2, e._3, e._4)).sorted.foreach { case (tsm, _, delta) =>
+        if (delta > 0) { lots :+= (tsm, delta); nLots += 1; granted += delta }
+        else if (delta < 0) {
+          var need = -delta
+          val avail = lots.map(_._2).sum
+          if (need > avail) short += 1
+          while (need > 0 && lots.nonEmpty) {
+            val (t, rem) = lots.head
+            if (rem <= need) { need -= rem; lots = lots.tail }
+            else { lots = (t, rem - need) +: lots.tail; need = 0 }
+          }
+        }
+      }
+      val remaining = lots.map(_._2).sum
+      u -> (nLots, granted, granted - remaining, nLots - lots.length,
+        lots.length.toLong, lots.headOption.map(_._1), remaining, short)
+    }
+
+    val rows = graft.SparkEntry.queries("q175_fifo_lots")(spark, sf).collect()
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val got = (r.getAs[Long]("n_lots"), r.getAs[Long]("granted_cents"),
+        r.getAs[Long]("consumed_cents"), r.getAs[Long]("n_exhausted"),
+        r.getAs[Long]("n_open"),
+        Option(r.getAs[java.lang.Long]("fifo_frontier_us")).map(_.toLong),
+        r.getAs[Long]("remaining_cents"), r.getAs[Long]("n_shortfalls"))
+      assert(got == want(u), s"user $u: got $got want ${want(u)}")
+    }
+    // the corpus genuinely exercises the queue: lots are exhausted,
+    // lots stay open, and some consumption is lost to shortfalls
+    assert(want.values.exists(_._4 > 0))
+    assert(want.values.exists(_._5 > 0))
+    assert(want.values.exists(_._8 > 0))
+  }
+
+  test("q174 event paths equal a driver-side consecutive-triple count") {
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"), col("event_id"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val types = es.map(e => (e._2, e._3, e._4)).sortBy(t => (t._1, t._2)).map(_._3)
+      types.sliding(3).filter(_.length == 3).map(t => (t(0), t(1), t(2)))
+    }.groupBy(identity).map { case (p, ps) => p -> ps.size.toLong }
+      .toSeq.sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+    val got = graft.SparkEntry.queries("q174_event_paths")(spark, sf).collect()
+      .map(r => ((r.getAs[String]("step1"), r.getAs[String]("step2"),
+        r.getAs[String]("step3")), r.getAs[Long]("n_paths"))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.nonEmpty)
+  }
 }
