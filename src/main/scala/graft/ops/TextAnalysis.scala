@@ -721,6 +721,46 @@ object TextAnalysis {
     * scan, (source, token) hash agg with map-side combine (token
     * strings cross the exchange once, q96's precedent — bounded by
     * vocabulary, not corpus), then a per-source rollup of counts. */
+  /** q176 — COLLOCATION extraction: the corpus's most associated
+    * adjacent word pairs by Dice coefficient with a support floor —
+    * the phrase-mining primitive (multi-word expressions, domain
+    * terms) next to q91's tf-idf (document-discriminative terms) and
+    * q101's Markov transitions (event, not token, bigrams). Dice
+    * (2·n_ab / (n_a + n_b)) is chosen over log-space PMI because it
+    * ranks identically for fixed marginals and computes EXACTLY in
+    * integer micro-units — no cross-engine float-log representation
+    * hazard. Emitted as `dice_micro` via BIGINT `div` (q97's
+    * convention); no overflow: 2·n_ab·10⁶ stays far under 2⁶³ for any
+    * corpus whose bigram counts fit a BIGINT.
+    *
+    * Scale shape: bigrams form INSIDE each document row (transform
+    * over the token array — no positional self-join), both count
+    * passes are map-combined hash aggs onto vocabulary-bounded
+    * domains, and the support floor runs BEFORE the unigram joins, so
+    * the joined pair side is the (sublinear) surviving collocation
+    * set — AQE broadcasts it against the vocabulary counts. The
+    * DuckDB twin builds bigrams with list lambdas over the same
+    * tokenization. */
+  val collocations: Q = (s, d) => {
+    val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val pairs = toks.select(explode(expr(
+        """filter(transform(toks, (t, i) -> named_struct('w1', t, 'w2', toks[i+1])),
+          |       p -> p.w2 IS NOT NULL)""".stripMargin)).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("n").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n").as("n_w2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_w1"), col("n_w2"),
+        expr("(2 * n_ab * 1000000L) div (n_w1 + n_w2)").as("dice_micro"))
+      .orderBy(col("dice_micro").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val lexicalDiversity: Q = (s, d) => {
     val counts = Tables.documents(s, d)
       .filter(col("text").isNotNull)
@@ -742,6 +782,7 @@ object TextAnalysis {
     "q142_vocab_coverage" -> vocabCoverage,
     "q150_token_gini" -> tokenGini,
     "q97_lexical_diversity" -> lexicalDiversity,
+    "q176_collocations" -> collocations,
     "q91_tfidf_terms" -> tfidfTerms,
     "q96_inverted_index" -> invertedIndex,
     "q86_sentence_dup_fraction" -> sentenceDupFraction,
@@ -766,6 +807,28 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // bigrams via list lambdas over the shared tokenization; Dice in
+    // BIGINT micro-units with integer division on both engines
+    "q176_collocations" ->
+      s"""WITH tok AS (
+         |  SELECT ${sqlToks("text")} AS toks
+         |  FROM documents WHERE text IS NOT NULL
+         |), big AS (
+         |  SELECT unnest(list_filter(
+         |    list_transform(toks, (t, i) -> {'w1': t, 'w2': toks[i+1]}),
+         |    p -> p.w2 IS NOT NULL)) AS p
+         |  FROM tok
+         |), pairs AS (
+         |  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_ab
+         |  FROM big GROUP BY 1, 2 HAVING count(*) >= 5
+         |), uni AS (
+         |  SELECT w, count(*) AS n
+         |  FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w
+         |)
+         |SELECT w1, w2, n_ab, a.n AS n_w1, b.n AS n_w2,
+         |  (2 * n_ab * 1000000) // (a.n + b.n) AS dice_micro
+         |FROM pairs JOIN uni a ON w1 = a.w JOIN uni b ON w2 = b.w
+         |ORDER BY dice_micro DESC, w1, w2 LIMIT 20""".stripMargin,
     // DuckDB sum(BIGINT) widens to HUGEINT, hence the casts
     "q97_lexical_diversity" ->
       s"""WITH tok AS (
