@@ -714,6 +714,63 @@ object EventTime {
       .limit(20)
   }
 
+  /** q177 — MULTI-TOUCH attribution: split every purchase's value
+    * across the user's click/view touchpoints in the preceding 2 h
+    * (q84's attribution window), under the three standard models at
+    * once — linear (equal split), first-touch, last-touch — summed
+    * per touch type, with an explicit `(none)` row for unattributed
+    * purchases so the models reconcile to total purchase value. All
+    * money stays exact integer cents: a purchase of v cents over k
+    * touches pays `v div k` to each plus one remainder cent to each
+    * of the first `v mod k` touches in (time, event_id) order — the
+    * deterministic largest-remainder split both engines replay.
+    *
+    * Scale shape: q84's single user-keyed exchange, upgraded from
+    * counting to COLLECTING — the range frame gathers each purchase's
+    * touch structs (fan-out bounded by touches-per-2h, a rate cap,
+    * not a data-size cap), posexplode prices them, and the reducer
+    * side is the touch-type domain. No self-join ever forms. The
+    * DuckDB twin runs the interval join + row_number spelling (q84's
+    * cross-algorithm pairing) with the identical remainder rule. */
+  val multitouchAttribution: Q = (s, d) => {
+    val micros2h = 2L * 3600L * 1000000L
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(18, 0)).cast(LongType)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsm"))
+      .rangeBetween(-micros2h, -1)
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"), col("event_type"), cents.as("cents"))
+      .withColumn("touches", array_sort(collect_list(
+        when(col("event_type") =!= "purchase",
+          struct(col("tsm"), col("event_id"), col("event_type")))).over(w)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("cents").as("v"),
+        col("touches"))
+    val attributed = purchases.filter(size(col("touches")) > 0)
+      .select(col("purchase_id"), col("v"), size(col("touches")).cast(LongType)
+        .as("k"), posexplode(col("touches")).as(Seq("pos", "t")))
+      .select(col("t.event_type").as("touch_type"), col("purchase_id"),
+        col("v"), col("k"), (col("pos") + 1).as("idx"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_attributions"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        sum(expr("v div k") +
+          when(col("idx") <= col("v") % col("k"), 1L).otherwise(0L))
+          .as("linear_cents"),
+        sum(when(col("idx") === 1, col("v")).otherwise(0L)).as("first_cents"),
+        sum(when(col("idx") === col("k"), col("v")).otherwise(0L)).as("last_cents"))
+    val untouched = purchases.filter(size(col("touches")) === 0)
+      .agg(count(lit(1)).as("n_purchases"),
+        coalesce(sum(col("v")), lit(0L)).as("unattributed_cents"))
+      .select(lit("(none)").as("touch_type"), lit(0L).as("n_attributions"),
+        col("n_purchases"), col("unattributed_cents").as("linear_cents"),
+        col("unattributed_cents").as("first_cents"),
+        col("unattributed_cents").as("last_cents"))
+    attributed.unionByName(untouched).orderBy(col("touch_type"))
+  }
+
   /** q175 — FIFO credit-lot attribution: replay each user's ledger
     * (the q147 deltas — positive amounts grant a credit LOT, negative
     * consume from the oldest open lot first, consumption beyond the
@@ -841,6 +898,7 @@ object EventTime {
     "q173_event_debounce" -> debounce,
     "q174_event_paths" -> eventPaths,
     "q175_fifo_lots" -> fifoLots,
+    "q177_multitouch_attribution" -> multitouchAttribution,
     "q147_capped_wallet" -> cappedWallet,
     "q124_rolling_active_users" -> rollingActiveUsers,
     "q119_hourly_gap_fill" -> hourlyGapFill,
@@ -918,6 +976,44 @@ object EventTime {
          |  w.n_kept, w.first_kept AS first_kept_us, w.last_kept AS last_kept_us
          |FROM walk w JOIN n ON w.user_id = n.user_id AND w.rn = n.n_events
          |ORDER BY w.user_id""".stripMargin,
+    // interval join + row_number — the q84 cross-algorithm pairing —
+    // with the identical largest-remainder cent split
+    "q177_multitouch_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm, event_id, event_type
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |), j AS (
+        |  SELECT p.event_id AS pid, p.v, t.event_type,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY t.tsm, t.event_id) AS idx,
+        |    count(*) OVER (PARTITION BY p.event_id) AS k
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.tsm >= p.tsm - 7200000000 AND t.tsm < p.tsm
+        |), att AS (
+        |  SELECT event_type AS touch_type, pid, v, idx, k,
+        |    v // k + CASE WHEN idx <= v % k THEN 1 ELSE 0 END AS credit
+        |  FROM j
+        |), touch AS (
+        |  SELECT touch_type, count(*) AS n_attributions,
+        |    count(DISTINCT pid) AS n_purchases,
+        |    CAST(sum(credit) AS BIGINT) AS linear_cents,
+        |    CAST(sum(CASE WHEN idx = 1 THEN v ELSE 0 END) AS BIGINT) AS first_cents,
+        |    CAST(sum(CASE WHEN idx = k THEN v ELSE 0 END) AS BIGINT) AS last_cents
+        |  FROM att GROUP BY touch_type
+        |), none_row AS (
+        |  SELECT '(none)' AS touch_type, CAST(0 AS BIGINT) AS n_attributions,
+        |    count(*) AS n_purchases,
+        |    CAST(coalesce(sum(v), 0) AS BIGINT) AS linear_cents,
+        |    CAST(coalesce(sum(v), 0) AS BIGINT) AS first_cents,
+        |    CAST(coalesce(sum(v), 0) AS BIGINT) AS last_cents
+        |  FROM p WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.pid = p.event_id)
+        |)
+        |SELECT * FROM touch UNION ALL SELECT * FROM none_row
+        |ORDER BY touch_type""".stripMargin,
     // the algorithm the Spark side deliberately avoids: a recursive
     // CTE carrying the LITERAL FIFO lot list, with a
     // list_transform/list_filter consume pass per debit — the queue

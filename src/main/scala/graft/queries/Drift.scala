@@ -269,12 +269,54 @@ object Drift {
         col("ts_slope"), col("ols_slope"))
   }
 
+  /** q178 — SEASONAL INDEX decomposition of monthly revenue: the
+    * classic ratio-to-centered-moving-average method — a 13-month
+    * centered trend per month (full windows only), each month's
+    * revenue as a micro-ratio of its trend, averaged per CALENDAR
+    * month into the twelve seasonal indices. Everything is exact
+    * integer arithmetic (o_totalprice is 2-decimal so cents are
+    * integral; ratios and the index are BIGINT `div`s), so both
+    * engines land the same digits — no float-division drift. Cents ×
+    * 10⁶ holds to ~9·10¹⁸: monthly revenue past ~90 T cents would
+    * rescale to whole dollars, noted not needed through SF1000.
+    *
+    * Scale shape: NO window functions at all on the Spark side — the
+    * centered moving sum is the q124 CONTRIBUTION EXPLODE over the
+    * month-domain-bounded series (each month fans out to the 13
+    * window centers it feeds; both aggs are map-combined hash aggs on
+    * the ~10²-row month domain), so nothing ever funnels into a
+    * single unpartitioned-window reducer. The DuckDB twin runs the
+    * OTHER algorithm — a calendar RANGE window (INTERVAL 6 MONTH
+    * PRECEDING/FOLLOWING) — so the explode's window algebra is
+    * cross-checked against a literal windowed scan, including the
+    * full-window (n = 13) edge clipping. */
+  val q178: Q = (s, d) => {
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("m"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(DecimalType(18, 0))).cast(LongType).as("cents"))
+    val wins = monthly
+      .withColumn("off", explode(sequence(lit(-6), lit(6))))
+      .select(add_months(col("m"), col("off")).as("c"), col("cents"))
+      .groupBy(col("c"))
+      .agg(sum(col("cents")).as("wsum"), count(lit(1)).as("n"))
+      .filter(col("n") === 13)
+    wins.join(monthly, wins("c") === monthly("m"))
+      .select(month(col("m")).as("cal_month"),
+        expr("(cents * 1000000L) div (wsum div 13L)").as("ratio_micro"))
+      .groupBy(col("cal_month"))
+      .agg(count(lit(1)).as("n_windows"),
+        expr("sum(ratio_micro) div count(1)").as("seasonal_micro"))
+      .orderBy(col("cal_month"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q160_ks_drift" -> q160,
     "q161_benford_audit" -> q161,
     "q162_revenue_autocorr" -> q162,
     "q163_cusum_changepoint" -> q163,
-    "q164_theil_sen_trend" -> q164)
+    "q164_theil_sen_trend" -> q164,
+    "q178_seasonal_indices" -> q178)
 
   private val sqlCents =
     "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))"
@@ -284,6 +326,30 @@ object Drift {
        |  FROM orders GROUP BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // literal calendar-range window — the other spelling of the
+    // 13-month centered moving sum the Spark side builds by
+    // contribution explode
+    "q178_seasonal_indices" ->
+      s"""WITH monthly AS (
+         |  SELECT date_trunc('month', o_orderdate) AS m,
+         |    CAST(sum($sqlCents) AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1
+         |), win AS (
+         |  SELECT m, cents,
+         |    CAST(sum(cents) OVER w AS BIGINT) AS wsum,
+         |    count(*) OVER w AS n
+         |  FROM monthly
+         |  WINDOW w AS (ORDER BY m RANGE BETWEEN INTERVAL 6 MONTH PRECEDING
+         |                                    AND INTERVAL 6 MONTH FOLLOWING)
+         |), ratio AS (
+         |  SELECT CAST(month(m) AS INTEGER) AS cal_month,
+         |    (cents * 1000000) // (wsum // 13) AS ratio_micro
+         |  FROM win WHERE n = 13
+         |)
+         |SELECT cal_month, count(*) AS n_windows,
+         |  CAST(CAST(sum(ratio_micro) AS BIGINT) // count(*) AS BIGINT)
+         |    AS seasonal_micro
+         |FROM ratio GROUP BY 1 ORDER BY 1""".stripMargin,
     "q160_ks_drift" ->
       """WITH hist AS (
         |  SELECT source, n_chars, count(*) AS cnt

@@ -326,6 +326,52 @@ class EventTimeSpec extends SparkTestBase {
     assert(rows.map(r => r.getAs[Int]("n_events").toLong - r.getAs[Long]("n_kept")).sum > 0)
   }
 
+  test("q177 multi-touch attribution equals a driver-side replay") {
+    val sf = "/root/testdata/sf0.001"
+    val cents = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 0)).cast("long")
+    val evs = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"), col("event_id"),
+        col("event_type"), cents.as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val byUser = evs.groupBy(_._1)
+    val agg = scala.collection.mutable.Map[String, (Long, Set[Long], Long, Long, Long)]()
+      .withDefaultValue((0L, Set.empty, 0L, 0L, 0L))
+    var (noneN, noneV) = (0L, 0L)
+    for ((u, es) <- byUser; (_, ptsm, pid, ptype, v) <- es if ptype == "purchase") {
+      val touches = es.filter(e => e._4 != "purchase" &&
+          e._2 >= ptsm - 7200000000L && e._2 < ptsm)
+        .sortBy(e => (e._2, e._3))
+      val k = touches.length.toLong
+      if (k == 0) { noneN += 1; noneV += v }
+      else touches.zipWithIndex.foreach { case (t, i) =>
+        val idx = i + 1
+        val credit = v / k + (if (idx <= v % k) 1L else 0L)
+        val (n, ps, lin, fst, lst) = agg(t._4)
+        agg(t._4) = (n + 1, ps + pid, lin + credit,
+          fst + (if (idx == 1) v else 0L), lst + (if (idx == k) v else 0L))
+      }
+    }
+    val rows = graft.SparkEntry.queries("q177_multitouch_attribution")(spark, sf)
+      .collect()
+    val got = rows.map(r => r.getAs[String]("touch_type") ->
+      (r.getAs[Long]("n_attributions"), r.getAs[Long]("n_purchases"),
+        r.getAs[Long]("linear_cents"), r.getAs[Long]("first_cents"),
+        r.getAs[Long]("last_cents"))).toMap
+    assert(got("(none)") == ((0L, noneN, noneV, noneV, noneV)))
+    agg.foreach { case (ty, (n, ps, lin, fst, lst)) =>
+      assert(got(ty) == ((n, ps.size.toLong, lin, fst, lst)), s"type $ty")
+    }
+    assert(got.size == agg.size + 1)
+    // linear credits reconcile to attributed purchase value exactly
+    // (the largest-remainder split loses no cents)
+    val attributedV = byUser.values.flatten.filter(_._4 == "purchase")
+      .map(_._5).sum - noneV
+    assert(agg.values.map(_._3).sum == attributedV)
+  }
+
   test("q175 FIFO lots equal a driver-side literal queue replay") {
     val sf = "/root/testdata/sf0.001"
     val cents = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
