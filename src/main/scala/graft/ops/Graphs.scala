@@ -274,10 +274,41 @@ object Graphs {
       .limit(20)
   }
 
+  /** q179 — connected-component census of the co-purchase graph: how
+    * the support-2 co-order universe ([[coOrderPairs]], shared with
+    * q129/q171) decomposes into product communities — the size
+    * histogram (how many components of each size) plus each size
+    * class's smallest member part as a stable witness. Completes the
+    * graph family's connectivity axis: q143 measures reachability
+    * FROM a seed set, this labels EVERY node's component exactly.
+    *
+    * Spark side reuses the dedup tier's O(diameter) min-label
+    * propagation ([[graft.ops.Dedup.dupKeepers]] — per-round
+    * checkpointed, convergence-observed, id-only shuffles), applied
+    * to its second graph; nodes are the edge endpoints, so
+    * singletons are definitionally absent. The DuckDB twin computes
+    * the closure the O(n·m) textbook way — a recursive reachability
+    * CTE over the symmetrized edges, min label per node — genuinely
+    * different algorithm and cost shape, same census. */
+  val copurchaseComponents: Q = (s, d) => {
+    val pairs = coOrderPairs(s, d)
+      .select(col("part_a").as("doc_a"), col("part_b").as("doc_b"))
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val labels = Dedup.dupKeepers(nodes, pairs)
+    labels.groupBy(col("keeper"))
+      .agg(count(lit(1)).as("comp_size"))
+      .groupBy(col("comp_size"))
+      .agg(count(lit(1)).as("n_components"),
+        min(col("keeper")).as("witness_part"))
+      .orderBy(col("comp_size"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q127_trade_pagerank" -> pageRank,
     "q143_trade_bfs" -> tradeBfs,
     "q171_triangle_census" -> triangleParts,
+    "q179_copurchase_components" -> copurchaseComponents,
   )
 
   /** The five iterations unrolled as chained CTEs; generated by the
@@ -368,6 +399,31 @@ object Graphs {
           |SELECT l_partkey, count(*) AS n_triangles
           |FROM verts GROUP BY l_partkey
           |ORDER BY n_triangles DESC, l_partkey LIMIT 20""".stripMargin,
+      // the O(n·m) textbook closure: recursive reachability over the
+      // symmetrized edges, min label per node — deliberately not the
+      // Spark side's O(diameter) synchronized propagation
+      "q179_copurchase_components" ->
+        """WITH RECURSIVE items AS (
+          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          |), pairs AS (
+          |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          |  FROM items a JOIN items b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), sym AS (
+          |  SELECT pa AS a, pb AS b FROM pairs
+          |  UNION SELECT pb, pa FROM pairs
+          |), reach AS (
+          |  SELECT a, b FROM sym
+          |  UNION
+          |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+          |), comp AS (
+          |  SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a
+          |), sizes AS (
+          |  SELECT comp, count(*) AS comp_size FROM comp GROUP BY comp
+          |)
+          |SELECT comp_size, count(*) AS n_components, min(comp) AS witness_part
+          |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
 }

@@ -126,6 +126,42 @@ class GraphsSpec extends SparkTestBase {
     }
   }
 
+  test("q179 component census equals a driver-side union-find") {
+    val got = graft.SparkEntry.queries("q179_copurchase_components")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("comp_size"),
+        r.getAs[Long]("n_components"), r.getAs[Long]("witness_part")))
+
+    // independent edges recomputed from scratch (as in the q171 spec)
+    val items = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = parent.keys.toSeq.groupBy(find).map { case (_, ns) =>
+      (ns.size.toLong, ns.min)
+    }
+    val want = comps.groupBy(_._1).toSeq.map { case (size, cs) =>
+      (size, cs.size.toLong, cs.map(_._2).min)
+    }.sortBy(_._1)
+
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    assert(got.nonEmpty)
+    // min-label keepers coincide with each component's min node id
+    assert(want.forall { case (_, _, w) => parent.contains(w) })
+  }
+
   test("q171 triangle census equals a driver-side brute-force enumeration") {
     val got = graft.SparkEntry.queries("q171_triangle_census")(spark, sf)
       .collect().map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("n_triangles"))
