@@ -714,6 +714,56 @@ object EventTime {
       .limit(20)
   }
 
+  /** q180 — TIME-WEIGHTED average balance (TWAB): the fintech
+    * interest-accrual primitive — each user's capped wallet balance
+    * (q147's recurrence) weighted by how long it was HELD, not how
+    * often it changed: area accrues as balance × elapsed before every
+    * event re-folds it. A plain AVG over event rows is wrong whenever
+    * holding times are uneven, and no window spelling exists because
+    * the running balance itself is the non-associative capped fold —
+    * so this extends the q147/q173/q175 engine family with
+    * TIME-WEIGHTED state: the same single user-keyed exchange and
+    * `aggregate` HOF, the state now carrying (balance, area, last
+    * event time, span, n). Exact integers end to end: cent·ms area
+    * with per-interval µs→ms floor-div (documented, engine-identical);
+    * cent·ms holds to ~9·10¹⁸ — a century-long 10⁹-cent balance is
+    * ~3·10²¹, so extreme ledgers would rescale to cent·seconds. The
+    * DuckDB twin replays the recurrence as a bounded recursive CTE
+    * (the q147 pairing). TWAB over a zero span (single-event users)
+    * is defined as the final balance. */
+  val timeWeightedBalance: Q = (s, d) => {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(18, 0)).cast(LongType)
+    val delta = when(col("event_type").isin("purchase", "signup"), cents)
+      .otherwise(-cents)
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"), delta.as("delta"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("tsm"), col("event_id"),
+        col("delta")))).as("evs"))
+      .select(col("user_id"), size(col("evs")).as("n_events"),
+        expr("""aggregate(evs,
+            named_struct('bal', CAST(0 AS BIGINT), 'area', CAST(0 AS BIGINT),
+                         'last', CAST(0 AS BIGINT), 'span', CAST(0 AS BIGINT),
+                         'n', CAST(0 AS BIGINT)),
+            (st, e) -> named_struct(
+              'bal', greatest(st.bal + e.delta, CAST(0 AS BIGINT)),
+              'area', st.area + CASE WHEN st.n = 0 THEN CAST(0 AS BIGINT)
+                ELSE st.bal * ((e.tsm - st.last) div 1000L) END,
+              'last', e.tsm,
+              'span', st.span + CASE WHEN st.n = 0 THEN CAST(0 AS BIGINT)
+                ELSE (e.tsm - st.last) div 1000L END,
+              'n', st.n + 1L))""").as("st"))
+      .select(col("user_id"), col("n_events"),
+        col("st.bal").as("final_balance_cents"),
+        col("st.span").as("span_ms"),
+        col("st.area").as("area_cent_ms"),
+        when(col("st.span") > 0, expr("st.area div st.span"))
+          .otherwise(col("st.bal")).as("twab_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** q177 — MULTI-TOUCH attribution: split every purchase's value
     * across the user's click/view touchpoints in the preceding 2 h
     * (q84's attribution window), under the three standard models at
@@ -899,6 +949,7 @@ object EventTime {
     "q174_event_paths" -> eventPaths,
     "q175_fifo_lots" -> fifoLots,
     "q177_multitouch_attribution" -> multitouchAttribution,
+    "q180_time_weighted_balance" -> timeWeightedBalance,
     "q147_capped_wallet" -> cappedWallet,
     "q124_rolling_active_users" -> rollingActiveUsers,
     "q119_hourly_gap_fill" -> hourlyGapFill,
@@ -976,6 +1027,39 @@ object EventTime {
          |  w.n_kept, w.first_kept AS first_kept_us, w.last_kept AS last_kept_us
          |FROM walk w JOIN n ON w.user_id = n.user_id AND w.rn = n.n_events
          |ORDER BY w.user_id""".stripMargin,
+    // the time-weighted recurrence replayed as a bounded recursive
+    // CTE (the q147 pairing); per-interval µs→ms floor-div identical
+    "q180_time_weighted_balance" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm,
+        |    CASE WHEN event_type IN ('purchase', 'signup')
+        |         THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS delta,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events
+        |), walk(user_id, rn, bal, area, last_tsm, span) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT w.user_id, w.rn + 1,
+        |    greatest(w.bal + e.delta, 0),
+        |    w.area + CASE WHEN w.rn = 0 THEN 0
+        |                  ELSE w.bal * ((e.tsm - w.last_tsm) // 1000) END,
+        |    e.tsm,
+        |    w.span + CASE WHEN w.rn = 0 THEN 0
+        |                  ELSE (e.tsm - w.last_tsm) // 1000 END
+        |  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+        |), n AS (
+        |  SELECT user_id, count(*) AS n_events FROM ev GROUP BY user_id
+        |)
+        |SELECT w.user_id, CAST(n.n_events AS INTEGER) AS n_events,
+        |  w.bal AS final_balance_cents, w.span AS span_ms,
+        |  w.area AS area_cent_ms,
+        |  CASE WHEN w.span > 0 THEN w.area // w.span ELSE w.bal END AS twab_cents
+        |FROM walk w JOIN n ON w.user_id = n.user_id AND w.rn = n.n_events
+        |ORDER BY w.user_id""".stripMargin,
     // interval join + row_number — the q84 cross-algorithm pairing —
     // with the identical largest-remainder cent split
     "q177_multitouch_attribution" ->

@@ -326,6 +326,39 @@ class EventTimeSpec extends SparkTestBase {
     assert(rows.map(r => r.getAs[Int]("n_events").toLong - r.getAs[Long]("n_kept")).sum > 0)
   }
 
+  test("q180 time-weighted balance equals a driver-side replay") {
+    val sf = "/root/testdata/sf0.001"
+    val cents = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 0)).cast("long")
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"), col("event_id"),
+        when(col("event_type").isin("purchase", "signup"), cents)
+          .otherwise(-cents).as("delta"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = evs.groupBy(_._1).map { case (u, es) =>
+      var (bal, area, last, span, n) = (0L, 0L, 0L, 0L, 0L)
+      es.map(e => (e._2, e._3, e._4)).sorted.foreach { case (tsm, _, d) =>
+        if (n > 0) { val g = (tsm - last) / 1000L; area += bal * g; span += g }
+        bal = math.max(bal + d, 0L); last = tsm; n += 1
+      }
+      u -> (n, bal, span, area, if (span > 0) area / span else bal)
+    }
+    val rows = graft.SparkEntry.queries("q180_time_weighted_balance")(spark, sf)
+      .collect()
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val got = (r.getAs[Int]("n_events").toLong,
+        r.getAs[Long]("final_balance_cents"), r.getAs[Long]("span_ms"),
+        r.getAs[Long]("area_cent_ms"), r.getAs[Long]("twab_cents"))
+      assert(got == want(u), s"user $u: got $got want ${want(u)}")
+    }
+    // non-vacuous: some user's TWAB differs from both the final
+    // balance and the per-event mean (holding time genuinely weights)
+    assert(want.values.exists { case (_, bal, span, _, twab) =>
+      span > 0 && twab != bal })
+  }
+
   test("q177 multi-touch attribution equals a driver-side replay") {
     val sf = "/root/testdata/sf0.001"
     val cents = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
