@@ -164,6 +164,42 @@ object Cohorts {
       .limit(20)
   }
 
+  /** q181 — audience OVERLAP matrix: for every pair of event types,
+    * how many users did BOTH, with the exact Jaccard in micro-units —
+    * the segment-intersection primitive behind "viewers who also
+    * purchased" audience math. The naive spelling self-joins the
+    * (user, type) frame on user — a fan-out that squares with
+    * per-user type breadth and shuffles user ids once per pair. This
+    * plan never joins on user at all: one distinct pass collapses to
+    * (user, sorted type set), a hash agg folds the sets into the TYPE
+    * -SET HISTOGRAM — the reducer is bounded by 2^|event types|
+    * (calendar-bounded), NOT by users — and every pairwise overlap is
+    * a weighted sum over that tiny frame, the pairs enumerated by an
+    * in-row transform over each set. The DuckDB twin runs the naive
+    * self-join, cross-algorithm. */
+  val audienceOverlap: Q = (s, d) => {
+    val hist = Tables.events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("event_type"))).as("ts"))
+      .groupBy(col("ts")).agg(count(lit(1)).as("n"))
+    val totals = hist.select(explode(col("ts")).as("t"), col("n"))
+      .groupBy(col("t")).agg(sum(col("n")).as("n_type"))
+    hist
+      .select(explode(expr(
+        """flatten(transform(ts, (x, i) ->
+          |  transform(slice(ts, i + 2, size(ts)), y ->
+          |    named_struct('type_a', x, 'type_b', y))))""".stripMargin)).as("p"),
+        col("n"))
+      .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+      .agg(sum(col("n")).as("n_both"))
+      .join(totals.select(col("t").as("type_a"), col("n_type").as("n_a")), Seq("type_a"))
+      .join(totals.select(col("t").as("type_b"), col("n_type").as("n_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+        expr("(n_both * 1000000L) div (n_a + n_b - n_both)").as("jaccard_micro"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** q155 — cumulative user reach: per day, how many users appear for
     * the FIRST time, the running total of users ever seen, and its
     * micro-ratio of the final audience. The "distinct count over an
@@ -222,9 +258,29 @@ object Cohorts {
     "q155_cumulative_reach" -> cumulativeReach,
     "q159_props_profile" -> propsProfile,
     "q172_busy_periods" -> busyPeriods,
+    "q181_audience_overlap" -> audienceOverlap,
   )
 
   val oracle: Map[String, String] = Map(
+    // the naive user self-join — deliberately the other algorithm
+    // from the Spark side's type-set histogram
+    "q181_audience_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |), tot AS (
+        |  SELECT event_type, count(*) AS n FROM ut GROUP BY 1
+        |), ovl AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, n_both, ta.n AS n_a, tb.n AS n_b,
+        |  (n_both * 1000000) // (ta.n + tb.n - n_both) AS jaccard_micro
+        |FROM ovl JOIN tot ta ON type_a = ta.event_type
+        |         JOIN tot tb ON type_b = tb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     // brute day-explosion (generate_series per span, distinct days,
     // lag-gap islands) — deliberately the OTHER algorithm from the
     // Spark side's O(n log n) interval sweep
