@@ -461,6 +461,43 @@ object Stats {
       .drop("_pid", "_off")
   }
 
+  /** Per-KEY two-phase rank — [[globalRank]] generalized to rankings
+    * WITHIN a partition key, without ever building a per-key single
+    * reducer (the `Window.partitionBy(key)` spelling funnels each
+    * key's entire population through one task — exactly the hazard
+    * this file's discipline exists to retire, just keyed). Range-
+    * partition on (key, order…) so every key occupies a contiguous
+    * shard run; collect the per-(shard, key) counts — bounded by
+    * shards + keys, because contiguity means at most one key straddles
+    * each shard boundary — fold exclusive per-key prefixes driver-side,
+    * and seed per-(shard, key) row_numbers with the broadcast offsets.
+    * Order columns may carry desc()/asc() — they feed both the range
+    * partitioner and the within-shard window verbatim. */
+  def keyedRank(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                rankName: String): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = graft.ops.Dedup.materializedSketch(
+      df.repartitionByRange((col(keyCol) +: orderCols): _*)
+        .withColumn("_pid", spark_partition_id()))
+    val counts = ranged.groupBy(col("_pid"), col(keyCol))
+      .agg(count(lit(1)).as("_c")).collect()
+    val offRows = new java.util.ArrayList[org.apache.spark.sql.Row](counts.length)
+    counts.groupBy(_.get(1)).foreach { case (_, rs) =>
+      var acc = 0L
+      rs.sortBy(_.getInt(0)).foreach { r =>
+        offRows.add(org.apache.spark.sql.Row(r.getInt(0), r.get(1), acc))
+        acc += r.getLong(2)
+      }
+    }
+    val schema = StructType(Seq(StructField("_pid", IntegerType, nullable = false),
+      df.schema(keyCol), StructField("_off", LongType, nullable = false)))
+    val offDf = spark.createDataFrame(offRows, schema)
+    val w = Window.partitionBy(col("_pid"), col(keyCol)).orderBy(orderCols: _*)
+    ranged.join(broadcast(offDf), Seq("_pid", keyCol))
+      .withColumn(rankName, col("_off") + row_number().over(w))
+      .drop("_pid", "_off")
+  }
+
   /** Closed-form ntile(k) from a global rank (same arithmetic as
     * q122/q115's nearest-rank family): first n mod k buckets take
     * n div k + 1 rows. n and k are driver-side constants, so the
@@ -795,7 +832,44 @@ object Stats {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q182 — quarter-over-quarter RANK MOVERS: rank every supplier by
+    * revenue within each ship quarter, join consecutive quarters per
+    * supplier, and report the twenty biggest rank IMPROVEMENTS — the
+    * "biggest movers" leaderboard, whose defining operation is a
+    * ranking PER PERIOD, the shape `Window.partitionBy(period)` would
+    * funnel through one reducer per quarter (each holding the whole
+    * supplier population). It runs through [[keyedRank]] instead —
+    * the two-phase sharded ranking, keyed. Revenue is summed from
+    * exact per-row micro-units (the ≤4-decimal product is integral at
+    * micro scale, so the BIGINT cast is exact on both engines); ranks
+    * break ties by suppkey, so the whole leaderboard is
+    * deterministic. The DuckDB twin spells the literal per-quarter
+    * row_number window over the same totals. */
+  private val q182: Q = (s, d) => {
+    val revMicro = ((col("l_extendedprice").cast(D6) *
+      (lit(1) - col("l_discount").cast(D6))).cast(D6) * lit(1000000L))
+      .cast(LongType)
+    val qrev = Tables.lineitem(s, d)
+      .select(date_trunc("quarter", col("l_shipdate")).cast(DateType).as("qtr"),
+        col("l_suppkey"), revMicro.as("rev_micro"))
+      .groupBy(col("qtr"), col("l_suppkey"))
+      .agg(sum(col("rev_micro")).as("rev_micro"))
+    val ranked = keyedRank(qrev, "qtr",
+      Seq(col("rev_micro").desc, col("l_suppkey")), "rnk")
+    val prev = ranked.select(col("qtr"), col("l_suppkey"),
+      col("rnk").as("rank_prev"))
+    val curr = ranked.select(add_months(col("qtr"), -3).as("qtr"),
+      col("l_suppkey"), col("rnk").as("rank_curr"))
+    prev.join(curr, Seq("qtr", "l_suppkey"))
+      .select(date_format(add_months(col("qtr"), 3), "yyyy-MM-dd").as("qtr"),
+        col("l_suppkey"), col("rank_prev"), col("rank_curr"),
+        (col("rank_prev") - col("rank_curr")).as("delta"))
+      .orderBy(col("delta").desc, col("qtr"), col("l_suppkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q182_rank_movers" -> q182,
     "q166_fulfilment_latency" -> q166,
     "q153_segment_priority_chi2" -> q153,
     "q158_weighted_quantiles" -> q158,
@@ -814,6 +888,29 @@ object Stats {
     "q113_pareto_suppliers" -> q113)
 
   val oracle: Map[String, String] = Map(
+    // the literal per-quarter window — the single-reducer spelling the
+    // Spark side's keyedRank exists to avoid
+    "q182_rank_movers" ->
+      """WITH qrev AS (
+        |  SELECT CAST(date_trunc('quarter', l_shipdate) AS DATE) AS qtr,
+        |    l_suppkey,
+        |    CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT)) AS BIGINT) AS rev_micro
+        |  FROM lineitem GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT qtr, l_suppkey,
+        |    row_number() OVER (PARTITION BY qtr
+        |      ORDER BY rev_micro DESC, l_suppkey) AS rnk
+        |  FROM qrev
+        |)
+        |SELECT strftime(b.qtr, '%Y-%m-%d') AS qtr, a.l_suppkey,
+        |  a.rnk AS rank_prev, b.rnk AS rank_curr,
+        |  a.rnk - b.rnk AS delta
+        |FROM ranked a JOIN ranked b
+        |  ON a.l_suppkey = b.l_suppkey
+        |  AND b.qtr = a.qtr + INTERVAL 3 MONTH
+        |ORDER BY delta DESC, qtr, a.l_suppkey LIMIT 20""".stripMargin,
     "q166_fulfilment_latency" ->
       """WITH hist AS (
         |  SELECT o_orderpriority,

@@ -15,6 +15,32 @@ class StatsSpec extends SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
   private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf)
 
+  test("keyedRank equals the per-key window spelling it replaces") {
+    // real frame with keys straddling shard boundaries: per-quarter
+    // supplier revenue at sf0.001, ranked both ways
+    val revMicro = ((col("l_extendedprice").cast(Qx.D6) *
+      (lit(1) - col("l_discount").cast(Qx.D6))).cast(Qx.D6) * lit(1000000L))
+      .cast("long")
+    val qrev = graft.Tables.lineitem(spark, sf)
+      .select(date_trunc("quarter", col("l_shipdate"))
+        .cast(org.apache.spark.sql.types.DateType).as("qtr"),
+        col("l_suppkey"), revMicro.as("rev_micro"))
+      .groupBy(col("qtr"), col("l_suppkey"))
+      .agg(sum(col("rev_micro")).as("rev_micro"))
+    val got = Stats.keyedRank(qrev, "qtr",
+      Seq(col("rev_micro").desc, col("l_suppkey")), "rnk")
+      .select(col("qtr"), col("l_suppkey"), col("rnk")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qtr"))
+      .orderBy(col("rev_micro").desc, col("l_suppkey"))
+    val want = qrev.withColumn("rnk", row_number().over(w))
+      .select(col("qtr"), col("l_suppkey"), col("rnk")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getInt(2).toLong).toMap
+    assert(got == want)
+    // the frame genuinely spans shards: more rows than one shard holds
+    assert(got.size > got.keys.map(_._1).toSet.size)
+  }
+
   test("q108 regression matches the built-in regr_slope/corr to float tolerance") {
     val got = q("q108_discount_qty_regression").collect()
       .map(r => r.getAs[String]("l_returnflag") ->
