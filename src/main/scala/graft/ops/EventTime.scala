@@ -714,6 +714,47 @@ object EventTime {
       .limit(20)
   }
 
+  /** q183 — session MEAN RECIPROCAL RANK of conversion: within each
+    * user's 30-minute lag-gap sessions (q27's boundary rule), the
+    * position of the FIRST purchase, folded per user into the classic
+    * relevance metric — MRR over converting sessions — in exact
+    * micro-units (1e6 div position per session, integer-averaged), so
+    * both engines land identical digits with no float reciprocal. The
+    * search/recs evaluation primitive, here reading "how early in a
+    * session does conversion happen".
+    *
+    * Scale shape: everything is user-keyed — the gap flag and session
+    * numbering share one sorted window pass, the in-session position
+    * is a second window on (user, session), and both aggregations
+    * reduce onto user — no global ordering anywhere. The DuckDB twin
+    * spells the identical associative pipeline (lag-gap islands +
+    * row_number); unlike the fold family there is no recurrence here,
+    * so the twin's value is the usual independent-engine replay. */
+  val sessionMrr: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsm"), col("event_id"))
+    val sessGapUs = 1800000000L // 30 minutes, the q27 boundary
+    val evs = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"), col("event_type"))
+      .withColumn("new_sess",
+        when(col("tsm") - lag(col("tsm"), 1).over(w) <= sessGapUs, 0L).otherwise(1L))
+      .withColumn("sid", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val wp = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("tsm"), col("event_id"))
+    evs.withColumn("pos", row_number().over(wp))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(when(col("event_type") === "purchase", col("pos"))).as("first_pos"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(col("first_pos")).as("n_converting"),
+        coalesce(sum(expr("1000000L div first_pos")), lit(0L)).as("rr_sum"))
+      .select(col("user_id"), col("n_sessions"), col("n_converting"),
+        when(col("n_converting") > 0, expr("rr_sum div n_converting"))
+          .otherwise(0L).as("mrr_micro"))
+      .orderBy(col("user_id"))
+  }
+
   /** q180 — TIME-WEIGHTED average balance (TWAB): the fintech
     * interest-accrual primitive — each user's capped wallet balance
     * (q147's recurrence) weighted by how long it was HELD, not how
@@ -950,6 +991,7 @@ object EventTime {
     "q175_fifo_lots" -> fifoLots,
     "q177_multitouch_attribution" -> multitouchAttribution,
     "q180_time_weighted_balance" -> timeWeightedBalance,
+    "q183_session_mrr" -> sessionMrr,
     "q147_capped_wallet" -> cappedWallet,
     "q124_rolling_active_users" -> rollingActiveUsers,
     "q119_hourly_gap_fill" -> hourlyGapFill,
@@ -1027,6 +1069,37 @@ object EventTime {
          |  w.n_kept, w.first_kept AS first_kept_us, w.last_kept AS last_kept_us
          |FROM walk w JOIN n ON w.user_id = n.user_id AND w.rn = n.n_events
          |ORDER BY w.user_id""".stripMargin,
+    // lag-gap islands + row_number — the independent-engine replay of
+    // the same associative pipeline; reciprocals in integer micro
+    "q183_session_mrr" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      <= 1800000000 THEN 0 ELSE 1 END AS new_sess
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, tsm, event_id, event_type,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY tsm, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM ev
+        |), pos AS (
+        |  SELECT user_id, sid, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sid
+        |      ORDER BY tsm, event_id) AS pos
+        |  FROM sess
+        |), fp AS (
+        |  SELECT user_id, sid,
+        |    min(CASE WHEN event_type = 'purchase' THEN pos END) AS first_pos
+        |  FROM pos GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  count(first_pos) AS n_converting,
+        |  CASE WHEN count(first_pos) > 0
+        |    THEN CAST(coalesce(sum(1000000 // first_pos), 0) AS BIGINT)
+        |         // count(first_pos)
+        |    ELSE 0 END AS mrr_micro
+        |FROM fp GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the time-weighted recurrence replayed as a bounded recursive
     // CTE (the q147 pairing); per-interval µs→ms floor-div identical
     "q180_time_weighted_balance" ->
