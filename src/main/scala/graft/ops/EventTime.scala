@@ -714,6 +714,62 @@ object EventTime {
       .limit(20)
   }
 
+  /** q184 — END-OF-DAY balance snapshots: the semi-additive-measure
+    * primitive — a periodic snapshot fact (balance at each day's end,
+    * event-less days carrying the last value forward) derived from
+    * the transaction stream, the thing a balance-sheet mart
+    * materializes because period-end values cannot be summed out of
+    * deltas by any window (the balance is q147's capped fold). The
+    * fold engine extends once more: the `aggregate` HOF state carries
+    * the running balance PLUS the emitted (day, end-balance) list —
+    * bounded by the CALENDAR, not by events — and flushes an entry
+    * whenever the day advances; an explode and the q119 de-joined
+    * sequence fill then carry balances across event-less days. One
+    * user-keyed exchange end to end. The DuckDB twin derives every
+    * day end independently — recursive-CTE fold for per-event
+    * balances, then an as-of argmax (max_by over events at-or-before
+    * each generated day) — so the flush-and-fill algebra is
+    * cross-checked against literal point lookups. */
+  val eodBalances: Q = (s, d) => {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(18, 0)).cast(LongType)
+    val delta = when(col("event_type").isin("purchase", "signup"), cents)
+      .otherwise(-cents)
+    val observed = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"), col("event_id"),
+        unix_date(col("ts").cast(DateType)).as("dayn"),
+        delta.as("delta"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("tsm"), col("event_id"),
+        col("dayn"), col("delta")))).as("evs"))
+      .select(col("user_id"),
+        expr("""aggregate(evs,
+            named_struct('bal', CAST(0 AS BIGINT), 'cur', -1,
+              'out', CAST(array() AS ARRAY<STRUCT<dayn: INT, bal: BIGINT>>)),
+            (st, e) -> named_struct(
+              'bal', greatest(st.bal + e.delta, CAST(0 AS BIGINT)),
+              'cur', e.dayn,
+              'out', CASE WHEN st.cur >= 0 AND e.dayn > st.cur
+                THEN concat(st.out, array(named_struct('dayn', st.cur,
+                                                       'bal', st.bal)))
+                ELSE st.out END),
+            st -> concat(st.out, array(named_struct('dayn', st.cur,
+                                                    'bal', st.bal))))""").as("ends"))
+      .select(col("user_id"), explode(col("ends")).as("e"))
+      .select(col("user_id"), col("e.dayn").as("dayn"), col("e.bal").as("bal"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dayn"))
+    observed
+      .withColumn("next_day", lead(col("dayn"), 1).over(w))
+      .select(col("user_id"), col("bal"),
+        explode(sequence(col("dayn"),
+          coalesce(col("next_day") - 1, col("dayn")))).as("m"))
+      .select(col("user_id"),
+        date_format(date_add(to_date(lit("1970-01-01")), col("m")), "yyyy-MM-dd")
+          .as("day"),
+        col("bal").as("eod_balance_cents"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** q183 — session MEAN RECIPROCAL RANK of conversion: within each
     * user's 30-minute lag-gap sessions (q27's boundary rule), the
     * position of the FIRST purchase, folded per user into the classic
@@ -992,6 +1048,7 @@ object EventTime {
     "q177_multitouch_attribution" -> multitouchAttribution,
     "q180_time_weighted_balance" -> timeWeightedBalance,
     "q183_session_mrr" -> sessionMrr,
+    "q184_eod_balances" -> eodBalances,
     "q147_capped_wallet" -> cappedWallet,
     "q124_rolling_active_users" -> rollingActiveUsers,
     "q119_hourly_gap_fill" -> hourlyGapFill,
@@ -1069,6 +1126,39 @@ object EventTime {
          |  w.n_kept, w.first_kept AS first_kept_us, w.last_kept AS last_kept_us
          |FROM walk w JOIN n ON w.user_id = n.user_id AND w.rn = n.n_events
          |ORDER BY w.user_id""".stripMargin,
+    // every day end derived independently: recursive-CTE fold for
+    // per-event balances, then an as-of argmax per generated day —
+    // literal point lookups cross-checking the flush-and-fill algebra
+    "q184_eod_balances" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm, event_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS dayn,
+        |    CASE WHEN event_type IN ('purchase', 'signup')
+        |         THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS delta,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events
+        |), walk(user_id, rn, bal) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT w.user_id, w.rn + 1, greatest(w.bal + e.delta, 0)
+        |  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+        |), evw AS (
+        |  SELECT e.user_id, e.rn, e.dayn, w.bal
+        |  FROM ev e JOIN walk w ON w.user_id = e.user_id AND w.rn = e.rn
+        |), bounds AS (
+        |  SELECT user_id, min(dayn) AS lo, max(dayn) AS hi FROM ev GROUP BY 1
+        |), days AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi)) AS dayn FROM bounds
+        |)
+        |SELECT d.user_id,
+        |  strftime(DATE '1970-01-01' + CAST(d.dayn AS INTEGER), '%Y-%m-%d') AS day,
+        |  max_by(e.bal, e.rn) AS eod_balance_cents
+        |FROM days d JOIN evw e ON e.user_id = d.user_id AND e.dayn <= d.dayn
+        |GROUP BY d.user_id, d.dayn
+        |ORDER BY d.user_id, d.dayn""".stripMargin,
     // lag-gap islands + row_number — the independent-engine replay of
     // the same associative pipeline; reciprocals in integer micro
     "q183_session_mrr" ->
