@@ -200,6 +200,62 @@ object Cohorts {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** q185 — audience COVERAGE FRONTIER: for every channel-subset size
+    * k, the best reach any k event types achieve together (and which
+    * subset it is) — the exact set-cover curve behind "how many
+    * channels do we actually need", solved EXACTLY by exhaustive
+    * subset enumeration because the subset lattice is calendar-bounded
+    * (2^|event types|), not data-bounded. Like q181 the user
+    * dimension collapses first: one bit_or pass folds each user to a
+    * type BITMASK, a hash agg builds the ≤2^|types|-row mask
+    * histogram, and the frontier is a cross of that tiny frame with
+    * the 2^|types|−1 candidate masks — the only data-sized work is
+    * the first distinct. The type list is collected once (a bounded
+    * calendar domain, the q124 broadcast-bounds discipline) to mint
+    * bit positions and subset names deterministically
+    * (alphabetical). The DuckDB twin enumerates the same lattice with
+    * generate_series + bit_count and a correlated string_agg. */
+  val coverageFrontier: Q = (s, d) => {
+    val spark = s
+    val typeList = Tables.events(s, d).select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (typeList.isEmpty) {
+      // empty corpus: an empty, correctly-typed frontier
+      spark.range(0).select(col("id").cast("int").as("subset_size"),
+        col("id").as("best_covered"), lit("").as("subset_types"))
+    } else frontierOf(s, d, typeList)
+  }
+
+  private def frontierOf(s: SparkSession, d: String,
+                         typeList: Array[String]): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val typeIdx = typeList.zipWithIndex.toSeq.toDF("event_type", "idx")
+    val hist = Tables.events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+      .join(broadcast(typeIdx), Seq("event_type"))
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(shiftleft(1L, idx))").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("n"))
+    val nameCol = concat_ws(",", array_compact(array(
+      typeList.zipWithIndex.map { case (t, i) =>
+        when(col("m").bitwiseAND(lit(1L << i)) =!= 0, lit(t))
+      }: _*)))
+    spark.range(1, 1L << typeList.length).select(col("id").as("m"))
+      .crossJoin(broadcast(hist))
+      .groupBy(col("m"))
+      .agg(sum(when(col("mask").bitwiseAND(col("m")) =!= 0, col("n"))
+        .otherwise(0L)).as("covered"))
+      .select(bit_count(col("m")).as("subset_size"), col("covered"), col("m"),
+        nameCol.as("subset_types"))
+      .groupBy(col("subset_size"))
+      .agg(min(struct((-col("covered")).as("nc"), col("m"),
+        col("subset_types").as("st"))).as("pick"))
+      .select(col("subset_size"), (-col("pick.nc")).as("best_covered"),
+        col("pick.st").as("subset_types"))
+      .orderBy(col("subset_size"))
+  }
+
   /** q155 — cumulative user reach: per day, how many users appear for
     * the FIRST time, the running total of users ever seen, and its
     * micro-ratio of the final audience. The "distinct count over an
@@ -259,9 +315,41 @@ object Cohorts {
     "q159_props_profile" -> propsProfile,
     "q172_busy_periods" -> busyPeriods,
     "q181_audience_overlap" -> audienceOverlap,
+    "q185_coverage_frontier" -> coverageFrontier,
   )
 
   val oracle: Map[String, String] = Map(
+    // the same lattice enumerated with generate_series + bit_count
+    // and a correlated string_agg for the subset names
+    "q185_coverage_frontier" ->
+      """WITH ti AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (ORDER BY event_type) - 1 AS INTEGER) AS idx
+        |  FROM (SELECT DISTINCT event_type FROM events)
+        |), um AS (
+        |  SELECT user_id, bit_or(1 << idx) AS mask
+        |  FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |  JOIN ti USING (event_type) GROUP BY user_id
+        |), hist AS (
+        |  SELECT mask, count(*) AS n FROM um GROUP BY mask
+        |), cand AS (
+        |  SELECT unnest(generate_series(1,
+        |    (SELECT (1 << count(*)) - 1 FROM ti))) AS m
+        |), cov AS (
+        |  SELECT c.m,
+        |    CAST(sum(CASE WHEN (h.mask & c.m) <> 0 THEN h.n ELSE 0 END)
+        |      AS BIGINT) AS covered
+        |  FROM cand c CROSS JOIN hist h GROUP BY c.m
+        |), named AS (
+        |  SELECT m, covered, CAST(bit_count(m) AS INTEGER) AS subset_size,
+        |    (SELECT string_agg(ti.event_type, ',' ORDER BY ti.event_type)
+        |     FROM ti WHERE (m & (1 << ti.idx)) <> 0) AS subset_types,
+        |    row_number() OVER (PARTITION BY bit_count(m)
+        |      ORDER BY covered DESC, m) AS rn
+        |  FROM cov
+        |)
+        |SELECT subset_size, covered AS best_covered, subset_types
+        |FROM named WHERE rn = 1 ORDER BY subset_size""".stripMargin,
     // the naive user self-join — deliberately the other algorithm
     // from the Spark side's type-set histogram
     "q181_audience_overlap" ->
