@@ -996,6 +996,53 @@ object EventTime {
       .orderBy(col("user_id"))
   }
 
+  /** q186 — 5-step ABSORPTION probability: from each event type, the
+    * probability that a user's next five transitions reach `purchase`
+    * — the absorbing-Markov read of the q101/q174 transition
+    * machinery ("how close is each behavior to converting"), the
+    * per-state complement of q167's realized-latency curve. Exact
+    * integer micro end to end, the q127 integer-iteration discipline:
+    * the recurrence p_k(t) = Σ_n c(t→n)·p_{k−1}(n) div out(t) (with
+    * `purchase` absorbing at 10⁶) is one integer-truncating division
+    * per state per step, identical on both engines, so five
+    * iterations stay bit-exact — no float matrix powers.
+    *
+    * Scale shape: the only data-sized work is the transition-count
+    * build (q174's one user-keyed window pass, reducer = |types|²);
+    * the five iterations are joins over that calendar-bounded matrix,
+    * broadcast throughout. The DuckDB twin unrolls the five steps as
+    * chained CTEs (the q127 pairing), generated from the same
+    * recurrence. */
+  val absorptionSteps = 5
+
+  val conversionAbsorption: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Dedup.materializedSketch(Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n")))
+    val tot = trans.groupBy(col("src")).agg(sum(col("n")).as("t"))
+    val types = trans.select(col("src").as("ty"))
+      .unionByName(trans.select(col("dst").as("ty"))).distinct()
+    val p0 = types.select(col("ty"),
+      when(col("ty") === "purchase", 1000000L).otherwise(0L).as("p"))
+    val pk = (1 to absorptionSteps).foldLeft(p0) { (prev, _) =>
+      types
+        .join(trans.join(prev.select(col("ty").as("dst"), col("p")), Seq("dst"))
+          .groupBy(col("src")).agg(sum(col("n") * col("p")).as("np")),
+          col("ty") === col("src"), "left")
+        .join(tot, col("ty") === tot("src"), "left")
+        .select(col("ty"),
+          when(col("ty") === "purchase", 1000000L)
+            .otherwise(coalesce(expr("np div t"), lit(0L))).as("p"))
+    }
+    pk.select(col("ty").as("event_type"), col("p").as("p5_micro"))
+      .orderBy(col("event_type"))
+  }
+
   /** q167 — time-to-convert curve: for every purchase with a preceding
     * same-user click (the q29 as-of pairing, same single-exchange
     * union spelling — no join), the click→purchase latency in whole
@@ -1049,6 +1096,7 @@ object EventTime {
     "q180_time_weighted_balance" -> timeWeightedBalance,
     "q183_session_mrr" -> sessionMrr,
     "q184_eod_balances" -> eodBalances,
+    "q186_conversion_absorption" -> conversionAbsorption,
     "q147_capped_wallet" -> cappedWallet,
     "q124_rolling_active_users" -> rollingActiveUsers,
     "q119_hourly_gap_fill" -> hourlyGapFill,
@@ -1126,6 +1174,44 @@ object EventTime {
          |  w.n_kept, w.first_kept AS first_kept_us, w.last_kept AS last_kept_us
          |FROM walk w JOIN n ON w.user_id = n.user_id AND w.rn = n.n_events
          |ORDER BY w.user_id""".stripMargin,
+    // the five absorption iterations unrolled as chained CTEs (the
+    // q127 pairing), generated from the same integer recurrence
+    "q186_conversion_absorption" -> {
+      val steps = (1 to absorptionSteps).map { k =>
+        s"""p$k AS (
+           |  SELECT ty.ty,
+           |    CASE WHEN ty.ty = 'purchase' THEN CAST(1000000 AS BIGINT)
+           |         ELSE coalesce(CAST(sum(tr.n * pp.p) AS BIGINT)
+           |                       // max(tot.t), 0)
+           |    END AS p
+           |  FROM types ty
+           |  LEFT JOIN tr ON tr.src = ty.ty
+           |  LEFT JOIN p${k - 1} pp ON pp.ty = tr.dst
+           |  LEFT JOIN tot ON tot.src = ty.ty
+           |  GROUP BY ty.ty
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events
+         |), tr AS (
+         |  SELECT a.event_type AS src, b.event_type AS dst, count(*) AS n
+         |  FROM ev a JOIN ev b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+         |  GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT src, CAST(sum(n) AS BIGINT) AS t FROM tr GROUP BY 1
+         |), types AS (
+         |  SELECT src AS ty FROM tr UNION SELECT dst FROM tr
+         |), p0 AS (
+         |  SELECT ty, CAST(CASE WHEN ty = 'purchase' THEN 1000000 ELSE 0 END
+         |    AS BIGINT) AS p
+         |  FROM types
+         |), $steps
+         |SELECT ty AS event_type, p AS p5_micro
+         |FROM p$absorptionSteps ORDER BY event_type""".stripMargin
+    },
     // every day end derived independently: recursive-CTE fold for
     // per-event balances, then an as-of argmax per generated day —
     // literal point lookups cross-checking the flush-and-fill algebra

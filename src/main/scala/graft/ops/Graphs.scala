@@ -260,12 +260,25 @@ object Graphs {
       when(col("ka") < col("kb"), col("part_a")).otherwise(col("part_b")).as("src"),
       when(col("ka") < col("kb"), col("part_b")).otherwise(col("part_a")).as("dst"),
       when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kdst")))
+    // The wedge frame is the m^1.5 side — up to ~sqrt(m) rows PER EDGE
+    // — so the joins below must never shuffle it. While the edge list
+    // itself fits a broadcast (gated generously: shipping m edge rows
+    // once beats shuffling m^1.5 wedge rows by construction, so the
+    // cap is the broadcast-feasibility ceiling, conf-overridable, not
+    // the conservative autoBroadcastJoinThreshold), both joins
+    // broadcast the EDGES and stream the wedges; a graph past the cap
+    // falls back to shuffle joins of the partitioned store. The count
+    // is free: materializedSketch already ran it.
+    val edgeCap = bytesConf(s.conf
+      .get("spark.graft.triangles.broadcastEdgesBytes", "536870912"))
+    val bcast = oriented.count() * 48L <= edgeCap
+    def edgeSide(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val wedges = oriented.select(col("src"), col("dst").as("x"), col("kdst").as("kx"))
-      .join(oriented.select(col("src"), col("dst").as("y"), col("kdst").as("ky")),
-        Seq("src"))
+      .join(edgeSide(oriented.select(col("src"), col("dst").as("y"),
+        col("kdst").as("ky"))), Seq("src"))
       .filter(col("kx") < col("ky"))
-    val closed = wedges.join(oriented.select(col("src").as("x"), col("dst").as("y")),
-      Seq("x", "y"))
+    val closed = wedges.join(edgeSide(oriented.select(col("src").as("x"),
+      col("dst").as("y"))), Seq("x", "y"))
     closed.select(col("src").as("l_partkey"))
       .unionByName(closed.select(col("x").as("l_partkey")))
       .unionByName(closed.select(col("y").as("l_partkey")))

@@ -326,6 +326,38 @@ class EventTimeSpec extends SparkTestBase {
     assert(rows.map(r => r.getAs[Int]("n_events").toLong - r.getAs[Long]("n_kept")).sum > 0)
   }
 
+  test("q186 absorption probabilities equal a driver-side matrix iteration") {
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"), col("event_id"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val tys = es.map(e => (e._2, e._3, e._4)).sortBy(t => (t._1, t._2)).map(_._3)
+      tys.sliding(2).filter(_.length == 2).map(p => (p(0), p(1)))
+    }.groupBy(identity).map { case (p, ps) => p -> ps.size.toLong }
+    val types = (trans.keys.map(_._1) ++ trans.keys.map(_._2)).toSeq.distinct.sorted
+    val tot = trans.groupBy(_._1._1).map { case (s2, m) => s2 -> m.values.sum }
+    var p = types.map(t => t -> (if (t == "purchase") 1000000L else 0L)).toMap
+    for (_ <- 1 to EventTime.absorptionSteps) {
+      p = types.map { t =>
+        t -> (if (t == "purchase") 1000000L
+        else {
+          val np = types.map(n => trans.getOrElse((t, n), 0L) * p(n)).sum
+          tot.get(t).map(np / _).getOrElse(0L)
+        })
+      }.toMap
+    }
+    val got = graft.SparkEntry.queries("q186_conversion_absorption")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("p5_micro"))
+      .toMap
+    assert(got == p, s"got $got want $p")
+    // absorbing state fixed; every transient state has nonzero 5-step
+    // conversion probability on this corpus
+    assert(got("purchase") == 1000000L)
+    assert(got.filterNot(_._1 == "purchase").values.forall(v => v > 0 && v < 1000000L))
+  }
+
   test("q180 time-weighted balance equals a driver-side replay") {
     val sf = "/root/testdata/sf0.001"
     val cents = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
