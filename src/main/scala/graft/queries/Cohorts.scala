@@ -164,6 +164,52 @@ object Cohorts {
       .limit(20)
   }
 
+  /** q188 — monthly ORDER-OVERLAP pair series: per month, how many
+    * pairs of orders were concurrently in flight (fulfilment spans
+    * intersecting), each pair anchored at the LATER open — the
+    * pairwise-contention complement of q154's max-concurrency sweep
+    * and q172's per-customer union. The naive spelling is an interval
+    * self-join whose OUTPUT is the pair count (~10⁸ rows at sf0.1,
+    * quadratic in density) — the DuckDB twin runs exactly that,
+    * cross-algorithm. The Spark side never forms a pair: anchored at
+    * open day d, the overlapping earlier orders are exactly those
+    * opened before d and not closed before d, so the per-day count is
+    * opens_d × (cumOpens(d−1) − cumCloses(d−1)) + C(opens_d, 2) — a
+    * day-domain histogram with one sharded exclusive prefix (the
+    * q155 two-phase pass), O(days) total regardless of how dense the
+    * overlap gets. Months are emitted where any order opens. */
+  val orderOverlapSeries: Q = (s, d) => {
+    val spans = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(min(col("o_orderdate").cast(DateType)).as("open_day"),
+        greatest(max(col("l_shipdate").cast(DateType)),
+          min(col("o_orderdate").cast(DateType))).as("close_day"))
+    val daily = spans.groupBy(col("open_day").as("day"))
+      .agg(count(lit(1)).as("opens"))
+      .join(spans.groupBy(col("close_day").as("day"))
+        .agg(count(lit(1)).as("closes")), Seq("day"), "full_outer")
+      .select(col("day"), coalesce(col("opens"), lit(0L)).as("opens"),
+        coalesce(col("closes"), lit(0L)).as("closes"))
+    val (ranged, shards) = Stats.rangeShards(daily, Seq(col("day")),
+      sum(col("opens")).as("so"), sum(col("closes")).as("sc"))
+    val (offDf, _) = Stats.exclusiveOffsets(s, shards, Seq("_oo", "_oc"),
+      Seq(0L, 0L))
+    val w = Window.partitionBy(col("_pid")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("open_before",
+        col("_oo") + coalesce(sum(col("opens")).over(w), lit(0L)) -
+          (col("_oc") + coalesce(sum(col("closes")).over(w), lit(0L))))
+      .filter(col("opens") > 0)
+      .select(date_format(col("day"), "yyyy-MM").as("month"), col("opens"),
+        (col("opens") * col("open_before") +
+          expr("opens * (opens - 1) div 2")).as("pairs"))
+      .groupBy(col("month"))
+      .agg(sum(col("opens")).as("n_opens"), sum(col("pairs")).as("n_pairs"))
+      .orderBy(col("month"))
+  }
+
   /** q181 — audience OVERLAP matrix: for every pair of event types,
     * how many users did BOTH, with the exact Jaccard in micro-units —
     * the segment-intersection primitive behind "viewers who also
@@ -316,9 +362,34 @@ object Cohorts {
     "q172_busy_periods" -> busyPeriods,
     "q181_audience_overlap" -> audienceOverlap,
     "q185_coverage_frontier" -> coverageFrontier,
+    "q188_order_overlap_series" -> orderOverlapSeries,
   )
 
   val oracle: Map[String, String] = Map(
+    // the quadratic spelling the Spark side's closed form avoids: a
+    // literal interval self-join enumerating every overlapping pair
+    "q188_order_overlap_series" ->
+      """WITH spans AS (
+        |  SELECT o_orderkey, CAST(min(o_orderdate) AS DATE) AS open_day,
+        |    greatest(CAST(max(l_shipdate) AS DATE),
+        |             CAST(min(o_orderdate) AS DATE)) AS close_day
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY o_orderkey
+        |), anchored AS (
+        |  SELECT b.open_day AS anchor_day, count(*) AS pairs
+        |  FROM spans a JOIN spans b
+        |    ON (a.open_day < b.open_day
+        |        OR (a.open_day = b.open_day AND a.o_orderkey < b.o_orderkey))
+        |   AND a.close_day >= b.open_day
+        |  GROUP BY 1
+        |), op AS (
+        |  SELECT open_day, count(*) AS n FROM spans GROUP BY 1
+        |)
+        |SELECT strftime(date_trunc('month', op.open_day), '%Y-%m') AS month,
+        |  CAST(sum(op.n) AS BIGINT) AS n_opens,
+        |  CAST(coalesce(sum(a.pairs), 0) AS BIGINT) AS n_pairs
+        |FROM op LEFT JOIN anchored a ON a.anchor_day = op.open_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same lattice enumerated with generate_series + bit_count
     // and a correlated string_agg for the subset names
     "q185_coverage_frontier" ->

@@ -868,7 +868,54 @@ object Stats {
       .limit(20)
   }
 
+  /** q187 — exact KENDALL tau-b rank correlation between quantity and
+    * discount: the nonparametric complement of q108's Pearson OLS —
+    * monotone association counted over PAIRS, immune to the outliers
+    * q109/q139 hunt. Naively O(n²) pair comparisons; here both
+    * variables are value-domain-bounded, so the entire pair space
+    * collapses onto the JOINT HISTOGRAM (this file's
+    * distinct-value-histogram discipline): concordant/discordant
+    * counts are one cross join of the ~|Q|·|D|-cell frame with itself
+    * (each unordered pair counted once via q2 > q1; within-cell and
+    * equal-q pairs land in the tie terms), and the tie corrections
+    * are marginal C(n,2) sums. All counts are exact BIGINTs; tau-b
+    * itself is the one double — a fixed operand tree over exact
+    * integers (convert, multiply, sqrt, divide — every op correctly
+    * rounded per IEEE-754, sqrt included), so both engines land the
+    * same bits, the q108 discipline. */
+  private val q187: Q = (s, d) => {
+    val hist = Tables.lineitem(s, d)
+      .select(col("l_quantity").cast(IntegerType).as("q"),
+        (col("l_discount").cast(DecimalType(18, 2)) * 100)
+          .cast(IntegerType).as("dc"))
+      .groupBy(col("q"), col("dc")).agg(count(lit(1)).as("cnt"))
+    val a = hist.select(col("q").as("q1"), col("dc").as("d1"), col("cnt").as("n1"))
+    val b = hist.select(col("q").as("q2"), col("dc").as("d2"), col("cnt").as("n2"))
+    val pairs = a.join(b, col("q2") > col("q1"))
+      .agg(sum(when(col("d2") > col("d1"), col("n1") * col("n2"))
+        .otherwise(0L)).as("conc"),
+        sum(when(col("d2") < col("d1"), col("n1") * col("n2"))
+          .otherwise(0L)).as("disc"))
+    val margins = hist.agg(sum(col("cnt")).as("n"))
+    val tq = hist.groupBy(col("q")).agg(sum(col("cnt")).as("nq"))
+      .agg(sum(col("nq") * (col("nq") - 1)).as("tie_q2"))
+    val td = hist.groupBy(col("dc")).agg(sum(col("cnt")).as("nd"))
+      .agg(sum(col("nd") * (col("nd") - 1)).as("tie_d2"))
+    pairs.crossJoin(broadcast(margins)).crossJoin(broadcast(tq))
+      .crossJoin(broadcast(td))
+      .select(col("n"), col("conc"), col("disc"),
+        expr("tie_q2 div 2").as("ties_q"), expr("tie_d2 div 2").as("ties_d"),
+        // n0 = C(n,2); tau_b = (C - D) / sqrt((n0-n1)(n0-n2)) — the
+        // fixed double operand tree (conversions and sqrt are
+        // correctly rounded, so this is bit-identical cross-engine)
+        (((col("conc") - col("disc")).cast(DoubleType)) /
+          sqrt((expr("(n * (n - 1) div 2 - tie_q2 div 2)").cast(DoubleType)) *
+            (expr("(n * (n - 1) div 2 - tie_d2 div 2)").cast(DoubleType))))
+          .as("tau_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q187_kendall_tau" -> q187,
     "q182_rank_movers" -> q182,
     "q166_fulfilment_latency" -> q166,
     "q153_segment_priority_chi2" -> q153,
@@ -888,6 +935,36 @@ object Stats {
     "q113_pareto_suppliers" -> q113)
 
   val oracle: Map[String, String] = Map(
+    // the same joint-histogram collapse — concordance as a cell-pair
+    // cross join, tau-b over the identical fixed double operand tree
+    "q187_kendall_tau" ->
+      """WITH hist AS (
+        |  SELECT CAST(l_quantity AS INTEGER) AS q,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS INTEGER) AS dc,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        |), pr AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN b.dc > a.dc THEN a.cnt * b.cnt ELSE 0 END)
+        |      AS BIGINT) AS conc,
+        |    CAST(sum(CASE WHEN b.dc < a.dc THEN a.cnt * b.cnt ELSE 0 END)
+        |      AS BIGINT) AS disc
+        |  FROM hist a JOIN hist b ON b.q > a.q
+        |), m AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist
+        |), tq AS (
+        |  SELECT CAST(sum(nq * (nq - 1)) AS BIGINT) AS tie_q2 FROM (
+        |    SELECT sum(cnt) AS nq FROM hist GROUP BY q)
+        |), td AS (
+        |  SELECT CAST(sum(nd * (nd - 1)) AS BIGINT) AS tie_d2 FROM (
+        |    SELECT sum(cnt) AS nd FROM hist GROUP BY dc)
+        |)
+        |SELECT m.n, pr.conc, pr.disc,
+        |  tie_q2 // 2 AS ties_q, tie_d2 // 2 AS ties_d,
+        |  CAST(pr.conc - pr.disc AS DOUBLE) /
+        |    sqrt(CAST(m.n * (m.n - 1) // 2 - tie_q2 // 2 AS DOUBLE) *
+        |         CAST(m.n * (m.n - 1) // 2 - tie_d2 // 2 AS DOUBLE)) AS tau_b
+        |FROM pr, m, tq, td""".stripMargin,
     // the literal per-quarter window — the single-reducer spelling the
     // Spark side's keyedRank exists to avoid
     "q182_rank_movers" ->

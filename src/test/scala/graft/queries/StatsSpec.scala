@@ -15,6 +15,37 @@ class StatsSpec extends SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
   private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf)
 
+  test("q187 Kendall counts equal a driver-side brute-force pair scan") {
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("int"),
+        (col("l_discount").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("int"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    var (c, dd) = (0L, 0L)
+    var i = 0
+    while (i < rows.length) {
+      var j = i + 1
+      while (j < rows.length) {
+        val s = (rows(i)._1 - rows(j)._1).toLong * (rows(i)._2 - rows(j)._2)
+        if (s > 0) c += 1 else if (s < 0) dd += 1
+        j += 1
+      }
+      i += 1
+    }
+    val r = q("q187_kendall_tau").collect().head
+    assert(r.getAs[Long]("n") == rows.length.toLong)
+    assert(r.getAs[Long]("conc") == c, s"conc ${r.getAs[Long]("conc")} vs $c")
+    assert(r.getAs[Long]("disc") == dd)
+    // tau within float tolerance of the from-scratch formula
+    val n = rows.length.toLong
+    val n0 = n * (n - 1) / 2
+    val tie = (m: Map[Int, Long]) => m.values.map(v => v * (v - 1) / 2).sum
+    val n1 = tie(rows.groupBy(_._1).map { case (k, v) => k -> v.length.toLong })
+    val n2 = tie(rows.groupBy(_._2).map { case (k, v) => k -> v.length.toLong })
+    val want = (c - dd).toDouble / math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
+    assert(math.abs(r.getAs[Double]("tau_b") - want) < 1e-12)
+  }
+
   test("keyedRank equals the per-key window spelling it replaces") {
     // real frame with keys straddling shard boundaries: per-quarter
     // supplier revenue at sf0.001, ranked both ways
