@@ -126,6 +126,25 @@ class GraphsSpec extends SparkTestBase {
     }
   }
 
+  test("q171 edge-broadcast gate: a tiny cap falls back to shuffle joins, values unchanged") {
+    val withBcast = graft.SparkEntry.queries("q171_triangle_census")(spark, sf)
+      .collect().map(_.toSeq)
+    spark.conf.set("spark.graft.triangles.broadcastEdgesBytes", "1")
+    try {
+      val df = graft.SparkEntry.queries("q171_triangle_census")(spark, sf)
+      // under the 1-byte cap the wedge/close joins must not carry the
+      // explicit broadcast hint (AQE may still pick a broadcast at
+      // this tiny SF — the gate controls the HINT, which is what
+      // would force the failure at scale)
+      val hinted = df.queryExecution.logical.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+        case r: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => r
+      }
+      assert(hinted.isEmpty, s"gate failed to drop the broadcast hint: $hinted")
+      assert(df.collect().map(_.toSeq).toSeq == withBcast.toSeq)
+    } finally spark.conf.unset("spark.graft.triangles.broadcastEdgesBytes")
+  }
+
   test("q179 component census equals a driver-side union-find") {
     val got = graft.SparkEntry.queries("q179_copurchase_components")(spark, sf)
       .collect().map(r => (r.getAs[Long]("comp_size"),
