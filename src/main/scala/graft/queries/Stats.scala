@@ -914,7 +914,51 @@ object Stats {
           .as("tau_b"))
   }
 
+  /** q189 — supplier-concentration HHI per nation: each nation's
+    * Herfindahl–Hirschman index over its suppliers' revenue shares —
+    * the antitrust-style concentration read next to q113's Pareto cut
+    * (top-k mass) and q150's Gini (inequality): HHI is the metric
+    * that moves when a market consolidates even if the top-k set does
+    * not. Exact integers end to end: per-row revenue micro-units (the
+    * q182 cast chain), shares in ppm by BIGINT `div`, HHI =
+    * Σ share_ppm² div 10⁶ — deterministic on both engines, no float
+    * shares. Plans: one broadcast of the supplier dim onto the fact
+    * scan, a (nation, supplier)-keyed agg, and a nation-domain
+    * rollup; nation totals ride a broadcast join of the 25-row total
+    * frame, never a window. */
+  private val q189: Q = (s, d) => {
+    val revMicro = ((col("l_extendedprice").cast(D6) *
+      (lit(1) - col("l_discount").cast(D6))).cast(D6) * lit(1000000L))
+      .cast(LongType)
+    // sum exactly in micro, then rescale the TOTAL to cents — rev in
+    // micro × 10⁶ would pass 2⁶³ for a large supplier (caught by the
+    // DuckDB twin's checked arithmetic; Spark with ANSI off would
+    // have wrapped silently — the twin is the overflow canary here)
+    val srev = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey"), col("l_suppkey"), revMicro.as("rev_micro"))
+      .groupBy(col("s_nationkey"), col("l_suppkey"))
+      .agg(expr("sum(rev_micro) div 10000").as("rev"))
+    val totals = srev.groupBy(col("s_nationkey")).agg(sum(col("rev")).as("tot"))
+    srev.join(broadcast(totals), Seq("s_nationkey"))
+      .select(col("s_nationkey"),
+        expr("rev * 1000000L div tot").as("share_ppm"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        max(col("share_ppm")).as("top_share_ppm"),
+        expr("sum(share_ppm * share_ppm) div 1000000L").as("hhi_micro"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_suppliers"), col("top_share_ppm"),
+        col("hhi_micro"))
+      .orderBy(col("n_name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q189_nation_hhi" -> q189,
     "q187_kendall_tau" -> q187,
     "q182_rank_movers" -> q182,
     "q166_fulfilment_latency" -> q166,
@@ -935,6 +979,28 @@ object Stats {
     "q113_pareto_suppliers" -> q113)
 
   val oracle: Map[String, String] = Map(
+    // identical integer share algebra — HHI is pure arithmetic, so
+    // the twin's value is the independent-engine replay
+    "q189_nation_hhi" ->
+      """WITH srev AS (
+        |  SELECT s_nationkey, l_suppkey,
+        |    CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT)) AS BIGINT) // 10000 AS rev
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT s_nationkey, CAST(sum(rev) AS BIGINT) AS t
+        |  FROM srev GROUP BY 1
+        |), shares AS (
+        |  SELECT srev.s_nationkey, (rev * 1000000) // t AS share_ppm
+        |  FROM srev JOIN tot USING (s_nationkey)
+        |)
+        |SELECT n_name, count(*) AS n_suppliers,
+        |  CAST(max(share_ppm) AS BIGINT) AS top_share_ppm,
+        |  CAST(sum(share_ppm * share_ppm) AS BIGINT) // 1000000 AS hhi_micro
+        |FROM shares JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // the same joint-histogram collapse — concordance as a cell-pair
     // cross join, tau-b over the identical fixed double operand tree
     "q187_kendall_tau" ->
