@@ -164,6 +164,44 @@ object Cohorts {
       .limit(20)
   }
 
+  /** q190 — repeat-purchase survival by market segment: of each
+    * segment's customers, how many ever place a SECOND order, and how
+    * many do so within 30/60/90 days of their first — the
+    * repeat-conversion curve retention teams steer by, anchored on
+    * the first-to-second-order gap (q152/q78 count activity windows;
+    * this measures the specific second-transaction latency). Exact
+    * ppm rates via BIGINT div. One customer-keyed exchange: the
+    * per-customer order dates fold into a sorted array (orders per
+    * customer are bounded), the first two dates come off the array,
+    * and the rollup reduces onto the segment domain through the
+    * customer dim join. The DuckDB twin spells the first/second
+    * order with row_number over a per-customer window. */
+  val repeatSurvival: Q = (s, d) => {
+    val firsts = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate").cast(DateType).as("dt"))
+      .groupBy(col("o_custkey"))
+      .agg(array_sort(collect_list(col("dt"))).as("ds"))
+      .select(col("o_custkey"), element_at(col("ds"), 1).as("first_d"),
+        when(size(col("ds")) >= 2, element_at(col("ds"), 2)).as("second_d"))
+    firsts
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        datediff(col("second_d"), col("first_d")).as("gap"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        count(col("gap")).as("n_repeat"),
+        sum(when(col("gap") <= 30, 1L).otherwise(0L)).as("r30"),
+        sum(when(col("gap") <= 60, 1L).otherwise(0L)).as("r60"),
+        sum(when(col("gap") <= 90, 1L).otherwise(0L)).as("r90"))
+      .select(col("c_mktsegment"), col("n_customers"), col("n_repeat"),
+        expr("r30 * 1000000 div n_customers").as("r30_ppm"),
+        expr("r60 * 1000000 div n_customers").as("r60_ppm"),
+        expr("r90 * 1000000 div n_customers").as("r90_ppm"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** q188 — monthly ORDER-OVERLAP pair series: per month, how many
     * pairs of orders were concurrently in flight (fulfilment spans
     * intersecting), each pair anchored at the LATER open — the
@@ -363,9 +401,35 @@ object Cohorts {
     "q181_audience_overlap" -> audienceOverlap,
     "q185_coverage_frontier" -> coverageFrontier,
     "q188_order_overlap_series" -> orderOverlapSeries,
+    "q190_repeat_survival" -> repeatSurvival,
   )
 
   val oracle: Map[String, String] = Map(
+    // first/second order via row_number over a per-customer window —
+    // the independent-engine replay of the array-fold spelling
+    "q190_repeat_survival" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders
+        |), fs AS (
+        |  SELECT a.o_custkey, a.dt AS first_d, b.dt AS second_d
+        |  FROM o a LEFT JOIN o b ON a.o_custkey = b.o_custkey AND b.rn = 2
+        |  WHERE a.rn = 1
+        |), g AS (
+        |  SELECT c_mktsegment, second_d - first_d AS gap
+        |  FROM fs JOIN customer ON o_custkey = c_custkey
+        |)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  count(gap) AS n_repeat,
+        |  CAST(sum(CASE WHEN gap <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS r30_ppm,
+        |  CAST(sum(CASE WHEN gap <= 60 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS r60_ppm,
+        |  CAST(sum(CASE WHEN gap <= 90 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS r90_ppm
+        |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // the quadratic spelling the Spark side's closed form avoids: a
     // literal interval self-join enumerating every overlapping pair
     "q188_order_overlap_series" ->
