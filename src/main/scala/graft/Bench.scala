@@ -166,7 +166,19 @@ object Bench {
     val constTotal = const.map(_._3).sum
     val coldTotal = scaled.map(_._2).sum
     val minTotal = scaled.map(_._4).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._3)},"queries_cold":${jsonMap(_._2)},"queries_min":${jsonMap(_._4)},"cold_total":$coldTotal,"min_total":$minTotal,"const_total":$constTotal,"star_build":$starBuildSec,"prepass_sec":$prepassSec,"prepass_failed":${if (prepassSec < 0) -1 else prepassFailed},"prepass_sf":"$prepassDir","total_all":${total + constTotal},"failed":$failed,"runs_per_query":4,"timed_run":"median_of_3_steady_state","catalog_mode":$catalogMode,"analyze_sec":$analyzeSec,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._3)},"queries_cold":${jsonMap(_._2)},"queries_min":${jsonMap(_._4)},"cold_total":$coldTotal,"min_total":$minTotal,"const_total":$constTotal,"star_build":$starBuildSec,"prepass_sec":$prepassSec,"prepass_failed":${if (prepassSec < 0) -1 else prepassFailed},"prepass_sf":"$prepassDir","total_all":${total + constTotal},"failed":$failed,"runs_per_query":4,"timed_run":"median_of_3_steady_state","catalog_mode":$catalogMode,"analyze_sec":$analyzeSec,"sf":"$sfDir"}"""
+    println(json)
+    // The driver's BENCH_r* artifact truncates the stdout tail, losing
+    // most per-query numbers (VERDICT r9 #2). Also write the complete
+    // record to a committed file so every round's full per-query data
+    // is durable: BENCH_local.json normally, BENCH_catalog.json when
+    // catalog mode re-plans the queries (override: SPARK_GRAFT_BENCH_OUT).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (catalogMode) "BENCH_catalog.json" else "BENCH_local.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -54,22 +54,48 @@ private[ops] object ScratchStores {
     (s"$dir#$maxId#${fp.getLong(1)}#$contentHash", maxId * 4 / 5)
   }
 
+  /** Opt-in content-fingerprint mode for [[fileKey]]: when this
+    * session conf is `true`, the key digests the actual row contents
+    * (one wrapping-sum xxhash64 agg per input) instead of the
+    * (uri, length, mtime) snapshot — one full input scan per store
+    * consult, bought for immunity to mtime-and-length-preserving
+    * rewrites. */
+  private[ops] val contentFingerprintConf =
+    "spark.graft.stores.contentFingerprint"
+
   /** A key for derived artifacts of arbitrary FILE-BACKED inputs (the
     * trade-graph edge store shared by q127/q143): the sorted
     * (uri, length, mtime) snapshot of every input file, digested.
     * Driver-side listing only — no Spark job, unlike [[corpusKey]]'s
     * content agg, because the graph inputs include the fact table and
     * a fingerprint scan would cost a meaningful slice of what the
-    * shared store saves. Consequently the guard is exactly the memo
-    * guard documented above: an in-place rewrite forging identical
-    * (length, mtime) on every file is outside the contract, and a
-    * non-file source never reuses (fresh key per call). */
+    * shared store saves.
+    *
+    * INVALIDATION CONTRACT: **sources are immutable-by-path** — a
+    * rewrite is expected to change a file's uri, length, or mtime.
+    * An in-place rewrite forging identical (length, mtime) on every
+    * file serves a stale store under this default; a deployment whose
+    * writers can do that sets [[contentFingerprintConf]] to buy
+    * content-keyed invalidation at the cost of one input scan per
+    * consult. A non-file source never reuses (fresh key per call). */
   private[ops] def fileKey(tag: String, inputs: Seq[DataFrame]): String = {
-    val snaps = inputs.flatMap(snapshot)
-    if (snaps.isEmpty) s"$tag#nofiles#${java.util.UUID.randomUUID()}"
-    else {
-      val digest = scala.util.hashing.MurmurHash3.seqHash(snaps)
-      s"$tag#${snaps.size}#${snaps.map(_._2).sum}#$digest"
+    val contentMode = inputs.headOption.exists(_.sparkSession.conf
+      .get(contentFingerprintConf, "false").toBoolean)
+    if (contentMode) {
+      val digests = inputs.map { df =>
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(df.columns.map(col): _*))).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      val digest = scala.util.hashing.MurmurHash3.seqHash(digests)
+      s"$tag#content#${digests.size}#$digest"
+    } else {
+      val snaps = inputs.flatMap(snapshot)
+      if (snaps.isEmpty) s"$tag#nofiles#${java.util.UUID.randomUUID()}"
+      else {
+        val digest = scala.util.hashing.MurmurHash3.seqHash(snaps)
+        s"$tag#${snaps.size}#${snaps.map(_._2).sum}#$digest"
+      }
     }
   }
 

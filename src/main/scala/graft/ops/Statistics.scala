@@ -58,8 +58,15 @@ object Statistics {
       val statable = spark.table(statsTable(t)).schema.fields
         .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType])
         .map(f => s"`${f.name}`")
-      spark.sql(s"ANALYZE TABLE ${statsTable(t)} COMPUTE STATISTICS " +
-        s"FOR COLUMNS ${statable.mkString(", ")}")
+      // A table whose every column is NTZ-excluded would render an
+      // empty FOR COLUMNS list — a parse error, not a fallback. Run
+      // the plain table-level pass instead (row count + size still
+      // feed join estimation).
+      if (statable.isEmpty)
+        spark.sql(s"ANALYZE TABLE ${statsTable(t)} COMPUTE STATISTICS")
+      else
+        spark.sql(s"ANALYZE TABLE ${statsTable(t)} COMPUTE STATISTICS " +
+          s"FOR COLUMNS ${statable.mkString(", ")}")
     }
 
   /** Catalog mode for the whole query catalog: ANALYZE every testdata

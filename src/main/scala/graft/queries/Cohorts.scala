@@ -312,6 +312,19 @@ object Cohorts {
 
   private def frontierOf(s: SparkSession, d: String,
                          typeList: Array[String]): DataFrame = {
+    // Exact set cover is intrinsically exponential in the TYPE domain
+    // (2^|types| lattice rows) — data-scale-invariant for a bounded
+    // event-type calendar (5 here), but a 40-type corpus would
+    // silently attempt a 10^12-row lattice. Make the cliff an error,
+    // not an OOM: past 20 types (~10^6 lattice rows, still trivial)
+    // the exact frontier is off the table and the caller should use
+    // a greedy cover (ln(n)-approximate, one max-reach pass per
+    // chosen type over the same mask histogram) instead.
+    require(typeList.length <= 20,
+      s"q185 exact coverage frontier enumerates 2^|types| subsets; " +
+        s"|types|=${typeList.length} > 20 would build a " +
+        s"${1L << math.min(typeList.length, 62)}-row lattice. " +
+        "Use a greedy set-cover pass for large type domains.")
     val spark = s
     import spark.implicits._
     val typeIdx = typeList.zipWithIndex.toSeq.toDF("event_type", "idx")

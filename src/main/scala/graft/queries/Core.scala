@@ -1126,16 +1126,75 @@ object Core {
     * plain GROUP BY with the column-name mapping, so the hash match
     * proves unpivot ∘ pivot is the identity on the long form. Unpivot
     * is a per-row Expand (no shuffle), so the round-trip's only
-    * exchanges are the crosstab's own. */
+    * exchanges are the crosstab's own. Zero cells (a segment missing
+    * a priority entirely — the pivot coalesces them to 0) are dropped
+    * after the unpivot because the plain-GROUP-BY twin never emits
+    * them; on a corpus where every combination occurs (all tested
+    * SFs) the filter is a no-op, and on a sparse corpus both engines
+    * agree on the occupied cells. */
   private val q156: Q = (s, d) => {
     segmentPriorityWide(s, d).unpivot(
       Array(col("c_mktsegment")),
       pivotPriorities.map(p => col(p._2)).toArray,
       "priority_col", "n_orders")
+      .filter(col("n_orders") > 0)
       .orderBy(col("c_mktsegment"), col("priority_col"))
   }
 
+  /** q193 — MULTI-CHANNEL fact union (the TPC-DS `WITH … UNION ALL`
+    * report shape none of the 22 TPC-H forms exercises): two fact
+    * ROLES — orders as the sales channel, returned lineitem rows
+    * (`l_returnflag = 'R'`) as the returns channel — each aggregated
+    * to the month domain in its OWN arm, tagged, unioned, and folded
+    * into a per-month channel crosstab with an exact return-rate
+    * ratio. Plan shape: exactly one exchange per fact arm (each arm
+    * is a map-combined hash agg onto ~84 month groups); the union and
+    * second agg meet only month-domain-bounded frames, so no plan
+    * node ever holds both facts at data size — the property that
+    * makes the shape safe at 100 TB where a sales×returns join would
+    * not be. Exact integer micro per channel (the q189 cast chains);
+    * the ppm ratio widens its numerator to DECIMAL(38,0) (q178
+    * discipline) and is defined only for months with sales — ship
+    * months can outrun order months, and an explicit NULL beats a
+    * division-by-zero whose result differs across engines. */
+  private val q193: Q = (s, d) => {
+    val sales = Tables.orders(s, d)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+        "yyyy-MM-dd").as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast(DecimalType(18, 2)) * 1000000L)
+          .cast(LongType)).as("micro"))
+      .select(lit("sales").as("ch"), col("m"), col("n"), col("micro"))
+    val returns = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(date_format(date_trunc("month", col("l_shipdate")),
+        "yyyy-MM-dd").as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(((col("l_extendedprice").cast(D6) *
+          (lit(1) - col("l_discount").cast(D6))).cast(D6) * lit(1000000L))
+          .cast(LongType)).as("micro"))
+      .select(lit("returns").as("ch"), col("m"), col("n"), col("micro"))
+    sales.unionByName(returns)
+      .groupBy(col("m"))
+      .agg(
+        sum(when(col("ch") === "sales", col("n")).otherwise(0L))
+          .as("sales_orders"),
+        sum(when(col("ch") === "sales", col("micro")).otherwise(0L))
+          .as("sales_micro"),
+        sum(when(col("ch") === "returns", col("n")).otherwise(0L))
+          .as("return_items"),
+        sum(when(col("ch") === "returns", col("micro")).otherwise(0L))
+          .as("return_micro"))
+      .select(col("m"), col("sales_orders"), col("sales_micro"),
+        col("return_items"), col("return_micro"),
+        when(col("sales_micro") > 0,
+          expr("CAST(CAST(return_micro AS DECIMAL(38,0)) * 1000000" +
+            " div sales_micro AS BIGINT)")).as("return_ppm"))
+      .orderBy(col("m"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q193_multichannel_returns" -> q193,
     "q169_priority_shipmix" -> q169,
     "q156_pivot_roundtrip" -> q156,
     "q148_local_supplier_volume" -> q148,
@@ -1182,6 +1241,40 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
+    "q193_multichannel_returns" ->
+      """WITH sales AS (
+        |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS m,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      * 1000000 AS BIGINT)) AS BIGINT) AS micro
+        |  FROM orders GROUP BY 1
+        |), ret AS (
+        |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS m,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT)) AS BIGINT) AS micro
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+        |), u AS (
+        |  SELECT 'sales' AS ch, * FROM sales
+        |  UNION ALL
+        |  SELECT 'returns' AS ch, * FROM ret
+        |)
+        |SELECT m,
+        |  CAST(sum(CASE WHEN ch = 'sales' THEN n ELSE 0 END) AS BIGINT)
+        |    AS sales_orders,
+        |  CAST(sum(CASE WHEN ch = 'sales' THEN micro ELSE 0 END) AS BIGINT)
+        |    AS sales_micro,
+        |  CAST(sum(CASE WHEN ch = 'returns' THEN n ELSE 0 END) AS BIGINT)
+        |    AS return_items,
+        |  CAST(sum(CASE WHEN ch = 'returns' THEN micro ELSE 0 END) AS BIGINT)
+        |    AS return_micro,
+        |  CASE WHEN sum(CASE WHEN ch = 'sales' THEN micro ELSE 0 END) > 0
+        |    THEN CAST(CAST(sum(CASE WHEN ch = 'returns' THEN micro ELSE 0 END)
+        |      AS HUGEINT) * 1000000
+        |      // sum(CASE WHEN ch = 'sales' THEN micro ELSE 0 END) AS BIGINT)
+        |    ELSE NULL END AS return_ppm
+        |FROM u GROUP BY m ORDER BY m""".stripMargin,
     "q156_pivot_roundtrip" ->
       """SELECT c_mktsegment,
         |  CASE o_orderpriority

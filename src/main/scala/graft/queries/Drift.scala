@@ -236,6 +236,20 @@ object Drift {
     val tDays = daily.count()
     val nPairs = tDays * (tDays - 1) / 2
     val kRank = (50 * nPairs + 99) / 100
+    // Degenerate corpus (0 or 1 days): no slope pairs exist. The
+    // DuckDB twin's `ts` CTE is empty there (rank 0 matches nothing)
+    // and its CROSS JOIN collapses to zero rows; emit the same empty
+    // frame instead of one null-slope row so both engines agree.
+    if (nPairs == 0) {
+      s.range(0).select(col("id").as("n_days"), col("id").as("n_pairs"),
+        col("id").cast(DoubleType).as("ts_slope"),
+        col("id").cast(DoubleType).as("ols_slope"))
+    } else q164NonDegenerate(s, daily, tDays, nPairs, kRank)
+  }
+
+  private def q164NonDegenerate(s: SparkSession, daily: DataFrame,
+                                tDays: Long, nPairs: Long,
+                                kRank: Long): DataFrame = {
     val a = daily.select(col("day").as("day_a"), col("cents").as("cents_a"))
     val b = daily.select(col("day").as("day_b"), col("cents").as("cents_b"))
     val slopes = a.join(broadcast(b), col("day_a") < col("day_b"))
@@ -276,9 +290,13 @@ object Drift {
     * month into the twelve seasonal indices. Everything is exact
     * integer arithmetic (o_totalprice is 2-decimal so cents are
     * integral; ratios and the index are BIGINT `div`s), so both
-    * engines land the same digits — no float-division drift. Cents ×
-    * 10⁶ holds to ~9·10¹⁸: monthly revenue past ~90 T cents would
-    * rescale to whole dollars, noted not needed through SF1000.
+    * engines land the same digits — no float-division drift. The
+    * ratio numerator is widened to DECIMAL(38,0) before the × 10⁶
+    * (the q153/q166 discipline): plain BIGINT would wrap silently
+    * (ANSI off) once monthly revenue passes ~9.2·10¹² cents
+    * (Long.MaxValue / 10⁶ — roughly SF30), while the widened product
+    * holds to 10³² cents. The remaining Long bound is the monthly
+    * cent sum itself (~9.2·10¹⁸ cents/month — beyond any real SF).
     *
     * Scale shape: NO window functions at all on the Spark side — the
     * centered moving sum is the q124 CONTRIBUTION EXPLODE over the
@@ -303,7 +321,8 @@ object Drift {
       .filter(col("n") === 13)
     wins.join(monthly, wins("c") === monthly("m"))
       .select(month(col("m")).as("cal_month"),
-        expr("(cents * 1000000L) div (wsum div 13L)").as("ratio_micro"))
+        expr("CAST(CAST(cents AS DECIMAL(38,0)) * 1000000" +
+          " div (wsum div 13L) AS BIGINT)").as("ratio_micro"))
       .groupBy(col("cal_month"))
       .agg(count(lit(1)).as("n_windows"),
         expr("sum(ratio_micro) div count(1)").as("seasonal_micro"))

@@ -907,10 +907,18 @@ object Stats {
         expr("tie_q2 div 2").as("ties_q"), expr("tie_d2 div 2").as("ties_d"),
         // n0 = C(n,2); tau_b = (C - D) / sqrt((n0-n1)(n0-n2)) — the
         // fixed double operand tree (conversions and sqrt are
-        // correctly rounded, so this is bit-identical cross-engine)
+        // correctly rounded, so this is bit-identical cross-engine).
+        // n*(n-1) and the tie products widen to DECIMAL(38,0) first:
+        // plain BIGINT would wrap silently (ANSI off) once lineitem
+        // passes ~3e9 rows (~SF500); the widened intermediates hold
+        // to 10^19 rows, and the `div 2` results land back in BIGINT
+        // well inside range (n0 ≤ Long.Max for n ≤ 4.3e9 — by which
+        // point the double conversion dominates anyway)
         (((col("conc") - col("disc")).cast(DoubleType)) /
-          sqrt((expr("(n * (n - 1) div 2 - tie_q2 div 2)").cast(DoubleType)) *
-            (expr("(n * (n - 1) div 2 - tie_d2 div 2)").cast(DoubleType))))
+          sqrt((expr("CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2" +
+            " - CAST(tie_q2 AS DECIMAL(38,0)) div 2 AS DOUBLE)")) *
+            (expr("CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2" +
+              " - CAST(tie_d2 AS DECIMAL(38,0)) div 2 AS DOUBLE)"))))
           .as("tau_b"))
   }
 

