@@ -1193,7 +1193,48 @@ object Core {
       .orderBy(col("m"))
   }
 
+  /** q194 — BILATERAL trade volume (the TPC-H Q7 shape): revenue
+    * shipped between two named nations, split by shipping direction
+    * and ship year — the two-sided-dimension-filter form where the
+    * SAME dim (nation) constrains both fact roles and a cross-side
+    * predicate keeps only the off-diagonal pairs. Plan shape, built
+    * for the 100 TB version: each fact arm is REDUCED BEFORE the
+    * fact-fact shuffle — lineitem keeps only the two nations'
+    * suppliers via one broadcast of the (2-nation × suppliers) slice,
+    * orders keeps only their customers via a shuffled join with the
+    * customer slice (customers are data-sized, not broadcastable at
+    * scale) — so the orderkey exchange moves the ~8% bilateral slice,
+    * not the raw facts. The off-diagonal predicate collapses to
+    * `supp_nation <> cust_nation` because both sides are already
+    * two-valued. Exact integer micro revenue (q189 chain). */
+  private val q194: Q = (s, d) => {
+    val nations = Tables.nation(s, d)
+      .filter(col("n_name").isin("NATION_18", "NATION_19"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(s, d)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(IntegerType).as("l_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(((col("l_extendedprice").cast(D6) *
+          (lit(1) - col("l_discount").cast(D6))).cast(D6) * lit(1000000L))
+          .cast(LongType)).as("rev_micro"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q194_bilateral_trade" -> q194,
     "q193_multichannel_returns" -> q193,
     "q169_priority_shipmix" -> q169,
     "q156_pivot_roundtrip" -> q156,
@@ -1241,6 +1282,23 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
+    "q194_bilateral_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |    * 1000000 AS BIGINT)) AS BIGINT) AS rev_micro
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n2.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q193_multichannel_returns" ->
       """WITH sales AS (
         |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS m,

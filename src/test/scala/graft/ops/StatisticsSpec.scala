@@ -18,6 +18,23 @@ class StatisticsSpec extends SparkTestBase {
     }
   }
 
+  test("an all-NTZ table falls back to table-level stats, not a parse error") {
+    // ADVICE r9: with every column TIMESTAMP_NTZ-excluded the FOR
+    // COLUMNS list rendered empty and ANALYZE died parsing — the
+    // fallback is the plain table-level pass
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("ntz-only")
+    graft.Tables.orders(spark, sf)
+      .select(col("o_orderdate").as("only_ntz")).limit(10)
+      .write.mode("overwrite").parquet(s"$dir/ntzonly.parquet")
+    assert(spark.read.parquet(s"$dir/ntzonly.parquet").schema.fields.forall(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType]))
+    Statistics.analyzeTables(spark, dir, Seq("ntzonly"))
+    withCbo(true) {
+      assert(Statistics.estimatedRows(spark, "ntzonly").contains(BigInt(10)))
+    }
+  }
+
   test("ANALYZE populates row and column statistics the optimizer can see") {
     Statistics.analyzeTables(spark, sf, tables)
     withCbo(true) {

@@ -94,6 +94,22 @@ class DriftSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("q164 on a one-day corpus returns an empty frame, like its twin") {
+    // ADVICE r9: zero slope pairs — the twin's rank-0 CTE is empty and
+    // its cross join collapses; the Spark side must agree, not emit a
+    // single null-slope row
+    val dir = tmpDir("q164-degenerate")
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val firstDay = orders.agg(min(col("o_orderdate").cast("date"))).head.get(0)
+    orders.filter(col("o_orderdate").cast("date") === lit(firstDay))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    assert(spark.read.parquet(s"$dir/orders.parquet").count() > 0)
+    val out = graft.queries.Drift.queries("q164_theil_sen_trend")(spark, dir)
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq ==
+      Seq("n_days", "n_pairs", "ts_slope", "ols_slope"))
+  }
+
   test("q164 Theil-Sen slope is the nearest-rank median of all pairwise slopes") {
     val daily = graft.Tables.orders(spark, sf)
       .groupBy(col("o_orderdate").cast("date").as("day"))
