@@ -324,16 +324,10 @@ object Cohorts {
       s"q185 exact coverage frontier enumerates 2^|types| subsets; " +
         s"|types|=${typeList.length} > 20 would build a " +
         s"${1L << math.min(typeList.length, 62)}-row lattice. " +
-        "Use a greedy set-cover pass for large type domains.")
+        "Use the greedy set-cover pass (q195 greedyCover) for large " +
+        "type domains.")
     val spark = s
-    import spark.implicits._
-    val typeIdx = typeList.zipWithIndex.toSeq.toDF("event_type", "idx")
-    val hist = Tables.events(s, d)
-      .select(col("user_id"), col("event_type")).distinct()
-      .join(broadcast(typeIdx), Seq("event_type"))
-      .groupBy(col("user_id"))
-      .agg(expr("bit_or(shiftleft(1L, idx))").as("mask"))
-      .groupBy(col("mask")).agg(count(lit(1)).as("n"))
+    val hist = maskHistogram(s, d, typeList)
     val nameCol = concat_ws(",", array_compact(array(
       typeList.zipWithIndex.map { case (t, i) =>
         when(col("m").bitwiseAND(lit(1L << i)) =!= 0, lit(t))
@@ -351,6 +345,79 @@ object Cohorts {
       .select(col("subset_size"), (-col("pick.nc")).as("best_covered"),
         col("pick.st").as("subset_types"))
       .orderBy(col("subset_size"))
+  }
+
+  /** The per-user type-bitmask histogram shared by q185 and q195: one
+    * distinct + bit_or pass collapses the user dimension, leaving a
+    * (mask, n_users) frame bounded by min(2^|types|, |users|). Bit
+    * positions are minted alphabetically so both the exact frontier
+    * and the greedy cover (and their DuckDB twins) agree on subset
+    * identity. Long masks cap the machinery at 63 types; past that the
+    * same recurrences run on (user, type) pairs directly. */
+  private def maskHistogram(s: SparkSession, d: String,
+                            typeList: Array[String]): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val typeIdx = typeList.zipWithIndex.toSeq.toDF("event_type", "idx")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+      .join(broadcast(typeIdx), Seq("event_type"))
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(shiftleft(1L, idx))").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("n"))
+  }
+
+  /** How many greedy picks q195 reports (and how many chained CTE
+    * steps its twin unrolls — the q186 static-generation pairing). */
+  val greedyCoverSteps = 5
+
+  /** q195 — GREEDY set cover: the scalable escape hatch the q185
+    * guard names. The exact frontier is 2^|types| by construction;
+    * the greedy recurrence — repeatedly add the type with the largest
+    * marginal reach — is |steps| passes over the SAME mask histogram
+    * and carries the classic (1 − 1/e) ≈ 0.632 approximation
+    * guarantee per prefix size, which CohortsSpec asserts against the
+    * exact frontier alongside an independent driver replay.
+    *
+    * Scale shape: the histogram is built once (the only data-sized
+    * work) and cached; each round is ONE map-combined conditional agg
+    * over it (|candidates| sums in a single row — no shuffle, no
+    * cross join), and only that one row is collected per round — the
+    * q83/q154 domain-bounded-collect discipline. Works untouched at
+    * 40+ types where q185 must refuse. The DuckDB twin runs the same
+    * greedy as [[greedyCoverSteps]] chained single-row CTEs with the
+    * identical (cov DESC, name ASC) tie-break. */
+  val greedyCover: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val typeList = Tables.events(s, d).select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (typeList.isEmpty) {
+      spark.range(0).select(col("id").cast("int").as("step"),
+        lit("").as("chosen_type"), col("id").as("covered"))
+    } else {
+      val hist = graft.ops.Dedup.materializedSketch(
+        maskHistogram(s, d, typeList))
+      val steps = math.min(greedyCoverSteps, typeList.length)
+      var chosen = 0L
+      val out = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+      for (k <- 1 to steps) {
+        val cands = typeList.zipWithIndex
+          .filter { case (_, i) => (chosen & (1L << i)) == 0 }
+        val aggs = cands.map { case (_, i) =>
+          sum(when(col("mask").bitwiseAND(lit(chosen | (1L << i))) =!= 0,
+            col("n")).otherwise(0L)).as(s"c$i")
+        }
+        val row = hist.agg(aggs.head, aggs.tail.toSeq: _*).head()
+        val covs = cands.zipWithIndex.map { case ((t, i), j) =>
+          (t, i, if (row.isNullAt(j)) 0L else row.getLong(j))
+        }
+        val best = covs.minBy { case (t, _, cov) => (-cov, t) }
+        chosen |= (1L << best._2)
+        out += ((k, best._1, best._3))
+      }
+      out.toSeq.toDF("step", "chosen_type", "covered")
+    }
   }
 
   /** q155 — cumulative user reach: per day, how many users appear for
@@ -415,9 +482,57 @@ object Cohorts {
     "q185_coverage_frontier" -> coverageFrontier,
     "q188_order_overlap_series" -> orderOverlapSeries,
     "q190_repeat_survival" -> repeatSurvival,
+    "q195_greedy_cover" -> greedyCover,
   )
 
+  /** One greedy step of the q195 twin, generated from the same
+    * recurrence as the Spark fold (the q186 chained-CTE pairing):
+    * `cum` carries the cumulative chosen bitmask, each step picks the
+    * not-yet-chosen type with the largest covered-user sum under the
+    * (cov DESC, name ASC) tie-break, as a single-row CTE the next
+    * step reads back as scalars. */
+  private def greedyStepSql(k: Int): String = {
+    val prev = if (k == 1) "CAST(0 AS BIGINT)" else s"(SELECT cum FROM s${k - 1})"
+    s"""s$k AS (
+       |  SELECT name, cum, cov FROM (
+       |    SELECT ty.name, $prev | ty.bit AS cum,
+       |      (SELECT coalesce(CAST(sum(n) AS BIGINT), 0) FROM hist
+       |        WHERE (mask & ($prev | ty.bit)) <> 0) AS cov
+       |    FROM ty WHERE (ty.bit & $prev) = 0)
+       |  ORDER BY cov DESC, name LIMIT 1
+       |)""".stripMargin
+  }
+
+  private def greedyCoverSql: String = {
+    val steps = (1 to greedyCoverSteps).map(greedyStepSql).mkString(",\n")
+    val selects = (1 to greedyCoverSteps).map { k =>
+      s"SELECT CAST($k AS INTEGER) AS step, name AS chosen_type," +
+        s" CAST(cov AS BIGINT) AS covered FROM s$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ty AS (
+       |  SELECT event_type AS name,
+       |    CAST(1 AS BIGINT) << CAST(row_number()
+       |      OVER (ORDER BY event_type) - 1 AS INTEGER) AS bit
+       |  FROM (SELECT DISTINCT event_type FROM events)
+       |), um AS (
+       |  SELECT user_id, CAST(bit_or(bit) AS BIGINT) AS mask
+       |  FROM (SELECT DISTINCT user_id, event_type FROM events) e
+       |  JOIN ty ON e.event_type = ty.name
+       |  GROUP BY user_id
+       |), hist AS (
+       |  SELECT mask, count(*) AS n FROM um GROUP BY mask
+       |),
+       |$steps
+       |$selects
+       |ORDER BY step""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // the same greedy recurrence as five chained single-row CTEs,
+    // generated from greedyCoverSteps (the q186 pairing). NB the twin
+    // is generated for the testdata's 5-type event calendar; the
+    // Spark side itself runs min(steps, |types|) on any corpus.
+    "q195_greedy_cover" -> greedyCoverSql,
     // first/second order via row_number over a per-customer window —
     // the independent-engine replay of the array-fold spelling
     "q190_repeat_survival" ->

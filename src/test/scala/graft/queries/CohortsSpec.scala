@@ -34,6 +34,39 @@ class CohortsSpec extends SparkTestBase {
       .count() > 0)
   }
 
+  test("q195 greedy cover equals a driver replay and meets the (1-1/e) bound") {
+    val pairs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byType = pairs.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // independent greedy replay on raw sets, same (cov DESC, name ASC)
+    // tie-break
+    var covered = Set.empty[Long]
+    var chosen = Set.empty[String]
+    val want = (1 to graft.queries.Cohorts.greedyCoverSteps).map { k =>
+      val best = byType.keys.filterNot(chosen)
+        .map(t => (t, (covered ++ byType(t)).size))
+        .minBy { case (t, c) => (-c, t) }
+      chosen += best._1
+      covered ++= byType(best._1)
+      (k, best._1, best._2.toLong)
+    }
+    val got = graft.queries.Cohorts.queries("q195_greedy_cover")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want, s"greedy replay diverged: got $got want $want")
+    // the classic max-coverage guarantee, per prefix size, against the
+    // exact q185 frontier
+    val frontier = graft.queries.Cohorts.queries("q185_coverage_frontier")(
+      spark, sf).collect()
+      .map(r => r.getAs[Int]("subset_size") -> r.getAs[Long]("best_covered"))
+      .toMap
+    got.foreach { case (k, _, cov) =>
+      val opt = frontier(k)
+      assert(cov.toDouble >= (1.0 - 1.0 / math.E) * opt,
+        s"greedy step $k covered $cov < (1-1/e) x optimal $opt")
+    }
+  }
+
   test("q172 busy periods equal a driver-side day-set union") {
     val spans = graft.Tables.orders(spark, sf)
       .join(graft.Tables.lineitem(spark, sf),
