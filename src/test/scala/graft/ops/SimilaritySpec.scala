@@ -59,6 +59,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(cells.length > 1 && cells.length <= Similarity.nCells)
   }
 
+  test("PQ ANN: packed 8-byte codes, valid shape, usable recall after re-rank") {
+    val rows = Similarity.pqTopK(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      assert(rs.length <= Similarity.k)
+      val cosines = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+    val exact = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"))).toSet
+    val approx = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // the ADC shortlist is pqRerankC/corpus = 10% of rows here, but
+    // ADC ranks by (quantized) cosine rather than a random fraction,
+    // so recall should far exceed the shortlist fraction; chance at
+    // k=10/500 would be 0.02
+    assert(recall >= 0.6, s"PQ recall $recall too low — ADC ranking broken")
+
+    // the code column really is ONE packed bigint per vector: every
+    // byte decodes to a valid centroid id
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dim = emb.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("embedding"))).head.getInt(0)
+    val books = Similarity.pqCodebooks(emb, "embedding")
+    val codes = emb.select(Similarity.pqEncode(
+      org.apache.spark.sql.functions.col("embedding"), books, dim).as("code"))
+      .collect().map(_.getLong(0))
+    assert(codes.nonEmpty)
+    codes.foreach { c =>
+      (0 until Similarity.pqBlocks).foreach { b =>
+        val cid = (c >> (8 * b)) & 255L
+        assert(cid >= 0 && cid < books(b).length,
+          s"block $b decoded centroid $cid out of range")
+      }
+    }
+  }
+
   test("semantic dedup: planted clone clusters are found cell-locally") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
