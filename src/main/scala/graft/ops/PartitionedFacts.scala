@@ -114,9 +114,71 @@ object PartitionedFacts {
       .agg(count(lit(1)).as("n_orders"), cents)
       .orderBy(col("o_orderpriority"))
 
+  /** The FULL production layout, layered: lineitem partitioned by ship
+    * MONTH (coarse pruning via directory listing) and Z-ORDERED within
+    * each partition on the (ship-day, partkey) plane (fine pruning via
+    * per-file min/max statistics — [[Layout]]'s curve). The write
+    * range-partitions on (month, z) so each month directory holds
+    * several files each covering a contiguous curve segment — i.e. a
+    * tight 2-D bounding box — and file count scales with the month
+    * domain (4 files/month here; a production job sizes by bytes).
+    * Zero-row corpora fall back to a plain schema-bearing write like
+    * [[partitionedOrders]]. */
+  private[graft] val zFilesPerMonth = 4
+
+  private[graft] def partitionedLineitem(s: SparkSession, d: String): DataFrame = {
+    val key = ScratchStores.fileKey("lineitem-month-z", Seq(Tables.lineitem(s, d)))
+    val path = ScratchStores.pathFor(key, "graft-li-monthz") { p =>
+      val days = datediff(col("l_shipdate").cast(DateType),
+        lit(java.sql.Date.valueOf("1992-01-01")))
+      val withCols = Tables.lineitem(s, d)
+        .withColumn("l_month", date_trunc("month", col("l_shipdate")).cast(DateType))
+        .withColumn("__day", days.cast("long"))
+      if (withCols.isEmpty)
+        withCols.drop("__day").write.mode("overwrite").parquet(p)
+      else {
+        val nMonths = withCols.select(col("l_month")).distinct().count().toInt
+        Layout.withZ(withCols, "__day", "l_partkey")
+          .repartitionByRange(math.max(1, nMonths * zFilesPerMonth),
+            col("l_month"), col("__z"))
+          .sortWithinPartitions(col("l_month"), col("__z"))
+          .drop("__day", "__z")
+          .write.mode("overwrite").partitionBy("l_month").parquet(p)
+      }
+    }
+    s.read.parquet(path)
+  }
+
+  /** q196 — the LAYERED prune: a quarter-long month band (resolved
+    * against the partition listing, like q192) plus an orthogonal
+    * partkey band (resolved against per-file z-segment min/max stats,
+    * like q94's audit — the spec proves the band touches a fraction of
+    * each surviving month's files). Per-month item count, exact
+    * quantity sum and revenue micro over the doubly-pruned scan; the
+    * DuckDB twin runs the same predicate over the flat table, proving
+    * the layout changed the I/O, not the answer. */
+  val layeredPrune: Q = (s, d) => {
+    val li = partitionedLineitem(s, d)
+    li.filter(col("l_month") >= lit(java.sql.Date.valueOf("1995-06-01")) &&
+        col("l_month") <= lit(java.sql.Date.valueOf("1995-08-01")) &&
+        col("l_partkey").between(100, 500))
+      .groupBy(col("l_month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 0))).cast(LongType)
+          .as("sum_qty"),
+        sum(((col("l_extendedprice").cast(DecimalType(18, 6)) *
+          (lit(1) - col("l_discount").cast(DecimalType(18, 6))))
+          .cast(DecimalType(18, 6)) * lit(1000000L)).cast(LongType))
+          .as("rev_micro"))
+      .select(date_format(col("l_month"), "yyyy-MM-dd").as("l_month"),
+        col("n_items"), col("sum_qty"), col("rev_micro"))
+      .orderBy(col("l_month"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q191_dpp_quarter_revenue" -> dppQuarterRevenue,
     "q192_partition_prune_backlog" -> staticPruneBacklog,
+    "q196_layered_prune" -> layeredPrune,
   )
 
   private val sqlCents =
@@ -135,5 +197,17 @@ object PartitionedFacts {
          |FROM orders
          |WHERE CAST(date_trunc('month', o_orderdate) AS DATE) >= DATE '1997-10-01'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q196_layered_prune" ->
+      """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS l_month,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |    * 1000000 AS BIGINT)) AS BIGINT) AS rev_micro
+        |FROM lineitem
+        |WHERE CAST(date_trunc('month', l_shipdate) AS DATE)
+        |    BETWEEN DATE '1995-06-01' AND DATE '1995-08-01'
+        |  AND l_partkey BETWEEN 100 AND 500
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

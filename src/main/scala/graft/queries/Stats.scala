@@ -922,6 +922,43 @@ object Stats {
           .as("tau_b"))
   }
 
+  /** q197 — exact MANN-WHITNEY U: does the quantity distribution of
+    * RETURNED lineitems differ from kept ones? The rank-sum test is
+    * O(n log n) as taught, but — the q187 discipline — the whole pair
+    * space collapses onto the ~50-cell quantity value histogram split
+    * by group: U's win count is one cell-pair join over the histogram
+    * (wins where the returned cell's value is larger), and ties
+    * contribute half a win each, kept exact by working in DOUBLED
+    * units (u2 = 2·wins + ties — no 0.5 anywhere). All sums widen to
+    * DECIMAL(38,0) before the products (cell counts are ~n/50, the
+    * cross products ~n²/2500 — BIGINT would wrap past ~SF10⁴; the
+    * final u2 lands back in BIGINT, valid to n ≈ 3e9 like q187). The
+    * normalized statistic u2 / (2·n_r·n_o) is emitted in exact micro
+    * by integer division — the common-language effect size (P(ret >
+    * kept) + ½P(tie)), deterministic on both engines. */
+  private val q197: Q = (s, d) => {
+    val hist = Tables.lineitem(s, d)
+      .select(col("l_quantity").cast(IntegerType).as("q"),
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("grp"))
+      .groupBy(col("q"))
+      .agg(sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nr"),
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("no"))
+    val a = hist.select(col("q").as("qa"), col("nr").as("nr_a"))
+    val b = hist.select(col("q").as("qb"), col("no").as("no_b"))
+    val wins = a.join(b, col("qa") > col("qb"))
+      .agg(coalesce(sum(col("nr_a").cast(DecimalType(38, 0)) * col("no_b")), lit(0).cast(DecimalType(38, 0)))
+        .as("w"))
+    val ties = hist
+      .agg(coalesce(sum(col("nr").cast(DecimalType(38, 0)) * col("no")), lit(0).cast(DecimalType(38, 0)))
+        .as("t"),
+        sum(col("nr")).as("n_r"), sum(col("no")).as("n_o"))
+    wins.crossJoin(broadcast(ties))
+      .select(col("n_r"), col("n_o"),
+        (col("w") * 2 + col("t")).cast(LongType).as("u2"),
+        expr("CAST(CAST((w * 2 + t) AS DECIMAL(38,0)) * 1000000" +
+          " div (2 * n_r * n_o) AS BIGINT)").as("mw_micro"))
+  }
+
   /** q189 — supplier-concentration HHI per nation: each nation's
     * Herfindahl–Hirschman index over its suppliers' revenue shares —
     * the antitrust-style concentration read next to q113's Pareto cut
@@ -967,6 +1004,7 @@ object Stats {
 
   val queries: Map[String, Q] = Map(
     "q189_nation_hhi" -> q189,
+    "q197_mann_whitney" -> q197,
     "q187_kendall_tau" -> q187,
     "q182_rank_movers" -> q182,
     "q166_fulfilment_latency" -> q166,
@@ -989,6 +1027,27 @@ object Stats {
   val oracle: Map[String, String] = Map(
     // identical integer share algebra — HHI is pure arithmetic, so
     // the twin's value is the independent-engine replay
+    // the same doubled-units histogram collapse; HUGEINT where Spark
+    // widens to DECIMAL(38,0)
+    "q197_mann_whitney" ->
+      """WITH hist AS (
+        |  SELECT CAST(l_quantity AS INTEGER) AS q,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nr,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS no
+        |  FROM lineitem GROUP BY 1
+        |), w AS (
+        |  SELECT coalesce(sum(CAST(a.nr AS HUGEINT) * b.no), 0) AS w
+        |  FROM hist a JOIN hist b ON a.q > b.q
+        |), t AS (
+        |  SELECT coalesce(sum(CAST(nr AS HUGEINT) * no), 0) AS t,
+        |    CAST(sum(nr) AS BIGINT) AS n_r, CAST(sum(no) AS BIGINT) AS n_o
+        |  FROM hist
+        |)
+        |SELECT n_r, n_o, CAST(w * 2 + t AS BIGINT) AS u2,
+        |  CAST((w * 2 + t) * 1000000 // (2 * n_r * n_o) AS BIGINT) AS mw_micro
+        |FROM w, t""".stripMargin,
     "q189_nation_hhi" ->
       """WITH srev AS (
         |  SELECT s_nationkey, l_suppkey,

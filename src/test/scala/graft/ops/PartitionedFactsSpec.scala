@@ -95,6 +95,30 @@ class PartitionedFactsSpec extends SparkTestBase {
     }
   }
 
+  test("q196 layered layout: months prune by directory, partkey band by z-files") {
+    val store = PartitionedFacts.partitionedLineitem(spark, sf)
+    val monthDirs = store.inputFiles.flatMap(
+      _.split("/").find(_.startsWith("l_month="))).distinct
+    val filesPerMonth = store.inputFiles.length.toDouble / monthDirs.length
+    assert(filesPerMonth > 1.5,
+      s"z range-partitioning must split each month into several files " +
+        s"(got $filesPerMonth)")
+    // coarse prune: the quarter band touches 3 month directories
+    val band = store.filter(
+      col("l_month").between("1995-06-01", "1995-08-01"))
+    val bandFiles = band.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(bandFiles.flatMap(_.split("/").find(_.startsWith("l_month=")))
+      .distinct.length == 3)
+    // fine prune: within the surviving months, the partkey band's rows
+    // live in a strict subset of the z-segmented files
+    val touched = band.filter(col("l_partkey").between(100, 500))
+      .select(input_file_name()).distinct().count()
+    assert(touched > 0 && touched < bandFiles.length,
+      s"z locality missing: band touches $touched of ${bandFiles.length} " +
+        "files in the surviving months")
+  }
+
   test("empty corpus: store builds schema-bearing, queries return empty") {
     val dir = tmpDir("graft-pf-empty")
     Seq("orders").foreach { t =>

@@ -46,6 +46,28 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("tau_b") - want) < 1e-12)
   }
 
+  test("q197 Mann-Whitney u2 equals a driver-side brute-force rank scan") {
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("int"),
+        (col("l_returnflag") === "R").cast("int"))
+      .collect().map(r => (r.getInt(0), r.getInt(1) == 1))
+    val ret = rows.filter(_._2).map(_._1)
+    val kept = rows.filterNot(_._2).map(_._1)
+    var u2 = BigInt(0)
+    ret.foreach { a =>
+      kept.foreach { b =>
+        if (a > b) u2 += 2 else if (a == b) u2 += 1
+      }
+    }
+    val r = q("q197_mann_whitney").collect().head
+    assert(r.getAs[Long]("n_r") == ret.length.toLong)
+    assert(r.getAs[Long]("n_o") == kept.length.toLong)
+    assert(BigInt(r.getAs[Long]("u2")) == u2,
+      s"u2 ${r.getAs[Long]("u2")} vs brute $u2")
+    val wantMicro = (u2 * 1000000) / (BigInt(2) * ret.length * kept.length)
+    assert(BigInt(r.getAs[Long]("mw_micro")) == wantMicro)
+  }
+
   test("keyedRank equals the per-key window spelling it replaces") {
     // real frame with keys straddling shard boundaries: per-quarter
     // supplier revenue at sf0.001, ranked both ways
