@@ -542,6 +542,59 @@ object Similarity {
     scoreTopK(emb, pqCandidateIds(emb))
   }
 
+  /** Incremental PQ indexing (q31e): the q61/q67c/q38e stored-round
+    * operating mode for the compressed vector index. Production PQ
+    * FREEZES its codebooks when the index is built — retraining
+    * invalidates every stored code, so arriving vectors must encode
+    * with the stored books, and codebook drift is a re-index event,
+    * not an append. The store holds the frozen books (m·K·dsub
+    * doubles, written once) plus the packed codes in ingest-round
+    * partitions ([[PqIndexStore]], idempotent commits, compactable);
+    * an ingest round encodes ONLY its delta — one O(delta) scan, 8
+    * output bytes per vector, the standing corpus is never re-read.
+    * Output is the audit a curator reads per round: per block, how
+    * many of the K codes the standing index actually uses and the
+    * hottest code's share (a block collapsing onto few codes means the
+    * frozen books no longer fit the data — the re-index signal), plus
+    * the delta/corpus accounting. Rows-only (seeded-KMeans books);
+    * PqIndexSpec pins the freeze, the delta-only encode, and
+    * idempotence. */
+  val pqIncremental: Q = (s, d) => {
+    val spark = s
+    val docs = Tables.documents(s, d)
+    val (key, wm) = ScratchStores.corpusKey(docs, d)
+    val emb = Tables.embeddings(s, d)
+    val dim = embDim(emb, "embedding")
+    val path = ScratchStores.pathFor(key, "graft-pq-index") { p =>
+      val base = emb.filter(col("vec_id") <= wm)
+      val books = pqCodebooks(base, "embedding")
+      val store = new PqIndexStore(s, p)
+      store.writeBooks(books)
+      store.appendRound(base.select(col("vec_id"),
+        pqEncode(col("embedding"), books, dim).as("code")), round = 0L)
+    }
+    val store = new PqIndexStore(s, path)
+    val books = store.readBooks()
+    // the delta encodes with the FROZEN books — never retrained
+    store.appendRound(emb.filter(col("vec_id") > wm)
+      .select(col("vec_id"),
+        pqEncode(col("embedding"), books, dim).as("code")), round = 1L)
+    val codes = Dedup.materializedSketch(store.index)
+    val perBlock = (0 until pqBlocks).map { b =>
+      codes.select(lit(b).as("block"),
+        shiftright(col("code"), 8 * b).bitwiseAND(lit(255L)).as("cid"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("block"), col("cid")).agg(count(lit(1)).as("n"))
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n_codes_used"),
+        expr("max(n) * 1000000L div sum(n)").as("max_code_share_ppm"))
+    perBlock
+      .crossJoin(broadcast(emb.filter(col("vec_id") > wm)
+        .agg(count(lit(1)).as("n_delta_vecs"))))
+      .crossJoin(broadcast(codes.agg(count(lit(1)).as("n_corpus_vecs"))))
+      .orderBy(col("block"))
+  }
+
   /** All-pairs candidates from the multi-table index (used by the
     * embedding near-dup tier in [[Dedup]]): bucket-local self-join,
     * deduped across tables.
@@ -783,6 +836,7 @@ object Similarity {
     "q31b_ann_recall" -> annRecall, // rows-only: measured ANN quality
     "q31c_ann_ivf_topk" -> ivfTopK, // rows-only: IVF scale path
     "q31d_ann_pq_topk" -> pqTopK, // rows-only: PQ compressed-index path
+    "q31e_pq_incremental" -> pqIncremental, // rows-only: frozen-codebook delta-encode store
     "q71_semantic_dedup" -> semanticDedup, // rows-only: k-means-seeded
     "q71b_semantic_keepers" -> semanticKeepers, // rows-only: closed decisions
   )
@@ -832,4 +886,54 @@ object Similarity {
          |SELECT qid, vid, cosine, CAST(rn AS INTEGER) AS rank
          |FROM ranked WHERE rn <= $k""".stripMargin,
   )
+}
+
+/** The STORED half of incremental PQ indexing (q31e): frozen per-block
+  * codebooks written ONCE beside the store (`<path>_books`, a few KB of
+  * (block, cid, pos, v) rows), and the packed 8-byte codes committed in
+  * ingest-round partitions with the same dynamic-partition-overwrite
+  * idempotence and compaction as the other round stores. Code rows are
+  * vec-disjoint across rounds, so compaction folding is the identity.
+  * The freeze is the store's core contract: [[readBooks]] is the ONLY
+  * book source after creation — an encoder that retrained would
+  * silently invalidate every stored code (PqIndexSpec pins byte-stable
+  * books across rounds). */
+class PqIndexStore(spark: SparkSession, val path: String)
+    extends CompactableRoundStore {
+  import org.apache.spark.sql.functions.col
+
+  override protected def storeSpark: SparkSession = spark
+  override protected def mergeRounds(rows: DataFrame): DataFrame = rows
+
+  /** The standing (vec_id, code) index across committed rounds. */
+  def index: DataFrame = readAll
+
+  def appendRound(codes: DataFrame, round: Long): Unit = {
+    RoundPartitions.commit(codes.select(col("vec_id"), col("code")),
+      path, round)
+    maybeCompact(round)
+  }
+
+  private def booksPath = s"${path}_books"
+
+  def writeBooks(books: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (book, b) <- books.zipWithIndex.toSeq
+      (c, cid) <- book.zipWithIndex.toSeq
+      (v, pos) <- c.zipWithIndex.toSeq
+    } yield (b, cid, pos, v)
+    rows.toDF("block", "cid", "pos", "v")
+      .coalesce(1).write.mode("overwrite").parquet(booksPath)
+  }
+
+  def readBooks(): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(booksPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, bs) =>
+      bs.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, cs) =>
+        cs.sortBy(_._3).map(_._4).toArray
+      }.toArray
+    }.toArray
+  }
 }
