@@ -29,7 +29,8 @@ object SparkEntry {
       graft.ops.BloomJoin.queries ++ graft.ops.Scd.queries ++
       graft.ops.Expectations.queries ++ graft.ops.Graphs.queries ++
       graft.ops.RangeJoin.queries ++ graft.queries.Cohorts.queries ++
-      graft.queries.Drift.queries ++ graft.ops.PartitionedFacts.queries
+      graft.queries.Drift.queries ++ graft.ops.PartitionedFacts.queries ++
+      graft.ops.Bucketing.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,7 +45,8 @@ object SparkEntry {
       graft.ops.BloomJoin.oracle ++ graft.ops.Scd.oracle ++
       graft.ops.Expectations.oracle ++ graft.ops.Graphs.oracle ++
       graft.ops.RangeJoin.oracle ++ graft.queries.Cohorts.oracle ++
-      graft.queries.Drift.oracle ++ graft.ops.PartitionedFacts.oracle
+      graft.queries.Drift.oracle ++ graft.ops.PartitionedFacts.oracle ++
+      graft.ops.Bucketing.oracle
 
   /** Queries driven by checked-in fixtures rather than the sf-scaled
     * testdata tables: their runtime is constant in SF, so Bench reports
