@@ -166,9 +166,12 @@ object PartitionedFacts {
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_quantity").cast(DecimalType(18, 0))).cast(LongType)
           .as("sum_qty"),
+        // micro sums accumulate in DECIMAL(38,0) (the q193 discipline:
+        // per-row micro fits BIGINT, the per-group SUM is what wraps)
         sum(((col("l_extendedprice").cast(DecimalType(18, 6)) *
           (lit(1) - col("l_discount").cast(DecimalType(18, 6))))
-          .cast(DecimalType(18, 6)) * lit(1000000L)).cast(LongType))
+          .cast(DecimalType(18, 6)) * lit(1000000L)).cast(LongType)
+          .cast(DecimalType(38, 0))).cast(LongType)
           .as("rev_micro"))
       .select(date_format(col("l_month"), "yyyy-MM-dd").as("l_month"),
         col("n_items"), col("sum_qty"), col("rev_micro"))

@@ -1162,8 +1162,14 @@ object Core {
       .groupBy(date_format(date_trunc("month", col("o_orderdate")),
         "yyyy-MM-dd").as("m"))
       .agg(count(lit(1)).as("n"),
+        // per-row micro fits BIGINT trivially (price < 1e7 → < 1e13);
+        // the per-month SUM is what wraps past ~9.2e18 micro/month, so
+        // it accumulates in DECIMAL(38,0) — the same q178/q187
+        // widening discipline — and lands back in BIGINT (the twin's
+        // DuckDB sum(BIGINT) is HUGEINT-exact already)
         sum((col("o_totalprice").cast(DecimalType(18, 2)) * 1000000L)
-          .cast(LongType)).as("micro"))
+          .cast(LongType).cast(DecimalType(38, 0)))
+          .cast(LongType).as("micro"))
       .select(lit("sales").as("ch"), col("m"), col("n"), col("micro"))
     val returns = Tables.lineitem(s, d)
       .filter(col("l_returnflag") === "R")
@@ -1172,7 +1178,8 @@ object Core {
       .agg(count(lit(1)).as("n"),
         sum(((col("l_extendedprice").cast(D6) *
           (lit(1) - col("l_discount").cast(D6))).cast(D6) * lit(1000000L))
-          .cast(LongType)).as("micro"))
+          .cast(LongType).cast(DecimalType(38, 0)))
+          .cast(LongType).as("micro"))
       .select(lit("returns").as("ch"), col("m"), col("n"), col("micro"))
     sales.unionByName(returns)
       .groupBy(col("m"))

@@ -361,8 +361,12 @@ object Drift {
          |  WINDOW w AS (ORDER BY m RANGE BETWEEN INTERVAL 6 MONTH PRECEDING
          |                                    AND INTERVAL 6 MONTH FOLLOWING)
          |), ratio AS (
+         |  -- numerator widened to HUGEINT, mirroring the Spark side's
+         |  -- DECIMAL(38,0): plain BIGINT wraps at ~9.2e12 cents/month
+         |  -- (~SF30) -- exactly where the widening matters
          |  SELECT CAST(month(m) AS INTEGER) AS cal_month,
-         |    (cents * 1000000) // (wsum // 13) AS ratio_micro
+         |    CAST((CAST(cents AS HUGEINT) * 1000000) // (wsum // 13)
+         |      AS BIGINT) AS ratio_micro
          |  FROM win WHERE n = 13
          |)
          |SELECT cal_month, count(*) AS n_windows,

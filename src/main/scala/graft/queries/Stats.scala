@@ -897,14 +897,21 @@ object Stats {
         sum(when(col("d2") < col("d1"), col("n1") * col("n2"))
           .otherwise(0L)).as("disc"))
     val margins = hist.agg(sum(col("cnt")).as("n"))
+    // the marginal tie products widen to DECIMAL(38,0) BEFORE the sum
+    // (a single q or dc group past ~3e9 rows would wrap nq*(nq-1) in
+    // plain BIGINT); the `div 2` results land back in BIGINT, exactly
+    // like the n*(n-1) denominator below
     val tq = hist.groupBy(col("q")).agg(sum(col("cnt")).as("nq"))
-      .agg(sum(col("nq") * (col("nq") - 1)).as("tie_q2"))
+      .agg(sum(col("nq").cast(DecimalType(38, 0)) * (col("nq") - 1))
+        .as("tie_q2"))
     val td = hist.groupBy(col("dc")).agg(sum(col("cnt")).as("nd"))
-      .agg(sum(col("nd") * (col("nd") - 1)).as("tie_d2"))
+      .agg(sum(col("nd").cast(DecimalType(38, 0)) * (col("nd") - 1))
+        .as("tie_d2"))
     pairs.crossJoin(broadcast(margins)).crossJoin(broadcast(tq))
       .crossJoin(broadcast(td))
       .select(col("n"), col("conc"), col("disc"),
-        expr("tie_q2 div 2").as("ties_q"), expr("tie_d2 div 2").as("ties_d"),
+        expr("CAST(tie_q2 div 2 AS BIGINT)").as("ties_q"),
+        expr("CAST(tie_d2 div 2 AS BIGINT)").as("ties_d"),
         // n0 = C(n,2); tau_b = (C - D) / sqrt((n0-n1)(n0-n2)) — the
         // fixed double operand tree (conversions and sqrt are
         // correctly rounded, so this is bit-identical cross-engine).
@@ -1086,17 +1093,22 @@ object Stats {
         |), m AS (
         |  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist
         |), tq AS (
-        |  SELECT CAST(sum(nq * (nq - 1)) AS BIGINT) AS tie_q2 FROM (
+        |  -- HUGEINT mirrors the Spark side's DECIMAL(38,0) tie
+        |  -- widening: plain BIGINT wraps nq*(nq-1) past ~3e9 rows
+        |  SELECT sum(CAST(nq AS HUGEINT) * (nq - 1)) AS tie_q2 FROM (
         |    SELECT sum(cnt) AS nq FROM hist GROUP BY q)
         |), td AS (
-        |  SELECT CAST(sum(nd * (nd - 1)) AS BIGINT) AS tie_d2 FROM (
+        |  SELECT sum(CAST(nd AS HUGEINT) * (nd - 1)) AS tie_d2 FROM (
         |    SELECT sum(cnt) AS nd FROM hist GROUP BY dc)
         |)
         |SELECT m.n, pr.conc, pr.disc,
-        |  tie_q2 // 2 AS ties_q, tie_d2 // 2 AS ties_d,
+        |  CAST(tie_q2 // 2 AS BIGINT) AS ties_q,
+        |  CAST(tie_d2 // 2 AS BIGINT) AS ties_d,
         |  CAST(pr.conc - pr.disc AS DOUBLE) /
-        |    sqrt(CAST(m.n * (m.n - 1) // 2 - tie_q2 // 2 AS DOUBLE) *
-        |         CAST(m.n * (m.n - 1) // 2 - tie_d2 // 2 AS DOUBLE)) AS tau_b
+        |    sqrt(CAST(CAST(m.n AS HUGEINT) * (m.n - 1) // 2 - tie_q2 // 2
+        |           AS DOUBLE) *
+        |         CAST(CAST(m.n AS HUGEINT) * (m.n - 1) // 2 - tie_d2 // 2
+        |           AS DOUBLE)) AS tau_b
         |FROM pr, m, tq, td""".stripMargin,
     // the literal per-quarter window — the single-reducer spelling the
     // Spark side's keyedRank exists to avoid
