@@ -20,12 +20,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Catalog mode (VERDICT r8 #8): SPARK_GRAFT_CATALOG=on ANALYZEs
-    // the testdata tables and routes Tables.* loads for the timed dir
-    // through the catalog, so CBO finally estimates the timed plans
-    // themselves. ANALYZE cost is recorded, not hidden; the JIT
-    // pre-pass below runs on a different dir and keeps path reads.
-    val catalogMode = sys.env.get("SPARK_GRAFT_CATALOG").contains("on")
+    // Catalog mode (VERDICT r8 #8): ANALYZE the testdata tables and
+    // route Tables.* loads for the timed dir through the catalog, so
+    // CBO estimates the timed plans themselves. ANALYZE cost is
+    // recorded, not hidden; the JIT pre-pass below runs on a different
+    // dir and keeps path reads. DEFAULT ON since r11 (VERDICT r10 #5):
+    // the CBO plan set measured FASTER than path mode two rounds
+    // running (r10: 152.5 vs 178.1 s warm), and stats-fed plans are
+    // what a production deployment runs — so the headline artifact is
+    // the catalog arm, and SPARK_GRAFT_CATALOG=off records the
+    // path-mode variant (BENCH_pathmode.json).
+    val catalogMode = !sys.env.get("SPARK_GRAFT_CATALOG").contains("off")
     val analyzeSec =
       if (!catalogMode) -1.0
       else {
@@ -171,10 +176,11 @@ object Bench {
     // The driver's BENCH_r* artifact truncates the stdout tail, losing
     // most per-query numbers (VERDICT r9 #2). Also write the complete
     // record to a committed file so every round's full per-query data
-    // is durable: BENCH_local.json normally, BENCH_catalog.json when
-    // catalog mode re-plans the queries (override: SPARK_GRAFT_BENCH_OUT).
+    // is durable: BENCH_local.json for the (default, catalog-mode)
+    // headline arm, BENCH_pathmode.json for the path-read variant
+    // (override: SPARK_GRAFT_BENCH_OUT).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (catalogMode) "BENCH_catalog.json" else "BENCH_local.json")
+      if (catalogMode) "BENCH_local.json" else "BENCH_pathmode.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

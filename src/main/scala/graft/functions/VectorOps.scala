@@ -57,7 +57,98 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def prettyName: String = "vec_dot"
 }
 
+/** Product-quantization encode: per block b, the id of the codebook
+  * centroid minimizing ‖c‖² − 2·x_b·c over the block's positional
+  * subvector x_b, packed into byte b of one BIGINT.
+  *
+  * Why an expression and not the literal `least(struct...)` chain
+  * ([[graft.ops.Similarity.ivfAssign]]'s form): the generated code for
+  * a literal chain grows as blocks × K × dsub literals — fine at
+  * K = 16, a guaranteed codegen blowup at the composed path's K = 256
+  * (16k literals in one projection). Here the codebooks ride along as
+  * one REFERENCE OBJECT (bound once per task, not inlined into
+  * source), and the argmin is a tight primitive loop — the same
+  * VecDot rationale.
+  *
+  * ARITHMETIC PARITY: the distance is the identical operand tree as
+  * ivfAssign — cnorm2 (left-to-right driver fold) minus 2.0 · (a
+  * sequential double dot), ties broken toward the LOWER centroid id
+  * (least()'s lexicographic (d, cid) order) — so codes are
+  * bit-identical to the literal form on any input, and the stored
+  * q31e index is unaffected by the swap. Subvectors are positional
+  * (block b reads elements [b·dsub, b·dsub+len)); reads past the end
+  * of a short vector contribute 0, exactly like slice+VecDot's
+  * min-length clamp. */
+object PqEncodeUtil {
+  def encode(v: ArrayData, vFloat: Boolean, books: Array[Array[Array[Double]]],
+             norms: Array[Array[Double]]): Long = {
+    val m = books.length
+    val n = v.numElements()
+    val dsub = math.max(1, n / m)
+    var code = 0L
+    var b = 0
+    while (b < m) {
+      val book = books(b)
+      val cn = norms(b)
+      val off = b * dsub
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var dot = 0.0
+        var i = 0
+        val len = math.min(cent.length, math.max(0, n - off))
+        while (i < len) {
+          val x = if (vFloat) v.getFloat(off + i).toDouble else v.getDouble(off + i)
+          dot += x * cent(i)
+          i += 1
+        }
+        val d = cn(c) - 2.0 * dot
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code += best.toLong << (8 * b)
+      b += 1
+    }
+    code
+  }
+}
+
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // ‖c‖² folded driver-side left-to-right — the exact literal
+  // ivfScores feeds the subtraction
+  @transient private lazy val norms: Array[Array[Double]] =
+    books.map(_.map(_.map(x => x * x).sum))
+
+  override def nullSafeEval(v: Any): Any =
+    PqEncodeUtil.encode(v.asInstanceOf[ArrayData], isFloat, books, norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books,
+      "double[][][]")
+    val normsRef = ctx.addReferenceObj("pqNorms", norms,
+      "double[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.PqEncodeUtil.encode($v, $isFloat, $booksRef, $normsRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+
+  override def prettyName: String = "pq_encode"
+}
+
 object VectorOps {
   def vec_dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(VecDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def pq_encode(v: Column, books: Array[Array[Array[Double]]]): Column =
+    GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(v), books))
 }
