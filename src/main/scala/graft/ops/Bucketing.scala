@@ -72,6 +72,28 @@ object Bucketing {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q199 — the AGG-side payoff of the same layout: grouping by the
+    * bucket key runs the per-order rollup with NO Exchange feeding the
+    * aggregate — the bucketed hash distribution already satisfies the
+    * grouping's clustering requirement, so the heaviest aggregation of
+    * an order-keyed workload (per-order rollups over the 4-billion-row
+    * fact at SF1000) becomes bucket-local. Only the second, domain-
+    * bounded fold (items-per-order histogram, ≤ 7 groups) exchanges.
+    * The DuckDB twin runs the flat-table spelling: the layout changes
+    * the plan, never the values. BucketingSpec pins the no-Exchange
+    * shape on the order-key aggregate. */
+  def bucketedOrderAgg(spark: SparkSession, dir: String): DataFrame = {
+    val (tl, _) = bucketedOrderTables(spark, dir)
+    spark.table(tl)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 0)))
+          .cast("long").as("qty"))
+      .groupBy(col("n_items"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("qty")).as("total_qty"))
+      .orderBy(col("n_items"))
+  }
+
   /** q198 — the zero-exchange co-located fact⋈fact join as a catalog
     * query: identical VALUES to the flat-table join (the DuckDB twin),
     * but planned as a sort-merge over pre-bucketed tables with no
@@ -83,6 +105,7 @@ object Bucketing {
 
   val queries: Map[String, Q] = Map(
     "q198_bucketed_join" -> ((s, d) => colocatedOrderJoin(s, d)),
+    "q199_bucketed_agg" -> ((s, d) => bucketedOrderAgg(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -91,5 +114,14 @@ object Bucketing {
          |  ${graft.queries.Qx.sqlDsum("l_extendedprice", rescale = 2)} AS sum_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q199_bucketed_agg" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey, count(*) AS n_items,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT n_items, count(*) AS n_orders,
+        |  CAST(sum(qty) AS BIGINT) AS total_qty
+        |FROM per_order GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

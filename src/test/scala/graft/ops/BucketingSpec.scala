@@ -24,4 +24,26 @@ class BucketingSpec extends SparkTestBase {
     val total = joined.agg(org.apache.spark.sql.functions.sum("n_items")).head().getLong(0)
     assert(total == expected)
   }
+
+  test("bucketed aggregation: no exchange feeds the order-key rollup") {
+    import org.apache.spark.sql.functions._
+    val agg = Bucketing.bucketedOrderAgg(spark, "/root/testdata/sf0.001")
+    val plan = agg.queryExecution.executedPlan.toString
+    // the per-order aggregate must consume the bucketed scan directly;
+    // the only exchange allowed is the one on the tiny n_items domain
+    val badExchange = plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("l_orderkey"))
+    assert(!badExchange, s"order-key exchange present — bucketing not used:\n$plan")
+    // and the values match the flat-table spelling exactly
+    val flat = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 0)))
+          .cast("long").as("qty"))
+      .groupBy(col("n_items"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("qty")).as("total_qty"))
+      .orderBy(col("n_items"))
+      .collect().map(_.toSeq).toSeq
+    assert(agg.collect().map(_.toSeq).toSeq == flat)
+  }
 }
