@@ -581,6 +581,37 @@ object EventTime {
     * stay, as a rolling-metric consumer expects. */
   val rollingActiveUsers: Q = (s, d) => rollingActiveUsersOf(Tables.events(s, d))
 
+  /** q200 — recency-weighted activity scoring: per-user event mass
+    * under an exponential HALF-LIFE decay — the recency weighting a
+    * training-data curation pass applies when newer interactions
+    * should dominate the sampling weight (the time-axis complement of
+    * q90's DSIR domain weighting). The published form w = 2^(−age/λ)
+    * is transcendental (libm pow would hash-diverge); here the decay
+    * is EXACT: age in whole weeks against the corpus's own max event
+    * day (a domain-bounded broadcast anchor — no wall-clock
+    * dependence), weight_ppm = 10⁶ div 2^weeks via an integer shift,
+    * shift capped at 20 so sub-ppm mass rounds to zero identically on
+    * both engines. Plan: one scan, the anchor crossJoin-broadcast onto
+    * it, one map-combined per-user hash agg, and a global top-k that
+    * lowers to TakeOrdered — no window, no second exchange. */
+  val recencyWeights: Q = (s, d) => recencyWeightsOf(Tables.events(s, d))
+
+  def recencyWeightsOf(events: DataFrame): DataFrame = {
+    val anchor = events
+      .agg(max(date_trunc("day", col("ts")).cast(DateType)).as("anchor"))
+    events
+      .select(col("user_id"), date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("wk", least(expr("datediff(anchor, day) div 7"), lit(20L)))
+      .withColumn("w_ppm", expr("1000000 div shiftleft(CAST(1 AS BIGINT), CAST(wk AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("w_ppm")).as("score_ppm"),
+        max(col("day")).as("last_day"))
+      .select(col("user_id"), col("n_events"), col("score_ppm"),
+        date_format(col("last_day"), "yyyy-MM-dd").as("last_day"))
+      .orderBy(col("score_ppm").desc, col("user_id")).limit(20)
+  }
+
   def rollingActiveUsersOf(events: DataFrame): DataFrame = {
     val days = events
       .select(col("user_id"), date_trunc("day", col("ts")).cast(DateType).as("day"))
@@ -1106,6 +1137,7 @@ object EventTime {
     "q186_conversion_absorption" -> conversionAbsorption,
     "q147_capped_wallet" -> cappedWallet,
     "q124_rolling_active_users" -> rollingActiveUsers,
+    "q200_recency_weights" -> recencyWeights,
     "q119_hourly_gap_fill" -> hourlyGapFill,
     "q121_activity_streaks" -> activityStreaks,
     "q101_session_transitions" -> sessionTransitions,
@@ -1434,6 +1466,21 @@ object EventTime {
         |JOIN ev c ON a.user_id = c.user_id AND c.rn = a.rn + 2
         |GROUP BY 1, 2, 3
         |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20""".stripMargin,
+    "q200_recency_weights" ->
+      """WITH anchor AS (
+        |  SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS anchor FROM events
+        |), weighted AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    1000000 // (CAST(1 AS BIGINT) << CAST(least(
+        |      date_diff('day', CAST(date_trunc('day', ts) AS DATE), anchor) // 7,
+        |      20) AS INTEGER)) AS w_ppm
+        |  FROM events, anchor
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(w_ppm) AS BIGINT) AS score_ppm,
+        |  strftime(max(day), '%Y-%m-%d') AS last_day
+        |FROM weighted GROUP BY user_id
+        |ORDER BY score_ppm DESC, user_id LIMIT 20""".stripMargin,
     "q124_rolling_active_users" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

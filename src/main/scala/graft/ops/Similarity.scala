@@ -263,8 +263,14 @@ object Similarity {
     if (n <= cap) df
     else {
       val m = (n + cap - 1) / cap
+      // hash the WHOLE ROW, not just the vector: a duplicate-heavy
+      // corpus (exactly what pre-dedup training data looks like) would
+      // put every copy of a vector all-in or all-out of a content-only
+      // sample — biasing the fit toward/away from the duplicated mass
+      // — while the id column keeps row hashes distinct and the sample
+      // per-row independent. Still fully deterministic per frame.
       val s = df.filter(
-        pmod(xxhash64(lit(42L), col(vecCol)), lit(m)) === 0)
+        pmod(xxhash64(lit(42L) +: df.columns.map(col): _*), lit(m)) === 0)
       // hash skew cannot realistically empty an n > cap >= 4k sample,
       // but an empty TRAINING set would abort KMeans — fall back to
       // the full frame rather than crash on a pathological corpus

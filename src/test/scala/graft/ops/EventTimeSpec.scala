@@ -237,6 +237,32 @@ class EventTimeSpec extends SparkTestBase {
     assert(out("2024-01-01") == 2L && out("2024-01-05") == 3L)
   }
 
+  test("recency weights: exact power-of-two half-life algebra, capped at 2^20") {
+    val events = Seq(
+      // anchor day is the corpus max: 2024-06-01 (user 9's event)
+      (1L, ts("2024-06-01 10:00:00"), 1.0), // age 0 days  -> wk 0  -> 1000000
+      (1L, ts("2024-05-31 10:00:00"), 1.0), // age 1 day   -> wk 0  -> 1000000
+      (1L, ts("2024-05-25 10:00:00"), 1.0), // age 7 days  -> wk 1  -> 500000
+      (2L, ts("2024-05-18 10:00:00"), 1.0), // age 14 days -> wk 2  -> 250000
+      (2L, ts("2024-04-20 10:00:00"), 1.0), // age 42 days -> wk 6  -> 15625
+      (3L, ts("2014-06-01 10:00:00"), 1.0), // ~10 years   -> wk 20 -> 0 (div 2^20)
+      (9L, ts("2024-06-01 23:00:00"), 1.0)  // the anchor-setting event
+    ).toDF("user_id", "ts", "value")
+    val out = EventTime.recencyWeightsOf(events).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("score_ppm"),
+          r.getAs[String]("last_day")))).toMap
+    assert(out(1L) == ((3L, 2500000L, "2024-06-01")))
+    assert(out(2L) == ((2L, 265625L, "2024-05-18")))
+    assert(out(3L) == ((1L, 0L, "2014-06-01")),
+      "the cap must round decade-old mass to exactly zero ppm")
+    assert(out(9L) == ((1L, 1000000L, "2024-06-01")))
+    // ranked by score desc, user_id asc
+    val order = EventTime.recencyWeightsOf(events).collect()
+      .map(_.getAs[Long]("user_id")).toSeq
+    assert(order == Seq(1L, 9L, 2L, 3L))
+  }
+
   test("gap fill and streaks ride ONE shuffle of the events scan") {
     // the scale claim in both scaladocs: hash(user_id) from the explicit
     // repartition satisfies every downstream clustering (aggs, windows,
