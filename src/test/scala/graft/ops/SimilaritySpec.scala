@@ -220,6 +220,50 @@ class SimilaritySpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.ann.trainSampleCap")
   }
 
+  test("PqEncode expression is bit-identical to the literal least()-chain argmin") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the swap's core claim: the native expression computes ivfAssign's
+    // EXACT operand tree (cnorm2 - 2*dot, low-id tie-break), so codes
+    // match the old literal form bit for bit on any input
+    val dim = 16
+    val vecs = (0 until 200).map { i =>
+      val r = new scala.util.Random(100 + i)
+      (i.toLong, Array.fill(dim)(r.nextFloat() * 2 - 1))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(emb, "embedding")
+    val dsub = math.max(1, dim / Similarity.pqBlocks)
+    val literalForm = books.zipWithIndex.map { case (book, b) =>
+      val len = if (b == Similarity.pqBlocks - 1) dim - b * dsub else dsub
+      Similarity.ivfAssign(slice(col("embedding"), b * dsub + 1, len), book)
+        .cast("long") * lit(1L << (8 * b))
+    }.reduce(_ + _)
+    val rows = emb.select(
+      Similarity.pqEncode(col("embedding"), books, dim).as("native"),
+      literalForm.as("literal")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"native ${r.getLong(0)} != literal ${r.getLong(1)}")
+    }
+  }
+
+  test("training sample stays per-row independent on a duplicate-heavy corpus") {
+    import spark.implicits._
+    // the self-review regression pin: a content-only hash put all n
+    // copies of a vector in or out of the sample together (degenerate
+    // on an all-identical corpus); the row hash keeps independence
+    val v = Array.fill(8)(0.25f)
+    val emb = (0 until 1000).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    spark.conf.set("spark.graft.ann.trainSampleCap", "64")
+    try {
+      val n = Similarity.trainSample(emb, "embedding", 8).count()
+      assert(n > 0 && n < 1000,
+        s"sample of $n from 1000 identical vectors — duplicates went all-in/all-out")
+    } finally spark.conf.unset("spark.graft.ann.trainSampleCap")
+  }
+
   test("PQ rejects embedding dims below the block count (ADVICE r10)") {
     import spark.implicits._
     val emb = (0 until 20).map { i =>
