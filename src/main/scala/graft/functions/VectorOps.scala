@@ -76,15 +76,19 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   * (least()'s lexicographic (d, cid) order) — so codes are
   * bit-identical to the literal form on any input, and the stored
   * q31e index is unaffected by the swap. Subvectors are positional
-  * (block b reads elements [b·dsub, b·dsub+len)); reads past the end
-  * of a short vector contribute 0, exactly like slice+VecDot's
+  * and their offsets derive from the TRAINED dim carried on the
+  * expression (block b reads elements [b·dsub, b·dsub+len) with
+  * dsub = dim/m) — NOT from the incoming vector's own length, which
+  * would silently misalign any wrong-width vector against the
+  * codebooks (ADVICE r11). Reads past the end of a short vector
+  * contribute 0, exactly like the literal slice+VecDot form's
   * min-length clamp. */
 object PqEncodeUtil {
   def encode(v: ArrayData, vFloat: Boolean, books: Array[Array[Array[Double]]],
-             norms: Array[Array[Double]]): Long = {
+             norms: Array[Array[Double]], dim: Int): Long = {
     val m = books.length
     val n = v.numElements()
-    val dsub = math.max(1, n / m)
+    val dsub = math.max(1, dim / m)
     var code = 0L
     var b = 0
     while (b < m) {
@@ -115,7 +119,7 @@ object PqEncodeUtil {
   }
 }
 
-case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]], dim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
@@ -128,7 +132,7 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
     books.map(_.map(_.map(x => x * x).sum))
 
   override def nullSafeEval(v: Any): Any =
-    PqEncodeUtil.encode(v.asInstanceOf[ArrayData], isFloat, books, norms)
+    PqEncodeUtil.encode(v.asInstanceOf[ArrayData], isFloat, books, norms, dim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val booksRef = ctx.addReferenceObj("pqBooks", books,
@@ -136,7 +140,7 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
     val normsRef = ctx.addReferenceObj("pqNorms", norms,
       "double[][]")
     defineCodeGen(ctx, ev, v =>
-      s"graft.functions.PqEncodeUtil.encode($v, $isFloat, $booksRef, $normsRef)")
+      s"graft.functions.PqEncodeUtil.encode($v, $isFloat, $booksRef, $normsRef, $dim)")
   }
 
   override protected def withNewChildInternal(c: Expression): PqEncode =
@@ -149,6 +153,6 @@ object VectorOps {
   def vec_dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(VecDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
-  def pq_encode(v: Column, books: Array[Array[Array[Double]]]): Column =
-    GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(v), books))
+  def pq_encode(v: Column, books: Array[Array[Array[Double]]], dim: Int): Column =
+    GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(v), books, dim))
 }

@@ -255,10 +255,16 @@ object Similarity {
     * `spark.graft.ann.trainSampleCap` (session conf). */
   val trainSampleCap = 65536L
 
-  private[ops] def trainSample(df: DataFrame, vecCol: String, k: Int): DataFrame = {
-    val conf = df.sparkSession.conf
+  /** The session's raw cap value — read once per memoized fit and
+    * folded into [[centroidCache]]/[[pqCache]] keys, so changing the
+    * conf mid-session trains FRESH centroids/codebooks instead of
+    * silently returning ones fitted under the old cap (ADVICE r11). */
+  private def confCap(df: DataFrame): Long =
+    df.sparkSession.conf
       .get("spark.graft.ann.trainSampleCap", trainSampleCap.toString).toLong
-    val cap = math.max(conf, 4L * k)
+
+  private[ops] def trainSample(df: DataFrame, k: Int): DataFrame = {
+    val cap = math.max(confCap(df), 4L * k)
     val n = corpusCount(df)
     if (n <= cap) df
     else {
@@ -286,14 +292,15 @@ object Similarity {
     * codegen, with no ml transformer or UDF in the scan path. At
     * 100 TB the fit reads ≤ ~64k vectors no matter the corpus;
     * assignment is the only full-scan step.
-    * Memoized per (plan, column, k) like [[embDim]]. */
+    * Memoized per (plan, column, k, cap) like [[embDim]] — the cap in
+    * the key is what keeps a mid-session conf change honest. */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Long), Array[Array[Double]]]()
   def ivfCentroids(emb: DataFrame, vecCol: String, k: Int,
                    seed: Long = 42L): Array[Array[Double]] =
     centroidCache.computeIfAbsent(
-      (emb.queryExecution.analyzed.semanticHash(), vecCol, k), _ => {
-        val feats = trainSample(emb, vecCol, k)
+      (emb.queryExecution.analyzed.semanticHash(), vecCol, k, confCap(emb)), _ => {
+        val feats = trainSample(emb, k)
           .select(org.apache.spark.ml.functions
           .array_to_vector(col(vecCol).cast("array<double>")).as("features"))
         // An empty corpus cannot seed a quantizer (KMeans aborts with
@@ -496,17 +503,17 @@ object Similarity {
     * corpus size — the doc's 100 TB promise, now enforced);
     * m·K·dsub ≈ 1k doubles broadcast for free. */
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Int), Array[Array[Array[Double]]]]()
+    (Int, String, Int, Long), Array[Array[Array[Double]]]]()
   def pqCodebooks(emb: DataFrame, vecCol: String,
                   kPerBlock: Int = pqCodebookSize): Array[Array[Array[Double]]] = {
     require(kPerBlock >= 1 && kPerBlock <= 256,
       s"a packed code holds 8 bits per block — kPerBlock must be in [1, 256], got $kPerBlock")
     pqCache.computeIfAbsent(
-      (emb.queryExecution.analyzed.semanticHash(), vecCol, kPerBlock), _ => {
+      (emb.queryExecution.analyzed.semanticHash(), vecCol, kPerBlock, confCap(emb)), _ => {
         val dim = embDim(emb, vecCol)
         // a block's KMeans cannot mint more centers than it has points
         val kEff = math.max(1, math.min(kPerBlock.toLong, corpusCount(emb)).toInt)
-        val sampled = trainSample(emb, vecCol, kEff)
+        val sampled = trainSample(emb, kEff)
         // dim < pqBlocks makes the LAST block's slice length negative
         // (dsub clamps to 1, len = dim - b*dsub) and slice() fails at
         // runtime with an opaque invalid-length error — fail here with
@@ -543,7 +550,7 @@ object Similarity {
     require(dim >= pqBlocks,
       s"product quantization needs embedding dim >= pqBlocks ($pqBlocks); " +
         s"got dim=$dim — lower pqBlocks or use the uncompressed ANN paths")
-    graft.functions.VectorOps.pq_encode(v, books)
+    graft.functions.VectorOps.pq_encode(v, books, dim)
   }
 
   /** The (qid, vec_id) shortlist the PQ path re-ranks: asymmetric
@@ -794,7 +801,7 @@ object Similarity {
     * discipline applied to the compressed index): near-dup vector
     * FAMILIES are planted deterministically — the first
     * [[pqAuditPlanted]] corpus vectors each spawn one query per
-    * perturbation regime (exact copy / tight ε=0.02 / loose ε=0.3,
+    * perturbation regime (exact copy / tight ε=0.02 / loose ε=0.16,
     * seeded per vec_id, so the truth pair (query → its seed) is KNOWN
     * by construction, no hashing involved) — and each PQ path's ADC
     * shortlist is scored against the regime it contracts to find:

@@ -60,12 +60,22 @@ object StreamingPq {
               "run); a stream must never train books", e)
       }
     // dim is a property of the frozen books (sum of block widths), not
-    // of the batch — an arriving vector of the wrong width is the
-    // caller's schema bug and pqEncode's slice surfaces it
+    // of the batch. PqEncode computes block offsets from that trained
+    // dim, so a wrong-width arriving vector would otherwise encode a
+    // clamped/zero-padded code silently INTO THE FROZEN INDEX — reject
+    // it loudly instead (ADVICE r11): one codegen'd branch per row, no
+    // extra scan, and the failed batch never commits its round.
     val dim = books.map(_.head.length).sum
+    val code = when(size(col("embedding")) === lit(dim),
+        Similarity.pqEncode(col("embedding"), books, dim))
+      .otherwise(raise_error(concat(
+        lit("graft_pq_stream: arriving vector width "),
+        size(col("embedding")).cast("string"),
+        lit(s" != frozen-book dim $dim (vec_id "),
+        col("vec_id").cast("string"),
+        lit(") — fix the upstream schema; the index encodes nothing from this batch"))))
     store.appendRound(
-      batch.select(col("vec_id"),
-        Similarity.pqEncode(col("embedding"), books, dim).as("code")),
+      batch.select(col("vec_id"), code.as("code")),
       round = roundOffset + batchId)
   }
 

@@ -178,7 +178,8 @@ class SimilaritySpec extends SparkTestBase {
     // seed headroom)
     assert(recall(("pq", "tight")) >= 0.9)
     assert(recall(("ivfpq", "tight")) >= 0.9)
-    // loose perturbation (eps=0.3) is the honest hard regime — still
+    // loose perturbation (eps=0.16 ≈ cosine 0.8) is the honest hard
+    // regime — still
     // far above the ~shortlist/corpus chance level
     assert(recall(("pq", "loose")) >= 0.5)
     assert(recall(("ivfpq", "loose")) >= 0.5)
@@ -196,11 +197,11 @@ class SimilaritySpec extends SparkTestBase {
     try {
       // the cap fires: the training frame is a strict, deterministic,
       // non-empty subset of the oversized corpus
-      val sample = Similarity.trainSample(emb, "embedding", 8)
+      val sample = Similarity.trainSample(emb, 8)
       val ids = sample.select(col("vec_id")).collect().map(_.getLong(0)).toSet
       assert(ids.nonEmpty && ids.size < 1000,
         s"cap did not fire: sample size ${ids.size}")
-      val again = Similarity.trainSample(emb, "embedding", 8)
+      val again = Similarity.trainSample(emb, 8)
         .select(col("vec_id")).collect().map(_.getLong(0)).toSet
       assert(again == ids, "sample is not deterministic")
       // and the quantizer really trains on that sample: the API's
@@ -216,7 +217,7 @@ class SimilaritySpec extends SparkTestBase {
       // below the cap the frame passes through UNCHANGED (same plan,
       // so every existing corpus result is untouched)
       val small = vecs.take(50).toDF("vec_id", "embedding")
-      assert(Similarity.trainSample(small, "embedding", 8) eq small)
+      assert(Similarity.trainSample(small, 8) eq small)
     } finally spark.conf.unset("spark.graft.ann.trainSampleCap")
   }
 
@@ -249,6 +250,38 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("PqEncode offsets derive from the trained dim, not the vector's own width (ADVICE r11)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a wrong-width vector must encode at the CODEBOOKS' offsets
+    // (dim-based, short reads zero-padded, trailing extras ignored) —
+    // exactly the literal slice form's clamping — never at offsets
+    // derived from its own length, which silently misaligns every
+    // block against the trained centroids
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 100).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val books = Similarity.pqCodebooks(base.toDF("vec_id", "embedding"), "embedding")
+    val mixed = Seq(
+      (0L, base(0)._2.take(9)),        // short, cut mid-block
+      (1L, base(1)._2.take(dim / 2)),  // short, half the blocks empty
+      (2L, base(2)._2 :+ 0.5f),        // long, trailing element ignored
+      (3L, base(3)._2)                 // exact width — control
+    ).toDF("vec_id", "embedding")
+    val dsub = math.max(1, dim / Similarity.pqBlocks)
+    val literalForm = books.zipWithIndex.map { case (book, b) =>
+      val len = if (b == Similarity.pqBlocks - 1) dim - b * dsub else dsub
+      Similarity.ivfAssign(slice(col("embedding"), b * dsub + 1, len), book)
+        .cast("long") * lit(1L << (8 * b))
+    }.reduce(_ + _)
+    mixed.select(col("vec_id"),
+      Similarity.pqEncode(col("embedding"), books, dim).as("native"),
+      literalForm.as("literal")).collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"vec ${r.getLong(0)}: native ${r.getLong(1)} != dim-offset literal ${r.getLong(2)}")
+    }
+  }
+
   test("training sample stays per-row independent on a duplicate-heavy corpus") {
     import spark.implicits._
     // the self-review regression pin: a content-only hash put all n
@@ -258,7 +291,7 @@ class SimilaritySpec extends SparkTestBase {
     val emb = (0 until 1000).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
     spark.conf.set("spark.graft.ann.trainSampleCap", "64")
     try {
-      val n = Similarity.trainSample(emb, "embedding", 8).count()
+      val n = Similarity.trainSample(emb, 8).count()
       assert(n > 0 && n < 1000,
         s"sample of $n from 1000 identical vectors — duplicates went all-in/all-out")
     } finally spark.conf.unset("spark.graft.ann.trainSampleCap")

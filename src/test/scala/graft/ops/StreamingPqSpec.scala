@@ -99,6 +99,33 @@ class StreamingPqSpec extends SparkTestBase {
     assert(store.index.count() == 150, "replay duplicated code rows")
   }
 
+  test("a wrong-width streamed vector fails the batch loudly, committing nothing (ADVICE r11)") {
+    val root = tmpDir("spq-width")
+    val storePath = s"$root/index"
+    val emb = (0L until 50L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Array.fill(16)(r.nextFloat()), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val books = Similarity.pqCodebooks(emb, "embedding")
+    val dim = books.map(_.head.length).sum
+    val store = new PqIndexStore(spark, storePath)
+    store.writeBooks(books)
+    store.appendRound(emb.select(col("vec_id"),
+      Similarity.pqEncode(col("embedding"), books, dim).as("code")), round = 0L)
+    val before = store.index.count()
+    // PqEncode's dim-based offsets would zero-pad this 9-wide vector
+    // into a syntactically valid but garbage code — the stream must
+    // reject it before it freezes into the index
+    val bad = Seq((100L, Array.fill(9)(0.1f), 0)).toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      StreamingPq.processBatch(bad, batchId = 0L, storePath)
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(chain.contains("frozen-book dim"), s"unexpected failure: $chain")
+    assert(store.index.count() == before, "the failed batch committed rows")
+  }
+
   test("a bookless store fails loudly instead of training per-batch books") {
     val root = tmpDir("spq-bookless")
     val delta = Seq((1L, Array.fill(64)(0.1f), 0))
