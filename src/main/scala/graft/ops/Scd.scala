@@ -105,6 +105,60 @@ object Scd {
     history.filter(col("valid_from") <= at &&
       (col("valid_to").isNull || at < col("valid_to")))
 
+  /** Per-ROW point-in-time enrichment join — the feature-store
+    * correctness operator: every fact row gets the attr values of the
+    * version that was live at ITS OWN (ts, seq), never a later one
+    * (no training-serving leakage from the future). [[asOf]] answers
+    * "the world at one instant"; this answers "the world at each of a
+    * trillion instants", which is where the naive spelling dies at
+    * 100 TB: an interval/inequality join fans every fact to every
+    * version of its key before filtering.
+    *
+    * This form has NO JOIN AT ALL: versions and facts union on the
+    * shared (key, ts, seq) spine, ONE key-partitioned window pass
+    * carries each attr forward with last(ignoreNulls), and fact rows
+    * exit enriched — a single hash exchange on the entity key, both
+    * inputs scanned once, nothing fanned out. The same union +
+    * last_value shape as the q89 as-of join, generalized to arbitrary
+    * attr sets. Exactly Spark-shaped: the window is key-partitioned
+    * (never `WindowExec: No Partition Defined`), and at 1000 executors
+    * it scales with max events-per-key, not versions×facts.
+    *
+    * Semantics: a version applies to facts strictly AFTER it in the
+    * (ts, seq) lexicographic order; among applicable versions the
+    * latest wins. `seq` must order uniquely within a key at equal ts
+    * (an event id) or the enrichment is nondeterministic. Facts before
+    * any version carry NULL attrs. NULL version-attr values are
+    * carried as "no observation" by last(ignoreNulls) — callers with
+    * legitimately-null attrs should pre-coalesce to a sentinel, same
+    * caveat as [[fromSnapshots]].
+    *
+    * `versions`: key ++ (ts, seq) ++ attrs. `facts`: key ++ (ts, seq)
+    * ++ anything else (its columns must not collide with attrs).
+    * Returns the fact rows (original columns) plus the attr columns. */
+  def pitJoin(versions: DataFrame, facts: DataFrame, key: Seq[String],
+              attrs: Seq[String], ts: String, seq: String): DataFrame = {
+    val spine = key ++ Seq(ts, seq)
+    val factOnly = facts.columns.toSeq.filterNot(spine.contains)
+    require(attrs.intersect(factOnly).isEmpty,
+      s"fact columns collide with version attrs: ${attrs.intersect(factOnly).mkString(", ")}")
+    val vSide = versions.select((spine.map(col) ++ attrs.map(col) ++
+      factOnly.map(c => lit(null).cast(facts.schema(c).dataType).as(c)) :+
+      lit(true).as("_isv")).toIndexedSeq: _*)
+    val fSide = facts.select((spine.map(col) ++
+      attrs.map(a => lit(null).cast(versions.schema(a).dataType).as(a)) ++
+      factOnly.map(col) :+ lit(false).as("_isv")).toIndexedSeq: _*)
+    val w = Window.partitionBy(key.map(col).toIndexedSeq: _*)
+      .orderBy(col(ts), col(seq))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vSide.unionByName(fSide)
+      .select((spine.map(col) ++
+        attrs.map(a => last(col(a), ignoreNulls = true).over(w).as(a)) ++
+        factOnly.map(col) :+ col("_isv")).toIndexedSeq: _*)
+      .filter(!col("_isv"))
+      .drop("_isv")
+  }
+
   /** q116 — per-user value-band history over the event stream: each
     * user's `value` reading quantized to exact 100-unit bands (integer
     * arithmetic on cents — no double boundaries), change-point
@@ -127,8 +181,38 @@ object Scd {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** q201 — point-in-time fact enrichment over the band dimension:
+    * signup/purchase events are the versioned dimension (the user's
+    * value band, q116's exact integer quantization), view/click/error
+    * events are the facts, and each fact is attributed to the band its
+    * user was in AT THE FACT'S OWN (ts, event_id) — the feature-store
+    * point-in-time-correctness join, then folded to a (band,
+    * event_type) mix. Facts before their user's first version land in
+    * band −1 ("unknown"). All arithmetic exact (cents, integer div);
+    * the [[pitJoin]] union+window form means one user-keyed exchange
+    * and zero joins, while the DuckDB twin deliberately runs the
+    * scale-hostile spelling — the inequality fan-out join + per-fact
+    * row_number — as the cross-algorithm check. */
+  val pitBandMix: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val versions = ev.filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        cents.as("cents"))
+      .withColumn("band", expr("cents div 10000"))
+      .drop("cents")
+    val facts = ev.filter(col("event_type").isin("view", "click", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), cents.as("cents"))
+    pitJoin(versions, facts, Seq("user_id"), Seq("band"), "ts", "event_id")
+      .groupBy(coalesce(col("band"), lit(-1L)).as("band"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents_sum"))
+      .orderBy(col("band"), col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q116_scd2_band_history" -> userBandHistory)
+    "q116_scd2_band_history" -> userBandHistory,
+    "q201_pit_band_mix" -> pitBandMix)
 
   val oracle: Map[String, String] = Map(
     "q116_scd2_band_history" ->
@@ -145,5 +229,28 @@ object Scd {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
         |  strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S') AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
-        |FROM vers ORDER BY user_id, valid_from""".stripMargin)
+        |FROM vers ORDER BY user_id, valid_from""".stripMargin,
+    // the NAIVE spelling on purpose: fan every fact to every earlier
+    // version of its user, rank, keep rn=1 — the cross-algorithm twin
+    // of the Spark side's join-free union+window form
+    "q201_pit_band_mix" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000 AS band
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |f AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('view', 'click', 'error')),
+        |pit AS (
+        |  SELECT f.event_id AS fid, v.band,
+        |    row_number() OVER (PARTITION BY f.event_id
+        |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM f JOIN v ON v.user_id = f.user_id
+        |    AND (v.ts < f.ts OR (v.ts = f.ts AND v.event_id < f.event_id))),
+        |best AS (SELECT fid, band FROM pit WHERE rn = 1)
+        |SELECT coalesce(b.band, CAST(-1 AS BIGINT)) AS band, f.event_type,
+        |  count(*) AS n_events, CAST(sum(f.cents) AS BIGINT) AS cents_sum
+        |FROM f LEFT JOIN best b ON b.fid = f.event_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

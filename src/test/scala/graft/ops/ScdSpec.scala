@@ -97,4 +97,65 @@ class ScdSpec extends SparkTestBase {
     assert(boundary.length == 1 && boundary.head.getAs[String]("attr") == "A" &&
       boundary.head.getAs[Boolean]("is_current"))
   }
+
+  test("pitJoin: each fact sees the version live at its own (ts, seq), never a later one") {
+    val versions = Seq(
+      (1L, ts("2024-01-02 00:00:00"), 10L, "A"),
+      (1L, ts("2024-01-04 00:00:00"), 20L, "B"),
+      // same-ts pair for the tie rules below
+      (2L, ts("2024-01-03 00:00:00"), 30L, "X"),
+      (2L, ts("2024-01-03 00:00:00"), 34L, "Y")
+    ).toDF("user_id", "ts", "event_id", "attr")
+    val facts = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 5L),   // before any version -> null
+      (1L, ts("2024-01-03 00:00:00"), 2L, 6L),   // between A and B -> A
+      (1L, ts("2024-01-04 00:00:00"), 19L, 7L),  // same ts as B, lower seq -> still A
+      (1L, ts("2024-01-04 00:00:00"), 21L, 8L),  // same ts as B, higher seq -> B
+      (1L, ts("2024-01-09 00:00:00"), 99L, 9L),  // after everything -> B
+      (2L, ts("2024-01-03 00:00:00"), 32L, 1L),  // between the same-ts pair -> X
+      (2L, ts("2024-01-05 00:00:00"), 40L, 2L)   // latest same-ts version wins -> Y
+    ).toDF("user_id", "ts", "event_id", "amount")
+    val out = Scd.pitJoin(versions, facts, Seq("user_id"), Seq("attr"), "ts", "event_id")
+    assert(out.columns.toSet == Set("user_id", "ts", "event_id", "attr", "amount"))
+    val byId = out.collect().map(r =>
+      r.getAs[Long]("event_id") -> Option(r.getAs[String]("attr"))).toMap
+    assert(byId == Map(1L -> None, 2L -> Some("A"), 19L -> Some("A"),
+      21L -> Some("B"), 99L -> Some("B"), 32L -> Some("X"), 40L -> Some("Y")))
+    // and only fact rows come back, payload intact
+    assert(out.count() == 7)
+    assert(out.filter(col("event_id") === 2L).head.getAs[Long]("amount") == 6L)
+  }
+
+  private def withoutAqe[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("pitJoin plan is join-free: one key-partitioned window, no fan-out (100 TB shape)") {
+    withoutAqe {
+      val versions = Seq((1L, ts("2024-01-02 00:00:00"), 10L, "A"))
+        .toDF("user_id", "ts", "event_id", "attr")
+      val facts = Seq((1L, ts("2024-01-03 00:00:00"), 2L, 6L))
+        .toDF("user_id", "ts", "event_id", "amount")
+      val plan = Scd.pitJoin(versions, facts, Seq("user_id"), Seq("attr"), "ts", "event_id")
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+      import org.apache.spark.sql.execution.window.WindowExec
+      var joins = 0; var windows = List.empty[WindowExec]
+      def walk(p: SparkPlan): Unit = {
+        p match {
+          case _: BaseJoinExec | _: BroadcastNestedLoopJoinExec => joins += 1
+          case w: WindowExec => windows ::= w
+          case _ =>
+        }
+        p.children.foreach(walk)
+      }
+      walk(plan)
+      assert(joins == 0, s"pitJoin lowered to a join:\n$plan")
+      assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+        s"window missing or unpartitioned:\n$plan")
+    }
+  }
 }
