@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Change-data-capture apply — MERGE INTO semantics without a table
+  * format: a changelog of upserts (`op = 'U'`) and delete tombstones
+  * (`op = 'D'`), versioned by a (ts, seq) pair, folds onto a snapshot
+  * by LAST-WRITER-WINS per key. The complement of [[Scd]]: SCD2 keeps
+  * every version as history; CDC keeps only the latest state — the
+  * operator that maintains a queryable mirror of an upstream
+  * transactional table from its replication stream.
+  *
+  * Two design decisions carry the 100 TB posture:
+  *
+  *  1. **The snapshot RETAINS tombstones.** A snapshot that drops
+  *     deleted keys is order-DEPENDENT: replaying an older upsert after
+  *     the delete resurrects the row, so every batch would need strict
+  *     ordering end-to-end. With the tombstone kept (op = 'D', payload
+  *     nulls), [[applyLog]] is a semilattice join — associative,
+  *     commutative, idempotent — so batches may arrive out of order,
+  *     twice, or split arbitrarily and the snapshot converges to the
+  *     same state. [[live]] is the user-facing view (tombstones
+  *     filtered); tombstone GC is a retention decision (drop 'D' rows
+  *     older than the replication lag bound), not a correctness one.
+  *  2. **Compaction is an AGGREGATE, not a window.** max_by(payload,
+  *     version) under groupBy does partial (map-side) combining and
+  *     never materializes a per-key sorted run — one exchange carrying
+  *     at most one row per key per map partition. The row_number()
+  *     spelling (the DuckDB twin, deliberately) sorts every partition
+  *     and buffers full key groups; at 4e9 keys that difference is the
+  *     job.
+  *
+  * Version ties: (ts, seq) must be unique per key across the whole log
+  * (seq = a change LSN / event id); struct-max comparison then never
+  * reaches the payload fields, so the winner is well-defined.
+  *
+  * [[CdcSnapshotStore]] makes the operator durable and incremental:
+  * each batch lands as one per-round partition of compacted changes
+  * (idempotent dynamic overwrite keyed on the round — the streaming
+  * replay contract), reads LWW-fold the rounds, and the inherited
+  * [[CompactableRoundStore]] machinery folds old rounds together —
+  * read-equivalent because LWW is exactly a [[CompactableRoundStore]]
+  * `mergeRounds` algebra. [[graft.streaming.StreamingCdc]] is the same
+  * store fed by `foreachBatch` (the 13th pipeline).
+  */
+object Cdc {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One surviving row per key: the max-(ts, seq) row, tombstones
+    * included. Everything that is not a key column rides the payload
+    * struct, so the call is layout-generic. */
+  def compact(log: DataFrame, key: Seq[String], ts: String, seq: String): DataFrame = {
+    val payload = log.columns.toSeq.filterNot(key.contains)
+    log.groupBy(key.map(col).toIndexedSeq: _*)
+      .agg(max_by(struct(payload.map(col).toIndexedSeq: _*),
+        struct(col(ts), col(seq))).as("_lww"))
+      .select((key.map(col) ++ payload.map(p => col(s"_lww.$p").as(p))).toIndexedSeq: _*)
+  }
+
+  /** Fold a changelog batch onto a snapshot (same layout both sides).
+    * Because the snapshot keeps tombstones, this is order-independent
+    * and idempotent across batches — see the object doc. */
+  def applyLog(snapshot: DataFrame, changelog: DataFrame, key: Seq[String],
+               ts: String, seq: String): DataFrame =
+    compact(snapshot.unionByName(changelog), key, ts, seq)
+
+  /** The user-facing view: live rows only (tombstones filtered). */
+  def live(snapshot: DataFrame, opCol: String = "op"): DataFrame =
+    snapshot.filter(col(opCol) =!= "D")
+
+  /** The events table read as a CDC stream: errors are deletes, every
+    * other event type upserts the user's latest value (exact cents). */
+  private[ops] def eventChangelog(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+
+  /** q202 — CDC snapshot of the event stream: last-writer-wins per
+    * user with delete tombstones, applied in TWO deliberately
+    * interleaved waves (event_id parity — each wave spans the whole
+    * time range) to exercise the order-independence the tombstone
+    * design buys. The result must equal the one-shot fold over the
+    * full log, which is exactly what the DuckDB twin computes — via
+    * the rival row_number() spelling. Output is the live view: users
+    * whose LATEST change is an upsert. */
+  val cdcSnapshot: Q = (s, d) => {
+    val tsFmt = "yyyy-MM-dd HH:mm:ss"
+    val log = eventChangelog(s, d)
+    val key = Seq("user_id")
+    val even = log.filter(col("event_id") % 2 === 0)
+    val odd = log.filter(col("event_id") % 2 === 1)
+    val snap = applyLog(applyLog(log.limit(0), even, key, "ts", "event_id"),
+      odd, key, "ts", "event_id")
+    live(snap)
+      .select(col("user_id"), col("cents"),
+        col("event_id").as("last_event_id"),
+        date_format(col("ts"), tsFmt).as("updated_at"))
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q202_cdc_snapshot" -> cdcSnapshot)
+
+  val oracle: Map[String, String] = Map(
+    // the rival algorithm on purpose: rank the whole log per key and
+    // keep rn=1 — cross-checks the Spark side's two-wave LWW fold
+    "q202_cdc_snapshot" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, cents, event_id AS last_event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS updated_at
+        |FROM c WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin)
+}
+
+/** Durable, incremental CDC snapshot: each batch of changes lands as
+  * one compacted `ingest_round` partition; [[snapshot]] LWW-folds the
+  * committed rounds (rounds at or past `beforeRound` excluded — the
+  * streaming replay guard); inherited auto-compaction folds old rounds
+  * into one, read-equivalent because the merge IS the LWW fold.
+  * Per-round cost is O(|batch keys|); the standing snapshot is never
+  * rewritten on append. */
+class CdcSnapshotStore(spark: SparkSession, val path: String,
+                       key: Seq[String], ts: String, seq: String)
+    extends CompactableRoundStore {
+  override protected def storeSpark: SparkSession = spark
+
+  override protected def mergeRounds(rows: DataFrame): DataFrame =
+    Cdc.compact(rows.drop("ingest_round"), key, ts, seq)
+
+  def exists: Boolean = graft.flights.StarWarehouse.pathExists(spark, path)
+
+  /** The LWW state over committed rounds (tombstones included). */
+  def snapshot(beforeRound: Option[Long] = None): DataFrame =
+    mergeRounds(
+      beforeRound.foldLeft(readAll)((df, r) =>
+        df.filter(col("ingest_round") < r)))
+
+  /** Compact `changes` and commit them as ingest round `round` —
+    * idempotent per round (dynamic partition overwrite). */
+  def appendRound(changes: DataFrame, round: Long): Unit = {
+    RoundPartitions.commit(Cdc.compact(changes, key, ts, seq), path, round)
+    maybeCompact(round)
+  }
+}
