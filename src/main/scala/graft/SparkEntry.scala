@@ -30,7 +30,8 @@ object SparkEntry {
       graft.ops.Expectations.queries ++ graft.ops.Graphs.queries ++
       graft.ops.RangeJoin.queries ++ graft.queries.Cohorts.queries ++
       graft.queries.Drift.queries ++ graft.ops.PartitionedFacts.queries ++
-      graft.ops.Bucketing.queries ++ graft.ops.Cdc.queries
+      graft.ops.Bucketing.queries ++ graft.ops.Cdc.queries ++
+      graft.ops.Privacy.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,7 +47,8 @@ object SparkEntry {
       graft.ops.Expectations.oracle ++ graft.ops.Graphs.oracle ++
       graft.ops.RangeJoin.oracle ++ graft.queries.Cohorts.oracle ++
       graft.queries.Drift.oracle ++ graft.ops.PartitionedFacts.oracle ++
-      graft.ops.Bucketing.oracle ++ graft.ops.Cdc.oracle
+      graft.ops.Bucketing.oracle ++ graft.ops.Cdc.oracle ++
+      graft.ops.Privacy.oracle
 
   /** Queries driven by checked-in fixtures rather than the sf-scaled
     * testdata tables: their runtime is constant in SF, so Bench reports

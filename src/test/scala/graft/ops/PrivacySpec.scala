@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** q203 k-anonymity semantics (class-size histogram per ladder level,
+  * risky flag) and its one-scan rollup plan. */
+class PrivacySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("k-anonymity histogram: planted classes land at the right (level, k) rows") {
+    // 7 rows: at the full quasi, classes of sizes {2, 1, 1, 3};
+    // dropping band merges the two BUILDING/0 classes into one of 3;
+    // at segment-only: BUILDING=3, AUTO=4
+    val rows = Seq(
+      ("BUILDING", 1, 150000L), ("BUILDING", 1, 150000L),  // band 1, k=2
+      ("BUILDING", 1, 250000L),                            // band 2, k=1
+      ("BUILDING", 2, 150000L),                            // other nation, k=1
+      ("AUTO", 3, 50000L), ("AUTO", 3, 50000L), ("AUTO", 3, 50000L) // k=3
+    ).map { case (seg, nat, cents) => (seg, nat, cents / 100000L) }
+      .toDF("segment", "nation", "band")
+    val classes = rows.rollup(col("segment"), col("nation"), col("band"))
+      .agg(count(lit(1)).as("k"), grouping_id().as("gid"))
+      .filter(col("gid") =!= 7)
+    val level = when(col("gid") === 0, "segment_nation_band")
+      .when(col("gid") === 1, "segment_nation")
+      .otherwise("segment")
+    val hist = classes.groupBy(level.as("level"), col("k"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"))
+      .withColumn("risky", col("k") < Privacy.kAnonThreshold)
+      .collect()
+      .map(r => (r.getAs[String]("level"), r.getAs[Long]("k")) ->
+        (r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows"), r.getAs[Boolean]("risky")))
+      .toMap
+    assert(hist == Map(
+      ("segment_nation_band", 1L) -> (2L, 2L, true),
+      ("segment_nation_band", 2L) -> (1L, 2L, true),
+      ("segment_nation_band", 3L) -> (1L, 3L, true),
+      ("segment_nation", 1L) -> (1L, 1L, true),
+      ("segment_nation", 3L) -> (2L, 6L, true),
+      ("segment", 3L) -> (1L, 3L, true),
+      ("segment", 4L) -> (1L, 4L, true)), s"histogram: $hist")
+    // n_rows reconciles to the input at every level
+    Seq("segment_nation_band", "segment_nation", "segment").foreach { l =>
+      assert(hist.collect { case ((`l`, _), (_, n, _)) => n }.sum == 7L)
+    }
+  }
+
+  test("the ladder is ONE table scan (single-pass rollup, no per-level rescan)") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Privacy.kAnonymity(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      var scans = 0
+      def walk(p: SparkPlan): Unit = {
+        p match { case _: FileSourceScanExec => scans += 1; case _ => }
+        p.children.foreach(walk)
+      }
+      walk(plan)
+      assert(scans == 1, s"expected one customer scan, got $scans:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
