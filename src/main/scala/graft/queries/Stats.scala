@@ -89,6 +89,53 @@ object Stats {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q204 — GROUPED model fitting: one OLS regression + Pearson corr
+    * per (order year, return flag) cell — q108's exact-moment algebra
+    * fanned out over a group domain, the "thousands of models in one
+    * aggregate" pattern a feature platform runs (per-cohort trend fits,
+    * per-segment calibrations). There is no per-model loop and no
+    * driver involvement: ONE join carries the year onto the fact, ONE
+    * aggregation map-side-combines the five moment sums per cell, and
+    * the closed forms run columnar over however many cells exist —
+    * fitting 10^4 models costs the same scan as fitting 3. At 100 TB
+    * the join is the only heavy edge (orderkey⋈orderkey sort-merge;
+    * the group domain itself is bounded), and the moment sums inherit
+    * q108's exactness bounds + loud [[exactDouble]] overflow guard.
+    * Group cells are big enough at every shipped SF that the variance
+    * never degenerates (q108 note: a zero-variance cell would NaN both
+    * engines identically anyway — same IEEE tree). */
+  private val q204: Q = (s, d) => {
+    val x = col("l_quantity").cast(D6)
+    val y = col("l_discount").cast(D6)
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_returnflag"), col("l_quantity"), col("l_discount"))
+    val ord = Tables.orders(s, d).select(
+      col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val stats = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_year"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(x).as("sx_d"), sum(y).as("sy_d"),
+        sum((x * x).cast(D6)).as("sxx_d"),
+        sum((x * y).cast(D6)).as("sxy_d"),
+        sum((y * y).cast(D6)).as("syy_d"))
+      .select(col("o_year"), col("l_returnflag"), col("n_items"),
+        col("n_items").cast(DoubleType).as("n"),
+        exactDouble(col("sx_d"), 0).as("sx"),
+        exactDouble(col("sy_d"), 2).as("sy"),
+        exactDouble(col("sxx_d"), 0).as("sxx"),
+        exactDouble(col("sxy_d"), 2).as("sxy"),
+        exactDouble(col("syy_d"), 4).as("syy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = covN / varXN
+    stats.select(col("o_year"), col("l_returnflag"), col("n_items"),
+        slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+        (covN / sqrt(varXN * varYN)).as("corr"))
+      .orderBy(col("o_year"), col("l_returnflag"))
+  }
+
   /** q109 — 3-sigma outlier rates per (returnflag, linestatus), with
     * ZERO floating point anywhere: prices become exact cent integers,
     * and the classic |x - mean| > 3*stddev test is cleared of its
@@ -1027,6 +1074,7 @@ object Stats {
     "q139_mad_outliers" -> q139,
     "q146_price_qty_skyline" -> q146,
     "q108_discount_qty_regression" -> q108,
+    "q204_per_group_regression" -> q204,
     "q109_price_outliers" -> q109,
     "q112_trade_volume" -> q112,
     "q113_pareto_suppliers" -> q113)
@@ -1363,6 +1411,25 @@ object Stats {
         |  (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept,
         |  (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS corr
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    // q108's exact-moment algebra per (year, flag) cell — same operand
+    // trees, so the per-model doubles are bit-identical too
+    "q204_per_group_regression" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, l_returnflag,
+        |    count(*) AS n_items,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,0)) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DECIMAL(18,0)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(CAST(l_discount AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS syy
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT o_year, l_returnflag, n_items,
+        |  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+        |  (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept,
+        |  (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS corr
+        |FROM m ORDER BY o_year, l_returnflag""".stripMargin,
     "q109_price_outliers" ->
       """WITH c AS (
         |  SELECT l_returnflag, l_linestatus,
