@@ -59,8 +59,47 @@ object Privacy {
       .orderBy(col("level"), col("k"))
   }
 
+  /** q206 — right-to-be-forgotten sweep: the erasure PLAN for every
+    * surface that references a user, before any row is touched. The
+    * deletion list is the CDC tombstone set (users whose LATEST
+    * change is a delete — q202's semantics exactly), and the swept
+    * surfaces are the places user data actually lives at 100 TB: the
+    * raw fact stream, a derived aggregate (per-user daily activity —
+    * derived data retains identifiers long after the source row is
+    * gone, the classic erasure blind spot), and the CDC snapshot
+    * itself INCLUDING tombstones — a tombstone carries the user id,
+    * so erasure eventually conflicts with the retention that makes
+    * [[Cdc]] order-independent; the sweep surfaces that row too,
+    * making the GC decision explicit.
+    *
+    * Shape per surface: the deletion list is tiny and BROADCAST; one
+    * scan + one map-side-combined aggregate per surface, the fact
+    * never shuffles. Counting first (plan) and anti-joining after
+    * (act) is the two-phase discipline an irreversible bulk delete
+    * wants. */
+  val erasureSweep: Q = (s, d) => {
+    val log = Cdc.eventChangelog(s, d)
+    val snap = Cdc.compact(log, Seq("user_id"), "ts", "event_id")
+    val del = snap.filter(col("op") === "D")
+      .select(col("user_id"), lit(1).as("_del"))
+    def sweep(name: String, df: DataFrame): DataFrame =
+      df.join(broadcast(del), Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce(col("_del"), lit(0))).cast("long").as("n_rows_to_erase"),
+          countDistinct(when(col("_del") === 1, col("user_id"))).as("n_users_erased"))
+        .select(lit(name).as("surface"), col("n_rows"),
+          col("n_rows_to_erase"), col("n_users_erased"))
+    val ev = Tables.events(s, d)
+    val daily = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    sweep("cdc_snapshot", snap)
+      .unionByName(sweep("events", ev))
+      .unionByName(sweep("user_daily_activity", daily))
+      .orderBy(col("surface"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q203_k_anonymity" -> kAnonymity)
+    "q203_k_anonymity" -> kAnonymity,
+    "q206_erasure_sweep" -> erasureSweep)
 
   val oracle: Map[String, String] = Map(
     // the rival spelling on purpose: one subquery per ladder level,
@@ -82,5 +121,34 @@ object Privacy {
         |SELECT level, k, count(*) AS n_classes,
         |  CAST(sum(k) AS BIGINT) AS n_rows,
         |  k < 5 AS risky
-        |FROM lvl GROUP BY level, k ORDER BY level, k""".stripMargin)
+        |FROM lvl GROUP BY level, k ORDER BY level, k""".stripMargin,
+    // same deletion-list rule as q202 (latest op per user is 'D'),
+    // then one counted LEFT JOIN per surface
+    "q206_erasure_sweep" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |snap AS (SELECT user_id FROM c WHERE rn = 1),
+        |del AS (SELECT user_id FROM c WHERE rn = 1 AND op = 'D'),
+        |daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |sw AS (
+        |  SELECT 'cdc_snapshot' AS surface, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_rows_to_erase,
+        |    count(DISTINCT d.user_id) AS n_users_erased
+        |  FROM snap s LEFT JOIN del d ON s.user_id = d.user_id
+        |  UNION ALL
+        |  SELECT 'events', count(*),
+        |    CAST(sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT d.user_id)
+        |  FROM events e LEFT JOIN del d ON e.user_id = d.user_id
+        |  UNION ALL
+        |  SELECT 'user_daily_activity', count(*),
+        |    CAST(sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT d.user_id)
+        |  FROM daily a LEFT JOIN del d ON a.user_id = d.user_id)
+        |SELECT * FROM sw ORDER BY surface""".stripMargin)
 }

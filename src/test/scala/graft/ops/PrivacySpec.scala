@@ -62,4 +62,25 @@ class PrivacySpec extends SparkTestBase {
       assert(scans == 1, s"expected one customer scan, got $scans:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("q206 sweep joins are all broadcast — the fact stream never shuffles on user_id") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Privacy.erasureSweep(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+      var joins = List.empty[BaseJoinExec]
+      def walk(p: SparkPlan): Unit = {
+        p match { case j: BaseJoinExec => joins ::= j; case _ => }
+        p.children.foreach(walk)
+      }
+      walk(plan)
+      assert(joins.nonEmpty, "expected the three sweep joins in the plan")
+      val nonBroadcast = joins.filterNot(_.isInstanceOf[BroadcastHashJoinExec])
+      assert(nonBroadcast.isEmpty,
+        s"deletion list not broadcast — facts would shuffle: $nonBroadcast")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
