@@ -615,18 +615,28 @@ object Similarity {
 
   private[ops] def pqCandidateIdsFor(emb: DataFrame,
       qs: Array[(Long, Array[Double])]): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    if (qs.isEmpty)
-      return spark.range(0).select(col("id").as("qid"), col("id").as("vec_id"))
     val dim = embDim(emb, "embedding")
     val books = pqCodebooks(emb, "embedding")
-    val luts = qs.toSeq.map { case (qid, qv) => (qid, pqLut(qv, books, dim)) }
-      .toDF("qid", "lut")
     val codes = emb.select(col("vec_id"),
       pqEncode(col("embedding"), books, dim).as("code"),
       normD(col("embedding")).as("nrm"))
-    val shortlist = pqShortlist(corpusCount(emb))
+    pqCandidatesFromCodes(emb.sparkSession, codes, books, dim, qs,
+      pqShortlist(corpusCount(emb)))
+  }
+
+  /** The flat-PQ ADC shortlist over an EXTERNAL code index — the same
+    * scan as [[pqCandidateIdsFor]] but with the (vec_id, code, nrm)
+    * rows supplied by the caller instead of encoded inline, so a
+    * MAINTAINED index (q31e's store, q31h's delete-tolerant snapshot)
+    * is searchable without touching the vectors it indexes. */
+  private[ops] def pqCandidatesFromCodes(spark: SparkSession, codes: DataFrame,
+      books: Array[Array[Array[Double]]], dim: Int,
+      qs: Array[(Long, Array[Double])], shortlist: Int): DataFrame = {
+    import spark.implicits._
+    if (qs.isEmpty)
+      return spark.range(0).select(col("id").as("qid"), col("id").as("vec_id"))
+    val luts = qs.toSeq.map { case (qid, qv) => (qid, pqLut(qv, books, dim)) }
+      .toDF("qid", "lut")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vec_id"))
     codes.crossJoin(broadcast(luts))
@@ -655,6 +665,56 @@ object Similarity {
   val pqTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     scoreTopK(emb, pqCandidateIds(emb))
+  }
+
+  /** The q31h index state: the packed codes as a CDC snapshot —
+    * key = vec_id, payload = (code, nrm), versioned planted waves:
+    * version 0 upserts the whole corpus, version 1 DELETES
+    * vec_id % 7 == 3 (tombstones), version 2 re-inserts the
+    * vec_id % 21 == 3 subset (LWW resurrection). Books are FROZEN
+    * through all of it — retraining would invalidate every stored
+    * code (the q31e contract); deletion never reads a vector. */
+  private[ops] def pqDeleteSnapshot(emb: DataFrame,
+      books: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+    val coded = emb.select(col("vec_id"),
+      pqEncode(col("embedding"), books, dim).as("code"),
+      normD(col("embedding")).as("nrm"))
+    val base = coded.select(col("vec_id"), lit(0L).as("ver"),
+      col("vec_id").as("seq"), lit("U").as("op"), col("code"), col("nrm"))
+    val dels = coded.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id"), lit(1L).as("ver"), col("vec_id").as("seq"),
+        lit("D").as("op"), lit(null).cast(LongType).as("code"),
+        lit(null).cast(DoubleType).as("nrm"))
+    val reins = coded.filter(col("vec_id") % 21 === 3)
+      .select(col("vec_id"), lit(2L).as("ver"), col("vec_id").as("seq"),
+        lit("U").as("op"), col("code"), col("nrm"))
+    Cdc.compact(base.unionByName(dels).unionByName(reins),
+      Seq("vec_id"), "ver", "seq")
+  }
+
+  /** q31h — the PQ index under DELETES (FAISS `remove_ids`, done the
+    * distributed way): the code index is a [[Cdc]] snapshot, deletes
+    * are tombstone changelog rows, and the ADC search scans
+    * [[Cdc.live]] codes only. Deleting (or re-inserting) vectors is an
+    * O(|batch|) metadata operation — no re-encode, no rebuild, no
+    * vector reads — which at 100 TB is the difference between a GDPR
+    * erasure costing a changelog append and costing a full re-index;
+    * it also closes q206's loop (the erasure sweep's plan, executed
+    * against a vector index). Search semantics: identical to flat PQ
+    * over the surviving corpus under the SAME frozen books
+    * (SimilaritySpec pins shortlist parity, zero net-deleted ids in
+    * the output, and the LWW resurrection). The shortlist keeps the
+    * flat path's corpus-count basis so results are stable in the
+    * live fraction. Rows-only (seeded KMeans books). */
+  val pqDeleteMaintained: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dim = embDim(emb, "embedding")
+    val books = pqCodebooks(emb, "embedding")
+    val live = Cdc.live(pqDeleteSnapshot(emb, books, dim))
+      .select(col("vec_id"), col("code"), col("nrm"))
+    val cand = pqCandidatesFromCodes(s, live, books, dim,
+      collectedQueries(emb), pqShortlist(corpusCount(emb)))
+    scoreTopK(emb, cand)
   }
 
   // ---- IVF-PQ composition (q31f): the compressed index at scale -----
@@ -1157,6 +1217,7 @@ object Similarity {
     "q31e_pq_incremental" -> pqIncremental, // rows-only: frozen-codebook delta-encode store
     "q31f_ann_ivfpq_topk" -> ivfPqTopK, // rows-only: composed IVF-PQ scale path
     "q31g_pq_regime_recall" -> pqRegimeRecall, // rows-only: per-regime planted-truth audit
+    "q31h_ann_pq_deletes" -> pqDeleteMaintained, // rows-only: delete-maintained index
     "q71_semantic_dedup" -> semanticDedup, // rows-only: k-means-seeded
     "q71b_semantic_keepers" -> semanticKeepers, // rows-only: closed decisions
   )

@@ -250,6 +250,50 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("q31h: deletes are tombstone metadata — net-deleted ids never surface, LWW resurrects") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val books = Similarity.pqCodebooks(emb, "embedding")
+    val all = emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val netDeleted = all.filter(id => id % 7 == 3 && id % 21 != 3)
+    val resurrected = all.filter(_ % 21 == 3)
+    assert(netDeleted.nonEmpty && resurrected.nonEmpty, "fixture waves empty")
+    // the live index is exactly the corpus minus the net-deleted set —
+    // the delete wave removed, the LWW re-insert wave resurrected
+    val snap = Similarity.pqDeleteSnapshot(emb, books, dim)
+    val liveIds = Cdc.live(snap).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(liveIds == all -- netDeleted, "live index != corpus minus net-deleted")
+    // and the tombstones are still THERE (rows, not absence) — the
+    // order-independence witness
+    assert(snap.filter(col("op") === "D").count() == netDeleted.size)
+    // the registered query can never return a net-deleted id
+    val out = Similarity.pqDeleteMaintained(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => !netDeleted.contains(r.getAs[Long]("vid"))),
+      "a deleted vector surfaced in the ANN results")
+    // parity: the maintained snapshot's shortlist == flat PQ over the
+    // surviving corpus with the SAME frozen books (deletion changed
+    // index membership, not search semantics)
+    val qs = emb.filter(col("vec_id") < Similarity.nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val fromSnap = Similarity.pqCandidatesFromCodes(spark,
+      Cdc.live(snap).select(col("vec_id"), col("code"), col("nrm")),
+      books, dim, qs, shortlist = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val survivors = emb.filter(!col("vec_id").isin(netDeleted.toSeq: _*))
+    val fromFiltered = Similarity.pqCandidatesFromCodes(spark,
+      survivors.select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), books, dim).as("code"),
+        Similarity.normD(col("embedding")).as("nrm")),
+      books, dim, qs, shortlist = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromSnap == fromFiltered,
+      "maintained-index shortlist diverged from the filtered-corpus rerun")
+  }
+
   test("PqEncode offsets derive from the trained dim, not the vector's own width (ADVICE r11)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
