@@ -26,12 +26,15 @@ import org.apache.spark.sql.types._
   *     filtered); tombstone GC is a retention decision (drop 'D' rows
   *     older than the replication lag bound), not a correctness one.
   *  2. **Compaction is an AGGREGATE, not a window.** max_by(payload,
-  *     version) under groupBy does partial (map-side) combining and
-  *     never materializes a per-key sorted run — one exchange carrying
-  *     at most one row per key per map partition. The row_number()
-  *     spelling (the DuckDB twin, deliberately) sorts every partition
-  *     and buffers full key groups; at 4e9 keys that difference is the
-  *     job.
+  *     version) under groupBy does PARTIAL (map-side) combining, so
+  *     the exchange carries at most one row per key per map partition
+  *     — not the whole changelog. (The struct buffer makes it a
+  *     SortAggregate, so each map partition sorts by key before
+  *     collapsing — but collapse-then-shuffle it is; plan-audited.)
+  *     The row_number() spelling (the DuckDB twin, deliberately)
+  *     must shuffle EVERY log row and buffer full key groups before
+  *     ranking; at 4e9 keys and a deep changelog that difference is
+  *     the job.
   *
   * Version ties: (ts, seq) must be unique per key across the whole log
   * (seq = a change LSN / event id); struct-max comparison then never

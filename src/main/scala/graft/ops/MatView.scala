@@ -78,8 +78,37 @@ object MatView {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** q207 — TIME TRAVEL over the view store: the corpus profile as of
+    * the bootstrap snapshot (`state(beforeRound)` — the replay-guard
+    * surface doubling as an as-of read) diffed against the live state,
+    * per group. This is the audit every ingest review runs ("what did
+    * this source look like before the weekend's crawl landed"), and it
+    * reads NO history: both sides fold the store's |groups|-sized
+    * state rows; only the live side adds the delta scan. Groups born
+    * after the snapshot surface with base 0 (append-only ⇒ base ⊆
+    * live, so a left join from the live side is total). The DuckDB
+    * twin recomputes both epochs from the raw table — the store's
+    * as-of read must match a true historical recompute bit for bit. */
+  val viewTimeTravel: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val (st, wm) = store(s, d)
+    val base = st.state(beforeRound = Some(1L)).select(col("source"), col("lang"),
+      col("n_docs").as("nb"), col("sum_chars").as("sb"))
+    val now = st.mergedWith(docs.filter(col("doc_id") > wm))
+      .select(col("source"), col("lang"),
+        col("n_docs").as("nn"), col("sum_chars").as("sn"))
+    now.join(base, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"),
+        coalesce(col("nb"), lit(0L)).as("n_docs_base"),
+        col("nn").as("n_docs_now"),
+        (col("nn") - coalesce(col("nb"), lit(0L))).as("docs_added"),
+        (col("sn") - coalesce(col("sb"), lit(0L))).as("chars_added"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q205_matview_incremental" -> docProfileIncremental)
+    "q205_matview_incremental" -> docProfileIncremental,
+    "q207_view_time_travel" -> viewTimeTravel)
 
   val oracle: Map[String, String] = Map(
     // full recompute — the independent check of the incremental fold
@@ -89,7 +118,26 @@ object MatView {
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         |  CAST(sum(n_chars) AS BIGINT) * 1000000 // count(*) AS avg_chars_micro
         |FROM documents GROUP BY source, lang
-        |ORDER BY source, lang""".stripMargin)
+        |ORDER BY source, lang""".stripMargin,
+    // both epochs recomputed from the raw table: the base epoch is the
+    // store's bootstrap watermark (max(doc_id)*4/5 — the ScratchStores
+    // convention), the live epoch is everything
+    "q207_view_time_travel" ->
+      """WITH wm AS (SELECT max(doc_id) * 4 // 5 AS w FROM documents),
+        |base AS (
+        |  SELECT source, lang, count(*) AS nb, CAST(sum(n_chars) AS BIGINT) AS sb
+        |  FROM documents, wm WHERE doc_id <= w GROUP BY source, lang),
+        |now AS (
+        |  SELECT source, lang, count(*) AS nn, CAST(sum(n_chars) AS BIGINT) AS sn
+        |  FROM documents GROUP BY source, lang)
+        |SELECT n.source, n.lang,
+        |  coalesce(b.nb, CAST(0 AS BIGINT)) AS n_docs_base,
+        |  n.nn AS n_docs_now,
+        |  n.nn - coalesce(b.nb, CAST(0 AS BIGINT)) AS docs_added,
+        |  n.sn - coalesce(b.sb, CAST(0 AS BIGINT)) AS chars_added
+        |FROM now n LEFT JOIN base b
+        |  ON n.source = b.source AND n.lang = b.lang
+        |ORDER BY n.source, n.lang""".stripMargin)
 }
 
 /** Durable partial-state store for [[MatView]]: one (source, lang)
