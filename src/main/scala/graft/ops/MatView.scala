@@ -74,7 +74,11 @@ object MatView {
     val docs = Tables.documents(s, d)
     val (st, wm) = store(s, d)
     st.mergedWith(docs.filter(col("doc_id") > wm))
-      .withColumn("avg_chars_micro", expr("sum_chars * 1000000 div n_docs"))
+      // the x1e6 rescale is the wrap point (a 9e12-char group already
+      // overflows BIGINT when multiplied) — widen to DECIMAL(38,0)
+      // before it, HUGEINT in the twin, land back in BIGINT
+      .withColumn("avg_chars_micro",
+        expr("cast(cast(sum_chars as decimal(38,0)) * 1000000 div n_docs as bigint)"))
       .orderBy(col("source"), col("lang"))
   }
 
@@ -116,7 +120,8 @@ object MatView {
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-        |  CAST(sum(n_chars) AS BIGINT) * 1000000 // count(*) AS avg_chars_micro
+        |  CAST(CAST(sum(n_chars) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+        |    AS avg_chars_micro
         |FROM documents GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
     // both epochs recomputed from the raw table: the base epoch is the
