@@ -159,6 +159,77 @@ object Scd {
       .drop("_isv")
   }
 
+  /** Two-epoch point-in-time DIFF in one pass — the late-arriving-
+    * dimension backfill audit: which facts' [[pitJoin]] enrichment
+    * CHANGES once a set of late version rows (flagged by `late`) is
+    * folded in, and how. The naive plan runs two full enrichments and
+    * joins them back on the fact id — three exchanges, facts shuffled
+    * twice. This form computes BOTH epochs inside the single
+    * key-partitioned window pitJoin already pays: the "all versions"
+    * epoch carries last(attr) over every version row, the "early"
+    * epoch carries last(attr) over non-late rows only (the late rows'
+    * attr masked to NULL, which ignoreNulls skips) — same window, two
+    * carried columns, zero joins. At 100 TB the backfill-impact audit
+    * costs exactly one enrichment pass.
+    *
+    * Returns the fact rows with `<attr>_before` (early epoch; NULL =
+    * no applicable version yet) and `<attr>_after` (all versions). */
+  def pitBackfillDiff(versions: DataFrame, late: Column, facts: DataFrame,
+                      key: Seq[String], attr: String, ts: String,
+                      seq: String): DataFrame = {
+    val spine = key ++ Seq(ts, seq)
+    val factOnly = facts.columns.toSeq.filterNot(spine.contains)
+    val aT = versions.schema(attr).dataType
+    val vSide = versions.select((spine.map(col) ++ Seq(
+      col(attr).as("_attr"), late.as("_late")) ++
+      factOnly.map(c => lit(null).cast(facts.schema(c).dataType).as(c)) :+
+      lit(true).as("_isv")).toIndexedSeq: _*)
+    val fSide = facts.select((spine.map(col) ++ Seq(
+      lit(null).cast(aT).as("_attr"), lit(null).cast("boolean").as("_late")) ++
+      factOnly.map(col) :+ lit(false).as("_isv")).toIndexedSeq: _*)
+    val w = Window.partitionBy(key.map(col).toIndexedSeq: _*)
+      .orderBy(col(ts), col(seq))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vSide.unionByName(fSide)
+      .select((spine.map(col) ++ Seq(
+        last(when(col("_isv") && !col("_late"), col("_attr")),
+          ignoreNulls = true).over(w).as(s"${attr}_before"),
+        last(when(col("_isv"), col("_attr")),
+          ignoreNulls = true).over(w).as(s"${attr}_after")) ++
+        factOnly.map(col) :+ col("_isv")).toIndexedSeq: _*)
+      .filter(!col("_isv"))
+      .drop("_isv")
+  }
+
+  /** q208 — the backfill-impact report over q201's band dimension: a
+    * deterministic straggler slice of the version rows (event_id ≡ 0
+    * mod 5) arrives LATE, and the audit reports how fact enrichment
+    * shifts once they land — (band_before, band_after) transition
+    * counts with a witness fact per cell, bands before any version
+    * coalesced to −1. This is the report a feature platform runs
+    * before re-materializing a training table: how much of it is
+    * stale, and in which direction. One union + one user-keyed window
+    * ([[pitBackfillDiff]]) + the tiny transition rollup; the DuckDB
+    * twin runs the scale-hostile spelling — TWO inequality fan-out
+    * joins, each ranked per fact — as the cross-algorithm check. */
+  val pitBackfillImpact: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val versions = ev.filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), cents.as("cents"))
+      .withColumn("band", expr("cents div 10000"))
+      .drop("cents")
+    val facts = ev.filter(col("event_type").isin("view", "click", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    pitBackfillDiff(versions, col("event_id") % 5 === 0, facts,
+        Seq("user_id"), "band", "ts", "event_id")
+      .filter(!(col("band_before") <=> col("band_after")))
+      .groupBy(coalesce(col("band_before"), lit(-1L)).as("band_before"),
+        coalesce(col("band_after"), lit(-1L)).as("band_after"))
+      .agg(count(lit(1)).as("n_facts"), min(col("event_id")).as("witness_event"))
+      .orderBy(col("band_before"), col("band_after"))
+  }
+
   /** q116 — per-user value-band history over the event stream: each
     * user's `value` reading quantized to exact 100-unit bands (integer
     * arithmetic on cents — no double boundaries), change-point
@@ -212,7 +283,8 @@ object Scd {
 
   val queries: Map[String, Q] = Map(
     "q116_scd2_band_history" -> userBandHistory,
-    "q201_pit_band_mix" -> pitBandMix)
+    "q201_pit_band_mix" -> pitBandMix,
+    "q208_pit_backfill_impact" -> pitBackfillImpact)
 
   val oracle: Map[String, String] = Map(
     "q116_scd2_band_history" ->
@@ -252,5 +324,39 @@ object Scd {
         |SELECT coalesce(b.band, CAST(-1 AS BIGINT)) AS band, f.event_type,
         |  count(*) AS n_events, CAST(sum(f.cents) AS BIGINT) AS cents_sum
         |FROM f LEFT JOIN best b ON b.fid = f.event_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // TWO naive fan-out enrichments (all versions / early-only), each
+    // ranked per fact — the cross-algorithm twin of the Spark side's
+    // single union+window two-epoch pass
+    "q208_pit_backfill_impact" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000 AS band,
+        |    event_id % 5 = 0 AS late
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |f AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type IN ('view', 'click', 'error')),
+        |pit_all AS (
+        |  SELECT f.event_id AS fid, v.band,
+        |    row_number() OVER (PARTITION BY f.event_id
+        |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM f JOIN v ON v.user_id = f.user_id
+        |    AND (v.ts < f.ts OR (v.ts = f.ts AND v.event_id < f.event_id))),
+        |pit_early AS (
+        |  SELECT f.event_id AS fid, v.band,
+        |    row_number() OVER (PARTITION BY f.event_id
+        |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM f JOIN v ON v.user_id = f.user_id AND NOT v.late
+        |    AND (v.ts < f.ts OR (v.ts = f.ts AND v.event_id < f.event_id))),
+        |best_all AS (SELECT fid, band FROM pit_all WHERE rn = 1),
+        |best_early AS (SELECT fid, band FROM pit_early WHERE rn = 1)
+        |SELECT coalesce(e.band, CAST(-1 AS BIGINT)) AS band_before,
+        |  coalesce(a.band, CAST(-1 AS BIGINT)) AS band_after,
+        |  count(*) AS n_facts, min(f.event_id) AS witness_event
+        |FROM f
+        |LEFT JOIN best_all a ON a.fid = f.event_id
+        |LEFT JOIN best_early e ON e.fid = f.event_id
+        |WHERE e.band IS DISTINCT FROM a.band
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -158,4 +158,88 @@ class ScdSpec extends SparkTestBase {
         s"window missing or unpartitioned:\n$plan")
     }
   }
+
+  test("pitBackfillDiff: two epochs from one window pass, tie rules inherited") {
+    val versions = Seq(
+      //                 ts                      seq   attr  late
+      (1L, ts("2024-01-02 00:00:00"), 10L, "A", false),
+      (1L, ts("2024-01-04 00:00:00"), 20L, "B", true),  // late: after-epoch only
+      (1L, ts("2024-01-06 00:00:00"), 25L, "C", false),
+      (2L, ts("2024-01-03 00:00:00"), 30L, "X", true)   // user 2's ONLY version is late
+    ).toDF("user_id", "ts", "event_id", "attr", "late")
+    val facts = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),  // before everything: (null, null)
+      (1L, ts("2024-01-03 00:00:00"), 2L),  // after A only: (A, A)
+      (1L, ts("2024-01-05 00:00:00"), 3L),  // after late B: (A, B) — the churn row
+      (1L, ts("2024-01-04 00:00:00"), 19L), // same ts as B, lower seq: (A, A)
+      (1L, ts("2024-01-07 00:00:00"), 4L),  // after C: (C, C) — repaired by a later early version
+      (2L, ts("2024-01-04 00:00:00"), 5L)   // only a late version: (null, X)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Scd.pitBackfillDiff(versions.drop("late"),
+      // late flag recomputed from the seq so the column set matches prod use
+      (col("event_id") === 20L) || (col("event_id") === 30L),
+      facts, Seq("user_id"), "attr", "ts", "event_id")
+    val byId = out.collect().map(r => r.getAs[Long]("event_id") ->
+      (Option(r.getAs[String]("attr_before")), Option(r.getAs[String]("attr_after")))).toMap
+    assert(byId == Map(
+      1L -> (None, None), 2L -> (Some("A"), Some("A")),
+      3L -> (Some("A"), Some("B")), 19L -> (Some("A"), Some("A")),
+      4L -> (Some("C"), Some("C")), 5L -> (None, Some("X"))))
+  }
+
+  test("pitBackfillDiff equals two independent pitJoins diffed (cross-algorithm, real events)") {
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, d)
+    val cents = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("long")
+    val versions = ev.filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), cents.as("cents"))
+      .withColumn("band", expr("cents div 10000")).drop("cents")
+    val facts = ev.filter(col("event_type").isin("view", "click", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val late = col("event_id") % 5 === 0
+    val fused = Scd.pitBackfillDiff(versions, late, facts,
+        Seq("user_id"), "band", "ts", "event_id")
+      .select(col("event_id"), col("band_before"), col("band_after"))
+    val after = Scd.pitJoin(versions, facts, Seq("user_id"), Seq("band"), "ts", "event_id")
+      .select(col("event_id"), col("band").as("band_after"))
+    val before = Scd.pitJoin(versions.filter(!late), facts,
+        Seq("user_id"), Seq("band"), "ts", "event_id")
+      .select(col("event_id"), col("band").as("band_before"))
+    val naive = before.join(after, Seq("event_id"))
+      .select(col("event_id"), col("band_before"), col("band_after"))
+    assert(fused.exceptAll(naive).isEmpty && naive.exceptAll(fused).isEmpty,
+      "fused two-epoch diff diverged from the two-pass reference")
+    // and the fixture actually exercises churn (the q208 report is non-degenerate)
+    assert(fused.filter(!(col("band_before") <=> col("band_after"))).count() > 0,
+      "no enrichment churn in the fixture — q208 would be vacuous")
+  }
+
+  test("pitBackfillDiff plan is join-free: the audit costs one enrichment pass") {
+    withoutAqe {
+      val versions = Seq((1L, ts("2024-01-02 00:00:00"), 10L, "A"))
+        .toDF("user_id", "ts", "event_id", "attr")
+      val facts = Seq((1L, ts("2024-01-03 00:00:00"), 2L))
+        .toDF("user_id", "ts", "event_id")
+      val plan = Scd.pitBackfillDiff(versions, col("event_id") % 5 === 0, facts,
+          Seq("user_id"), "attr", "ts", "event_id")
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+      import org.apache.spark.sql.execution.window.WindowExec
+      var joins = 0; var windows = List.empty[WindowExec]
+      def walk(p: SparkPlan): Unit = {
+        p match {
+          case _: BaseJoinExec | _: BroadcastNestedLoopJoinExec => joins += 1
+          case w: WindowExec => windows ::= w
+          case _ =>
+        }
+        p.children.foreach(walk)
+      }
+      walk(plan)
+      assert(joins == 0, s"pitBackfillDiff lowered to a join:\n$plan")
+      assert(windows.size == 1 && windows.forall(_.partitionSpec.nonEmpty),
+        s"expected exactly one partitioned window:\n$plan")
+    }
+  }
 }
