@@ -110,9 +110,154 @@ object MatView {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Partial state of the distinct-count view: one row per
+    * (event_type, user_id) with that pair's event count. The
+    * COUNT DISTINCT decomposition — distinct users per type is the
+    * number of state rows with n > 0 — which is what makes an exact
+    * distinct incrementally maintainable at all: the state merges by
+    * plain addition (a monoid), where the distinct itself does not. */
+  private[ops] def distinctState(events: DataFrame): DataFrame =
+    events
+      // identified users only: count(DISTINCT) ignores NULL while a
+      // groupBy would mint a NULL-user state row — excluded by
+      // contract on both sides
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Merge distinct-count partial states: counts add per (type, user);
+    * rows whose count annihilates to exactly zero are dropped (absent
+    * row ≡ 0 under addition, so the filter is read-equivalent — and it
+    * is what makes RETRACTION shrink the store instead of accreting
+    * tombstone rows). Associative + commutative ⇒ rounds merge in any
+    * order and compaction is read-equivalent. */
+  private[ops] def mergeDistinctState(states: DataFrame): DataFrame =
+    states.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n") =!= 0L)
+
+  /** The served view over a merged state: exact distinct users and
+    * event totals per type. */
+  private[ops] def distinctView(state: DataFrame): DataFrame =
+    state.filter(col("n") > 0L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+
+  // Per-(JVM, events CONTENT) store lifecycle — q93's hllStore mapping
+  // of the events table onto corpusKey's (doc_id, text) shape, so the
+  // same snapshot memo, regeneration guard, and (max*4 div 5)
+  // watermark arithmetic apply unchanged.
+  private def dstore(s: SparkSession, d: String): (DistinctViewStore, Long) = {
+    val ev = Tables.events(s, d)
+    val keyed = ev.select(col("event_id").as("doc_id"),
+      concat_ws(":", col("user_id"), col("event_type")).as("text"))
+    val (key, wm) = ScratchStores.corpusKey(keyed, s"$d#events")
+    val path = ScratchStores.pathFor(key, "graft-distinct-view") { p =>
+      new DistinctViewStore(s, p).appendRound(
+        ev.filter(col("event_id") <= wm), round = 0L)
+    }
+    (new DistinctViewStore(s, path), wm)
+  }
+
+  /** q209 — EXACT incremental COUNT DISTINCT: distinct users per event
+    * type maintained through a persisted (type, user, count) state
+    * store, the exact/retractable complement of q93's HLL sketch store.
+    * q93 buys KB-sized state with ~1% error and no delete path (a
+    * register-max union cannot retract); this pays |distinct (type,
+    * user)| state rows — entity-bounded, NOT event-bounded, typically
+    * orders of magnitude below the event log it replaces — for a
+    * bit-exact count that also supports retraction (negative deltas
+    * annihilate state rows; MatViewSpec pins append→retract→identity).
+    * Steady state scans the delta plus the state partitions, never the
+    * event history; the exchange carries map-side-combined (type, user)
+    * partials. The DuckDB twin recomputes count(DISTINCT) from scratch
+    * — one drifted bit anywhere in the store lifecycle hash-fails. */
+  val distinctIncremental: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val (st, wm) = dstore(s, d)
+    distinctView(st.mergedWith(ev.filter(col("event_id") > wm)))
+      .orderBy(col("event_type"))
+  }
+
+  /** Partial state of the percentile view: one row per (event_type,
+    * band) — `value` quantized to exact 10-unit bands on cents
+    * arithmetic (the Drift family's value-domain collapse, here as
+    * STANDING state). The histogram decomposition is what makes an
+    * exact percentile incrementally maintainable: band counts add (and
+    * retract), and any quantile of the banded distribution reads off
+    * the cumulative histogram — |types| × |bands| rows of state,
+    * domain-bounded, never event-bounded. */
+  private[ops] def bandState(events: DataFrame): DataFrame =
+    events
+      // percentiles are over OBSERVED values: a NULL reading carries no
+      // band (and the two engines order NULL bands differently in the
+      // cumulative window — excluded by contract on both sides)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint) div 1000 as band"))
+      .groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("n"))
+
+  private[ops] def mergeBandState(states: DataFrame): DataFrame =
+    states.groupBy(col("event_type"), col("band"))
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n") =!= 0L)
+
+  /** The served view over a merged band state: per type, the exact
+    * count plus the p50 and p90 BANDS — the first band whose cumulative
+    * count reaches the rank ceil(q·n) (the classic inverse-CDF
+    * definition on the quantized domain, exact integers throughout).
+    * Both windows share the one type-partitioned exchange, and they run
+    * over HISTOGRAM rows (domain-bounded), never events. */
+  private[ops] def bandQuantileView(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    state.filter(col("n") > 0L)
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("tot")).as("n_events"),
+        min(when(col("cum") * 2 >= col("tot"), col("band"))).as("p50_band"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("band"))).as("p90_band"))
+  }
+
+  private def bstore(s: SparkSession, d: String): (BandViewStore, Long) = {
+    val ev = Tables.events(s, d)
+    val keyed = ev.select(col("event_id").as("doc_id"),
+      concat_ws(":", col("user_id"), col("event_type")).as("text"))
+    val (key, wm) = ScratchStores.corpusKey(keyed, s"$d#events")
+    val path = ScratchStores.pathFor(key, "graft-band-view") { p =>
+      new BandViewStore(s, p).appendRound(
+        ev.filter(col("event_id") <= wm), round = 0L)
+    }
+    (new BandViewStore(s, path), wm)
+  }
+
+  /** q212 — EXACT incremental percentiles: per-type p50/p90 value
+    * bands maintained through a persisted (type, band, n) histogram
+    * store — the delta-maintainable, retractable percentile that q130's
+    * mergeable sketches approximate. The honest contract is the
+    * quantization: percentiles are exact ON THE BANDED DOMAIN (10-unit
+    * value bands here — pick the band width your dashboard reports),
+    * which is what buys domain-bounded state (|types|×|bands| rows)
+    * instead of a corpus-sized sort per refresh. Steady state scans the
+    * delta plus the state partitions; the window runs over the
+    * band-histogram rows, never events. Full oracle: the DuckDB twin
+    * recomputes the banded inverse-CDF from raw events. */
+  val bandQuantileIncremental: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val (st, wm) = bstore(s, d)
+    bandQuantileView(st.mergedWith(ev.filter(col("event_id") > wm)))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q205_matview_incremental" -> docProfileIncremental,
-    "q207_view_time_travel" -> viewTimeTravel)
+    "q207_view_time_travel" -> viewTimeTravel,
+    "q209_matview_distinct" -> distinctIncremental,
+    "q212_matview_quantile" -> bandQuantileIncremental)
 
   val oracle: Map[String, String] = Map(
     // full recompute — the independent check of the incremental fold
@@ -142,7 +287,31 @@ object MatView {
         |  n.sn - coalesce(b.sb, CAST(0 AS BIGINT)) AS chars_added
         |FROM now n LEFT JOIN base b
         |  ON n.source = b.source AND n.lang = b.lang
-        |ORDER BY n.source, n.lang""".stripMargin)
+        |ORDER BY n.source, n.lang""".stripMargin,
+    // full recompute — the independent check of the decomposed state
+    "q209_matview_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // banded inverse-CDF recomputed from raw events — the independent
+    // check of the histogram-state fold (same 10-unit cents bands)
+    "q212_matview_quantile" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000 AS band,
+        |    count(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, band, n,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY event_type) AS tot
+        |  FROM h)
+        |SELECT event_type, CAST(max(tot) AS BIGINT) AS n_events,
+        |  min(CASE WHEN cum * 2 >= tot THEN band END) AS p50_band,
+        |  min(CASE WHEN cum * 10 >= tot * 9 THEN band END) AS p90_band
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
 
 /** Durable partial-state store for [[MatView]]: one (source, lang)
@@ -175,4 +344,88 @@ class MatViewStore(spark: SparkSession, val path: String)
     * read path of a refresh that has scanned only the delta. */
   def mergedWith(deltaDocs: DataFrame, beforeRound: Option[Long] = None): DataFrame =
     MatView.mergeState(state(beforeRound).unionByName(MatView.aggState(deltaDocs)))
+}
+
+/** Durable (event_type, user_id, n) state store for the exact
+  * distinct-count view (q209): one additive partial-state partition
+  * per ingest round; reads merge-on-read (sums per pair, exact-zero
+  * rows dropped); rounds are idempotent and auto-compaction folds old
+  * ones via the same additive algebra. `negate = true` commits a
+  * RETRACTION round — the delete path the HLL store (q93) cannot
+  * offer, because addition has inverses and register-max does not. */
+class DistinctViewStore(spark: SparkSession, val path: String)
+    extends CompactableRoundStore {
+  override protected def storeSpark: SparkSession = spark
+
+  override protected def mergeRounds(rows: DataFrame): DataFrame =
+    MatView.mergeDistinctState(rows.drop("ingest_round"))
+
+  def exists: Boolean = graft.flights.StarWarehouse.pathExists(spark, path)
+
+  /** The merged distinct-count state over committed rounds
+    * (`beforeRound` is the streaming replay guard). */
+  def state(beforeRound: Option[Long] = None): DataFrame =
+    mergeRounds(
+      beforeRound.foldLeft(readAll)((df, r) =>
+        df.filter(col("ingest_round") < r)))
+
+  /** Aggregate `events` into partial state and commit as round
+    * `round`; `negate` retracts the batch instead of adding it. */
+  def appendRound(events: DataFrame, round: Long, negate: Boolean = false): Unit = {
+    val st = MatView.distinctState(events)
+    val signed = if (negate) st.withColumn("n", -col("n")) else st
+    RoundPartitions.commit(signed, path, round)
+    maybeCompact(round)
+  }
+
+  /** Commit one MIXED batch: `signed` carries (event_type, user_id,
+    * sign ∈ {+1, −1}) rows — per-row adds and retractions folded into
+    * a single round partition (the CDC-shaped entry point
+    * [[graft.streaming.StreamingDistinctExact]] uses, where one
+    * micro-batch legitimately interleaves both). */
+  def appendSignedRound(signed: DataFrame, round: Long): Unit = {
+    val st = signed
+      .filter(col("user_id").isNotNull) // distinctState's identified-user contract
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("sign")).as("n"))
+    RoundPartitions.commit(st, path, round)
+    maybeCompact(round)
+  }
+
+  /** Stored state merged with an uncommitted delta's own state. */
+  def mergedWith(deltaEvents: DataFrame, beforeRound: Option[Long] = None): DataFrame =
+    MatView.mergeDistinctState(
+      state(beforeRound).unionByName(MatView.distinctState(deltaEvents)))
+}
+
+/** Durable (event_type, band, n) histogram store for the exact
+  * percentile view (q212): the [[DistinctViewStore]] additive/
+  * retractable round discipline applied to a quantized value domain —
+  * counts add per band, exact-zero rows annihilate, compaction folds
+  * by the same algebra. */
+class BandViewStore(spark: SparkSession, val path: String)
+    extends CompactableRoundStore {
+  override protected def storeSpark: SparkSession = spark
+
+  override protected def mergeRounds(rows: DataFrame): DataFrame =
+    MatView.mergeBandState(rows.drop("ingest_round"))
+
+  def state(beforeRound: Option[Long] = None): DataFrame =
+    mergeRounds(
+      beforeRound.foldLeft(readAll)((df, r) =>
+        df.filter(col("ingest_round") < r)))
+
+  /** Histogram `events` into banded partial state and commit as round
+    * `round`; `negate` retracts the batch instead of adding it. */
+  def appendRound(events: DataFrame, round: Long, negate: Boolean = false): Unit = {
+    val st = MatView.bandState(events)
+    val signed = if (negate) st.withColumn("n", -col("n")) else st
+    RoundPartitions.commit(signed, path, round)
+    maybeCompact(round)
+  }
+
+  /** Stored state merged with an uncommitted delta's own state. */
+  def mergedWith(deltaEvents: DataFrame, beforeRound: Option[Long] = None): DataFrame =
+    MatView.mergeBandState(
+      state(beforeRound).unionByName(MatView.bandState(deltaEvents)))
 }

@@ -45,6 +45,94 @@ class MatViewSpec extends SparkTestBase {
       "compacted state diverged from the recompute")
   }
 
+  private def viewSet(df: DataFrame): Set[(String, Long, Long)] =
+    df.select(col("event_type"), col("n_users"), col("n_events"))
+      .as[(String, Long, Long)].collect().toSet
+
+  test("q209 distinct store + delta equals the exact recompute; rounds replay idempotently") {
+    val ev = graft.Tables.events(spark, sf)
+    val full = viewSet(ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events")))
+    val path = tmpDir("dv") + "/state"
+    val st = new DistinctViewStore(spark, path)
+    st.appendRound(ev.filter(col("event_id") % 3 === 0), round = 0L)
+    st.appendRound(ev.filter(col("event_id") % 3 === 1), round = 1L)
+    val got = viewSet(MatView.distinctView(
+      st.mergedWith(ev.filter(col("event_id") % 3 === 2))))
+    assert(got == full, "decomposed distinct state diverged from countDistinct")
+    st.appendRound(ev.filter(col("event_id") % 3 === 1), round = 1L) // replay
+    assert(viewSet(MatView.distinctView(
+      st.mergedWith(ev.filter(col("event_id") % 3 === 2)))) == full,
+      "round replay changed the distinct state")
+  }
+
+  test("q209 retraction: a negated round annihilates its wave exactly (incl. state rows)") {
+    val ev = graft.Tables.events(spark, sf)
+    val base = ev.filter(col("event_id") % 2 === 0)
+    val wave = ev.filter(col("event_id") % 2 === 1)
+    val path = tmpDir("dv-retract") + "/state"
+    val st = new DistinctViewStore(spark, path)
+    st.appendRound(base, round = 0L)
+    val before = viewSet(MatView.distinctView(st.state()))
+    val rowsBefore = st.state().count()
+    st.appendRound(wave, round = 1L)
+    assert(viewSet(MatView.distinctView(st.state())) ==
+      viewSet(ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))),
+      "append wave diverged")
+    st.appendRound(wave, round = 2L, negate = true)
+    assert(viewSet(MatView.distinctView(st.state())) == before,
+      "retraction did not restore the pre-wave view")
+    // exact-zero rows annihilate in the merge, so the read-side state
+    // is back to the base cardinality (no tombstone accretion)
+    assert(st.state().count() == rowsBefore,
+      "retraction left tombstone rows in the merged state")
+  }
+
+  test("q209 auto-compaction folds append AND retraction rounds read-equivalently") {
+    val ev = graft.Tables.events(spark, sf)
+    val path = tmpDir("dv-compact") + "/state"
+    val st = new DistinctViewStore(spark, path) {
+      override protected def autoCompactThreshold: Int = 2
+    }
+    (0L to 3L).foreach(r => st.appendRound(ev.filter(col("event_id") % 4 === r), r))
+    val wave = ev.filter(col("event_id") % 4 === 2)
+    st.appendRound(wave, round = 4L, negate = true) // retract one slice
+    val expect = viewSet(ev.filter(col("event_id") % 4 =!= 2)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events")))
+    assert(viewSet(MatView.distinctView(st.state())) == expect,
+      "compacted state with a retraction round diverged from the recompute")
+  }
+
+  private def qSet(df: DataFrame): Set[(String, Long, Long, Long)] =
+    df.select(col("event_type"), col("n_events"), col("p50_band"), col("p90_band"))
+      .as[(String, Long, Long, Long)].collect().toSet
+
+  test("q212 banded-percentile store + delta equals the recompute; retraction restores it") {
+    val ev = graft.Tables.events(spark, sf)
+    def recompute(e: DataFrame) =
+      qSet(MatView.bandQuantileView(MatView.bandState(e)))
+    val path = tmpDir("bv") + "/state"
+    val st = new BandViewStore(spark, path)
+    st.appendRound(ev.filter(col("event_id") % 3 === 0), round = 0L)
+    st.appendRound(ev.filter(col("event_id") % 3 === 1), round = 1L)
+    val got = qSet(MatView.bandQuantileView(
+      st.mergedWith(ev.filter(col("event_id") % 3 === 2))))
+    assert(got == recompute(ev), "histogram state diverged from the recompute")
+    got.foreach { case (t, n, p50, p90) =>
+      assert(p50 <= p90 && n > 0L, s"inverse-CDF order violated for $t")
+    }
+    // retraction: drop round 1's wave, view returns to rounds {0}
+    st.appendRound(ev.filter(col("event_id") % 3 === 1), round = 2L, negate = true)
+    assert(qSet(MatView.bandQuantileView(st.state())) ==
+      recompute(ev.filter(col("event_id") % 3 === 0)),
+      "retraction did not restore the pre-wave percentiles")
+  }
+
   test("steady-state q205 plan scans documents ONCE (the delta) plus the state store") {
     MatView.docProfileIncremental(spark, sf).collect() // warm: store committed
     val plan = MatView.docProfileIncremental(spark, sf)
