@@ -777,7 +777,73 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** q210 — BM25 ranked retrieval: the serving-side relevance query
+    * over the corpus (the scorer a decontamination triage, quote
+    * search, or eval-set retrieval audit runs on top of q96's index),
+    * as one exact-integer batch pass. The published BM25
+    * (idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), k1=1.2, b=0.75)
+    * is transcendental in idf and rational in the rest; here idf is
+    * q91's exact linear micro-idf (monotone in log(N/df) — rankings
+    * agree wherever log-idf orders strictly; capped at q90's 10¹²
+    * bound), and the rational part is cleared of its denominators
+    * exactly: with k1=6/5, b=3/4, avgdl=T/N, multiplying through by
+    * 10·T gives term score = idf_micro · 22·tf·T / (10·T·tf + 3·T +
+    * 9·dl·N) — all integers, one integral division per term, products
+    * widened to DECIMAL(38,0) (HUGEINT in the twin; headroom: idf ≤
+    * 10¹², 22·tf·T ≤ ~2e18 at 10¹³ corpus tokens ⇒ products ≤ ~2e30,
+    * far under 10³⁸). Ties break on doc_id, so the top-k is total and
+    * hash-deterministic.
+    *
+    * Scale shape: per-term tf and dl are IN-ROW array folds over one
+    * tokenization — the corpus never explodes into token rows and
+    * nothing doc-sized shuffles; the (N, T, df…) statistics collapse
+    * to ONE broadcast row; scoring rides the same scan (persisted —
+    * two consumers) and the global top-k is a TakeOrdered, k rows per
+    * partition. At 100 TB: two columnar scans of one cached frame and
+    * a 20-row result. */
+  val bm25TopK = 20
+  val bm25K1Num = 22L  // tf·(k1+1)·10·T  with k1 = 6/5  ⇒ 22·tf·T
+  val bm25Terms: Seq[String] = Seq("spark", "window", "dup")
+
+  val bm25Search: Q = (s, d) => bm25Of(Tables.documents(s, d), bm25Terms)
+
+  def bm25Of(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val ti = terms.indices
+    // per-doc (dl, tf_i…): in-row folds over one tokenization
+    val perDoc = Dedup.materializedSketch(
+      docs.filter(col("text").isNotNull)
+        .withColumn("toks", tokens(col("text")))
+        .select((col("doc_id") +: size(col("toks")).as("dl") +:
+          ti.map(i => size(filter(col("toks"),
+            x => x === lit(terms(i)))).cast(LongType).as(s"tf$i"))).toIndexedSeq: _*))
+    // corpus statistics: one broadcastable row
+    val statCols = sum(col("dl")).as("total_toks") +:
+      ti.map(i => sum(when(col(s"tf$i") > 0L, 1L).otherwise(0L))
+        .as(s"df$i"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), statCols.toIndexedSeq: _*)
+    val termScore = ti.map { i =>
+      // idf_micro · 22·tf·T div (10·T·tf + 3·T + 9·dl·N), DECIMAL(38,0)
+      when(col(s"tf$i") > 0L, expr(
+        s"""cast(least((n_docs * $tfidfIdfScale) div df$i, $tfidfIdfCap)
+           |     as decimal(38,0)) * ($bm25K1Num * tf$i) * total_toks
+           |  div (cast(10 as decimal(38,0)) * total_toks * tf$i
+           |       + 3 * total_toks + 9 * dl * n_docs)""".stripMargin))
+        .otherwise(0L)
+    }.reduce(_ + _)
+    val nTerms = ti.map(i =>
+      when(col(s"tf$i") > 0L, 1).otherwise(0)).reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("n_terms", nTerms.cast(IntegerType))
+      .filter(col("n_terms") > 0)
+      .withColumn("score_micro", termScore.cast(LongType))
+      .select(col("doc_id"), col("n_terms"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(bm25TopK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q210_bm25_search" -> bm25Search,
     "q141_source_token_drift" -> sourceTokenDrift,
     "q142_vocab_coverage" -> vocabCoverage,
     "q150_token_gini" -> tokenGini,
@@ -806,7 +872,41 @@ object TextAnalysis {
     s"len(list_filter(${sqlToks("text")}, t -> t IN ($ws)))"
   }
 
+  /** The q210 twin's per-term pieces, generated from the same term
+    * list the Spark side scores — identical exact-integer algebra in
+    * HUGEINT (products) and `//` (integral division). */
+  private def bm25Twin: String = {
+    val ti = bm25Terms.indices
+    val tfCols = ti.map(i =>
+      s"len(list_filter(toks, t -> t = '${bm25Terms(i)}')) AS tf$i").mkString(",\n         |    ")
+    val dfCols = ti.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n         |    ")
+    val scores = ti.map(i =>
+      s"""CASE WHEN tf$i > 0 THEN
+         |      CAST(least((n_docs * $tfidfIdfScale) // df$i, $tfidfIdfCap) AS HUGEINT)
+         |        * ($bm25K1Num * tf$i) * total_toks
+         |        // (CAST(10 AS HUGEINT) * total_toks * tf$i
+         |            + 3 * total_toks + 9 * dl * n_docs)
+         |      ELSE 0 END""".stripMargin).mkString(" +\n      ")
+    val nTerms = ti.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH pd AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id, ${sqlToks("text")} AS toks
+       |        FROM documents WHERE text IS NOT NULL)),
+       |st AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_toks,
+       |    $dfCols
+       |  FROM pd)
+       |SELECT doc_id, CAST($nTerms AS INTEGER) AS n_terms,
+       |  CAST($scores AS BIGINT) AS score_micro
+       |FROM pd, st
+       |WHERE $nTerms > 0
+       |ORDER BY score_micro DESC, doc_id LIMIT $bm25TopK""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q210_bm25_search" -> bm25Twin,
     // bigrams via list lambdas over the shared tokenization; Dice in
     // BIGINT micro-units with integer division on both engines
     "q176_collocations" ->

@@ -446,4 +446,60 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(ppms.zip(ppms.tail).forall { case (a, b) => a <= b },
       "coverage must be monotone in k")
   }
+
+  test("q210 BM25 equals a driver-side exact-integer recompute; shape is scan-only") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q210_bm25_search")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_terms"),
+        r.getAs[Long]("score_micro")))
+
+    // independent recompute with BigInt arithmetic (no widening caps)
+    val terms = TextAnalysis.bm25Terms
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val n = BigInt(toks.length)
+    val total = BigInt(toks.map(_._2.length.toLong).sum)
+    val dfs = terms.map(t => BigInt(toks.count(_._2.contains(t))))
+    val want = toks.map { case (id, ts) =>
+      val dl = BigInt(ts.length)
+      var score = BigInt(0); var nt = 0
+      terms.indices.foreach { i =>
+        val tf = BigInt(ts.count(_ == terms(i)))
+        if (tf > 0) {
+          nt += 1
+          val idf = ((n * 1000000L) / dfs(i)).min(BigInt(1000000000000L))
+          score += idf * 22 * tf * total /
+            (BigInt(10) * total * tf + 3 * total + 9 * dl * n)
+        }
+      }
+      (id, nt, score.toLong)
+    }.filter(_._2 > 0).sortBy { case (id, _, s) => (-s, id) }
+      .take(TextAnalysis.bm25TopK)
+    assert(got.toSeq == want.toSeq, s"got ${got.toSeq}\nwant ${want.toSeq}")
+    assert(got.nonEmpty && got.exists(_._2 >= 2),
+      "fixture should produce multi-term matches")
+
+    // scale shape: no explode/generate anywhere — tf and dl are in-row
+    // array folds; the only wide ops are the 1-row stats agg and the
+    // final TakeOrdered
+    val plan = graft.SparkEntry.queries("q210_bm25_search")(spark, sf)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.SparkPlan
+    var generates = 0
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case _: org.apache.spark.sql.execution.GenerateExec => generates += 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(plan)
+    assert(generates == 0, s"BM25 should never explode the corpus:\n$plan")
+  }
 }
