@@ -317,11 +317,121 @@ object Graphs {
       .orderBy(col("comp_size"))
   }
 
+  /** Per-order-local pair supports of an item slice — the additive
+    * partial state behind [[ccIncremental]]: rounds split on the order
+    * key are order-disjoint, so per-round counts SUM to the full
+    * support table (the q209/q205 monoid-state discipline applied to
+    * a graph's edge universe). No support floor here — the floor is
+    * applied at READ time, because a pair's support must be allowed
+    * to accumulate across rounds before it crosses 2. */
+  private[graft] def pairCounts(items: DataFrame): DataFrame = {
+    val it = items.select(col("l_orderkey"), col("l_partkey")).distinct()
+    it.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(it.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_ab"))
+  }
+
+  /** Incremental min-label maintenance: fold `newEdges` into standing
+    * `baseLabels` via the QUOTIENT graph — each new edge's endpoints
+    * map to their stored component labels (absent nodes map to
+    * themselves), min-label propagation runs over that label-space
+    * graph (bounded by the DELTA and the components it touches, never
+    * the full graph), and the result relabels the standing labels with
+    * one equi-join. Min composes (min over merged label sets = min
+    * over the merged components' members), so the output is
+    * bit-identical to a full recompute — GraphsSpec pins it, and the
+    * q211 oracle recomputes the closure from scratch in SQL. */
+  private[graft] def incrementalLabels(baseLabels: DataFrame,
+                                     newEdges: DataFrame): DataFrame = {
+    val lab = Dedup.materializedSketch(baseLabels) // two consumers: map + relabel
+    val la = lab.select(col("doc_id").as("doc_a"), col("keeper").as("la"))
+    val lb = lab.select(col("doc_id").as("doc_b"), col("keeper").as("lb"))
+    // materialized (two-consumer rule): node derivation + the edge cut
+    // inside dupKeepers both consume it
+    val quotientEdges = Dedup.materializedSketch(newEdges
+      .join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb"), col("doc_b")).as("doc_b")))
+    val qNodes = quotientEdges.select(col("doc_a").as("doc_id"))
+      .unionByName(quotientEdges.select(col("doc_b").as("doc_id"))).distinct()
+    val q = Dedup.dupKeepers(qNodes, quotientEdges)
+    // relabel the standing labels (untouched components pass through);
+    // quotient nodes absent from the base labels are NEW nodes and
+    // carry their final label directly
+    val relabeled = lab.join(
+        q.select(col("doc_id").as("keeper"), col("keeper").as("_final")),
+        Seq("keeper"), "left")
+      .select(col("doc_id"), coalesce(col("_final"), col("keeper")).as("comp"))
+    val newNodes = q.join(lab.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("keeper").as("comp"))
+    relabeled.unionByName(newNodes)
+  }
+
+  /** q211 — INCREMENTAL connected components of the co-purchase graph:
+    * q179's census maintained under arriving orders without re-walking
+    * the graph. Two pieces of standing state, both per-(JVM, corpus)
+    * like every incremental operator here: an ADDITIVE pair-support
+    * store ([[CoPairStore]] — per-round co-order counts that sum, so
+    * the support-2 edge set grows monotonically and "which edges are
+    * new" is one keyed join of the delta's counts against the store)
+    * and the bootstrap component labels. The steady state scans the
+    * DELTA items + the pair store + the label store; propagation runs
+    * on the quotient graph (delta-bounded); history facts are never
+    * re-read. The honest cost: the support store is the support-1 pair
+    * universe — linear in facts, the price of exact threshold crossing
+    * (the same trade q209 makes for exact distinct counts).
+    *
+    * Output is q179's census shape over the FULL grown graph, and the
+    * DuckDB twin recomputes the whole closure from raw lineitem with a
+    * recursive CTE — a drifted bit anywhere in the store fold, edge
+    * detection, or quotient relabeling hash-fails. */
+  val ccIncremental: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    // corpusKey's (doc_id, text) shape: orderkey as the monotone id,
+    // the basket as content — same snapshot memo + (max*4 div 5)
+    // watermark arithmetic as every store lifecycle
+    val keyed = li.select(col("l_orderkey").as("doc_id"),
+      col("l_partkey").cast("string").as("text"))
+    val (key, wm) = ScratchStores.corpusKey(keyed, s"$d#coorders")
+    val pairPath = ScratchStores.pathFor(key, "graft-copair-support") { p =>
+      new CoPairStore(s, p).appendRound(
+        li.filter(col("l_orderkey") <= wm), round = 0L)
+    }
+    val store = new CoPairStore(s, pairPath)
+    val labelPath = ScratchStores.pathFor(key, "graft-cc-labels") { p =>
+      val baseEdges = store.state().filter(col("n_ab") >= 2)
+        .select(col("part_a").as("doc_a"), col("part_b").as("doc_b"))
+      val nodes = baseEdges.select(col("doc_a").as("doc_id"))
+        .unionByName(baseEdges.select(col("doc_b").as("doc_id"))).distinct()
+      Dedup.dupKeepers(nodes, baseEdges)
+        .write.mode("overwrite").parquet(p)
+    }
+    val deltaCounts = pairCounts(li.filter(col("l_orderkey") > wm))
+    // support-2 crossings: pairs the delta pushes to >= 2 for the
+    // first time — the only edges propagation ever has to see
+    val newEdges = deltaCounts
+      .join(store.state().withColumnRenamed("n_ab", "n_base"),
+        Seq("part_a", "part_b"), "left")
+      .filter(coalesce(col("n_base"), lit(0L)) < 2 &&
+        coalesce(col("n_base"), lit(0L)) + col("n_ab") >= 2)
+      .select(col("part_a").as("doc_a"), col("part_b").as("doc_b"))
+    val labels = incrementalLabels(
+      s.read.parquet(labelPath), newEdges)
+    labels.groupBy(col("comp"))
+      .agg(count(lit(1)).as("comp_size"))
+      .groupBy(col("comp_size"))
+      .agg(count(lit(1)).as("n_components"), min(col("comp")).as("witness_part"))
+      .orderBy(col("comp_size"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q127_trade_pagerank" -> pageRank,
     "q143_trade_bfs" -> tradeBfs,
     "q171_triangle_census" -> triangleParts,
     "q179_copurchase_components" -> copurchaseComponents,
+    "q211_cc_incremental" -> ccIncremental,
   )
 
   /** The five iterations unrolled as chained CTEs; generated by the
@@ -412,6 +522,32 @@ object Graphs {
           |SELECT l_partkey, count(*) AS n_triangles
           |FROM verts GROUP BY l_partkey
           |ORDER BY n_triangles DESC, l_partkey LIMIT 20""".stripMargin,
+      // the full-recompute closure over ALL orders — the independent
+      // check that the incremental state fold (pair-support store +
+      // quotient relabeling) landed exactly where a from-scratch build
+      // does; same recursive-CTE algorithm as the q179 twin
+      "q211_cc_incremental" ->
+        """WITH RECURSIVE items AS (
+          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          |), pairs AS (
+          |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          |  FROM items a JOIN items b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), sym AS (
+          |  SELECT pa AS a, pb AS b FROM pairs
+          |  UNION SELECT pb, pa FROM pairs
+          |), reach AS (
+          |  SELECT a, b FROM sym
+          |  UNION
+          |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+          |), comp AS (
+          |  SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a
+          |), sizes AS (
+          |  SELECT comp, count(*) AS comp_size FROM comp GROUP BY comp
+          |)
+          |SELECT comp_size, count(*) AS n_components, min(comp) AS witness_part
+          |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
       // the O(n·m) textbook closure: recursive reachability over the
       // symmetrized edges, min label per node — deliberately not the
       // Spark side's O(diameter) synchronized propagation
@@ -438,5 +574,34 @@ object Graphs {
           |SELECT comp_size, count(*) AS n_components, min(comp) AS witness_part
           |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
     )
+  }
+}
+
+/** Durable additive pair-support store for [[Graphs.ccIncremental]]:
+  * one per-order-disjoint (part_a, part_b, n_ab) count partition per
+  * ingest round; reads merge-on-read (sums per pair); rounds are
+  * idempotent and auto-compaction folds old ones via the same additive
+  * algebra — the [[DistinctViewStore]] monoid discipline applied to a
+  * graph's edge-support universe. */
+class CoPairStore(spark: SparkSession, val path: String)
+    extends CompactableRoundStore {
+  override protected def storeSpark: SparkSession = spark
+
+  override protected def mergeRounds(rows: DataFrame): DataFrame =
+    rows.groupBy(col("part_a"), col("part_b"))
+      .agg(sum(col("n_ab")).as("n_ab"))
+
+  /** The merged pair-support table over committed rounds. */
+  def state(beforeRound: Option[Long] = None): DataFrame =
+    mergeRounds(
+      beforeRound.foldLeft(readAll)((df, r) =>
+        df.filter(col("ingest_round") < r)))
+
+  /** Count `items`' order-local pairs and commit as round `round` —
+    * rounds must be order-disjoint (counts are per-order, so an order
+    * split across rounds would double-count its basket pairs). */
+  def appendRound(items: DataFrame, round: Long): Unit = {
+    RoundPartitions.commit(Graphs.pairCounts(items), path, round)
+    maybeCompact(round)
   }
 }

@@ -214,4 +214,117 @@ class GraphsSpec extends SparkTestBase {
     // total participation is 3 per triangle
     assert(triCount.values.sum % 3 == 0)
   }
+
+  test("q211 incremental census equals the full-graph driver-side union-find") {
+    val got = graft.SparkEntry.queries("q211_cc_incremental")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("comp_size"),
+        r.getAs[Long]("n_components"), r.getAs[Long]("witness_part")))
+
+    // independent full recompute from scratch (the q179 oracle shape) —
+    // the incremental path must land exactly here
+    val items = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = parent.keys.toSeq.groupBy(find).map { case (_, ns) =>
+      (ns.size.toLong, ns.min)
+    }
+    val want = comps.groupBy(_._1).toSeq.map { case (size, cs) =>
+      (size, cs.size.toLong, cs.map(_._2).min)
+    }.sortBy(_._1)
+
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    assert(got.nonEmpty)
+    // and the delta actually crosses supports at this watermark — the
+    // quotient path is exercised, not vacuously equal to the bootstrap
+    val li = graft.Tables.lineitem(spark, sf)
+    val keyed = li.select(col("l_orderkey").as("doc_id"),
+      col("l_partkey").cast("string").as("text"))
+    val (_, wm) = ScratchStores.corpusKey(keyed, s"$sf#coorders")
+    val base = Graphs.pairCounts(li.filter(col("l_orderkey") <= wm))
+      .withColumnRenamed("n_ab", "n_base")
+    val crossings = Graphs.pairCounts(li.filter(col("l_orderkey") > wm))
+      .join(base, Seq("part_a", "part_b"), "left")
+      .filter(coalesce(col("n_base"), lit(0L)) < 2 &&
+        coalesce(col("n_base"), lit(0L)) + col("n_ab") >= 2)
+    assert(crossings.count() > 0,
+      "no support-2 crossings in the delta — q211 would be vacuous")
+  }
+
+  test("incrementalLabels: merges touched components, labels new nodes, min composes") {
+    import spark.implicits._
+    // base components: {1,2,3} -> 1, {5,6} -> 5, {9} -> 9
+    val base = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("doc_id", "keeper")
+    // delta: merge comps 1 and 5 via (3,6); hang NEW node 20 off 6;
+    // a new-new pair (30,31); and new node 0 merging into {9} — the
+    // new node is SMALLER than the old label, so it must become the
+    // component's label (min composes through the quotient)
+    val newEdges = Seq((3L, 6L), (6L, 20L), (30L, 31L), (0L, 9L))
+      .toDF("doc_a", "doc_b")
+    val got = Graphs.incrementalLabels(base, newEdges)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("comp")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L,
+      20L -> 1L, 30L -> 30L, 31L -> 30L, 0L -> 0L, 9L -> 0L),
+      s"got $got")
+  }
+
+  test("steady-state q211 edge detection scans lineitem ONCE (the delta) plus the pair store") {
+    graft.SparkEntry.queries("q211_cc_incremental")(spark, sf).collect() // warm: stores built
+    // reconstruct the steady-state new-edge subplan exactly as q211
+    // builds it (the propagation phase runs eagerly, so the final
+    // census plan cannot carry these scans — this subplan is where
+    // "delta + store, never history" must hold)
+    val li = graft.Tables.lineitem(spark, sf)
+    val keyed = li.select(col("l_orderkey").as("doc_id"),
+      col("l_partkey").cast("string").as("text"))
+    val (key, wm) = ScratchStores.corpusKey(keyed, s"$sf#coorders")
+    val pairPath = ScratchStores.pathFor(key, "graft-copair-support")(_ =>
+      fail("store should already exist after the warm run"))
+    val store = new CoPairStore(spark, pairPath)
+    val newEdges = Graphs.pairCounts(li.filter(col("l_orderkey") > wm))
+      .join(store.state().withColumnRenamed("n_ab", "n_base"),
+        Seq("part_a", "part_b"), "left")
+      .filter(coalesce(col("n_base"), lit(0L)) < 2 &&
+        coalesce(col("n_base"), lit(0L)) + col("n_ab") >= 2)
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    var scans = List.empty[FileSourceScanExec]
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec        => walk(q.plan)
+      case r: ReusedExchangeExec    => walk(r.child)
+      case sc: FileSourceScanExec   => scans ::= sc
+      case other => other.children.foreach(walk)
+    }
+    walk(newEdges.queryExecution.executedPlan)
+    def root(sc: FileSourceScanExec) =
+      sc.relation.location.rootPaths.map(_.toString).mkString(",")
+    // the order-local self-join reads the DELTA from two plan legs
+    // (AQE reuses the exchange at runtime); what must hold at 100 TB
+    // is that EVERY lineitem scan is watermark-pruned — the history
+    // rows live only in the pair store
+    val liScans = scans.filter(s => root(s).contains("lineitem.parquet"))
+    assert(liScans.nonEmpty && liScans.size <= 2, s"unexpected scan set: ${scans.map(root)}")
+    liScans.foreach { s =>
+      assert(s.dataFilters.exists(_.toString.contains(s"> $wm")),
+        s"lineitem scan without the delta watermark pushdown: ${s.dataFilters}")
+    }
+    assert(scans.map(root).exists(_.contains("graft-copair-support")),
+      s"pair-support store missing from the plan: ${scans.map(root)}")
+  }
 }
