@@ -807,33 +807,42 @@ object TextAnalysis {
 
   val bm25Search: Q = (s, d) => bm25Of(Tables.documents(s, d), bm25Terms)
 
-  def bm25Of(docs: DataFrame, terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty, "BM25 needs at least one query term")
-    val ti = terms.indices
-    // per-doc (dl, tf_i…): in-row folds over one tokenization
-    val perDoc = Dedup.materializedSketch(
+  /** Per-doc (dl, tf_i…) frame for a term list: in-row folds over one
+    * tokenization, persisted (two consumers: stats + scoring). */
+  private def bm25PerDoc(docs: DataFrame, terms: Seq[String]): DataFrame =
+    Dedup.materializedSketch(
       docs.filter(col("text").isNotNull)
         .withColumn("toks", tokens(col("text")))
         .select((col("doc_id") +: size(col("toks")).as("dl") +:
-          ti.map(i => size(filter(col("toks"),
+          terms.indices.map(i => size(filter(col("toks"),
             x => x === lit(terms(i)))).cast(LongType).as(s"tf$i"))).toIndexedSeq: _*))
-    // corpus statistics: one broadcastable row
+
+  /** Corpus statistics (N, T, df per term): one broadcastable row. */
+  private def bm25Stats(perDoc: DataFrame, terms: Seq[String]): DataFrame = {
     val statCols = sum(col("dl")).as("total_toks") +:
-      ti.map(i => sum(when(col(s"tf$i") > 0L, 1L).otherwise(0L))
+      terms.indices.map(i => sum(when(col(s"tf$i") > 0L, 1L).otherwise(0L))
         .as(s"df$i"))
-    val stats = perDoc.agg(count(lit(1)).as("n_docs"), statCols.toIndexedSeq: _*)
-    val termScore = ti.map { i =>
-      // idf_micro · 22·tf·T div (10·T·tf + 3·T + 9·dl·N), DECIMAL(38,0)
-      when(col(s"tf$i") > 0L, expr(
-        s"""cast(least((n_docs * $tfidfIdfScale) div df$i, $tfidfIdfCap)
-           |     as decimal(38,0)) * ($bm25K1Num * tf$i) * total_toks
-           |  div (cast(10 as decimal(38,0)) * total_toks * tf$i
-           |       + 3 * total_toks + 9 * dl * n_docs)""".stripMargin))
-        .otherwise(0L)
-    }.reduce(_ + _)
+    perDoc.agg(count(lit(1)).as("n_docs"), statCols.toIndexedSeq: _*)
+  }
+
+  /** One term's exact-integer BM25 contribution:
+    * idf_micro · 22·tf·T div (10·T·tf + 3·T + 9·dl·N), DECIMAL(38,0). */
+  private def bm25TermScore(i: Int): Column =
+    when(col(s"tf$i") > 0L, expr(
+      s"""cast(least((n_docs * $tfidfIdfScale) div df$i, $tfidfIdfCap)
+         |     as decimal(38,0)) * ($bm25K1Num * tf$i) * total_toks
+         |  div (cast(10 as decimal(38,0)) * total_toks * tf$i
+         |       + 3 * total_toks + 9 * dl * n_docs)""".stripMargin))
+      .otherwise(0L)
+
+  def bm25Of(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val ti = terms.indices
+    val perDoc = bm25PerDoc(docs, terms)
+    val termScore = ti.map(bm25TermScore).reduce(_ + _)
     val nTerms = ti.map(i =>
       when(col(s"tf$i") > 0L, 1).otherwise(0)).reduce(_ + _)
-    perDoc.crossJoin(broadcast(stats))
+    perDoc.crossJoin(broadcast(bm25Stats(perDoc, terms)))
       .withColumn("n_terms", nTerms.cast(IntegerType))
       .filter(col("n_terms") > 0)
       .withColumn("score_micro", termScore.cast(LongType))
@@ -842,8 +851,58 @@ object TextAnalysis {
       .limit(bm25TopK)
   }
 
+  /** q213 — BATCH retrieval: one pass scoring a whole query set (the
+    * eval-suite / decontamination-triage shape: hundreds of probes
+    * against the corpus at once) with a per-query top-k. The naive
+    * spelling runs |queries| scans; this runs ONE — tf folds for the
+    * DISTINCT term union ride the same in-row projection as q210, each
+    * document then fans out |queries| scored rows in-row (explode of a
+    * query-literal struct array — fan-out bounded by the query set,
+    * never a shuffle), and the per-query top-k is the
+    * row_number-then-filter shape [[graft.plans.RewriteRankLimitToTopK]]
+    * lowers to the bounded heap: at most k rows per query cross the
+    * final exchange, regardless of corpus size. Same exact-integer
+    * algebra as q210, so the DuckDB twin replays every query as a
+    * UNION ALL of the q210 form. */
+  val bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "eval_spark"  -> Seq("spark", "join", "stream"),
+    "eval_window" -> Seq("window", "sort", "merge"),
+    "eval_dup"    -> Seq("dup", "batch", "hash"))
+  val bm25BatchK = 5
+
+  val bm25Batch: Q = (s, d) => bm25BatchOf(Tables.documents(s, d), bm25Queries)
+
+  def bm25BatchOf(docs: DataFrame, queries: Seq[(String, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty, "batch BM25 needs at least one query")
+    val terms = queries.flatMap(_._2).distinct
+    val idx = terms.zipWithIndex.toMap
+    val perDoc = bm25PerDoc(docs, terms)
+    val perQuery = queries.map { case (qid, qTerms) =>
+      val ti = qTerms.map(idx)
+      val score = ti.map(bm25TermScore).reduce(_ + _).cast(LongType)
+      val nTerms = ti.map(i =>
+        when(col(s"tf$i") > 0L, 1).otherwise(0)).reduce(_ + _).cast(IntegerType)
+      struct(lit(qid).as("query_id"), nTerms.as("n_terms"),
+        score.as("score_micro"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    perDoc.crossJoin(broadcast(bm25Stats(perDoc, terms)))
+      .select(col("doc_id"), explode(array(perQuery.toIndexedSeq: _*)).as("q"))
+      .select(col("doc_id"), col("q.query_id").as("query_id"),
+        col("q.n_terms").as("n_terms"), col("q.score_micro").as("score_micro"))
+      .filter(col("n_terms") > 0)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= bm25BatchK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms"), col("score_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q210_bm25_search" -> bm25Search,
+    "q213_bm25_batch" -> bm25Batch,
     "q141_source_token_drift" -> sourceTokenDrift,
     "q142_vocab_coverage" -> vocabCoverage,
     "q150_token_gini" -> tokenGini,
@@ -905,8 +964,55 @@ object TextAnalysis {
        |ORDER BY score_micro DESC, doc_id LIMIT $bm25TopK""".stripMargin
   }
 
+  /** The q213 twin: every query of the batch replayed as the q210 SQL
+    * form over the shared distinct-term tf frame, UNION ALL'd — the
+    * "run the naive |queries|-pass plan" cross-check of the one-scan
+    * fan-out. */
+  private def bm25BatchTwin: String = {
+    val terms = bm25Queries.flatMap(_._2).distinct
+    val idx = terms.zipWithIndex.toMap
+    val tfCols = terms.indices.map(i =>
+      s"len(list_filter(toks, t -> t = '${terms(i)}')) AS tf$i").mkString(",\n       |    ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n       |    ")
+    def scoreOf(ti: Seq[Int]) = ti.map(i =>
+      s"""CASE WHEN tf$i > 0 THEN
+         |      CAST(least((n_docs * $tfidfIdfScale) // df$i, $tfidfIdfCap) AS HUGEINT)
+         |        * ($bm25K1Num * tf$i) * total_toks
+         |        // (CAST(10 AS HUGEINT) * total_toks * tf$i
+         |            + 3 * total_toks + 9 * dl * n_docs)
+         |      ELSE 0 END""".stripMargin).mkString(" +\n      ")
+    def nTermsOf(ti: Seq[Int]) =
+      ti.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val arms = bm25Queries.map { case (qid, qTerms) =>
+      val ti = qTerms.map(idx)
+      s"""SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, n_terms, score_micro
+         |FROM (
+         |  SELECT '$qid' AS query_id, doc_id,
+         |    CAST(${nTermsOf(ti)} AS INTEGER) AS n_terms,
+         |    CAST(${scoreOf(ti)} AS BIGINT) AS score_micro,
+         |    row_number() OVER (
+         |      ORDER BY CAST(${scoreOf(ti)} AS BIGINT) DESC, doc_id) AS rnk
+         |  FROM pd, st
+         |  WHERE ${nTermsOf(ti)} > 0
+         |) WHERE rnk <= $bm25BatchK""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pd AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id, ${sqlToks("text")} AS toks
+       |        FROM documents WHERE text IS NOT NULL)),
+       |st AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_toks,
+       |    $dfCols
+       |  FROM pd)
+       |$arms
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q210_bm25_search" -> bm25Twin,
+    "q213_bm25_batch" -> bm25BatchTwin,
     // bigrams via list lambdas over the shared tokenization; Dice in
     // BIGINT micro-units with integer division on both engines
     "q176_collocations" ->

@@ -502,4 +502,33 @@ class TextAnalysisSpec extends SparkTestBase {
     walk(plan)
     assert(generates == 0, s"BM25 should never explode the corpus:\n$plan")
   }
+
+  test("q213 batch BM25: each query's rows equal the single-query scorer; the top-k rewrite fires") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val got = graft.SparkEntry.queries("q213_bm25_batch")(spark, sf)
+      .collect().map(r => (r.getAs[String]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("n_terms"), r.getAs[Long]("score_micro")))
+    graft.ops.Dedup.releaseSketchCaches()
+    TextAnalysis.bm25Queries.foreach { case (qid, terms) =>
+      // the single-query scorer over the SAME term list, truncated to
+      // the batch k, must agree row for row (df/N/T are term-local, so
+      // the shared distinct-term frame cannot change any score)
+      val want = TextAnalysis.bm25Of(docs, terms)
+        .collect().take(TextAnalysis.bm25BatchK).zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getAs[Long]("doc_id"),
+          r.getAs[Int]("n_terms"), r.getAs[Long]("score_micro")) }
+      graft.ops.Dedup.releaseSketchCaches()
+      assert(got.filter(_._1 == qid).toSeq == want.toSeq,
+        s"batch rows for $qid diverged from the single-query scorer")
+    }
+    // every query produced a full k (the fixture matches all probes)
+    assert(got.length == TextAnalysis.bm25Queries.size * TextAnalysis.bm25BatchK)
+    // the per-query rank-limit lowers to the bounded heap, not Window
+    val plan = graft.SparkEntry.queries("q213_bm25_batch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    graft.ops.Dedup.releaseSketchCaches()
+    assert(plan.contains("TopKPerGroup"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("!TopKPerGroup"), s"invalid plan:\n$plan")
+  }
 }
