@@ -51,7 +51,16 @@ object StreamingCc {
   /** One micro-batch: advance both stores to round
     * `roundOffset + batchId`. Deterministic in (batch, batchId). */
   def processBatch(batch: DataFrame, batchId: Long, pairPath: String,
-                   labelPath: String, roundOffset: Long = 0L): Unit = {
+                   labelPath: String, roundOffset: Long = 0L): Unit =
+    // the batch registers persisted frames (delta counts, quotient
+    // edges, base labels); release them at the batch boundary — the
+    // Bench/Verify per-query discipline, applied per micro-batch, or a
+    // long-lived stream accumulates three cached frames per batch
+    try processBatchInner(batch, batchId, pairPath, labelPath, roundOffset)
+    finally graft.ops.Dedup.releaseSketchCaches()
+
+  private def processBatchInner(batch: DataFrame, batchId: Long, pairPath: String,
+                                labelPath: String, roundOffset: Long): Unit = {
     val spark = batch.sparkSession
     val round = roundOffset + batchId
     val pairStore = new CoPairStore(spark, pairPath)
