@@ -55,10 +55,39 @@ object Dedup {
   private val persistedSketches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  // Per-thread scope for callers that must not drain the GLOBAL queue
+  // (ADVICE r12: a long-lived stream's per-batch release was
+  // unpersisting frames a concurrent query in the same session still
+  // had in flight). While a scope is active on a thread, that thread's
+  // sketch registrations land in the scope instead of the global
+  // queue; registrations from other threads (the q34c audit's futures)
+  // keep the global path.
+  private val sketchScope = new ThreadLocal[java.util.ArrayList[DataFrame]]()
+
   private[graft] def persistSketch(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedSketches.add(p)
+    val scope = sketchScope.get()
+    if (scope != null) scope.add(p) else persistedSketches.add(p)
     p
+  }
+
+  /** Run `f` with sketch-cache registrations SCOPED to this call: every
+    * frame [[persistSketch]] registers on this thread inside `f` is
+    * released (blocking, like [[releaseSketchCaches]]) when `f`
+    * returns, and ONLY those frames — concurrent queries' caches in
+    * the global queue are untouched. Nests: an inner scope releases its
+    * own frames and restores the outer one. The per-micro-batch cache
+    * discipline for streaming pipelines that share a session with live
+    * queries. */
+  private[graft] def withSketchScope[T](f: => T): T = {
+    val outer = sketchScope.get()
+    val scoped = new java.util.ArrayList[DataFrame]()
+    sketchScope.set(scoped)
+    try f
+    finally {
+      if (outer == null) sketchScope.remove() else sketchScope.set(outer)
+      scoped.forEach(_.unpersist(true))
+    }
   }
 
   /** The house two-consumer discipline, in one place (VERDICT r7 #4,

@@ -605,3 +605,53 @@ class CoPairStore(spark: SparkSession, val path: String)
     maybeCompact(round)
   }
 }
+
+/** Order-key ledger guarding [[CoPairStore]]'s order-disjointness
+  * contract (ADVICE r12): pair supports are PER-ORDER counts, so an
+  * order whose rows land in two different rounds gets its basket pairs
+  * partly double-counted (within-round pairs, on both sides of the
+  * split) and partly missed (cross-round pairs never form) — silent
+  * support drift. The hazard is real even with a well-behaved source,
+  * because a file-stream reader can cut one logical wave across
+  * micro-batches at arbitrary file boundaries (maxFilesPerTrigger, or
+  * a wave larger than one trigger's file cap).
+  *
+  * One (l_orderkey) row per order per round — smaller than the pair
+  * store it guards, same additive round discipline (merge = distinct).
+  * [[checkDisjointAndCommit]] is the EXACT detector: a batch that
+  * carries any orderkey already committed by a PRIOR round fails
+  * loudly with a witness sample; the `beforeRound` guard keeps a
+  * replayed round from clashing with itself. */
+class OrderLedgerStore(spark: SparkSession, val path: String)
+    extends CompactableRoundStore {
+  override protected def storeSpark: SparkSession = spark
+
+  override protected def mergeRounds(rows: DataFrame): DataFrame =
+    rows.select(col("l_orderkey")).distinct()
+
+  /** Orderkeys committed by rounds below `beforeRound`. */
+  def seen(beforeRound: Option[Long] = None): DataFrame =
+    mergeRounds(
+      beforeRound.foldLeft(readAll)((df, r) =>
+        df.filter(col("ingest_round") < r)))
+
+  /** Fail loudly if `items` shares an orderkey with any round below
+    * `round` (the order-disjointness violation), else commit `items`'
+    * orderkeys as round `round` — idempotent per round. */
+  def checkDisjointAndCommit(items: DataFrame, round: Long): Unit = {
+    val orders = items.select(col("l_orderkey")).distinct()
+    if (graft.flights.StarWarehouse.pathExists(spark, path)) {
+      val clash = orders.join(seen(beforeRound = Some(round)),
+        Seq("l_orderkey"), "left_semi").limit(5).collect()
+      require(clash.isEmpty,
+        s"order-disjointness violated: orderkeys ${clash.map(_.getLong(0)).mkString(", ")} " +
+          "span multiple micro-batches (reader-side file split — e.g. " +
+          "maxFilesPerTrigger cutting one wave across triggers — or a " +
+          "source re-emitting an order); pair supports would silently " +
+          "drift. Pre-aggregate to one batch per order upstream, or " +
+          "route a CDC/dedup stage in front of the stream.")
+    }
+    RoundPartitions.commit(orders, path, round)
+    maybeCompact(round)
+  }
+}

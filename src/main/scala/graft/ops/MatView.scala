@@ -225,9 +225,18 @@ object MatView {
 
   private def bstore(s: SparkSession, d: String): (BandViewStore, Long) = {
     val ev = Tables.events(s, d)
+    // the band state aggregates `value`, so the content fingerprint
+    // must cover it (ADVICE r12): an in-place regeneration that
+    // changes only `value` would otherwise reuse the memoized key and
+    // serve stale percentile bands for every row below the watermark.
+    // Distinct memo dir too — corpusKey memoizes per dir string, and
+    // q209's key (whose state depends only on user/type) deliberately
+    // excludes `value`; sharing the dir would hand one store the
+    // other's fingerprint.
     val keyed = ev.select(col("event_id").as("doc_id"),
-      concat_ws(":", col("user_id"), col("event_type")).as("text"))
-    val (key, wm) = ScratchStores.corpusKey(keyed, s"$d#events")
+      concat_ws(":", col("user_id"), col("event_type"),
+        col("value").cast("string")).as("text"))
+    val (key, wm) = ScratchStores.corpusKey(keyed, s"$d#events#value")
     val path = ScratchStores.pathFor(key, "graft-band-view") { p =>
       new BandViewStore(s, p).appendRound(
         ev.filter(col("event_id") <= wm), round = 0L)

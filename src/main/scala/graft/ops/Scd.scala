@@ -211,7 +211,14 @@ object Scd {
     * stale, and in which direction. One union + one user-keyed window
     * ([[pitBackfillDiff]]) + the tiny transition rollup; the DuckDB
     * twin runs the scale-hostile spelling — TWO inequality fan-out
-    * joins, each ranked per fact — as the cross-algorithm check. */
+    * joins, each ranked per fact — as the cross-algorithm check.
+    *
+    * Sentinel contract (ADVICE r12, shared with q201): the −1 for "no
+    * applicable version yet" assumes non-negative `value` — a real
+    * reading at or below −100.00 would band to −1 and collide with the
+    * sentinel. The events table's values are non-negative by schema
+    * contract; a deployment with signed readings should pick a
+    * sentinel outside the representable band domain (Long.MinValue). */
   val pitBackfillImpact: Q = (s, d) => {
     val ev = Tables.events(s, d)
     val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)

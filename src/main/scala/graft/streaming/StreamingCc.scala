@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.{CdcSnapshotStore, CoPairStore, Graphs}
+import graft.ops.{CdcSnapshotStore, CoPairStore, Graphs, OrderLedgerStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -23,10 +23,20 @@ import org.apache.spark.sql.types._
   * so a re-delivered batch recomputes its crossings and quotient
   * against exactly the pre-batch state and overwrites its own two
   * round partitions byte-for-byte (StreamingCcSpec pins replay and
-  * stream/batch parity against a from-scratch recompute). Contract:
-  * batches must be order-disjoint (an order's basket split across
-  * batches would double-count pair support — route a CDC/dedup stage
-  * in front if the source can re-emit an order). */
+  * stream/batch parity against a from-scratch recompute).
+  *
+  * Contract: batches must be order-disjoint — an order's basket split
+  * across batches would double-count pair support. The violation can
+  * come from the SOURCE (re-emitting an order) or from the READER
+  * itself: a file stream with maxFilesPerTrigger set (or a wave larger
+  * than one trigger's file cap) cuts one logical wave across
+  * micro-batches at arbitrary file boundaries (ADVICE r12). Neither is
+  * silent here: every batch is checked EXACTLY against the
+  * [[graft.ops.OrderLedgerStore]] of orderkeys prior rounds committed
+  * and fails loudly with witness keys on any overlap (the ledger rides
+  * `beforeRound`, so a replayed batch never clashes with itself).
+  * Writers that can hit the reader-side split should pre-aggregate to
+  * one file set per order wave, or route a CDC/dedup stage in front. */
 object StreamingCc {
   /** Parquet batch schema — the order-item slice the pair counts need. */
   val itemSchema: StructType = StructType(Seq(
@@ -55,14 +65,23 @@ object StreamingCc {
     // the batch registers persisted frames (delta counts, quotient
     // edges, base labels); release them at the batch boundary — the
     // Bench/Verify per-query discipline, applied per micro-batch, or a
-    // long-lived stream accumulates three cached frames per batch
-    try processBatchInner(batch, batchId, pairPath, labelPath, roundOffset)
-    finally graft.ops.Dedup.releaseSketchCaches()
+    // long-lived stream accumulates three cached frames per batch.
+    // SCOPED release (ADVICE r12): only the frames THIS batch
+    // registered — draining the global queue would unpersist caches a
+    // concurrent query in the same session still has in flight.
+    graft.ops.Dedup.withSketchScope {
+      processBatchInner(batch, batchId, pairPath, labelPath, roundOffset)
+    }
 
   private def processBatchInner(batch: DataFrame, batchId: Long, pairPath: String,
                                 labelPath: String, roundOffset: Long): Unit = {
     val spark = batch.sparkSession
     val round = roundOffset + batchId
+    // exact order-disjointness guard (see the object doc): fails the
+    // batch BEFORE any state advances, so a violating trigger leaves
+    // both stores untouched
+    new OrderLedgerStore(spark, s"$pairPath.orders")
+      .checkDisjointAndCommit(batch, round)
     val pairStore = new CoPairStore(spark, pairPath)
     val deltaCounts = graft.ops.Dedup.materializedSketch(
       Graphs.pairCounts(batch)) // two consumers: crossings + the round commit

@@ -518,4 +518,22 @@ class DedupSpec extends SparkTestBase {
       .distinct().count()
     assert(fp == 2L, "the two docs must land in different q36 blocks")
   }
+
+  test("withSketchScope releases ONLY its own frames, never the global queue (ADVICE r12)") {
+    Dedup.releaseSketchCaches() // clean slate
+    // a concurrent query's cache, registered globally
+    val global = Dedup.materializedSketch(spark.range(10).toDF("id"))
+    var scoped: org.apache.spark.sql.DataFrame = null
+    Dedup.withSketchScope {
+      scoped = Dedup.materializedSketch(spark.range(5).toDF("id"))
+      assert(scoped.storageLevel.useMemory, "scoped frame not persisted inside the scope")
+    }
+    assert(!scoped.storageLevel.useMemory,
+      "scope exit did not release the frame it registered")
+    assert(global.storageLevel.useMemory,
+      "scope exit drained the GLOBAL queue — the two-consumer persistence " +
+        "other in-flight queries rely on")
+    Dedup.releaseSketchCaches()
+    assert(!global.storageLevel.useMemory, "global release missed the frame")
+  }
 }

@@ -74,4 +74,37 @@ class StreamingCcSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(support == direct, "pair-support state diverged after replay")
   }
+
+  test("a batch re-carrying a prior round's order fails loudly BEFORE state advances (ADVICE r12)") {
+    val items = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val root = tmpDir("scc-guard")
+    val pairPath = s"$root/pairs"
+    val labelPath = s"$root/labels"
+    val half1 = items.filter(col("l_orderkey") % 2 === 0)
+    StreamingCc.processBatch(half1, 0L, pairPath, labelPath)
+    val before = new CoPairStore(spark, pairPath).state()
+      .as[(Long, Long, Long)].collect().toSet
+    // batch 1 re-carries part of an order batch 0 committed — the
+    // reader-side file-split / source re-emission hazard
+    val splitWave = items.filter(col("l_orderkey") % 4 === 0)
+    val err = intercept[IllegalArgumentException] {
+      StreamingCc.processBatch(splitWave, 1L, pairPath, labelPath)
+    }
+    assert(err.getMessage.contains("order-disjointness violated"),
+      s"unexpected failure message: ${err.getMessage}")
+    // the guard fired before any commit: pair state unchanged, and no
+    // round-1 partition landed in either store
+    assert(new CoPairStore(spark, pairPath).state()
+      .as[(Long, Long, Long)].collect().toSet == before,
+      "a rejected batch advanced the pair state")
+    assert(spark.read.parquet(pairPath)
+      .filter(col("ingest_round") === 1L).isEmpty,
+      "a rejected batch committed a pair round")
+    // replaying round 0 itself stays legal (beforeRound excludes it)
+    StreamingCc.processBatch(half1, 0L, pairPath, labelPath)
+    assert(new CoPairStore(spark, pairPath).state()
+      .as[(Long, Long, Long)].collect().toSet == before,
+      "round replay changed the pair state")
+  }
 }
