@@ -48,6 +48,20 @@ private[ops] trait CompactableRoundStore {
     * replacement partition's content (must be read-equivalent). */
   protected def mergeRounds(rows: DataFrame): DataFrame
 
+  /** Partition columns NESTED under `ingest_round` (the postings
+    * store's `term_bucket` — a lookup by key then prunes to its
+    * buckets inside every round). Must be columns [[mergeRounds]]'
+    * output carries, so compaction preserves the layout. */
+  protected def extraPartitionCols: Seq[String] = Nil
+
+  /** The fold used when PHYSICALLY compacting rounds — defaults to
+    * [[mergeRounds]] (read-equivalent, the trait contract). A store
+    * with an explicit retention policy (the CDC store's tombstone GC)
+    * may override it to drop rows here that plain merge-on-read must
+    * keep; such a store's compaction is read-equivalent only up to
+    * its documented retention decision. */
+  protected def compactRounds(rows: DataFrame): DataFrame = mergeRounds(rows)
+
   private def hadoopPath(s: String) = new org.apache.hadoop.fs.Path(s)
   private def fs = hadoopPath(path)
     .getFileSystem(storeSpark.sparkContext.hadoopConfiguration)
@@ -145,7 +159,7 @@ private[ops] trait CompactableRoundStore {
       case None =>
         if (roundPartitions.count(_ <= upTo) <= 1) return // nothing to fold
         // step 1: stage the merged artifact OFF the read path
-        mergeRounds(readAll.filter(col("ingest_round") <= upTo)
+        compactRounds(readAll.filter(col("ingest_round") <= upTo)
             .drop("ingest_round"))
           .withColumn("ingest_round", lit(upTo))
           .write.mode(SaveMode.Overwrite).parquet(sideDir)
@@ -162,7 +176,7 @@ private[ops] trait CompactableRoundStore {
     }
     // step 4: land the staged artifact as partition upTo
     storeSpark.read.parquet(sideDir)
-      .write.partitionBy("ingest_round")
+      .write.partitionBy(("ingest_round" +: extraPartitionCols).toIndexedSeq: _*)
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite).parquet(path)
     // step 5: clear the intent
@@ -199,16 +213,24 @@ private[ops] object CompactableRoundStore {
   * the same data, so "previously non-empty, now empty" cannot occur
   * and the check never leaves stale rows behind. */
 private[graft] object RoundPartitions {
-  def commit(rows: DataFrame, path: String, round: Long): Unit = {
+  def commit(rows: DataFrame, path: String, round: Long,
+             extraPartitionCols: Seq[String] = Nil): Unit = {
     rows.withColumn("ingest_round", lit(round))
-      .write.partitionBy("ingest_round")
+      .write.partitionBy(("ingest_round" +: extraPartitionCols).toIndexedSeq: _*)
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite).parquet(path)
     val part = new org.apache.hadoop.fs.Path(s"$path/ingest_round=$round")
     val fs = part.getFileSystem(
       rows.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(part))
-      rows.limit(0).repartition(1)
-        .write.mode(SaveMode.Overwrite).parquet(part.toString)
+    if (!fs.exists(part)) {
+      // partition-dir depth must stay uniform across rounds, so the
+      // schema-bearing empty file nests under default values for the
+      // extra partition levels (and, like a real partitioned write,
+      // carries no partition columns in the file itself)
+      val dir = extraPartitionCols
+        .foldLeft(s"$path/ingest_round=$round")((p, c) => s"$p/$c=0")
+      rows.drop(extraPartitionCols.toIndexedSeq: _*).limit(0).repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
   }
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.streaming.StreamingPostings
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The streaming inverted-index pipeline (18th): stream-fed postings +
+  * stats equal the batch build, retraction waves annihilate, replay is
+  * a no-op, and the stream-maintained index SERVES the same BM25
+  * scores as a corpus scan of the live documents. */
+class StreamingPostingsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withOp(docs: DataFrame, op: String): DataFrame =
+    docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
+      col("n_chars"), lit(op).as("op"))
+
+  private def postingsSet(df: DataFrame): Set[(String, Long, Long, Long)] =
+    df.select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .as[(String, Long, Long, Long)].collect().toSet
+
+  test("streamed index equals the batch build; a retraction wave annihilates; replay is a no-op") {
+    val docs = graft.Tables.documents(spark, sf)
+    val root = tmpDir("spost")
+    val docsDir = s"$root/docs"
+    val idx = s"$root/index"
+
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val wave = docs.filter(col("doc_id") % 2 === 1)
+    withOp(base, "add").write.parquet(docsDir)
+    StreamingPostings.start(spark, docsDir, idx, s"$root/ckpt").awaitTermination()
+    withOp(wave, "add").write.mode("append").parquet(docsDir)
+    StreamingPostings.start(spark, docsDir, idx, s"$root/ckpt").awaitTermination()
+
+    val post = new PostingsStore(spark, s"$idx/postings")
+    val stats = new CorpusStatsStore(spark, s"$idx/stats")
+    assert(postingsSet(post.state()) == postingsSet(PostingsIndex.postingsOf(docs)),
+      "streamed postings diverged from the batch build")
+    assert(stats.state().as[(Long, Long)].head() ==
+      PostingsIndex.statsOf(docs).as[(Long, Long)].head(),
+      "streamed stats diverged from the batch build")
+
+    // the stream-maintained index serves exactly the scan scores
+    val served = graft.ops.TextAnalysis.bm25ScanOf(docs, TextAnalysis.bm25Terms)
+      .collect().toSeq
+    val (perDoc, statsRow) = PostingsIndex.perDocFromStores(
+      post, stats, docs.limit(0), TextAnalysis.bm25Terms)
+    val ti = TextAnalysis.bm25Terms.indices
+    // score through the real q210 tail over the stream-built stores
+    val viaIndex = TextAnalysis.bm25ScoreTail(perDoc, statsRow, ti)
+      .collect().toSeq
+    Dedup.releaseSketchCaches()
+    assert(viaIndex == served, "stream-built index served different BM25 scores")
+
+    // retraction: deleting the odd wave restores the base index exactly
+    withOp(wave, "retract").write.mode("append").parquet(docsDir)
+    StreamingPostings.start(spark, docsDir, idx, s"$root/ckpt").awaitTermination()
+    assert(postingsSet(post.state()) == postingsSet(PostingsIndex.postingsOf(base)),
+      "retraction did not restore the base postings")
+    assert(stats.state().as[(Long, Long)].head() ==
+      PostingsIndex.statsOf(base).as[(Long, Long)].head(),
+      "retraction did not restore the base stats")
+
+    // at-least-once: re-deliver the retraction batch by hand — both
+    // rounds replace themselves, nothing double-retracts
+    StreamingPostings.processBatch(withOp(wave, "retract"), 2L, idx)
+    assert(postingsSet(post.state()) == postingsSet(PostingsIndex.postingsOf(base)),
+      "redelivery changed the index state")
+  }
+
+  test("an unknown op fails the batch loudly") {
+    val docs = graft.Tables.documents(spark, sf).limit(5)
+    val root = tmpDir("spost-op")
+    val err = intercept[Exception] {
+      StreamingPostings.processBatch(withOp(docs, "upsert"), 0L, s"$root/index")
+    }
+    assert(err.getMessage != null && err.getMessage.contains("unknown op"),
+      s"expected a loud unknown-op failure, got: $err")
+  }
+}

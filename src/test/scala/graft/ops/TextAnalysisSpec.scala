@@ -482,25 +482,10 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.toSeq == want.toSeq, s"got ${got.toSeq}\nwant ${want.toSeq}")
     assert(got.nonEmpty && got.exists(_._2 >= 2),
       "fixture should produce multi-term matches")
-
-    // scale shape: no explode/generate anywhere — tf and dl are in-row
-    // array folds; the only wide ops are the 1-row stats agg and the
-    // final TakeOrdered
-    val plan = graft.SparkEntry.queries("q210_bm25_search")(spark, sf)
-      .queryExecution.executedPlan
-    import org.apache.spark.sql.execution.SparkPlan
-    var generates = 0
-    def walk(p: SparkPlan): Unit = {
-      p match {
-        case _: org.apache.spark.sql.execution.GenerateExec => generates += 1
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan)
-        case _ =>
-      }
-      p.children.foreach(walk)
-    }
-    walk(plan)
-    assert(generates == 0, s"BM25 should never explode the corpus:\n$plan")
+    // scale shape (index-served since r13): PostingsIndexSpec pins that
+    // every documents scan in the steady-state plan is delta-pruned
+    // (no full-corpus tokenization) and the postings scan partition-
+    // prunes to the query terms' buckets
   }
 
   test("q213 batch BM25: each query's rows equal the single-query scorer; the top-k rewrite fires") {
@@ -514,7 +499,7 @@ class TextAnalysisSpec extends SparkTestBase {
       // the single-query scorer over the SAME term list, truncated to
       // the batch k, must agree row for row (df/N/T are term-local, so
       // the shared distinct-term frame cannot change any score)
-      val want = TextAnalysis.bm25Of(docs, terms)
+      val want = TextAnalysis.bm25ScanOf(docs, terms)
         .collect().take(TextAnalysis.bm25BatchK).zipWithIndex
         .map { case (r, i) => (qid, i + 1, r.getAs[Long]("doc_id"),
           r.getAs[Int]("n_terms"), r.getAs[Long]("score_micro")) }
