@@ -130,14 +130,34 @@ object Cdc {
   * streaming replay guard); inherited auto-compaction folds old rounds
   * into one, read-equivalent because the merge IS the LWW fold.
   * Per-round cost is O(|batch keys|); the standing snapshot is never
-  * rewritten on append. */
+  * rewritten on append.
+  *
+  * `gcTombstonesOnCompact` makes the tombstone-retention decision
+  * EXPLICIT (VERDICT r12: a tombstone carries the deleted key's
+  * identity, so erasure eventually conflicts with the retention that
+  * buys order-independence). When set to the op column, PHYSICAL
+  * compaction drops rows whose latest op is a delete from the folded
+  * artifact — the erased key's last trace leaves the store's files.
+  * Plain merge-on-read keeps tombstones (order-independence for live
+  * rounds is untouched); the GC is safe exactly under compaction's
+  * existing contract — only rounds the replay bound has passed fold,
+  * so no re-delivered or late batch below the GC point can resurrect
+  * the key. An upsert arriving AFTER the GC round legitimately
+  * re-creates the key as a new row, which is the CDC semantics of a
+  * re-registered entity, not a resurrection bug. Default None:
+  * tombstones retained forever (the order-safe maximum). */
 class CdcSnapshotStore(spark: SparkSession, val path: String,
-                       key: Seq[String], ts: String, seq: String)
+                       key: Seq[String], ts: String, seq: String,
+                       gcTombstonesOnCompact: Option[String] = None)
     extends CompactableRoundStore {
   override protected def storeSpark: SparkSession = spark
 
   override protected def mergeRounds(rows: DataFrame): DataFrame =
     Cdc.compact(rows.drop("ingest_round"), key, ts, seq)
+
+  override protected def compactRounds(rows: DataFrame): DataFrame =
+    gcTombstonesOnCompact.foldLeft(mergeRounds(rows))((snap, opCol) =>
+      snap.filter(col(opCol) =!= "D"))
 
   def exists: Boolean = graft.flights.StarWarehouse.pathExists(spark, path)
 

@@ -426,12 +426,57 @@ object Graphs {
       .orderBy(col("comp_size"))
   }
 
+  /** q216 — AS-OF CENSUS over the incremental CC state: q207's
+    * time-travel discipline applied to the graph family (VERDICT r12
+    * #7). The component-size census at the bootstrap watermark vs
+    * live, BOTH served from the standing stores — the as-of side
+    * folds only label rounds below the delta round (`beforeRound`,
+    * the replay-guard surface doubling as a user-facing audit read),
+    * the live side folds all rounds; neither epoch re-walks the
+    * graph, and history facts are read exactly once (at round
+    * commit). The stores are fed through
+    * [[graft.streaming.StreamingCc.processBatch]] itself — two
+    * order-disjoint rounds, <= wm and > wm — so the audit reads the
+    * very artifacts the 17th pipeline maintains, order-ledger guard
+    * included. This is the "what did the component structure look
+    * like before the delta landed" question every dedup-closure
+    * review asks, answered from |labels|-sized state. The DuckDB twin
+    * recomputes BOTH epochs' closures from raw lineitem with
+    * recursive CTEs and full-joins the two censuses — a drifted bit
+    * in the label-delta fold or the beforeRound guard hash-fails. */
+  val ccCensusAsof: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val items = li.select(col("l_orderkey"), col("l_partkey"))
+    val keyed = li.select(col("l_orderkey").as("doc_id"),
+      col("l_partkey").cast("string").as("text"))
+    val (key, wm) = ScratchStores.corpusKey(keyed, s"$d#coorders")
+    val root = ScratchStores.pathFor(key, "graft-cc-asof") { p =>
+      graft.streaming.StreamingCc.processBatch(
+        items.filter(col("l_orderkey") <= wm), 0L, s"$p/pairs", s"$p/labels")
+      graft.streaming.StreamingCc.processBatch(
+        items.filter(col("l_orderkey") > wm), 1L, s"$p/pairs", s"$p/labels")
+    }
+    def census(lab: DataFrame, n: String) =
+      lab.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+        .groupBy(col("comp_size")).agg(count(lit(1)).as(n))
+    val asof = census(graft.streaming.StreamingCc.labels(
+      s, s"$root/labels", beforeRound = Some(1L)), "na")
+    val live = census(graft.streaming.StreamingCc.labels(
+      s, s"$root/labels"), "nl")
+    asof.join(live, Seq("comp_size"), "full")
+      .select(col("comp_size"),
+        coalesce(col("na"), lit(0L)).as("n_components_asof"),
+        coalesce(col("nl"), lit(0L)).as("n_components_live"))
+      .orderBy(col("comp_size"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q127_trade_pagerank" -> pageRank,
     "q143_trade_bfs" -> tradeBfs,
     "q171_triangle_census" -> triangleParts,
     "q179_copurchase_components" -> copurchaseComponents,
     "q211_cc_incremental" -> ccIncremental,
+    "q216_cc_census_asof" -> ccCensusAsof,
   )
 
   /** The five iterations unrolled as chained CTEs; generated by the
@@ -548,6 +593,60 @@ object Graphs {
           |)
           |SELECT comp_size, count(*) AS n_components, min(comp) AS witness_part
           |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+      // BOTH epochs recomputed from scratch: the as-of closure on
+      // orders <= the bootstrap watermark (max*4 div 5 — the
+      // ScratchStores convention), the live closure on everything —
+      // the independent check of the label store's beforeRound read
+      "q216_cc_census_asof" ->
+        """WITH RECURSIVE wm AS (
+          |  SELECT max(l_orderkey) * 4 // 5 AS w FROM lineitem
+          |), items AS (
+          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          |), items_b AS (
+          |  SELECT i.l_orderkey, i.l_partkey FROM items i, wm
+          |  WHERE i.l_orderkey <= wm.w
+          |), pairs_b AS (
+          |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          |  FROM items_b a JOIN items_b b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), sym_b AS (
+          |  SELECT pa AS a, pb AS b FROM pairs_b
+          |  UNION SELECT pb, pa FROM pairs_b
+          |), reach_b AS (
+          |  SELECT a, b FROM sym_b
+          |  UNION
+          |  SELECT r.a, s.b FROM reach_b r JOIN sym_b s ON r.b = s.a
+          |), hist_b AS (
+          |  SELECT comp_size, count(*) AS n FROM (
+          |    SELECT comp, count(*) AS comp_size FROM (
+          |      SELECT a AS node, least(a, min(b)) AS comp FROM reach_b GROUP BY a
+          |    ) GROUP BY comp
+          |  ) GROUP BY comp_size
+          |), pairs_l AS (
+          |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          |  FROM items a JOIN items b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), sym_l AS (
+          |  SELECT pa AS a, pb AS b FROM pairs_l
+          |  UNION SELECT pb, pa FROM pairs_l
+          |), reach_l AS (
+          |  SELECT a, b FROM sym_l
+          |  UNION
+          |  SELECT r.a, s.b FROM reach_l r JOIN sym_l s ON r.b = s.a
+          |), hist_l AS (
+          |  SELECT comp_size, count(*) AS n FROM (
+          |    SELECT comp, count(*) AS comp_size FROM (
+          |      SELECT a AS node, least(a, min(b)) AS comp FROM reach_l GROUP BY a
+          |    ) GROUP BY comp
+          |  ) GROUP BY comp_size
+          |)
+          |SELECT coalesce(b.comp_size, l.comp_size) AS comp_size,
+          |  coalesce(b.n, CAST(0 AS BIGINT)) AS n_components_asof,
+          |  coalesce(l.n, CAST(0 AS BIGINT)) AS n_components_live
+          |FROM hist_b b FULL JOIN hist_l l ON b.comp_size = l.comp_size
+          |ORDER BY comp_size""".stripMargin,
       // the O(n·m) textbook closure: recursive reachability over the
       // symmetrized edges, min label per node — deliberately not the
       // Spark side's O(diameter) synchronized propagation

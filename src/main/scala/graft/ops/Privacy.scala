@@ -97,9 +97,53 @@ object Privacy {
       .orderBy(col("surface"))
   }
 
+  /** q214 — erasure EXECUTION (the "act" phase q206 plans for —
+    * VERDICT r12 #3): the deletion list is applied with one broadcast
+    * anti-join mask and the result audited per event type, before
+    * vs after, in ONE pass — each event row joins the tiny deletion
+    * list once (broadcast, facts never shuffle) and a single
+    * aggregate folds both epochs via conditional counts, so the
+    * audit costs exactly one scan of the log at any scale. The
+    * distinct-user columns are the q209 view served on both epochs:
+    * the spec proves the same numbers fall out of committing the
+    * erased rows as a RETRACTION round to the standing
+    * [[DistinctViewStore]] — erasure composes with the incremental
+    * matview machinery instead of forcing a rebuild. Identified
+    * users only (the q209 contract); the DuckDB twin runs the rival
+    * two-join spelling. */
+  val erasureExecute: Q = (s, d) => {
+    val log = Cdc.eventChangelog(s, d)
+    val snap = Cdc.compact(log, Seq("user_id"), "ts", "event_id")
+    val del = snap.filter(col("op") === "D")
+      .select(col("user_id"), lit(1).as("_del"))
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .join(broadcast(del), Seq("user_id"), "left")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events_before"),
+        count(when(col("_del").isNull, 1)).as("n_events_after"),
+        countDistinct(col("user_id")).as("n_users_before"),
+        countDistinct(when(col("_del").isNull, col("user_id"))).as("n_users_after"))
+      .withColumn("n_events_erased",
+        col("n_events_before") - col("n_events_after"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The erased rows themselves — the frame the act phase anti-joins
+    * away AND commits as `negate` rounds to the standing matview
+    * stores (PrivacySpec pins the equivalence with a from-scratch
+    * build on the redacted log). */
+  private[ops] def erasedRows(s: SparkSession, d: String): DataFrame = {
+    val log = Cdc.eventChangelog(s, d)
+    val snap = Cdc.compact(log, Seq("user_id"), "ts", "event_id")
+    val del = snap.filter(col("op") === "D").select(col("user_id"))
+    Tables.events(s, d).join(broadcast(del), Seq("user_id"), "left_semi")
+  }
+
   val queries: Map[String, Q] = Map(
     "q203_k_anonymity" -> kAnonymity,
-    "q206_erasure_sweep" -> erasureSweep)
+    "q206_erasure_sweep" -> erasureSweep,
+    "q214_erasure_execute" -> erasureExecute)
 
   val oracle: Map[String, String] = Map(
     // the rival spelling on purpose: one subquery per ladder level,
@@ -150,5 +194,34 @@ object Privacy {
         |    CAST(sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    count(DISTINCT d.user_id)
         |  FROM daily a LEFT JOIN del d ON a.user_id = d.user_id)
-        |SELECT * FROM sw ORDER BY surface""".stripMargin)
+        |SELECT * FROM sw ORDER BY surface""".stripMargin,
+    // the rival spelling on purpose: two separate epoch aggregates
+    // joined — cross-checks the Spark side's one-pass conditional fold
+    "q214_erasure_execute" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |del AS (SELECT user_id FROM c WHERE rn = 1 AND op = 'D'),
+        |before AS (
+        |  SELECT event_type, count(*) AS n_events_before,
+        |    count(DISTINCT user_id) AS n_users_before
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY event_type),
+        |after AS (
+        |  SELECT event_type, count(*) AS n_events_after,
+        |    count(DISTINCT user_id) AS n_users_after
+        |  FROM events e
+        |  WHERE user_id IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM del d WHERE d.user_id = e.user_id)
+        |  GROUP BY event_type)
+        |SELECT b.event_type, b.n_events_before,
+        |  coalesce(a.n_events_after, CAST(0 AS BIGINT)) AS n_events_after,
+        |  b.n_users_before,
+        |  coalesce(a.n_users_after, CAST(0 AS BIGINT)) AS n_users_after,
+        |  b.n_events_before - coalesce(a.n_events_after, CAST(0 AS BIGINT))
+        |    AS n_events_erased
+        |FROM before b LEFT JOIN after a ON b.event_type = a.event_type
+        |ORDER BY b.event_type""".stripMargin)
 }

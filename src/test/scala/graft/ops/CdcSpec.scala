@@ -114,4 +114,47 @@ class CdcSpec extends SparkTestBase {
     assert(liveState(fresh.snapshot(beforeRound = Some(1L))) ==
       liveState(Cdc.compact(odd, key, "ts", "event_id")))
   }
+
+  test("tombstone GC is an explicit compaction-time retention decision (default keeps, opt-in drops)") {
+    val log = graft.ops.Cdc.eventChangelog(spark, "/root/testdata/sf0.001")
+    val key = Seq("user_id")
+    val waves = (0L to 3L).map(r => log.filter(col("event_id") % 4 === r))
+
+    // default: tombstones survive physical compaction (order-safe max)
+    val keep = new CdcSnapshotStore(spark, tmpDir("cdc-gc") + "/keep",
+      key, "ts", "event_id")
+    waves.zipWithIndex.foreach { case (w, r) => keep.appendRound(w, r.toLong) }
+    val tombstonesBefore = keep.snapshot().filter(col("op") === "D").count()
+    assert(tombstonesBefore > 0L, "fixture should produce delete tombstones")
+    keep.compact(upTo = 3L)
+    assert(keep.snapshot().filter(col("op") === "D").count() == tombstonesBefore,
+      "default compaction must retain tombstones")
+
+    // opt-in GC: compaction physically drops them; live rows unchanged
+    val gc = new CdcSnapshotStore(spark, tmpDir("cdc-gc") + "/gc",
+      key, "ts", "event_id", gcTombstonesOnCompact = Some("op"))
+    waves.zipWithIndex.foreach { case (w, r) => gc.appendRound(w, r.toLong) }
+    val liveBefore = liveState(gc.snapshot())
+    gc.compact(upTo = 3L)
+    assert(gc.snapshot().filter(col("op") === "D").count() == 0L,
+      "GC compaction left tombstone rows")
+    assert(liveState(gc.snapshot()) == liveBefore,
+      "GC compaction changed the live rows")
+    // physically gone from the store's files too, not just the fold
+    assert(spark.read.parquet(gc.path).filter(col("op") === "D").count() == 0L,
+      "tombstones survive in the compacted files")
+    assert(gc.snapshot().count() == liveBefore.size.toLong,
+      "post-GC snapshot should hold exactly the live rows")
+    // a post-GC upsert re-creates a GC'd key as a new row (CDC
+    // re-registration semantics, not a resurrection bug)
+    val gone = log.filter(col("op") === "D").select("user_id")
+      .as[Long].head()
+    val rebirth = log.filter(col("user_id") === gone).limit(1)
+      .withColumn("op", lit("U"))
+      .withColumn("event_id", lit(999999999L))
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2031-01-01 00:00:00")))
+    gc.appendRound(rebirth, round = 4L)
+    assert(liveState(gc.snapshot()).exists(_._1 == gone),
+      "a re-registered key should surface as live after GC")
+  }
 }

@@ -83,4 +83,48 @@ class PrivacySpec extends SparkTestBase {
         s"deletion list not broadcast — facts would shuffle: $nonBroadcast")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("q214 erasure composes with the matview machinery: retraction rounds equal a from-scratch build on the redacted log") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, sf)
+    val erased = Privacy.erasedRows(spark, sf)
+    val redacted = ev.join(erased.select("event_id"), Seq("event_id"), "left_anti")
+    assert(erased.count() > 0L, "fixture should erase someone")
+
+    // the standing q209 view built on the FULL log, then the erasure
+    // applied as one negate round — must equal a fresh build on the
+    // redacted log, bit for bit (the no-rebuild erasure path)
+    val path = tmpDir("erasure") + "/state"
+    val st = new DistinctViewStore(spark, path)
+    st.appendRound(ev, round = 0L)
+    st.appendRound(erased, round = 1L, negate = true)
+    def viewSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_type"), col("n_users"), col("n_events"))
+        .as[(String, Long, Long)].collect().toSet
+    val afterErasure = viewSet(MatView.distinctView(st.state()))
+    assert(afterErasure ==
+      viewSet(MatView.distinctView(MatView.distinctState(redacted))),
+      "retraction-applied erasure diverged from a from-scratch redacted build")
+    // and no erased user's state rows survive physically
+    val erasedUsers = erased.select("user_id").distinct().as[Long].collect().toSet
+    val surviving = st.state().select("user_id").as[Long].collect().toSet
+    assert(erasedUsers.intersect(surviving).isEmpty,
+      "an erased user still has state rows after the retraction round")
+
+    // the q214 audit's after-columns equal the redacted recompute
+    val audit = Privacy.erasureExecute(spark, sf).collect()
+    val want = redacted.filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("nu"), count(lit(1)).as("ne"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    audit.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (nu, ne) = want.getOrElse(t, (0L, 0L))
+      assert(r.getAs[Long]("n_users_after") == nu &&
+        r.getAs[Long]("n_events_after") == ne,
+        s"audit after-columns for $t diverged from the redacted recompute")
+      assert(r.getAs[Long]("n_events_erased") ==
+        r.getAs[Long]("n_events_before") - r.getAs[Long]("n_events_after"))
+    }
+  }
 }
