@@ -31,7 +31,8 @@ object SparkEntry {
       graft.ops.RangeJoin.queries ++ graft.queries.Cohorts.queries ++
       graft.queries.Drift.queries ++ graft.ops.PartitionedFacts.queries ++
       graft.ops.Bucketing.queries ++ graft.ops.Cdc.queries ++
-      graft.ops.Privacy.queries ++ graft.ops.MatView.queries
+      graft.ops.Privacy.queries ++ graft.ops.MatView.queries ++
+      graft.ops.PostingsIndex.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,7 +49,8 @@ object SparkEntry {
       graft.ops.RangeJoin.oracle ++ graft.queries.Cohorts.oracle ++
       graft.queries.Drift.oracle ++ graft.ops.PartitionedFacts.oracle ++
       graft.ops.Bucketing.oracle ++ graft.ops.Cdc.oracle ++
-      graft.ops.Privacy.oracle ++ graft.ops.MatView.oracle
+      graft.ops.Privacy.oracle ++ graft.ops.MatView.oracle ++
+      graft.ops.PostingsIndex.oracle
 
   /** Queries driven by checked-in fixtures rather than the sf-scaled
     * testdata tables: their runtime is constant in SF, so Bench reports

@@ -47,6 +47,7 @@ import org.apache.spark.sql.types._
   * index-build job, paid once per document, not per query.
   */
 object PostingsIndex {
+  type Q = (SparkSession, String) => DataFrame
 
   /** Postings partition fan-out under each round. */
   val termBuckets = 16
@@ -164,24 +165,109 @@ object PostingsIndex {
     // (filtering whole term groups commutes with the (term, doc) fold);
     // the delta's postings are computed in-query — the only
     // tokenization in the plan, and it scans only doc_id > wm
-    val qp = Dedup.materializedSketch( // two consumers: df stats + pivot
-      post.stateForTerms(terms)
-        .unionByName(postingsOf(delta).filter(col("term").isin(terms: _*)))
-        .select(col("term"), col("doc_id"), col("tf"), col("dl")))
-    val nt = stats.state().unionByName(statsOf(delta))
-      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
-        coalesce(sum(col("total_toks")), lit(0L)).as("total_toks"))
-    val dfs = qp.agg(
-      sum(when(col("term") === terms.head, 1L).otherwise(0L)).as("df0"),
-      terms.indices.drop(1).map(i =>
-        sum(when(col("term") === terms(i), 1L).otherwise(0L)).as(s"df$i")).toIndexedSeq: _*)
-    val perDoc = qp.groupBy(col("doc_id"))
+    val qp = post.stateForTerms(terms)
+      .unionByName(postingsOf(delta).filter(col("term").isin(terms: _*)))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    // pivot FIRST, then persist the pivoted frame: perDoc is the
+    // smaller shape (candidates × terms columns vs postings rows) and
+    // it is the one with two consumers (the df row + the scorer) —
+    // qp itself feeds only the pivot, so it needs no cache at all
+    val perDoc = Dedup.materializedSketch(qp.groupBy(col("doc_id"))
       .agg(max(col("dl")).as("dl"),
         terms.indices.map(i =>
           coalesce(max(when(col("term") === terms(i), col("tf"))), lit(0L))
-            .as(s"tf$i")).toIndexedSeq: _*)
+            .as(s"tf$i")).toIndexedSeq: _*))
+    val nt = stats.state().unionByName(statsOf(delta))
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("total_toks")), lit(0L)).as("total_toks"))
+    // df falls out of the pivot: df_i = candidates with tf_i > 0 —
+    // no second pass over the postings
+    val dfs = perDoc.agg(
+      sum(when(col("tf0") > 0L, 1L).otherwise(0L)).as("df0"),
+      terms.indices.drop(1).map(i =>
+        sum(when(col(s"tf$i") > 0L, 1L).otherwise(0L)).as(s"df$i")).toIndexedSeq: _*)
     (perDoc, nt.crossJoin(dfs))
   }
+
+  /** The full index state + the delta's postings — the read behind
+    * the index-as-data audits (linear in INDEX size, an audit-class
+    * scan; serving queries go through the pruned [[perDocForTerms]]).
+    * Store rows and delta rows are doc-disjoint by the watermark, so
+    * a plain union is the merged state. */
+  private def liveIndex(s: SparkSession, d: String): DataFrame = {
+    val (post, _, wm) = index(s, d)
+    post.state().unionByName(
+      postingsOf(Tables.documents(s, d).filter(col("doc_id") > wm)))
+  }
+
+  /** q217 — the index AS data: per-term document frequency and total
+    * term frequency served from the postings store (+ delta), top 20
+    * by df — the vocabulary head audit a retrieval deployment reads
+    * off its own index. The DuckDB twin recomputes df/tf from RAW
+    * TEXT, making this the direct oracle gate on the store's contents
+    * (q210/q213 gate them only through scores). One index-wide scan,
+    * no tokenization of history, TakeOrdered tail. */
+  val indexDfTopK: Q = (s, d) =>
+    liveIndex(s, d)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(20)
+
+  /** q218 — vocabulary growth AS-OF the index bootstrap: per-term df
+    * at the committed snapshot (`state(beforeRound = 1)` — the q207
+    * time-travel read on the postings store) vs live (snapshot +
+    * delta), top 20 by growth. This is the "what did the crawl do to
+    * the vocabulary head" audit, answered from index state without
+    * re-tokenizing history; the twin recomputes BOTH epochs' df from
+    * raw text under the same watermark arithmetic. */
+  val indexVocabGrowth: Q = (s, d) => {
+    val (post, _, wm) = index(s, d)
+    val base = post.state(beforeRound = Some(1L))
+      .groupBy(col("term")).agg(count(lit(1)).as("df_base"))
+    val live = liveIndex(s, d)
+      .groupBy(col("term")).agg(count(lit(1)).as("df_live"))
+    live.join(base, Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("df_base"), lit(0L)).as("df_base"),
+        col("df_live"),
+        (col("df_live") - coalesce(col("df_base"), lit(0L))).as("df_growth"))
+      .orderBy(col("df_growth").desc, col("term"))
+      .limit(20)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q217_index_df_topk" -> indexDfTopK,
+    "q218_index_vocab_growth" -> indexVocabGrowth)
+
+  val oracle: Map[String, String] = Map(
+    // df/tf recomputed from raw text — the independent gate on the
+    // postings store's contents
+    "q217_index_df_topk" ->
+      s"""WITH pd AS (
+         |  SELECT doc_id, unnest(${TextAnalysis.sqlToks("text")}) AS term
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM pd GROUP BY 1, 2)
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+         |FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
+    // both epochs from raw text under the store's watermark
+    // arithmetic (max*4 div 5) — the check of the beforeRound read
+    "q218_index_vocab_growth" ->
+      s"""WITH wm AS (SELECT max(doc_id) * 4 // 5 AS w FROM documents),
+         |pd AS (
+         |  SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest(${TextAnalysis.sqlToks("text")}) AS term
+         |    FROM documents WHERE text IS NOT NULL)),
+         |base AS (
+         |  SELECT term, count(*) AS df_base FROM pd, wm
+         |  WHERE doc_id <= w GROUP BY term),
+         |live AS (SELECT term, count(*) AS df_live FROM pd GROUP BY term)
+         |SELECT l.term,
+         |  coalesce(b.df_base, CAST(0 AS BIGINT)) AS df_base,
+         |  l.df_live,
+         |  l.df_live - coalesce(b.df_base, CAST(0 AS BIGINT)) AS df_growth
+         |FROM live l LEFT JOIN base b ON l.term = b.term
+         |ORDER BY df_growth DESC, l.term LIMIT 20""".stripMargin)
 }
 
 /** Durable signed postings store: one (ingest_round, term_bucket)-

@@ -140,15 +140,85 @@ object Privacy {
     Tables.events(s, d).join(broadcast(del), Seq("user_id"), "left_semi")
   }
 
+  /** Partial state of the k-anonymity audit: one row per FINEST-level
+    * equivalence class (segment, nation, band) with its member count —
+    * the same additive/retractable monoid as q209's distinct state, so
+    * a customer-table CDC feed maintains the release-risk audit in
+    * O(delta) instead of a rescan. Coarser ladder levels need no state
+    * of their own: a coarse class's size is the sum of its finer
+    * classes' counts, so the whole ladder derives from |classes|
+    * state rows. */
+  private[ops] def classState(cust: DataFrame): DataFrame =
+    cust.select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nation"),
+        expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint) div 100000")
+          .as("band"))
+      .groupBy(col("segment"), col("nation"), col("band"))
+      .agg(count(lit(1)).as("n"))
+
+  private[ops] def mergeClassState(states: DataFrame): DataFrame =
+    states.groupBy(col("segment"), col("nation"), col("band"))
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n") =!= 0L)
+
+  /** The q203 ladder served from class-count state: every level
+    * re-aggregates the |classes|-bounded state rows, never customers. */
+  private[ops] def ladderView(state: DataFrame): DataFrame = {
+    val live = state.filter(col("n") > 0L)
+    def level(name: String, keys: Seq[String]) =
+      live.groupBy(keys.map(col).toIndexedSeq: _*)
+        .agg(sum(col("n")).as("k"))
+        .select(lit(name).as("level"), col("k"))
+    level("segment_nation_band", Seq("segment", "nation", "band"))
+      .unionByName(level("segment_nation", Seq("segment", "nation")))
+      .unionByName(level("segment", Seq("segment")))
+      .groupBy(col("level"), col("k"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"))
+      .withColumn("risky", col("k") < kAnonThreshold)
+      .orderBy(col("level"), col("k"))
+  }
+
+  // Per-(JVM, customer CONTENT) store lifecycle, the MatView
+  // discipline: the fingerprint text carries every column the state
+  // derives from (segment, nation, the balance the band quantizes).
+  private def cstore(s: SparkSession, d: String): (ClassCountStore, Long) = {
+    val cust = Tables.customer(s, d)
+    val keyed = cust.select(col("c_custkey").as("doc_id"),
+      concat_ws(":", col("c_mktsegment"), col("c_nationkey"),
+        col("c_acctbal").cast("string")).as("text"))
+    val (key, wm) = ScratchStores.corpusKey(keyed, s"$d#kanon")
+    val path = ScratchStores.pathFor(key, "graft-kanon-classes") { p =>
+      new ClassCountStore(s, p).appendRound(
+        cust.filter(col("c_custkey") <= wm), round = 0L)
+    }
+    (new ClassCountStore(s, path), wm)
+  }
+
+  /** q219 — INCREMENTAL k-anonymity: q203's release-risk ladder
+    * maintained through a persisted (segment, nation, band, n) class
+    * store, closing the privacy family's loop — plan (q206), act
+    * (q214), and now CONTINUOUS audit: after each arriving or erased
+    * customer batch the refreshed ladder costs O(delta + |classes|),
+    * not a table rescan, and erasure retractions (negate rounds)
+    * shrink class counts exactly. The DuckDB twin is q203's full
+    * recompute verbatim — the incremental fold must reproduce the
+    * one-shot rollup bit for bit. */
+  val kAnonymityIncremental: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val (st, wm) = cstore(s, d)
+    ladderView(st.mergedWith(cust.filter(col("c_custkey") > wm)))
+  }
+
   val queries: Map[String, Q] = Map(
     "q203_k_anonymity" -> kAnonymity,
     "q206_erasure_sweep" -> erasureSweep,
-    "q214_erasure_execute" -> erasureExecute)
+    "q214_erasure_execute" -> erasureExecute,
+    "q219_k_anonymity_incremental" -> kAnonymityIncremental)
 
-  val oracle: Map[String, String] = Map(
-    // the rival spelling on purpose: one subquery per ladder level,
-    // UNION ALL — cross-checks the Spark side's single-pass rollup
-    "q203_k_anonymity" ->
+  // the rival spelling on purpose: one subquery per ladder level,
+  // UNION ALL — cross-checks q203's single-pass rollup AND q219's
+  // incremental class-store fold (same twin for both)
+  private val q203Sql: String =
       """WITH q AS (
         |  SELECT c_mktsegment AS segment, c_nationkey AS nation,
         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS band
@@ -165,7 +235,11 @@ object Privacy {
         |SELECT level, k, count(*) AS n_classes,
         |  CAST(sum(k) AS BIGINT) AS n_rows,
         |  k < 5 AS risky
-        |FROM lvl GROUP BY level, k ORDER BY level, k""".stripMargin,
+        |FROM lvl GROUP BY level, k ORDER BY level, k""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q203_k_anonymity" -> q203Sql,
+    "q219_k_anonymity_incremental" -> q203Sql,
     // same deletion-list rule as q202 (latest op per user is 'D'),
     // then one counted LEFT JOIN per surface
     "q206_erasure_sweep" ->
@@ -224,4 +298,53 @@ object Privacy {
         |    AS n_events_erased
         |FROM before b LEFT JOIN after a ON b.event_type = a.event_type
         |ORDER BY b.event_type""".stripMargin)
+}
+
+/** Durable (segment, nation, band, n) class-count store for the
+  * incremental k-anonymity audit (q219): the [[DistinctViewStore]]
+  * additive/retractable round discipline applied to quasi-identifier
+  * equivalence classes — counts add per class, exact zeros annihilate,
+  * compaction folds by the same algebra. */
+class ClassCountStore(spark: SparkSession, val path: String)
+    extends CompactableRoundStore {
+  override protected def storeSpark: SparkSession = spark
+
+  override protected def mergeRounds(rows: DataFrame): DataFrame =
+    Privacy.mergeClassState(rows.drop("ingest_round"))
+
+  def state(beforeRound: Option[Long] = None): DataFrame =
+    mergeRounds(
+      beforeRound.foldLeft(readAll)((df, r) =>
+        df.filter(col("ingest_round") < r)))
+
+  /** Fold `cust` rows into class counts and commit as round `round`;
+    * `negate` retracts the batch (the erasure path). */
+  def appendRound(cust: DataFrame, round: Long, negate: Boolean = false): Unit = {
+    val st = Privacy.classState(cust)
+    val signed = if (negate) st.withColumn("n", -col("n")) else st
+    RoundPartitions.commit(signed, path, round)
+    maybeCompact(round)
+  }
+
+  /** Commit one MIXED batch: customer rows carrying `sign` ∈ {+1, −1}
+    * (arrivals and departures in the same trigger — the CDC-shaped
+    * entry point [[graft.streaming.StreamingKAnonymity]] uses), folded
+    * to one NET class-count round. */
+  def appendSignedRound(signed: DataFrame, round: Long): Unit = {
+    val st = signed.select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nation"),
+        expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint) div 100000")
+          .as("band"),
+        col("sign"))
+      .groupBy(col("segment"), col("nation"), col("band"))
+      .agg(sum(col("sign")).as("n"))
+      .filter(col("n") =!= 0L)
+    RoundPartitions.commit(st, path, round)
+    maybeCompact(round)
+  }
+
+  /** Stored state merged with an uncommitted delta's own state. */
+  def mergedWith(deltaCust: DataFrame, beforeRound: Option[Long] = None): DataFrame =
+    Privacy.mergeClassState(
+      state(beforeRound).unionByName(Privacy.classState(deltaCust)))
 }

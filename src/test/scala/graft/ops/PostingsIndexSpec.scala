@@ -162,6 +162,30 @@ class PostingsIndexSpec extends SparkTestBase {
     }
   }
 
+  test("q217/q218 index-as-data audits equal direct postings recomputes") {
+    val docs = graft.Tables.documents(spark, sf)
+    // q217: df/total_tf per term off the index == one-shot postings
+    val got = PostingsIndex.indexDfTopK(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    val want = PostingsIndex.postingsOf(docs)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .orderBy(col("df").desc, col("term")).limit(20)
+      .as[(String, Long, Long)].collect().toSeq
+    Dedup.releaseSketchCaches()
+    assert(got == want, "index-served df top-k diverged from the one-shot build")
+    // q218: growth columns are internally consistent and base <= live
+    val growth = PostingsIndex.indexVocabGrowth(spark, sf).collect()
+    Dedup.releaseSketchCaches()
+    assert(growth.nonEmpty)
+    growth.foreach { r =>
+      assert(r.getAs[Long]("df_growth") ==
+        r.getAs[Long]("df_live") - r.getAs[Long]("df_base"))
+      assert(r.getAs[Long]("df_base") <= r.getAs[Long]("df_live"),
+        "append-only lifecycle cannot shrink df")
+    }
+  }
+
   /** (rootPaths, partitionFilters, pushedFilters) of every file scan,
     * including those inside cached (InMemoryRelation) subplans. */
   private def collectScans(df: DataFrame): Seq[(String, String, String)] = {

@@ -112,6 +112,10 @@ class PrivacySpec extends SparkTestBase {
       "an erased user still has state rows after the retraction round")
 
     // the q214 audit's after-columns equal the redacted recompute
+    checkAudit(sf, redacted)
+  }
+
+  private def checkAudit(sf: String, redacted: org.apache.spark.sql.DataFrame): Unit = {
     val audit = Privacy.erasureExecute(spark, sf).collect()
     val want = redacted.filter(col("user_id").isNotNull)
       .groupBy(col("event_type"))
@@ -126,5 +130,37 @@ class PrivacySpec extends SparkTestBase {
       assert(r.getAs[Long]("n_events_erased") ==
         r.getAs[Long]("n_events_before") - r.getAs[Long]("n_events_after"))
     }
+  }
+
+  test("q219 incremental ladder equals the one-shot rollup; retraction equals the redacted recompute; replay idempotent") {
+    val sf = "/root/testdata/sf0.001"
+    val cust = graft.Tables.customer(spark, sf)
+    def ladderSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("level"), col("k"), col("n_classes"), col("n_rows"), col("risky"))
+        .as[(String, Long, Long, Long, Boolean)].collect().toSet
+
+    // the incremental query equals q203's one-shot rollup
+    assert(ladderSet(Privacy.kAnonymityIncremental(spark, sf)) ==
+      ladderSet(Privacy.kAnonymity(spark, sf)),
+      "incremental ladder diverged from the rollup")
+
+    // store algebra on a custom path: waves, replay, retraction
+    val path = tmpDir("kanon") + "/state"
+    val st = new ClassCountStore(spark, path)
+    st.appendRound(cust.filter(col("c_custkey") % 2 === 0), round = 0L)
+    st.appendRound(cust.filter(col("c_custkey") % 2 === 1), round = 1L)
+    assert(ladderSet(Privacy.ladderView(st.state())) ==
+      ladderSet(Privacy.ladderView(Privacy.classState(cust))),
+      "wave-built class state diverged from the recompute")
+    st.appendRound(cust.filter(col("c_custkey") % 2 === 1), round = 1L) // replay
+    assert(ladderSet(Privacy.ladderView(st.state())) ==
+      ladderSet(Privacy.ladderView(Privacy.classState(cust))),
+      "round replay changed the ladder")
+    // erasure: retracting the odd wave restores the even-only audit
+    st.appendRound(cust.filter(col("c_custkey") % 2 === 1), round = 2L, negate = true)
+    assert(ladderSet(Privacy.ladderView(st.state())) ==
+      ladderSet(Privacy.ladderView(Privacy.classState(
+        cust.filter(col("c_custkey") % 2 === 0)))),
+      "retraction did not restore the pre-wave ladder")
   }
 }
