@@ -144,11 +144,29 @@ object Cdc {
   * so no re-delivered or late batch below the GC point can resurrect
   * the key. An upsert arriving AFTER the GC round legitimately
   * re-creates the key as a new row, which is the CDC semantics of a
-  * re-registered entity, not a resurrection bug. Default None:
-  * tombstones retained forever (the order-safe maximum). */
+  * re-registered entity, not a resurrection bug.
+  *
+  * The PROCESSING-time argument above does not cover EVENT-time
+  * lateness (ADVICE r13): a new round may legitimately carry an upsert
+  * whose (ts, seq) is OLDER than a GC'd tombstone's — an out-of-order
+  * replication feed — and with the tombstone gone, LWW resurrects the
+  * key with the stale payload the tombstone would have masked. So the
+  * bare flag (`gcTombstoneLag = None`) is only sound for sources that
+  * are in-order IN EVENT TIME by the GC round (a CDC-fronted feed, or
+  * erasure where the deleted key's producers are themselves gone);
+  * enabling it otherwise is an explicit decision to forfeit masking of
+  * event-time-late upserts. `gcTombstoneLag` (an INTERVAL expression,
+  * e.g. "INTERVAL 7 DAYS") bounds that exposure the standard way: a
+  * tombstone is GC'd only once it is older than (max event ts in the
+  * folded snapshot − lag) — the event-time watermark — so any upsert
+  * no later than `lag` in event time still meets its tombstone, and
+  * only a source violating its own declared lateness bound can
+  * resurrect. Default None + None: tombstones retained forever (the
+  * order-safe maximum). */
 class CdcSnapshotStore(spark: SparkSession, val path: String,
                        key: Seq[String], ts: String, seq: String,
-                       gcTombstonesOnCompact: Option[String] = None)
+                       gcTombstonesOnCompact: Option[String] = None,
+                       gcTombstoneLag: Option[String] = None)
     extends CompactableRoundStore {
   override protected def storeSpark: SparkSession = spark
 
@@ -156,8 +174,19 @@ class CdcSnapshotStore(spark: SparkSession, val path: String,
     Cdc.compact(rows.drop("ingest_round"), key, ts, seq)
 
   override protected def compactRounds(rows: DataFrame): DataFrame =
-    gcTombstonesOnCompact.foldLeft(mergeRounds(rows))((snap, opCol) =>
-      snap.filter(col(opCol) =!= "D"))
+    gcTombstonesOnCompact.foldLeft(mergeRounds(rows)) { (snap, opCol) =>
+      gcTombstoneLag match {
+        case None => snap.filter(col(opCol) =!= "D")
+        case Some(lag) =>
+          // event-time watermark over the folded snapshot itself: one
+          // broadcast scalar; tombstones at or above (max ts − lag)
+          // are retained to keep masking in-lag late upserts
+          snap.crossJoin(broadcast(snap.agg(max(col(ts)).as("_gc_wm_ts"))))
+            .filter(col(opCol) =!= "D" ||
+              col(ts) >= col("_gc_wm_ts") - expr(lag))
+            .drop("_gc_wm_ts")
+      }
+    }
 
   def exists: Boolean = graft.flights.StarWarehouse.pathExists(spark, path)
 

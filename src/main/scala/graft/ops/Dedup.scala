@@ -78,7 +78,24 @@ object Dedup {
     * the global queue are untouched. Nests: an inner scope releases its
     * own frames and restores the outer one. The per-micro-batch cache
     * discipline for streaming pipelines that share a session with live
-    * queries. */
+    * queries.
+    *
+    * THREAD CONTRACT (ADVICE r13): the scope covers THIS driver thread
+    * only. A body that spawns driver threads which themselves register
+    * sketches (the q34c-style futures) must not rely on the scope for
+    * those registrations — they land in the global queue and live
+    * until the next [[releaseSketchCaches]] (LRU-evictable
+    * MEMORY_AND_DISK in the meantime, so the failure mode is deferred
+    * release, not unbounded growth). This is a plain ThreadLocal ON
+    * PURPOSE: InheritableThreadLocal was considered and REJECTED —
+    * inheritance happens at thread CREATION, so pooled executors
+    * (scala's global ExecutionContext, Spark's own pools) would (a)
+    * miss the scope on already-created workers and (b) permanently pin
+    * a dead scope's list on workers created inside one, turning later
+    * registrations on that worker into silent never-released leaks —
+    * strictly worse than the documented global-queue fallback. A
+    * multi-threaded batch that needs scoping passes work through its
+    * own thread and registers there. */
   private[graft] def withSketchScope[T](f: => T): T = {
     val outer = sketchScope.get()
     val scoped = new java.util.ArrayList[DataFrame]()

@@ -720,13 +720,22 @@ class CoPairStore(spark: SparkSession, val path: String)
   * [[checkDisjointAndCommit]] is the EXACT detector: a batch that
   * carries any orderkey already committed by a PRIOR round fails
   * loudly with a witness sample; the `beforeRound` guard keeps a
-  * replayed round from clashing with itself. */
+  * replayed round from clashing with itself. The key is normalized to
+  * LONG at the ledger boundary (ADVICE r13), so an IntegerType caller
+  * joins correctly and the witness read cannot ClassCastException over
+  * the message it exists to print. Cost honesty (ADVICE r13): the
+  * exact guard anti-joins each micro-batch against the FULL committed
+  * ledger, so per-trigger cost grows with stream lifetime — O(|batch| +
+  * |history|/partitions) per trigger, acceptable because the ledger is
+  * one slim column folded by compaction; a deployment where even that
+  * scan bites should front the exact check with a bloom prefilter
+  * ([[BloomJoin]]) and fall through to this join only on a hit. */
 class OrderLedgerStore(spark: SparkSession, val path: String)
     extends CompactableRoundStore {
   override protected def storeSpark: SparkSession = spark
 
   override protected def mergeRounds(rows: DataFrame): DataFrame =
-    rows.select(col("l_orderkey")).distinct()
+    rows.select(col("l_orderkey").cast("long").as("l_orderkey")).distinct()
 
   /** Orderkeys committed by rounds below `beforeRound`. */
   def seen(beforeRound: Option[Long] = None): DataFrame =
@@ -738,7 +747,8 @@ class OrderLedgerStore(spark: SparkSession, val path: String)
     * `round` (the order-disjointness violation), else commit `items`'
     * orderkeys as round `round` — idempotent per round. */
   def checkDisjointAndCommit(items: DataFrame, round: Long): Unit = {
-    val orders = items.select(col("l_orderkey")).distinct()
+    val orders = items.select(col("l_orderkey").cast("long").as("l_orderkey"))
+      .distinct()
     if (graft.flights.StarWarehouse.pathExists(spark, path)) {
       val clash = orders.join(seen(beforeRound = Some(round)),
         Seq("l_orderkey"), "left_semi").limit(5).collect()

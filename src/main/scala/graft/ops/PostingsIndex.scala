@@ -220,18 +220,24 @@ object PostingsIndex {
     * delta), top 20 by growth. This is the "what did the crawl do to
     * the vocabulary head" audit, answered from index state without
     * re-tokenizing history; the twin recomputes BOTH epochs' df from
-    * raw text under the same watermark arithmetic. */
+    * raw text under the same watermark arithmetic. FULL outer join
+    * (ADVICE r13): under the append-only scratch lifecycle base ⊆ live
+    * and this is exactly the old left join, but pointed at a
+    * retraction-fed store ([[graft.streaming.StreamingPostings]]) a
+    * term fully retracted since the snapshot now reports df_live = 0
+    * with negative growth instead of silently vanishing. */
   val indexVocabGrowth: Q = (s, d) => {
     val (post, _, wm) = index(s, d)
     val base = post.state(beforeRound = Some(1L))
       .groupBy(col("term")).agg(count(lit(1)).as("df_base"))
     val live = liveIndex(s, d)
       .groupBy(col("term")).agg(count(lit(1)).as("df_live"))
-    live.join(base, Seq("term"), "left")
+    live.join(base, Seq("term"), "full_outer")
       .select(col("term"),
         coalesce(col("df_base"), lit(0L)).as("df_base"),
-        col("df_live"),
-        (col("df_live") - coalesce(col("df_base"), lit(0L))).as("df_growth"))
+        coalesce(col("df_live"), lit(0L)).as("df_live"),
+        (coalesce(col("df_live"), lit(0L)) -
+          coalesce(col("df_base"), lit(0L))).as("df_growth"))
       .orderBy(col("df_growth").desc, col("term"))
       .limit(20)
   }

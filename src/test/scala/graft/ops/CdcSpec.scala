@@ -157,4 +157,47 @@ class CdcSpec extends SparkTestBase {
     assert(liveState(gc.snapshot()).exists(_._1 == gone),
       "a re-registered key should surface as live after GC")
   }
+
+  test("gcTombstoneLag: in-lag tombstones survive GC and keep masking event-time-late upserts") {
+    val log = graft.ops.Cdc.eventChangelog(spark, "/root/testdata/sf0.001")
+    val key = Seq("user_id")
+    // a lag wider than the whole fixture's event-time span: every
+    // tombstone is within the watermark, so NONE may be GC'd
+    val wide = new CdcSnapshotStore(spark, tmpDir("cdc-lag") + "/wide",
+      key, "ts", "event_id",
+      gcTombstonesOnCompact = Some("op"),
+      gcTombstoneLag = Some("INTERVAL 100 YEARS"))
+    (0L to 3L).foreach(r => wide.appendRound(log.filter(col("event_id") % 4 === r), r))
+    val tombstones = wide.snapshot().filter(col("op") === "D").count()
+    assert(tombstones > 0L, "fixture should produce delete tombstones")
+    wide.compact(upTo = 3L)
+    assert(wide.snapshot().filter(col("op") === "D").count() == tombstones,
+      "an in-lag tombstone was GC'd — the event-time watermark guard is broken")
+    // the ADVICE r13 resurrection case, under the guard: an upsert
+    // OLDER in event time than the tombstone, arriving in a NEW round
+    // after compaction, must still be masked (the retained tombstone
+    // out-versions it)
+    val gone = wide.snapshot().filter(col("op") === "D")
+      .select("user_id").as[Long].head()
+    val stale = log.filter(col("user_id") === gone && col("op") === "U")
+      .orderBy(col("ts"), col("event_id")).limit(1)
+    wide.appendRound(stale, round = 4L)
+    assert(!liveState(wide.snapshot()).exists(_._1 == gone),
+      "an event-time-late upsert resurrected a key whose in-lag tombstone was retained")
+
+    // zero lag: the watermark excludes every tombstone strictly below
+    // max(ts), so GC drops them (only a tombstone AT the watermark
+    // instant could survive) — the documented forfeit, now bounded
+    val zero = new CdcSnapshotStore(spark, tmpDir("cdc-lag") + "/zero",
+      key, "ts", "event_id",
+      gcTombstonesOnCompact = Some("op"),
+      gcTombstoneLag = Some("INTERVAL 0 SECONDS"))
+    (0L to 3L).foreach(r => zero.appendRound(log.filter(col("event_id") % 4 === r), r))
+    val maxTs = zero.snapshot().agg(max(col("ts"))).head().getTimestamp(0)
+    val atWm = zero.snapshot()
+      .filter(col("op") === "D" && col("ts") === maxTs).count()
+    zero.compact(upTo = 3L)
+    assert(zero.snapshot().filter(col("op") === "D").count() == atWm,
+      "zero-lag GC should drop every tombstone below the event-time watermark")
+  }
 }
