@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Exact incremental materialized-view maintenance — the EXACT
@@ -294,12 +294,199 @@ object MatView {
       .orderBy(col("event_type"))
   }
 
+  // ---- q220: EXACT raw-domain min/max under deletes ------------------
+  // The k-deep extreme buffer that retires the LAST carve-out in exact
+  // incremental maintenance (VERDICT r13 #1). q215 made extremes
+  // retract-safe up to quantization; this tier is exact on the RAW
+  // value domain, at the honest price every exact design pays: the
+  // state is a bounded buffer, and a retraction wave deeper than the
+  // buffer cannot be answered from state — the view then DECLARES a
+  // rescan loudly (raise_error) instead of serving a silently-stale
+  // extreme.
+  //
+  // State per (group, side ∈ {top, bot}): the round's k most extreme
+  // DISTINCT values with signed counts (kind 'v'), plus one truncation
+  // BOUND marker (kind 'm') — the most extreme value the commit
+  // dropped. The soundness invariant the bound buys: every value whose
+  // visible net count may disagree with its true live count (because
+  // some add or retract of it was truncated away) is at-or-inside the
+  // bound, so a served candidate that STRICTLY clears the bound
+  // (candidate > bound for top, < for bot) is provably the true raw
+  // extreme; anything else — including an annihilated buffer — raises.
+  // A buffer of depth k therefore absorbs up to k−1 extreme-value
+  // retractions exactly; the k-th exhausts it and the view says so.
+
+  /** Buffer depth per (group, side). Production sizes this to the
+    * deepest retraction wave a refresh interval can see. */
+  val extremeDepth = 16
+
+  /** Exact cents on the raw value domain (the house integer rule). */
+  private def centsCol: Column =
+    expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+
+  /** Per-round commit shape of a SIGNED event batch: per (group, side),
+    * the [[extremeDepth]] most extreme distinct values with net signed
+    * counts, plus the truncation-bound marker when anything was
+    * dropped. Ranking is by VALUE regardless of sign — a retraction
+    * round keeps its k most extreme retracted values, and its bound
+    * covers any lost corrections the same way an add round's covers
+    * lost values. */
+  private[ops] def signedExtremeState(inst: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = inst.filter(col("value").isNotNull)
+      .select(col("event_type"), centsCol.as("value"), col("sign"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(col("sign")).as("n"))
+      .filter(col("n") =!= 0L)
+    def side(name: String, w: org.apache.spark.sql.expressions.WindowSpec) = {
+      val ranked = hist.withColumn("rk", row_number().over(w))
+      val kept = ranked.filter(col("rk") <= extremeDepth)
+        .select(col("event_type"), lit(name).as("side"), lit("v").as("kind"),
+          col("value"), col("n"))
+      val bound = ranked.filter(col("rk") > extremeDepth)
+        .groupBy(col("event_type"))
+        .agg((if (name == "top") max(col("value")) else min(col("value")))
+          .as("value"))
+        .select(col("event_type"), lit(name).as("side"), lit("m").as("kind"),
+          col("value"), lit(1L).as("n"))
+      kept.unionByName(bound)
+    }
+    side("top", Window.partitionBy(col("event_type")).orderBy(col("value").desc))
+      .unionByName(
+        side("bot", Window.partitionBy(col("event_type")).orderBy(col("value").asc)))
+  }
+
+  private[ops] def extremeState(events: DataFrame, negate: Boolean = false): DataFrame =
+    signedExtremeState(events.withColumn("sign", lit(if (negate) -1L else 1L)))
+
+  /** Merge extreme-buffer partial states: value rows sum per (group,
+    * side, value) with exact zeros annihilating (net negatives KEPT —
+    * they are pending corrections against truncated adds, and the
+    * bound guard covers the region they live in); bound markers fold
+    * to the most extreme bound per side. NO re-truncation here — reads
+    * keep every committed row, so merge order is immaterial (plain
+    * sums + max/min, a monoid); only [[compactExtremeState]]
+    * physically re-truncates. */
+  private[ops] def mergeExtremeState(rows: DataFrame): DataFrame = {
+    val v = rows.filter(col("kind") === "v")
+      .groupBy(col("event_type"), col("side"), col("value"))
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n") =!= 0L)
+      .select(col("event_type"), col("side"), lit("v").as("kind"),
+        col("value"), col("n"))
+    val m = rows.filter(col("kind") === "m")
+      .groupBy(col("event_type"), col("side"))
+      .agg(coalesce(max(when(col("side") === "top", col("value"))),
+        min(col("value"))).as("value"))
+      .select(col("event_type"), col("side"), lit("m").as("kind"),
+        col("value"), lit(1L).as("n"))
+    v.unionByName(m)
+  }
+
+  /** Physical-compaction fold: merge, then re-truncate each side's
+    * POSITIVE rows to the [[extremeDepth]] most extreme, absorbing
+    * anything dropped into the bound. Serving-equivalent: the served
+    * extreme is the most extreme positive (never dropped), dropped
+    * positives are strictly less extreme and land inside the new
+    * bound, and a side already in the rescan state stays there (the
+    * bound only widens). Negative rows pass through untruncated —
+    * they are rare (retraction residue in truncated regions) and
+    * dropping one would forge an unpaid future add. */
+  private[ops] def compactExtremeState(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = mergeExtremeState(rows)
+    val v = merged.filter(col("kind") === "v")
+    val pos = v.filter(col("n") > 0L)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"), col("side"))
+          .orderBy(when(col("side") === "top", col("value") * -1L)
+            .otherwise(col("value")))))
+    val keptPos = pos.filter(col("rk") <= extremeDepth).drop("rk")
+    val droppedBounds = pos.filter(col("rk") > extremeDepth)
+      .groupBy(col("event_type"), col("side"))
+      .agg(coalesce(max(when(col("side") === "top", col("value"))),
+        min(col("value"))).as("value"))
+      .select(col("event_type"), col("side"), lit("m").as("kind"),
+        col("value"), lit(1L).as("n"))
+    mergeExtremeState(
+      keptPos.unionByName(v.filter(col("n") < 0L))
+        .unionByName(merged.filter(col("kind") === "m"))
+        .unionByName(droppedBounds))
+  }
+
+  /** The served EXACT extremes view over a merged buffer state: per
+    * group, min/max raw cents. Each side's candidate is its most
+    * extreme positive row; a side whose candidate fails to STRICTLY
+    * clear its truncation bound — or whose buffer annihilated entirely
+    * while a bound exists — raises the rescan declaration. A group
+    * with no positive rows and no bound was never seen (or fully,
+    * exactly erased) and emits nothing, matching the recompute. */
+  private[ops] def extremesExactView(state: DataFrame): DataFrame = {
+    val served = state.filter(col("kind") === "v" && col("n") > 0L)
+      .groupBy(col("event_type"), col("side"))
+      .agg(coalesce(max(when(col("side") === "top", col("value"))),
+        min(col("value"))).as("candidate"))
+    val bounds = state.filter(col("kind") === "m")
+      .select(col("event_type"), col("side"), col("value").as("bound"))
+    served.join(bounds, Seq("event_type", "side"), "full_outer")
+      .withColumn("extreme",
+        when(col("bound").isNull, col("candidate"))
+          .when(col("candidate").isNotNull &&
+            ((col("side") === "top" && col("candidate") > col("bound")) ||
+              (col("side") === "bot" && col("candidate") < col("bound"))),
+            col("candidate"))
+          .otherwise(raise_error(concat(
+            lit("q220 extreme buffer exhausted for group '"), col("event_type"),
+            lit("' ("), col("side"),
+            lit(" side): candidate "), coalesce(col("candidate").cast("string"), lit("<none>")),
+            lit(" does not strictly clear the truncation bound "),
+            col("bound").cast("string"),
+            lit(s" — more than ${extremeDepth - 1} buffered extremes were " +
+              "retracted; RESCAN the raw domain to rebuild this group")))))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("side") === "bot", col("extreme"))).as("min_cents"),
+        max(when(col("side") === "top", col("extreme"))).as("max_cents"))
+  }
+
+  private def xstore(s: SparkSession, d: String): (ExtremeBufferStore, Long) = {
+    val ev = Tables.events(s, d)
+    // content fingerprint covers `value` (the buffered domain) — the
+    // q212 discipline, with its own memo dir for the same reason
+    val keyed = ev.select(col("event_id").as("doc_id"),
+      concat_ws(":", col("event_type"), col("value").cast("string")).as("text"))
+    val (key, wm) = ScratchStores.corpusKey(keyed, s"$d#events#extremes")
+    val path = ScratchStores.pathFor(key, "graft-extreme-buffer") { p =>
+      new ExtremeBufferStore(s, p).appendRound(
+        ev.filter(col("event_id") <= wm), round = 0L)
+    }
+    (new ExtremeBufferStore(s, path), wm)
+  }
+
+  /** q220 — EXACT incremental min/max under deletes on the RAW value
+    * domain: per-type extreme cents served from a persisted k-deep
+    * extreme-buffer store — the exact tier beside q215's banded tier,
+    * retiring the last documented carve-out in exact incremental
+    * maintenance. Steady state scans the delta plus |groups|·O(k)
+    * state rows; retractions annihilate buffered extremes and the next
+    * buffered value is promoted EXACTLY; a wave deeper than the buffer
+    * raises the rescan declaration instead of serving a stale number
+    * (MatViewSpec pins promotion, append→retract→identity, and the
+    * loud >depth path). The DuckDB twin recomputes raw min/max from
+    * the events table. */
+  val rawExtremesIncremental: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val (st, wm) = xstore(s, d)
+    extremesExactView(st.mergedWith(ev.filter(col("event_id") > wm)))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q205_matview_incremental" -> docProfileIncremental,
     "q207_view_time_travel" -> viewTimeTravel,
     "q209_matview_distinct" -> distinctIncremental,
     "q212_matview_quantile" -> bandQuantileIncremental,
-    "q215_matview_extremes" -> bandExtremesIncremental)
+    "q215_matview_extremes" -> bandExtremesIncremental,
+    "q220_matview_extremes_exact" -> rawExtremesIncremental)
 
   val oracle: Map[String, String] = Map(
     // full recompute — the independent check of the incremental fold
@@ -362,6 +549,14 @@ object MatView {
         |    AS min_band,
         |  max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000)
         |    AS max_band
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // raw-domain extremes recomputed from raw events — the independent
+    // check of serving exact min/max off the k-deep buffer state
+    "q220_matview_extremes_exact" ->
+      """SELECT event_type,
+        |  min(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS min_cents,
+        |  max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_cents
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
@@ -480,4 +675,46 @@ class BandViewStore(spark: SparkSession, val path: String)
   def mergedWith(deltaEvents: DataFrame, beforeRound: Option[Long] = None): DataFrame =
     MatView.mergeBandState(
       state(beforeRound).unionByName(MatView.bandState(deltaEvents)))
+}
+
+/** Durable (event_type, side, kind, value, n) k-deep extreme-buffer
+  * store for the exact raw-domain min/max view (q220): each round
+  * commits its own most-extreme distinct values (signed) plus a
+  * truncation-bound marker; reads merge WITHOUT re-truncating (plain
+  * monoid — sums per value, most-extreme bound per side), so merge
+  * order is immaterial; physical compaction re-truncates to depth via
+  * [[MatView.compactExtremeState]], serving-equivalent by the bound
+  * guard's contract. */
+class ExtremeBufferStore(spark: SparkSession, val path: String)
+    extends CompactableRoundStore {
+  override protected def storeSpark: SparkSession = spark
+
+  override protected def mergeRounds(rows: DataFrame): DataFrame =
+    MatView.mergeExtremeState(rows.drop("ingest_round"))
+
+  override protected def compactRounds(rows: DataFrame): DataFrame =
+    MatView.compactExtremeState(rows.drop("ingest_round"))
+
+  def state(beforeRound: Option[Long] = None): DataFrame =
+    mergeRounds(
+      beforeRound.foldLeft(readAll)((df, r) =>
+        df.filter(col("ingest_round") < r)))
+
+  /** Buffer `events` into per-side extreme state and commit as round
+    * `round`; `negate` retracts the batch instead of adding it. */
+  def appendRound(events: DataFrame, round: Long, negate: Boolean = false): Unit = {
+    RoundPartitions.commit(MatView.extremeState(events, negate), path, round)
+    maybeCompact(round)
+  }
+
+  /** Commit one MIXED batch of events carrying `sign` ∈ {+1, −1}. */
+  def appendSignedRound(signed: DataFrame, round: Long): Unit = {
+    RoundPartitions.commit(MatView.signedExtremeState(signed), path, round)
+    maybeCompact(round)
+  }
+
+  /** Stored state merged with an uncommitted delta's own state. */
+  def mergedWith(deltaEvents: DataFrame, beforeRound: Option[Long] = None): DataFrame =
+    MatView.mergeExtremeState(
+      state(beforeRound).unionByName(MatView.extremeState(deltaEvents)))
 }

@@ -165,6 +165,101 @@ class MatViewSpec extends SparkTestBase {
       "re-appending the wave did not restore the extremes")
   }
 
+  private val centsExpr =
+    "cast(cast(value as decimal(18,2)) * 100 as bigint)"
+
+  private def rawExtremes(df: DataFrame): Set[(String, Long, Long)] =
+    df.filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(expr(s"min($centsExpr)").as("min_cents"),
+        expr(s"max($centsExpr)").as("max_cents"))
+      .as[(String, Long, Long)].collect().toSet
+
+  private def topWave(ev: DataFrame, depth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = ev.filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), expr(centsExpr).as("c"))
+      .withColumn("rk", dense_rank().over(
+        Window.partitionBy(col("event_type")).orderBy(col("c").desc)))
+    ev.join(ranked.filter(col("rk") <= depth).select("event_id"),
+      Seq("event_id"), "left_semi")
+  }
+
+  test("q220 raw-domain extremes: waves + delta equal the recompute; retracting top values promotes the EXACT next; append→retract→identity") {
+    val ev = graft.Tables.events(spark, sf)
+    val path = tmpDir("xb") + "/state"
+    val st = new ExtremeBufferStore(spark, path)
+    st.appendRound(ev.filter(col("event_id") % 3 === 0), round = 0L)
+    st.appendRound(ev.filter(col("event_id") % 3 === 1), round = 1L)
+    def got(df: DataFrame) = df
+      .select(col("event_type"), col("min_cents"), col("max_cents"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got(MatView.extremesExactView(
+      st.mergedWith(ev.filter(col("event_id") % 3 === 2)))) == rawExtremes(ev),
+      "buffer state diverged from the raw recompute")
+    st.appendRound(ev.filter(col("event_id") % 3 === 1), round = 1L) // replay
+    assert(got(MatView.extremesExactView(
+      st.mergedWith(ev.filter(col("event_id") % 3 === 2)))) == rawExtremes(ev),
+      "round replay changed the extremes")
+    // retract every event carrying a top-3 value of its group — the
+    // raw-domain case q215's bands cannot answer exactly
+    val full = new ExtremeBufferStore(spark, tmpDir("xb2") + "/state")
+    full.appendRound(ev, round = 0L)
+    val wave = topWave(ev, 3)
+    assert(wave.count() > 0L)
+    full.appendRound(wave, round = 1L, negate = true)
+    val redacted = ev.join(wave.select("event_id"), Seq("event_id"), "left_anti")
+    assert(got(MatView.extremesExactView(full.state())) == rawExtremes(redacted),
+      "retracted extremes diverged from the redacted recompute — promotion is not exact")
+    full.appendRound(wave, round = 2L)
+    assert(got(MatView.extremesExactView(full.state())) == rawExtremes(ev),
+      "re-appending the wave did not restore the extremes")
+  }
+
+  test("q220 declares a LOUD rescan when a retraction wave exhausts the buffer depth") {
+    val ev = graft.Tables.events(spark, sf).filter(col("value").isNotNull)
+    // the deepest group must have more distinct values than the buffer
+    // holds, so retracting `extremeDepth` of them exhausts it
+    val deep = ev.select(col("event_type"), expr(centsExpr).as("c")).distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("nv"))
+      .orderBy(col("nv").desc).as[(String, Long)].head()
+    assert(deep._2 > MatView.extremeDepth,
+      s"fixture too small to exercise exhaustion: ${deep}")
+    val grp = ev.filter(col("event_type") === deep._1)
+    val st = new ExtremeBufferStore(spark, tmpDir("xb-exhaust") + "/state")
+    st.appendRound(grp, round = 0L)
+    st.appendRound(topWave(grp, MatView.extremeDepth), round = 1L, negate = true)
+    val e = intercept[Throwable] {
+      MatView.extremesExactView(st.state()).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(e).contains("extreme buffer exhausted"),
+      s"expected the rescan declaration, got: ${messages(e).take(500)}")
+  }
+
+  test("q220 compaction re-truncates serving-equivalently (exact case and rescan case both preserved)") {
+    val ev = graft.Tables.events(spark, sf).filter(col("value").isNotNull)
+    val st = new ExtremeBufferStore(spark, tmpDir("xb-compact") + "/state") {
+      override protected def autoCompactThreshold: Int = 2
+    }
+    (0L to 4L).foreach(r => st.appendRound(ev.filter(col("event_id") % 5 === r), r))
+    val wave = topWave(ev, 3)
+    st.appendRound(wave, round = 5L, negate = true)
+    val redacted = ev.join(wave.select("event_id"), Seq("event_id"), "left_anti")
+    assert(MatView.extremesExactView(st.state())
+      .select(col("event_type"), col("min_cents"), col("max_cents"))
+      .as[(String, Long, Long)].collect().toSet == rawExtremes(redacted),
+      "post-compaction extremes diverged from the redacted recompute")
+    // state size is bounded by the depth (positives per side ≤ k)
+    val posPerSide = st.state()
+      .filter(col("kind") === "v" && col("n") > 0L)
+      .groupBy("event_type", "side").agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).as[Long].head()
+    assert(posPerSide <= 2L * MatView.extremeDepth,
+      s"compaction failed to bound the buffer: $posPerSide rows on one side")
+  }
+
   test("steady-state q205 plan scans documents ONCE (the delta) plus the state store") {
     MatView.docProfileIncremental(spark, sf).collect() // warm: store committed
     val plan = MatView.docProfileIncremental(spark, sf)
