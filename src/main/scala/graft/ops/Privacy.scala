@@ -129,16 +129,50 @@ object Privacy {
       .orderBy(col("event_type"))
   }
 
+  /** The deletion list every erasure surface shares: users whose
+    * LATEST change in the CDC changelog is a delete (q202's
+    * semantics). Tiny by construction — always broadcast. */
+  private[ops] def deletionList(s: SparkSession, d: String): DataFrame =
+    Cdc.compact(Cdc.eventChangelog(s, d), Seq("user_id"), "ts", "event_id")
+      .filter(col("op") === "D").select(col("user_id"))
+
   /** The erased rows themselves — the frame the act phase anti-joins
     * away AND commits as `negate` rounds to the standing matview
     * stores (PrivacySpec pins the equivalence with a from-scratch
     * build on the redacted log). */
-  private[ops] def erasedRows(s: SparkSession, d: String): DataFrame = {
-    val log = Cdc.eventChangelog(s, d)
-    val snap = Cdc.compact(log, Seq("user_id"), "ts", "event_id")
-    val del = snap.filter(col("op") === "D").select(col("user_id"))
-    Tables.events(s, d).join(broadcast(del), Seq("user_id"), "left_semi")
+  private[ops] def erasedRows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .join(broadcast(deletionList(s, d)), Seq("user_id"), "left_semi")
+
+  /** Documents table annotated with its owner — the fixture's
+    * deterministic authorship convention: `owner = doc_id mod
+    * (max(user_id) + 1)`, the documents↔events bridge (the synthetic
+    * schema carries no author column; the rule is replayed verbatim by
+    * the DuckDB twins, so it gates the same way a real ownership
+    * column would). One broadcast scalar, no shuffle. */
+  private[ops] def ownedDocuments(s: SparkSession, d: String): DataFrame = {
+    val nu = Tables.events(s, d)
+      .agg((max(col("user_id")) + 1L).as("_nu"))
+    Tables.documents(s, d).crossJoin(broadcast(nu))
+      .withColumn("owner", col("doc_id") % col("_nu"))
+      .drop("_nu")
   }
+
+  /** The corpus-side erasure frames: (erased docs, surviving docs) —
+    * the deletion list applied to document OWNERSHIP, feeding the
+    * retrieval-index retraction (q221). Both sides are one broadcast
+    * join against the tiny list; the corpus never shuffles. */
+  private[ops] def erasedDocs(s: SparkSession, d: String): DataFrame =
+    ownedDocuments(s, d)
+      .join(broadcast(deletionList(s, d).withColumnRenamed("user_id", "owner")),
+        Seq("owner"), "left_semi")
+      .drop("owner")
+
+  private[ops] def survivingDocs(s: SparkSession, d: String): DataFrame =
+    ownedDocuments(s, d)
+      .join(broadcast(deletionList(s, d).withColumnRenamed("user_id", "owner")),
+        Seq("owner"), "left_anti")
+      .drop("owner")
 
   /** Partial state of the k-anonymity audit: one row per FINEST-level
     * equivalence class (segment, nation, band) with its member count —

@@ -980,11 +980,16 @@ object TextAnalysis {
 
   /** The q210 twin's per-term pieces, generated from the same term
     * list the Spark side scores — identical exact-integer algebra in
-    * HUGEINT (products) and `//` (integral division). */
-  private def bm25Twin: String = {
-    val ti = bm25Terms.indices
+    * HUGEINT (products) and `//` (integral division). Parameterized
+    * over the corpus source (q221 scores the REDACTED corpus through
+    * the identical algebra) via `extraCtes` (prefix CTEs the source
+    * may reference) and `docsFrom` (the FROM..WHERE clause yielding
+    * (doc_id, text) rows). */
+  private[ops] def bm25TwinFor(terms: Seq[String], extraCtes: String = "",
+                               docsFrom: String = "documents WHERE text IS NOT NULL"): String = {
+    val ti = terms.indices
     val tfCols = ti.map(i =>
-      s"len(list_filter(toks, t -> t = '${bm25Terms(i)}')) AS tf$i").mkString(",\n         |    ")
+      s"len(list_filter(toks, t -> t = '${terms(i)}')) AS tf$i").mkString(",\n         |    ")
     val dfCols = ti.map(i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n         |    ")
     val scores = ti.map(i =>
@@ -995,11 +1000,11 @@ object TextAnalysis {
          |            + 3 * total_toks + 9 * dl * n_docs)
          |      ELSE 0 END""".stripMargin).mkString(" +\n      ")
     val nTerms = ti.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH pd AS (
+    s"""WITH $extraCtes pd AS (
        |  SELECT doc_id, len(toks) AS dl,
        |    $tfCols
        |  FROM (SELECT doc_id, ${sqlToks("text")} AS toks
-       |        FROM documents WHERE text IS NOT NULL)),
+       |        FROM $docsFrom)),
        |st AS (
        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_toks,
        |    $dfCols
@@ -1010,6 +1015,8 @@ object TextAnalysis {
        |WHERE $nTerms > 0
        |ORDER BY score_micro DESC, doc_id LIMIT $bm25TopK""".stripMargin
   }
+
+  private def bm25Twin: String = bm25TwinFor(bm25Terms)
 
   /** The q213 twin: every query of the batch replayed as the q210 SQL
     * form over the shared distinct-term tf frame, UNION ALL'd — the

@@ -186,6 +186,40 @@ class PostingsIndexSpec extends SparkTestBase {
     }
   }
 
+  test("q221 erasure: negate-round index serving equals the redacted full rebuild bit for bit; erased docs leave the state") {
+    val sf = "/root/testdata/sf0.001"
+    val erased = Privacy.erasedDocs(spark, sf)
+    val surviving = Privacy.survivingDocs(spark, sf)
+    assert(erased.count() > 0L, "fixture should erase someone's documents")
+
+    // the PrivacySpec negate-parity discipline on the retrieval state:
+    // index-served post-erasure BM25 == the scan spelling over the
+    // redacted corpus (an independent rebuild, same algebra)
+    val got = PostingsIndex.indexErasure(spark, sf).collect().toSeq
+    Dedup.releaseSketchCaches()
+    val want = graft.ops.TextAnalysis
+      .bm25ScanOf(surviving, graft.ops.TextAnalysis.bm25Terms).collect().toSeq
+    Dedup.releaseSketchCaches()
+    assert(got == want,
+      s"post-erasure index serving diverged from the redacted rebuild:\nidx  $got\nwant $want")
+
+    // and the retraction is PHYSICAL at the merged-state surface: no
+    // erased doc survives in the postings fold (df shrank with it)
+    val docs = graft.Tables.documents(spark, sf)
+    val path = tmpDir("pidx-erase") + "/postings"
+    val st = new PostingsStore(spark, path)
+    st.appendRound(docs, round = 0L)
+    st.appendRound(erased, round = 1L, negate = true)
+    val erasedIds = erased.select("doc_id").as[Long].collect().toSet
+    val survivors = st.state().select("doc_id").distinct().as[Long].collect().toSet
+    assert(erasedIds.intersect(survivors).isEmpty,
+      "an erased document still has postings after the negate round")
+    assert(postingsSet(st.state()) ==
+      postingsSet(PostingsIndex.postingsOf(
+        docs.join(erased.select("doc_id"), Seq("doc_id"), "left_anti"))),
+      "negate-round postings diverged from a from-scratch redacted build")
+  }
+
   /** (rootPaths, partitionFilters, pushedFilters) of every file scan,
     * including those inside cached (InMemoryRelation) subplans. */
   private def collectScans(df: DataFrame): Seq[(String, String, String)] = {
