@@ -654,6 +654,12 @@ class BandViewStore(spark: SparkSession, val path: String)
     extends CompactableRoundStore {
   override protected def storeSpark: SparkSession = spark
 
+  /** The quantization width is baked into every stored band value, so
+    * it is persisted and verified on open — mixing widths would merge
+    * incomparable histograms silently (VERDICT r13 #3). */
+  override protected def layoutMeta: Map[String, String] =
+    Map("band_width_cents" -> "1000")
+
   override protected def mergeRounds(rows: DataFrame): DataFrame =
     MatView.mergeBandState(rows.drop("ingest_round"))
 
@@ -688,6 +694,13 @@ class BandViewStore(spark: SparkSession, val path: String)
 class ExtremeBufferStore(spark: SparkSession, val path: String)
     extends CompactableRoundStore {
   override protected def storeSpark: SparkSession = spark
+
+  /** Depth is a compaction-time truncation bound; rounds written at
+    * different depths merge soundly (bounds are per-round), but a
+    * SHRUNK depth against a standing store silently weakens what "the
+    * buffer absorbs k−1 retractions" promises — so it is pinned. */
+  override protected def layoutMeta: Map[String, String] =
+    Map("extreme_depth" -> MatView.extremeDepth.toString)
 
   override protected def mergeRounds(rows: DataFrame): DataFrame =
     MatView.mergeExtremeState(rows.drop("ingest_round"))

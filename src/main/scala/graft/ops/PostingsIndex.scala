@@ -155,17 +155,39 @@ object PostingsIndex {
     perDocFromStores(post, stats, delta, terms)
   }
 
+  /** Marker file advanced by [[graft.streaming.StreamingPostings]]
+    * AFTER both stores of a round commit. */
+  def completionMarker(indexRoot: String): String = s"$indexRoot/rounds_complete"
+
+  /** The CONSISTENT-pair read entry over a streamed index root
+    * (VERDICT r13 #4): both stores are bounded at the completion
+    * marker, so a reader racing the writer — or landing in a crash
+    * window between the postings commit and the stats commit — sees
+    * the previous fully-committed round on BOTH sides, never one batch
+    * of N/T skew. No marker (a pre-marker or hand-built root) reads
+    * unbounded, preserving the old behavior for the synchronous batch
+    * lifecycle whose builder guard already serializes readers. */
+  def perDocFromRoot(s: SparkSession, indexRoot: String,
+                     delta: DataFrame, terms: Seq[String]): (DataFrame, DataFrame) = {
+    val bound = RoundMarker.read(s, completionMarker(indexRoot)).map(_ + 1L)
+    perDocFromStores(new PostingsStore(s, s"$indexRoot/postings"),
+      new CorpusStatsStore(s, s"$indexRoot/stats"), delta, terms, bound)
+  }
+
   /** [[perDocForTerms]] with explicit stores — the entry the streaming
     * pipeline's consumers (and the parity specs) use on an index fed
-    * by [[graft.streaming.StreamingPostings]]. */
+    * by [[graft.streaming.StreamingPostings]]. `beforeRound` bounds
+    * BOTH stores at the same round (the paired-consistency guard
+    * [[perDocFromRoot]] derives from the completion marker). */
   private[graft] def perDocFromStores(post: PostingsStore, stats: CorpusStatsStore,
-                                      delta: DataFrame, terms: Seq[String]): (DataFrame, DataFrame) = {
+                                      delta: DataFrame, terms: Seq[String],
+                                      beforeRound: Option[Long] = None): (DataFrame, DataFrame) = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
     // stored postings, bucket-pruned + term-filtered BELOW the merge
     // (filtering whole term groups commutes with the (term, doc) fold);
     // the delta's postings are computed in-query — the only
     // tokenization in the plan, and it scans only doc_id > wm
-    val qp = post.stateForTerms(terms)
+    val qp = post.stateForTerms(terms, beforeRound)
       .unionByName(postingsOf(delta).filter(col("term").isin(terms: _*)))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     // pivot FIRST, then persist the pivoted frame: perDoc is the
@@ -177,7 +199,7 @@ object PostingsIndex {
         terms.indices.map(i =>
           coalesce(max(when(col("term") === terms(i), col("tf"))), lit(0L))
             .as(s"tf$i")).toIndexedSeq: _*))
-    val nt = stats.state().unionByName(statsOf(delta))
+    val nt = stats.state(beforeRound).unionByName(statsOf(delta))
       .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
         coalesce(sum(col("total_toks")), lit(0L)).as("total_toks"))
     // df falls out of the pivot: df_i = candidates with tf_i > 0 —
@@ -362,6 +384,14 @@ class PostingsStore(spark: SparkSession, val path: String)
     extends CompactableRoundStore {
   override protected def storeSpark: SparkSession = spark
   override protected def extraPartitionCols: Seq[String] = Seq("term_bucket")
+
+  /** The bucket fan-out is baked into the partition layout AND into
+    * every driver-side pruning lookup, so it is persisted with the
+    * store and verified on every open — a fan-out change against a
+    * standing index fails loudly instead of silently returning missing
+    * postings (VERDICT r13 #3). */
+  override protected def layoutMeta: Map[String, String] =
+    Map("term_buckets" -> PostingsIndex.termBuckets.toString)
 
   override protected def mergeRounds(rows: DataFrame): DataFrame =
     PostingsIndex.mergePostings(rows.drop("ingest_round"))

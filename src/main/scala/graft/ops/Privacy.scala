@@ -343,6 +343,13 @@ class ClassCountStore(spark: SparkSession, val path: String)
     extends CompactableRoundStore {
   override protected def storeSpark: SparkSession = spark
 
+  /** The quasi-identifier schema and band quantization define what an
+    * equivalence class IS — persisted and verified on open, so a
+    * ladder re-definition against a standing store fails loudly
+    * instead of merging incomparable classes (VERDICT r13 #3). */
+  override protected def layoutMeta: Map[String, String] =
+    Map("quasi" -> "segment:nation:band", "band_width_cents" -> "100000")
+
   override protected def mergeRounds(rows: DataFrame): DataFrame =
     Privacy.mergeClassState(rows.drop("ingest_round"))
 

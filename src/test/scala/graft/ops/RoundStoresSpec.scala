@@ -160,4 +160,43 @@ class RoundStoresSpec extends SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.compact")))
     assert(freqMap == before)
   }
+
+  test("layout metadata: a standing store opened under a different layout constant fails LOUDLY") {
+    // write a postings store under the production fan-out — the first
+    // commit records `term_buckets=16` beside the data
+    val path = tmpDir("layout") + "/postings"
+    val st = new PostingsStore(spark, path)
+    st.appendRound(r0, round = 0L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path.layout")),
+      "first commit should persist the layout contract")
+    assert(st.state().count() > 0L) // matching constants read fine
+
+    // the VERDICT r13 trap: the same store opened by code compiled
+    // with a RESIZED fan-out — before this round it would silently
+    // prune to the wrong buckets and return missing postings
+    val resized = new PostingsStore(spark, path) {
+      override protected def layoutMeta: Map[String, String] =
+        Map("term_buckets" -> "32")
+    }
+    val e = intercept[IllegalArgumentException] { resized.state().count() }
+    assert(e.getMessage.contains("layout mismatch") &&
+      e.getMessage.contains("term_buckets=16") &&
+      e.getMessage.contains("term_buckets=32"),
+      s"wrong failure: ${e.getMessage}")
+    // ...and writes are guarded the same way (append → maybeCompact)
+    val e2 = intercept[IllegalArgumentException] {
+      resized.appendRound(r1, round = 1L)
+    }
+    assert(e2.getMessage.contains("layout mismatch"))
+
+    // a pre-metadata store (file deleted to simulate) is ADOPTED: the
+    // current constants become its recorded contract on next touch
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path.layout"), false)
+    CompactableRoundStore.verifiedLayouts.clear()
+    assert(st.state().count() > 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path.layout")),
+      "pre-metadata store not adopted on read")
+  }
 }
