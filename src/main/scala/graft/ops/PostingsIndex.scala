@@ -320,10 +320,45 @@ object PostingsIndex {
     TextAnalysis.bm25ScoreTail(perDoc, statsRow, TextAnalysis.bm25Terms.indices)
   }
 
+  /** q222 — the erasure DF AUDIT: per probe term, document frequency
+    * BEFORE (the standing q210 index + delta) vs AFTER (the erased
+    * q221 index + surviving delta), with the per-term erased count —
+    * the compliance evidence a right-to-be-forgotten pass files next
+    * to q221's score parity: not just "the ranking is right" but "this
+    * many documents naming each term left the index". Both sides are
+    * SERVING-class reads (bucket-pruned stateForTerms + the delta
+    * tail), not index-wide scans; the term list seeds the output so a
+    * term erased to df 0 still reports. The DuckDB twin recomputes
+    * both epochs' df from raw text under the same ownership bridge. */
+  val indexErasureDfAudit: Q = (s, d) => {
+    import s.implicits._
+    val terms = TextAnalysis.bm25Terms
+    def dfOf(post: PostingsStore, delta: DataFrame, as: String): DataFrame =
+      post.stateForTerms(terms)
+        .unionByName(postingsOf(delta).filter(col("term").isin(terms: _*)))
+        .groupBy(col("term")).agg(count(lit(1)).as(as))
+    val (postF, _, wmF) = index(s, d)
+    val before = dfOf(postF,
+      Tables.documents(s, d).filter(col("doc_id") > wmF), "df_before")
+    val (postE, _, wmE) = erasureIndex(s, d)
+    val after = dfOf(postE,
+      Privacy.survivingDocs(s, d).filter(col("doc_id") > wmE), "df_after")
+    terms.toDF("term")
+      .join(before, Seq("term"), "left")
+      .join(after, Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("df_before"), lit(0L)).as("df_before"),
+        coalesce(col("df_after"), lit(0L)).as("df_after"),
+        (coalesce(col("df_before"), lit(0L)) -
+          coalesce(col("df_after"), lit(0L))).as("df_erased"))
+      .orderBy(col("term"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q217_index_df_topk" -> indexDfTopK,
     "q218_index_vocab_growth" -> indexVocabGrowth,
-    "q221_index_erasure" -> indexErasure)
+    "q221_index_erasure" -> indexErasure,
+    "q222_index_erasure_df_audit" -> indexErasureDfAudit)
 
   val oracle: Map[String, String] = Map(
     // df/tf recomputed from raw text — the independent gate on the
@@ -371,7 +406,34 @@ object PostingsIndex {
           |""".stripMargin,
       docsFrom =
         """documents, nu WHERE text IS NOT NULL
-          |    AND doc_id % u NOT IN (SELECT user_id FROM del)""".stripMargin))
+          |    AND doc_id % u NOT IN (SELECT user_id FROM del)""".stripMargin),
+    // both epochs' per-term df from raw text under the same deletion
+    // rule and ownership bridge — the independent gate on the audit
+    "q222_index_erasure_df_audit" ->
+      s"""WITH nu AS (SELECT max(user_id) + 1 AS u FROM events),
+         |c AS (
+         |  SELECT user_id,
+         |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events),
+         |del AS (SELECT user_id FROM c WHERE rn = 1 AND op = 'D'),
+         |pd AS (
+         |  SELECT doc_id, doc_id % (SELECT u FROM nu) AS owner,
+         |    ${TextAnalysis.sqlToks("text")} AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |t AS (SELECT unnest([${TextAnalysis.bm25Terms.map(t => s"'$t'").mkString(", ")}]) AS term),
+         |j AS (
+         |  SELECT t.term, d.user_id IS NOT NULL AS erased,
+         |    len(list_filter(pd.toks, x -> x = t.term)) > 0 AS hit
+         |  FROM pd CROSS JOIN t LEFT JOIN del d ON pd.owner = d.user_id)
+         |SELECT term,
+         |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS df_before,
+         |  CAST(sum(CASE WHEN hit AND NOT erased THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS df_after,
+         |  CAST(sum(CASE WHEN hit AND erased THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS df_erased
+         |FROM j GROUP BY term ORDER BY term""".stripMargin)
 }
 
 /** Durable signed postings store: one (ingest_round, term_bucket)-
