@@ -18,13 +18,17 @@ import org.apache.spark.sql.functions._
   * (source, lang)) costs one full scan ONCE, and afterwards O(delta)
   * per refresh — the standing state is |groups| rows, re-read each
   * refresh for pennies while the 100 TB of history is never touched
-  * again. Append-only contract for RAW-domain min/max: a retraction
-  * can expose a new raw minimum only a rescan can find, so a mutating
-  * upstream needs [[Cdc]] in front or a sketch that tolerates it. On
-  * the BANDED domain the carve-out is retired (r13): the q212
-  * histogram state keeps every live band, so [[bandExtremesView]]
-  * (q215) serves retract-safe min/max bands — the extreme band's
-  * annihilation simply promotes the next live band. The store rides
+  * again. Min/max under deletes now has BOTH tiers: on the BANDED
+  * domain (r13) the q212 histogram state keeps every live band, so
+  * [[bandExtremesView]] (q215) serves retract-safe min/max bands —
+  * the extreme band's annihilation promotes the next live band; on
+  * the RAW domain (r14, q220) the k-deep extreme buffer serves exact
+  * extremes through retractions, with the one honest residual: a wave
+  * deeper than the buffer raises a LOUD rescan declaration instead of
+  * a silently-stale number (this tier's [[extremesExactView]] doc has
+  * the soundness argument). The naive docProfile state (one min/max
+  * cell per group, q205) keeps its append-only contract — it is the
+  * cheap tier for immutable logs. The store rides
   * [[CompactableRoundStore]]: one partial-state partition per ingest
   * round, merge-on-read, auto-compaction folding old rounds —
   * read-equivalent because the merge is the aggregates' own
