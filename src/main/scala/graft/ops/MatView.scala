@@ -166,6 +166,15 @@ object MatView {
     (new DistinctViewStore(s, path), wm)
   }
 
+  /** The standing q209 state (store + delta), exposed for the erasure
+    * certificate (q223): the live (event_type, user_id, n) rows a
+    * pre-erasure deployment holds. */
+  private[ops] def distinctLiveState(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val (st, wm) = dstore(s, d)
+    st.mergedWith(ev.filter(col("event_id") > wm))
+  }
+
   /** q209 — EXACT incremental COUNT DISTINCT: distinct users per event
     * type maintained through a persisted (type, user, count) state
     * store, the exact/retractable complement of q93's HLL sketch store.

@@ -219,10 +219,19 @@ object PostingsIndex {
     * scan; serving queries go through the pruned [[perDocForTerms]]).
     * Store rows and delta rows are doc-disjoint by the watermark, so
     * a plain union is the merged state. */
-  private def liveIndex(s: SparkSession, d: String): DataFrame = {
+  private[ops] def liveIndex(s: SparkSession, d: String): DataFrame = {
     val (post, _, wm) = index(s, d)
     post.state().unionByName(
       postingsOf(Tables.documents(s, d).filter(col("doc_id") > wm)))
+  }
+
+  /** The erased index's live rows (negate-round store + surviving
+    * delta), exposed for the erasure certificate (q223) — the
+    * index-wide audit read over the q221 stores. */
+  private[ops] def erasedLiveIndex(s: SparkSession, d: String): DataFrame = {
+    val (post, _, wm) = erasureIndex(s, d)
+    post.state().unionByName(
+      postingsOf(Privacy.survivingDocs(s, d).filter(col("doc_id") > wm)))
   }
 
   /** q217 — the index AS data: per-term document frequency and total

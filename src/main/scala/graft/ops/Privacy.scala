@@ -243,11 +243,74 @@ object Privacy {
     ladderView(st.mergedWith(cust.filter(col("c_custkey") > wm)))
   }
 
+  // Per-(JVM, events CONTENT) REDACTED distinct-view lifecycle for the
+  // certificate: the q209 store with the erasure executed as a negate
+  // round — round 0 indexes the base log, round 1 retracts the erased
+  // users' base rows; reads fold the SURVIVING delta. Own memo dir
+  // (the standing q209 store must never be mutated by an audit).
+  private def redactedDvStore(s: SparkSession, d: String): (DistinctViewStore, Long) = {
+    val ev = Tables.events(s, d)
+    val keyed = ev.select(col("event_id").as("doc_id"),
+      concat_ws(":", col("user_id"), col("event_type")).as("text"))
+    val (key, wm) = ScratchStores.corpusKey(keyed, s"$d#events#erased-dv")
+    val path = ScratchStores.pathFor(key, "graft-erased-distinct-view") { p =>
+      val st = new DistinctViewStore(s, p)
+      val base = ev.filter(col("event_id") <= wm)
+      st.appendRound(base, round = 0L)
+      st.appendRound(base.join(broadcast(deletionList(s, d)),
+        Seq("user_id"), "left_semi"), round = 1L, negate = true)
+    }
+    (new DistinctViewStore(s, path), wm)
+  }
+
+  /** q223 — the ERASURE CERTIFICATE: after the erasure executes across
+    * every stateful surface — the raw log (q214's anti-join), the
+    * distinct-view matview state (q209's store, negate round), and the
+    * retrieval index (q221's negate round) — this files the evidence
+    * an auditor asks for: per surface, how many rows referenced the
+    * erased users BEFORE, and a MEASURED count of what each redacted
+    * artifact still retains (which must be zero, counted from the
+    * stores themselves, not assumed). The before-columns are the
+    * independently-recomputable content (the twin derives them from
+    * raw data under the same deletion rule); the after-columns gate
+    * that the store reads really return zero. Before-reads on the
+    * matview/index surfaces are index-wide audit scans by design
+    * (q217's class); serving paths stay pruned. */
+  val erasureCertificate: Q = (s, d) => {
+    val del = deletionList(s, d)
+    val ev = Tables.events(s, d)
+    def cert(name: String, before: DataFrame, after: DataFrame): DataFrame =
+      before.agg(count(lit(1)).as("rows_before"))
+        .crossJoin(after.agg(count(lit(1)).as("rows_after")))
+        .select(lit(name).as("surface"), col("rows_before"), col("rows_after"))
+    // surface 1: the event log itself
+    val s1 = cert("events_log",
+      ev.join(broadcast(del), Seq("user_id"), "left_semi"),
+      ev.join(broadcast(del), Seq("user_id"), "left_anti")
+        .join(broadcast(del), Seq("user_id"), "left_semi"))
+    // surface 2: the q209 distinct-view state (standing vs redacted)
+    val (rdv, rwm) = redactedDvStore(s, d)
+    val survivingDelta = ev.filter(col("event_id") > rwm)
+      .join(broadcast(del), Seq("user_id"), "left_anti")
+    val s2 = cert("distinct_view_state",
+      MatView.distinctLiveState(s, d)
+        .join(broadcast(del), Seq("user_id"), "left_semi"),
+      rdv.mergedWith(survivingDelta)
+        .join(broadcast(del), Seq("user_id"), "left_semi"))
+    // surface 3: the retrieval index (standing vs q221's erased stores)
+    val erasedIds = broadcast(erasedDocs(s, d).select(col("doc_id")))
+    val s3 = cert("postings_index",
+      PostingsIndex.liveIndex(s, d).join(erasedIds, Seq("doc_id"), "left_semi"),
+      PostingsIndex.erasedLiveIndex(s, d).join(erasedIds, Seq("doc_id"), "left_semi"))
+    s1.unionByName(s2).unionByName(s3).orderBy(col("surface"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q203_k_anonymity" -> kAnonymity,
     "q206_erasure_sweep" -> erasureSweep,
     "q214_erasure_execute" -> erasureExecute,
-    "q219_k_anonymity_incremental" -> kAnonymityIncremental)
+    "q219_k_anonymity_incremental" -> kAnonymityIncremental,
+    "q223_erasure_certificate" -> erasureCertificate)
 
   // the rival spelling on purpose: one subquery per ladder level,
   // UNION ALL — cross-checks q203's single-pass rollup AND q219's
@@ -274,6 +337,42 @@ object Privacy {
   val oracle: Map[String, String] = Map(
     "q203_k_anonymity" -> q203Sql,
     "q219_k_anonymity_incremental" -> q203Sql,
+    // the before-columns recomputed from raw data under the same
+    // deletion rule and ownership bridge; the after-columns are the
+    // certificate's contract (zero retention) — the Spark side must
+    // MEASURE zero from the redacted stores to hash-match
+    "q223_erasure_certificate" ->
+      s"""WITH nu AS (SELECT max(user_id) + 1 AS u FROM events),
+         |c AS (
+         |  SELECT user_id,
+         |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events),
+         |del AS (SELECT user_id FROM c WHERE rn = 1 AND op = 'D'),
+         |ev_b AS (
+         |  SELECT count(*) AS n FROM events e
+         |  JOIN del d ON e.user_id = d.user_id),
+         |dv_b AS (
+         |  SELECT count(*) AS n FROM (
+         |    SELECT DISTINCT event_type, user_id FROM events
+         |    WHERE user_id IS NOT NULL) p
+         |  JOIN del d ON p.user_id = d.user_id),
+         |pd AS (
+         |  SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest(${graft.ops.TextAnalysis.sqlToks("text")}) AS term
+         |    FROM documents WHERE text IS NOT NULL)),
+         |pi_b AS (
+         |  SELECT count(*) AS n FROM pd CROSS JOIN nu
+         |  JOIN del d ON pd.doc_id % nu.u = d.user_id)
+         |SELECT * FROM (
+         |  SELECT 'events_log' AS surface, (SELECT n FROM ev_b) AS rows_before,
+         |    CAST(0 AS BIGINT) AS rows_after
+         |  UNION ALL
+         |  SELECT 'distinct_view_state', (SELECT n FROM dv_b), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'postings_index', (SELECT n FROM pi_b), CAST(0 AS BIGINT))
+         |ORDER BY surface""".stripMargin,
     // same deletion-list rule as q202 (latest op per user is 'D'),
     // then one counted LEFT JOIN per surface
     "q206_erasure_sweep" ->

@@ -132,6 +132,20 @@ class PrivacySpec extends SparkTestBase {
     }
   }
 
+  test("q223 certificate: every surface had non-trivial erased rows BEFORE and measures exactly ZERO after") {
+    val rows = Privacy.erasureCertificate(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)].collect()
+    Dedup.releaseSketchCaches()
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("distinct_view_state", "events_log", "postings_index"))
+    rows.foreach { case (surface, before, after) =>
+      assert(before > 0L,
+        s"$surface: trivial certificate — the fixture erased nothing there")
+      assert(after == 0L,
+        s"$surface: redacted store still retains $after erased rows")
+    }
+  }
+
   test("q219 incremental ladder equals the one-shot rollup; retraction equals the redacted recompute; replay idempotent") {
     val sf = "/root/testdata/sf0.001"
     val cust = graft.Tables.customer(spark, sf)
