@@ -703,7 +703,20 @@ class BandViewStore(spark: SparkSession, val path: String)
   * monoid — sums per value, most-extreme bound per side), so merge
   * order is immaterial; physical compaction re-truncates to depth via
   * [[MatView.compactExtremeState]], serving-equivalent by the bound
-  * guard's contract. */
+  * guard's contract.
+  *
+  * RECOVERY from a declared rescan is a store REBUILD (fresh path,
+  * fresh bootstrap round from raw) — the q220 scratch lifecycle does
+  * exactly that whenever corpus content changes. Two in-place
+  * alternatives were considered and REJECTED as unsound: (a) a
+  * "trusted full-rescan" round that resets a group cannot be audited
+  * by the monoid (nothing distinguishes it from a partial round, and
+  * bound markers have no inverse under max-merge); (b) dropping
+  * markers dominated by the current kept floor is read-equivalent
+  * TODAY but breaks under tomorrow's retractions — annihilate the
+  * kept set and the group silently reads as empty while truncated
+  * values are still live. Bounds therefore only widen; the rebuild is
+  * the one honest reset. */
 class ExtremeBufferStore(spark: SparkSession, val path: String)
     extends CompactableRoundStore {
   override protected def storeSpark: SparkSession = spark
