@@ -398,13 +398,20 @@ object MatView {
 
   /** Physical-compaction fold: merge, then re-truncate each side's
     * POSITIVE rows to the [[extremeDepth]] most extreme, absorbing
-    * anything dropped into the bound. Serving-equivalent: the served
-    * extreme is the most extreme positive (never dropped), dropped
-    * positives are strictly less extreme and land inside the new
-    * bound, and a side already in the rescan state stays there (the
-    * bound only widens). Negative rows pass through untruncated —
-    * they are rare (retraction residue in truncated regions) and
-    * dropping one would forge an unpaid future add. */
+    * anything dropped into the bound. Serving-equivalent AT the
+    * compaction point: the served extreme is the most extreme positive
+    * (never dropped), dropped positives are strictly less extreme and
+    * land inside the new bound, and a side already in the rescan state
+    * stays there (the bound only widens). Under LATER retractions the
+    * compacted store may declare a rescan where the uncompacted fold
+    * (which keeps every committed positive) could still answer — the
+    * honest price of bounding state at depth k, and it degrades only
+    * in the safe direction: ExtremeBufferAlgebraSpec pins
+    * exact-or-rescan safety for the compacted lineage and that every
+    * divergence from the uncompacted fold is a rescan, never a wrong
+    * value. Negative rows pass through untruncated — they are rare
+    * (retraction residue in truncated regions) and dropping one would
+    * forge an unpaid future add. */
   private[ops] def compactExtremeState(rows: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val merged = mergeExtremeState(rows)
