@@ -305,12 +305,112 @@ object Privacy {
     s1.unionByName(s2).unionByName(s3).orderBy(col("surface"))
   }
 
+  /** Classes with fewer distinct sensitive values than this are
+    * flagged (the conventional l = 3 bar). */
+  val lDiversityThreshold = 3
+
+  /** q224 — l-DIVERSITY, the second audit of the anonymity trilogy:
+    * k-anonymity (q203) bounds how many people share your
+    * quasi-identifier tuple, but a class of 50 people whose SENSITIVE
+    * attribute is identical leaks it to all 50 (the homogeneity
+    * attack); l-diversity requires every (segment, nation) class to
+    * hold at least l distinct sensitive values — here the balance
+    * band, the attribute q203's ladder generalizes away. The audit is
+    * a FREE VIEW over q219's standing class store: the (segment,
+    * nation, band, n) state rows ARE the per-class sensitive
+    * histograms, so l per class is a count of live state rows —
+    * O(delta + |classes|) to keep current, erasure retractions
+    * included, with no new state. Output is the class histogram by l
+    * (how many classes, how many people, flagged below
+    * [[lDiversityThreshold]]). The DuckDB twin recomputes from the
+    * raw customer table. */
+  /** The q224 histogram served from class-count state rows. */
+  private[ops] def lDiversityView(state: DataFrame): DataFrame =
+    state.filter(col("n") > 0L)
+      .groupBy(col("segment"), col("nation"))
+      .agg(count(lit(1)).as("l"), sum(col("n")).as("class_rows"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("class_rows")).as("n_rows"))
+      .withColumn("risky", col("l") < lDiversityThreshold)
+      .orderBy(col("l"))
+
+  val lDiversityIncremental: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val (st, wm) = cstore(s, d)
+    lDiversityView(st.mergedWith(cust.filter(col("c_custkey") > wm)))
+  }
+
+  /** q225 — t-CLOSENESS, the trilogy's third audit: l-diversity counts
+    * distinct sensitive values, but a class whose 10 "distinct" bands
+    * are all clustered at the top of the range still leaks ("everyone
+    * in this class is rich" — the similarity attack); t-closeness
+    * bounds the EARTH-MOVER DISTANCE between each class's sensitive
+    * distribution and the global one. On the ordered, quantized band
+    * domain the 1-D EMD is exact integer arithmetic: walk the global
+    * band grid in order, and at each step the mass that must still
+    * move is |cumF_class − cumF_global| times the value gap to the
+    * next band — cleared of denominators as |cumc·N − cumg·n_c|·gap,
+    * normalized by n_c·N·span to micro-units in [0, 10⁶] (products
+    * widened to DECIMAL(38,0); HUGEINT in the twin). Like q224 it is
+    * a VIEW over q219's standing class store — the state rows are the
+    * per-class sensitive histograms — so the audit is O(delta +
+    * |classes|·|bands|) to keep current, both domain-bounded. Output:
+    * the 20 least-close classes (the release reviewer's worklist),
+    * deterministic ties on (segment, nation). The DuckDB twin
+    * recomputes the full grid walk from raw customers. */
+  /** The q225 worklist served from class-count state rows. */
+  private[ops] def tClosenessView(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the per-(class, band) histogram — three consumers (class sizes,
+    // global histogram, the grid join), so materialized once
+    val cb = Dedup.materializedSketch(state.filter(col("n") > 0L))
+    val cls = cb.groupBy(col("segment"), col("nation"))
+      .agg(sum(col("n")).as("nc"))
+    val gb = cb.groupBy(col("band")).agg(sum(col("n")).as("gn"))
+    val gtot = gb.agg(sum(col("gn")).as("gtotal"),
+      (max(col("band")) - min(col("band"))).as("span"))
+    // the class × global-band grid (both domain-bounded), class mass
+    // at absent bands = 0 — the cumulative walk needs every band
+    val grid = cls.crossJoin(gb)
+      .join(cb, Seq("segment", "nation", "band"), "left")
+      .withColumn("cn", coalesce(col("n"), lit(0L)))
+    val wCum = Window.partitionBy(col("segment"), col("nation"))
+      .orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(col("segment"), col("nation"))
+      .orderBy(col("band"))
+    val cum = grid
+      .withColumn("cumc", sum(col("cn")).over(wCum))
+      .withColumn("cumg", sum(col("gn")).over(wCum))
+      .withColumn("nxt", lead(col("band"), 1).over(wLead))
+    cum.filter(col("nxt").isNotNull)
+      .crossJoin(broadcast(gtot))
+      .groupBy(col("segment"), col("nation"), col("nc"),
+        col("gtotal"), col("span"))
+      .agg(sum(abs(col("cumc") * col("gtotal") - col("cumg") * col("nc"))
+        * (col("nxt") - col("band"))).as("s"))
+      .select(col("segment"), col("nation"), col("nc").as("n_rows"),
+        expr("""cast(cast(s as decimal(38,0)) * 1000000
+               |     div (nc * gtotal * greatest(span, 1)) as bigint)""".stripMargin)
+          .as("t_micro"))
+      .orderBy(col("t_micro").desc, col("segment"), col("nation"))
+      .limit(20)
+  }
+
+  val tClosenessIncremental: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val (st, wm) = cstore(s, d)
+    tClosenessView(st.mergedWith(cust.filter(col("c_custkey") > wm)))
+  }
+
   val queries: Map[String, Q] = Map(
     "q203_k_anonymity" -> kAnonymity,
     "q206_erasure_sweep" -> erasureSweep,
     "q214_erasure_execute" -> erasureExecute,
     "q219_k_anonymity_incremental" -> kAnonymityIncremental,
-    "q223_erasure_certificate" -> erasureCertificate)
+    "q223_erasure_certificate" -> erasureCertificate,
+    "q224_l_diversity" -> lDiversityIncremental,
+    "q225_t_closeness" -> tClosenessIncremental)
 
   // the rival spelling on purpose: one subquery per ladder level,
   // UNION ALL — cross-checks q203's single-pass rollup AND q219's
@@ -337,6 +437,63 @@ object Privacy {
   val oracle: Map[String, String] = Map(
     "q203_k_anonymity" -> q203Sql,
     "q219_k_anonymity_incremental" -> q203Sql,
+    // recomputed from raw customers — the independent check that the
+    // incremental class store serves the same per-class sensitive
+    // diversity as a one-shot distinct count
+    "q224_l_diversity" ->
+      """WITH q AS (
+        |  SELECT c_mktsegment AS segment, c_nationkey AS nation,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS band
+        |  FROM customer),
+        |cls AS (
+        |  SELECT segment, nation, count(DISTINCT band) AS l,
+        |    count(*) AS class_rows
+        |  FROM q GROUP BY segment, nation)
+        |SELECT l, count(*) AS n_classes,
+        |  CAST(sum(class_rows) AS BIGINT) AS n_rows,
+        |  l < 3 AS risky
+        |FROM cls GROUP BY l ORDER BY l""".stripMargin,
+    // the full cumulative grid walk recomputed from raw customers —
+    // identical exact-integer EMD algebra, HUGEINT for the widening
+    "q225_t_closeness" ->
+      """WITH q AS (
+        |  SELECT c_mktsegment AS segment, c_nationkey AS nation,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS band
+        |  FROM customer),
+        |cb AS (
+        |  SELECT segment, nation, band, count(*) AS n
+        |  FROM q GROUP BY 1, 2, 3),
+        |cls AS (SELECT segment, nation, CAST(sum(n) AS BIGINT) AS nc
+        |        FROM cb GROUP BY 1, 2),
+        |gb AS (SELECT band, CAST(sum(n) AS BIGINT) AS gn FROM cb GROUP BY 1),
+        |gtot AS (SELECT CAST(sum(gn) AS BIGINT) AS gtotal,
+        |                CAST(max(band) - min(band) AS BIGINT) AS span
+        |         FROM gb),
+        |grid AS (
+        |  SELECT c.segment, c.nation, c.nc, g.band, g.gn,
+        |    CAST(coalesce(cb.n, 0) AS BIGINT) AS cn
+        |  FROM cls c CROSS JOIN gb g
+        |  LEFT JOIN cb ON cb.segment = c.segment AND cb.nation = c.nation
+        |    AND cb.band = g.band),
+        |cum AS (
+        |  SELECT segment, nation, nc, band,
+        |    sum(cn) OVER (PARTITION BY segment, nation ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+        |    sum(gn) OVER (PARTITION BY segment, nation ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg,
+        |    lead(band) OVER (PARTITION BY segment, nation ORDER BY band) AS nxt
+        |  FROM grid),
+        |emd AS (
+        |  SELECT c.segment, c.nation, c.nc, t.gtotal, t.span,
+        |    sum(abs(c.cumc * t.gtotal - c.cumg * c.nc) * (c.nxt - c.band)) AS s
+        |  FROM cum c CROSS JOIN gtot t
+        |  WHERE c.nxt IS NOT NULL
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT segment, nation, nc AS n_rows,
+        |  CAST(CAST(s AS HUGEINT) * 1000000
+        |       // (nc * gtotal * greatest(span, 1)) AS BIGINT) AS t_micro
+        |FROM emd
+        |ORDER BY t_micro DESC, segment, nation LIMIT 20""".stripMargin,
     // the before-columns recomputed from raw data under the same
     // deletion rule and ownership bridge; the after-columns are the
     // certificate's contract (zero retention) — the Spark side must

@@ -132,6 +132,42 @@ class PrivacySpec extends SparkTestBase {
     }
   }
 
+  test("q224/q225 trilogy views: incremental state equals the raw recompute; erasure retraction shrinks both audits exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val cust = graft.Tables.customer(spark, sf)
+    def lSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("l"), col("n_classes"), col("n_rows"), col("risky"))
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+    def tSeq(df: org.apache.spark.sql.DataFrame) = {
+      val out = df.select(col("segment"), col("nation"), col("n_rows"), col("t_micro"))
+        .as[(String, Long, Long, Long)].collect().toSeq
+      Dedup.releaseSketchCaches()
+      out
+    }
+    // the registered queries equal one-shot recomputes from raw rows
+    assert(lSet(Privacy.lDiversityIncremental(spark, sf)) ==
+      lSet(Privacy.lDiversityView(Privacy.classState(cust))),
+      "incremental l-diversity diverged from the one-shot view")
+    assert(tSeq(Privacy.tClosenessIncremental(spark, sf)) ==
+      tSeq(Privacy.tClosenessView(Privacy.classState(cust))),
+      "incremental t-closeness diverged from the one-shot view")
+    // t is a normalized distance in micro-units
+    tSeq(Privacy.tClosenessView(Privacy.classState(cust))).foreach {
+      case (seg, nat, _, t) =>
+        assert(t >= 0L && t <= 1000000L, s"t out of [0,1e6] for ($seg,$nat): $t")
+    }
+    // erasure: retracting the odd wave serves the even-only audits
+    val path = tmpDir("trilogy") + "/state"
+    val st = new ClassCountStore(spark, path)
+    st.appendRound(cust, round = 0L)
+    st.appendRound(cust.filter(col("c_custkey") % 2 === 1), round = 1L, negate = true)
+    val even = Privacy.classState(cust.filter(col("c_custkey") % 2 === 0))
+    assert(lSet(Privacy.lDiversityView(st.state())) == lSet(Privacy.lDiversityView(even)),
+      "post-retraction l-diversity diverged from the redacted recompute")
+    assert(tSeq(Privacy.tClosenessView(st.state())) == tSeq(Privacy.tClosenessView(even)),
+      "post-retraction t-closeness diverged from the redacted recompute")
+  }
+
   test("q223 certificate: every surface had non-trivial erased rows BEFORE and measures exactly ZERO after") {
     val rows = Privacy.erasureCertificate(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long)].collect()
