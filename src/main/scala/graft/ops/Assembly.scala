@@ -1072,13 +1072,10 @@ class TrainBigramStore(spark: org.apache.spark.sql.SparkSession, val path: Strin
 
   /** Index `docs`' TRAIN rows and commit their distinct bigram hashes
     * as ingest round `round` — idempotent under retry. */
-  def appendRound(docs: DataFrame, round: Long): Unit = {
-    RoundPartitions.commit(
+  def appendRound(docs: DataFrame, round: Long): Unit =
+    commitRound(
       docs.select(Assembly.splitColumn(col("doc_id")).as("split"),
           explode(Assembly.bigramHashes(col("text"))).as("bg"))
         .filter(col("split") === "train")
-        .select(col("bg")).distinct(),
-      path, round)
-    maybeCompact(round)
-  }
+        .select(col("bg")).distinct(), round)
 }

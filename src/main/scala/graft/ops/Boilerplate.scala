@@ -365,12 +365,9 @@ class BoilerplateStore(spark: org.apache.spark.sql.SparkSession, val path: Strin
 
   /** Count `docs`' blocks and commit them as ingest round `round` —
     * idempotent under retry (partition overwrite). */
-  def appendRound(docs: DataFrame, round: Long): Unit = {
-    RoundPartitions.commit(
-      Boilerplate.blockFreqs(docs.select(col("doc_id"), col("text"))),
-      path, round)
-    maybeCompact(round)
-  }
+  def appendRound(docs: DataFrame, round: Long): Unit =
+    commitRound(
+      Boilerplate.blockFreqs(docs.select(col("doc_id"), col("text"))), round)
 
   /** Cut an ingest DELTA against standing + delta frequencies: the
     * delta is block-scanned once (it is the data in hand); the

@@ -168,6 +168,15 @@ class CdcSnapshotStore(spark: SparkSession, val path: String,
                        gcTombstonesOnCompact: Option[String] = None,
                        gcTombstoneLag: Option[String] = None)
     extends CompactableRoundStore {
+  // a lag without the GC flag would be silently inert (the fold over
+  // None never evaluates the lag branch) — a half-configured GC fails
+  // loudly instead of retaining tombstones forever behind the caller's
+  // back (ADVICE r14)
+  require(gcTombstoneLag.isEmpty || gcTombstonesOnCompact.nonEmpty,
+    "gcTombstoneLag is only meaningful with gcTombstonesOnCompact set: " +
+      "the lag bounds WHEN a tombstone may be GC'd, but the op column is what " +
+      "enables GC at all — set gcTombstonesOnCompact, or drop the lag")
+
   override protected def storeSpark: SparkSession = spark
 
   override protected def mergeRounds(rows: DataFrame): DataFrame =
@@ -198,8 +207,6 @@ class CdcSnapshotStore(spark: SparkSession, val path: String,
 
   /** Compact `changes` and commit them as ingest round `round` —
     * idempotent per round (dynamic partition overwrite). */
-  def appendRound(changes: DataFrame, round: Long): Unit = {
-    RoundPartitions.commit(Cdc.compact(changes, key, ts, seq), path, round)
-    maybeCompact(round)
-  }
+  def appendRound(changes: DataFrame, round: Long): Unit =
+    commitRound(Cdc.compact(changes, key, ts, seq), round)
 }

@@ -1817,13 +1817,10 @@ class HllDistinctStore(spark: org.apache.spark.sql.SparkSession, val path: Strin
         df.filter(F.col("ingest_round") < r)))
 
   /** Sketch `events`' users and commit them as ingest round `round`. */
-  def appendRound(events: DataFrame, round: Long): Unit = {
-    RoundPartitions.commit(
+  def appendRound(events: DataFrame, round: Long): Unit =
+    commitRound(
       events.groupBy(F.col("event_type"))
-        .agg(F.hll_sketch_agg(F.col("user_id")).as("sketch")),
-      path, round)
-    maybeCompact(round)
-  }
+        .agg(F.hll_sketch_agg(F.col("user_id")).as("sketch")), round)
 
   /** Stored sketches unioned with a delta's own per-type sketches. */
   def mergedWith(deltaSketches: DataFrame,

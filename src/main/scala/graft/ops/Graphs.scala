@@ -699,10 +699,8 @@ class CoPairStore(spark: SparkSession, val path: String)
   /** Count `items`' order-local pairs and commit as round `round` —
     * rounds must be order-disjoint (counts are per-order, so an order
     * split across rounds would double-count its basket pairs). */
-  def appendRound(items: DataFrame, round: Long): Unit = {
-    RoundPartitions.commit(Graphs.pairCounts(items), path, round)
-    maybeCompact(round)
-  }
+  def appendRound(items: DataFrame, round: Long): Unit =
+    commitRound(Graphs.pairCounts(items), round)
 }
 
 /** Order-key ledger guarding [[CoPairStore]]'s order-disjointness
@@ -760,7 +758,6 @@ class OrderLedgerStore(spark: SparkSession, val path: String)
           "drift. Pre-aggregate to one batch per order upstream, or " +
           "route a CDC/dedup stage in front of the stream.")
     }
-    RoundPartitions.commit(orders, path, round)
-    maybeCompact(round)
+    commitRound(orders, round)
   }
 }

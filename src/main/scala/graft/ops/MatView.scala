@@ -482,6 +482,23 @@ object MatView {
     (new ExtremeBufferStore(s, path), wm)
   }
 
+  /** The standing q212/q215 band-histogram state (store + delta),
+    * exposed for the erasure certificate (q223): the live (type, band,
+    * n) rows a pre-erasure deployment holds. */
+  private[ops] def bandLiveState(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val (st, wm) = bstore(s, d)
+    st.mergedWith(ev.filter(col("event_id") > wm))
+  }
+
+  /** The standing q220 served extremes (store + delta), exposed for
+    * the erasure certificate (q223). */
+  private[ops] def rawExtremesLiveView(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val (st, wm) = xstore(s, d)
+    extremesExactView(st.mergedWith(ev.filter(col("event_id") > wm)))
+  }
+
   /** q220 — EXACT incremental min/max under deletes on the RAW value
     * domain: per-type extreme cents served from a persisted k-deep
     * extreme-buffer store — the exact tier beside q215's banded tier,
@@ -602,10 +619,8 @@ class MatViewStore(spark: SparkSession, val path: String)
         df.filter(col("ingest_round") < r)))
 
   /** Aggregate `docs` into partial state and commit as round `round`. */
-  def appendRound(docs: DataFrame, round: Long): Unit = {
-    RoundPartitions.commit(MatView.aggState(docs), path, round)
-    maybeCompact(round)
-  }
+  def appendRound(docs: DataFrame, round: Long): Unit =
+    commitRound(MatView.aggState(docs), round)
 
   /** Stored state merged with an uncommitted delta's own state — the
     * read path of a refresh that has scanned only the delta. */
@@ -640,9 +655,7 @@ class DistinctViewStore(spark: SparkSession, val path: String)
     * `round`; `negate` retracts the batch instead of adding it. */
   def appendRound(events: DataFrame, round: Long, negate: Boolean = false): Unit = {
     val st = MatView.distinctState(events)
-    val signed = if (negate) st.withColumn("n", -col("n")) else st
-    RoundPartitions.commit(signed, path, round)
-    maybeCompact(round)
+    commitRound(if (negate) st.withColumn("n", -col("n")) else st, round)
   }
 
   /** Commit one MIXED batch: `signed` carries (event_type, user_id,
@@ -651,12 +664,10 @@ class DistinctViewStore(spark: SparkSession, val path: String)
     * [[graft.streaming.StreamingDistinctExact]] uses, where one
     * micro-batch legitimately interleaves both). */
   def appendSignedRound(signed: DataFrame, round: Long): Unit = {
-    val st = signed
+    commitRound(signed
       .filter(col("user_id").isNotNull) // distinctState's identified-user contract
       .groupBy(col("event_type"), col("user_id"))
-      .agg(sum(col("sign")).as("n"))
-    RoundPartitions.commit(st, path, round)
-    maybeCompact(round)
+      .agg(sum(col("sign")).as("n")), round)
   }
 
   /** Stored state merged with an uncommitted delta's own state. */
@@ -692,9 +703,7 @@ class BandViewStore(spark: SparkSession, val path: String)
     * `round`; `negate` retracts the batch instead of adding it. */
   def appendRound(events: DataFrame, round: Long, negate: Boolean = false): Unit = {
     val st = MatView.bandState(events)
-    val signed = if (negate) st.withColumn("n", -col("n")) else st
-    RoundPartitions.commit(signed, path, round)
-    maybeCompact(round)
+    commitRound(if (negate) st.withColumn("n", -col("n")) else st, round)
   }
 
   /** Stored state merged with an uncommitted delta's own state. */
@@ -748,16 +757,12 @@ class ExtremeBufferStore(spark: SparkSession, val path: String)
 
   /** Buffer `events` into per-side extreme state and commit as round
     * `round`; `negate` retracts the batch instead of adding it. */
-  def appendRound(events: DataFrame, round: Long, negate: Boolean = false): Unit = {
-    RoundPartitions.commit(MatView.extremeState(events, negate), path, round)
-    maybeCompact(round)
-  }
+  def appendRound(events: DataFrame, round: Long, negate: Boolean = false): Unit =
+    commitRound(MatView.extremeState(events, negate), round)
 
   /** Commit one MIXED batch of events carrying `sign` ∈ {+1, −1}. */
-  def appendSignedRound(signed: DataFrame, round: Long): Unit = {
-    RoundPartitions.commit(MatView.signedExtremeState(signed), path, round)
-    maybeCompact(round)
-  }
+  def appendSignedRound(signed: DataFrame, round: Long): Unit =
+    commitRound(MatView.signedExtremeState(signed), round)
 
   /** Stored state merged with an uncommitted delta's own state. */
   def mergedWith(deltaEvents: DataFrame, beforeRound: Option[Long] = None): DataFrame =

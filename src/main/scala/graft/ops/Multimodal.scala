@@ -648,11 +648,8 @@ class PhashIndexStore(spark: SparkSession, val path: String)
 
   /** Commit `hashes` (doc_id, phash) as ingest round `round` —
     * idempotent under retry (partition overwrite). */
-  def appendRound(hashes: DataFrame, round: Long): Unit = {
-    RoundPartitions.commit(hashes.select(col("doc_id"), col("phash")),
-      path, round)
-    maybeCompact(round)
-  }
+  def appendRound(hashes: DataFrame, round: Long): Unit =
+    commitRound(hashes.select(col("doc_id"), col("phash")), round)
 
   /** Near-dup pairs between a DELTA's hashes and the standing corpus:
     * delta-bucket x corpus-bucket join (no delta x delta, no

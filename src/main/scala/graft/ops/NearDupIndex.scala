@@ -41,12 +41,9 @@ class NearDupIndexStore(spark: SparkSession, val path: String)
 
   /** Index `docs` (doc_id, text) and commit them as ingest round
     * `round` — idempotent under retry (partition overwrite). */
-  def appendRound(docs: DataFrame, round: Long): Unit = {
-    RoundPartitions.commit(
-      Dedup.fpShingleIndex(docs.select(col("doc_id"), col("text"))),
-      path, round)
-    maybeCompact(round)
-  }
+  def appendRound(docs: DataFrame, round: Long): Unit =
+    commitRound(
+      Dedup.fpShingleIndex(docs.select(col("doc_id"), col("text"))), round)
 
   /** Near-dup pairs between an ingest DELTA and the standing corpus:
     * the delta is indexed on the fly (it is the data in hand); the

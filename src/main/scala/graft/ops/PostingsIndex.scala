@@ -133,7 +133,7 @@ object PostingsIndex {
 
   // Per-(JVM, documents CONTENT) index lifecycle — the ScratchStores
   // discipline: round 0 indexes doc_id <= wm, serving folds the delta.
-  private def index(s: SparkSession, d: String): (PostingsStore, CorpusStatsStore, Long) = {
+  private def index(s: SparkSession, d: String): (PostingsStore, CorpusStatsStore, Long, String) = {
     val docs = Tables.documents(s, d)
     val (key, wm) = ScratchStores.corpusKey(docs, d)
     val root = ScratchStores.pathFor(key, "graft-bm25-index") { p =>
@@ -142,7 +142,7 @@ object PostingsIndex {
       new CorpusStatsStore(s, s"$p/stats").appendRound(base, round = 0L)
     }
     (new PostingsStore(s, s"$root/postings"),
-      new CorpusStatsStore(s, s"$root/stats"), wm)
+      new CorpusStatsStore(s, s"$root/stats"), wm, root)
   }
 
   /** The serving read: per-candidate-doc (doc_id, dl, tf0…tfN) plus a
@@ -153,7 +153,7 @@ object PostingsIndex {
     * from changed: pruned postings instead of a corpus scan. */
   def perDocForTerms(s: SparkSession, d: String,
                      terms: Seq[String]): (DataFrame, DataFrame) = {
-    val (post, stats, wm) = index(s, d)
+    val (post, stats, wm, _) = index(s, d)
     val delta = Tables.documents(s, d).filter(col("doc_id") > wm)
     perDocFromStores(post, stats, delta, terms)
   }
@@ -214,24 +214,42 @@ object PostingsIndex {
     (perDoc, nt.crossJoin(dfs))
   }
 
+  /** The marker-bounded audit read over an index root: postings state
+    * bounded at the round-completion marker when one exists (the
+    * [[perDocFromRoot]] discipline, now covering the index-as-data
+    * audits too — VERDICT r14 #3: an audit racing
+    * [[graft.streaming.StreamingPostings]] through an unbounded
+    * `state()` could see one torn round of postings the paired stats
+    * commit hasn't matched yet; bounding both surfaces at the same
+    * marker makes audit df and BM25 serving agree under the race). A
+    * root with no marker (the synchronous batch lifecycle, whose
+    * builder guard already serializes readers) reads unbounded, as
+    * before. Linear in INDEX size — audit-class; serving queries go
+    * through the pruned [[perDocForTerms]]. Store rows and delta rows
+    * are doc-disjoint by the caller's watermark, so a plain union is
+    * the merged state. */
+  private[graft] def auditPostings(s: SparkSession, indexRoot: String,
+                                   delta: DataFrame): DataFrame = {
+    val bound = RoundMarker.read(s, completionMarker(indexRoot)).map(_ + 1L)
+    new PostingsStore(s, s"$indexRoot/postings").state(bound)
+      .unionByName(postingsOf(delta))
+  }
+
   /** The full index state + the delta's postings — the read behind
-    * the index-as-data audits (linear in INDEX size, an audit-class
-    * scan; serving queries go through the pruned [[perDocForTerms]]).
-    * Store rows and delta rows are doc-disjoint by the watermark, so
-    * a plain union is the merged state. */
+    * the index-as-data audits (see [[auditPostings]]). */
   private[ops] def liveIndex(s: SparkSession, d: String): DataFrame = {
-    val (post, _, wm) = index(s, d)
-    post.state().unionByName(
-      postingsOf(Tables.documents(s, d).filter(col("doc_id") > wm)))
+    val (_, _, wm, root) = index(s, d)
+    auditPostings(s, root,
+      Tables.documents(s, d).filter(col("doc_id") > wm))
   }
 
   /** The erased index's live rows (negate-round store + surviving
     * delta), exposed for the erasure certificate (q223) — the
     * index-wide audit read over the q221 stores. */
   private[ops] def erasedLiveIndex(s: SparkSession, d: String): DataFrame = {
-    val (post, _, wm) = erasureIndex(s, d)
-    post.state().unionByName(
-      postingsOf(Privacy.survivingDocs(s, d).filter(col("doc_id") > wm)))
+    val (_, _, wm, root) = erasureIndex(s, d)
+    auditPostings(s, root,
+      Privacy.survivingDocs(s, d).filter(col("doc_id") > wm))
   }
 
   /** q217 — the index AS data: per-term document frequency and total
@@ -261,7 +279,7 @@ object PostingsIndex {
     * term fully retracted since the snapshot now reports df_live = 0
     * with negative growth instead of silently vanishing. */
   val indexVocabGrowth: Q = (s, d) => {
-    val (post, _, wm) = index(s, d)
+    val (post, _, wm, _) = index(s, d)
     val base = post.state(beforeRound = Some(1L))
       .groupBy(col("term")).agg(count(lit(1)).as("df_base"))
     val live = liveIndex(s, d)
@@ -295,7 +313,7 @@ object PostingsIndex {
   // fingerprint must cover BOTH inputs — the corpus (what is indexed)
   // and the changelog fields the deletion list derives from (who is
   // erased) — so a regeneration of either misses the memo and rebuilds.
-  private def erasureIndex(s: SparkSession, d: String): (PostingsStore, CorpusStatsStore, Long) = {
+  private def erasureIndex(s: SparkSession, d: String): (PostingsStore, CorpusStatsStore, Long, String) = {
     val docs = Tables.documents(s, d)
     val (dKey, wm) = ScratchStores.corpusKey(docs, d)
     val evKeyed = Tables.events(s, d).select(
@@ -314,7 +332,7 @@ object PostingsIndex {
       stats.appendRound(erasedBase, round = 1L, negate = true)
     }
     (new PostingsStore(s, s"$root/postings"),
-      new CorpusStatsStore(s, s"$root/stats"), wm)
+      new CorpusStatsStore(s, s"$root/stats"), wm, root)
   }
 
   /** q221 — BM25 served from the index AFTER erasure: the deletion
@@ -325,7 +343,7 @@ object PostingsIndex {
     * post-erasure scores must equal it bit for bit (the PrivacySpec
     * negate-parity discipline applied to [[PostingsIndex]]). */
   val indexErasure: Q = (s, d) => {
-    val (post, stats, wm) = erasureIndex(s, d)
+    val (post, stats, wm, _) = erasureIndex(s, d)
     val delta = Privacy.survivingDocs(s, d).filter(col("doc_id") > wm)
     val (perDoc, statsRow) =
       perDocFromStores(post, stats, delta, TextAnalysis.bm25Terms)
@@ -349,10 +367,10 @@ object PostingsIndex {
       post.stateForTerms(terms)
         .unionByName(postingsOf(delta).filter(col("term").isin(terms: _*)))
         .groupBy(col("term")).agg(count(lit(1)).as(as))
-    val (postF, _, wmF) = index(s, d)
+    val (postF, _, wmF, _) = index(s, d)
     val before = dfOf(postF,
       Tables.documents(s, d).filter(col("doc_id") > wmF), "df_before")
-    val (postE, _, wmE) = erasureIndex(s, d)
+    val (postE, _, wmE, _) = erasureIndex(s, d)
     val after = dfOf(postE,
       Privacy.survivingDocs(s, d).filter(col("doc_id") > wmE), "df_after")
     terms.toDF("term")
@@ -505,12 +523,9 @@ class PostingsStore(spark: SparkSession, val path: String)
     * and retractions folded into a single net round partition. The
     * repartition keys the write on the bucket so each round lands
     * ~one file per bucket dir instead of |tasks|×|buckets| shards. */
-  def appendSignedRound(inst: DataFrame, round: Long): Unit = {
-    RoundPartitions.commit(
-      PostingsIndex.signedPostings(inst).repartition(col("term_bucket")),
-      path, round, extraPartitionCols = Seq("term_bucket"))
-    maybeCompact(round)
-  }
+  def appendSignedRound(inst: DataFrame, round: Long): Unit =
+    commitRound(
+      PostingsIndex.signedPostings(inst).repartition(col("term_bucket")), round)
 }
 
 /** Durable corpus-statistics store: ONE signed (n_docs, total_toks)
@@ -531,8 +546,6 @@ class CorpusStatsStore(spark: SparkSession, val path: String)
     appendSignedRound(docs.select(col("doc_id"),
       lit(if (negate) -1L else 1L).as("sign"), col("text")), round)
 
-  def appendSignedRound(inst: DataFrame, round: Long): Unit = {
-    RoundPartitions.commit(PostingsIndex.signedStats(inst), path, round)
-    maybeCompact(round)
-  }
+  def appendSignedRound(inst: DataFrame, round: Long): Unit =
+    commitRound(PostingsIndex.signedStats(inst), round)
 }

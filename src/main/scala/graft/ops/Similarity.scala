@@ -1289,11 +1289,8 @@ class PqIndexStore(spark: SparkSession, val path: String)
   /** The standing (vec_id, code) index across committed rounds. */
   def index: DataFrame = readAll
 
-  def appendRound(codes: DataFrame, round: Long): Unit = {
-    RoundPartitions.commit(codes.select(col("vec_id"), col("code")),
-      path, round)
-    maybeCompact(round)
-  }
+  def appendRound(codes: DataFrame, round: Long): Unit =
+    commitRound(codes.select(col("vec_id"), col("code")), round)
 
   private def booksPath = s"${path}_books"
 

@@ -18,8 +18,17 @@ import org.apache.spark.sql.types._
   * extreme promotes the next buffered value exactly, and only a wave
   * deeper than the buffer makes the SERVED view raise its loud rescan
   * declaration — the pipeline itself keeps committing (state stays
-  * consistent; the declaration is a read-side contract, and a later
-  * re-bootstrap round clears it).
+  * consistent; the declaration is a read-side contract). RECOVERY
+  * from a declared rescan is a store REBUILD — a FRESH path whose
+  * bootstrap round re-buffers the surviving raw slice, after which a
+  * new stream (fresh checkpoint, `roundOffset` past the bootstrap)
+  * continues from there. An in-place "re-bootstrap round" on the same
+  * store is NOT a recovery: bounds only widen under the max-merge
+  * (no inverse), so the declaration cannot clear, and appending the
+  * live values again would double-count them
+  * ([[graft.ops.ExtremeBufferStore]]'s contract; the
+  * StreamingExtremesSpec recovery scenario drives raise → rebuild →
+  * exact serving end-to-end).
   *
   * No streaming state store: the signed (group, side, value, n) +
   * bound-marker monoid is the state, persisted as idempotent parquet

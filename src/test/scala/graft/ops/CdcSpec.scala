@@ -200,4 +200,17 @@ class CdcSpec extends SparkTestBase {
     assert(zero.snapshot().filter(col("op") === "D").count() == atWm,
       "zero-lag GC should drop every tombstone below the event-time watermark")
   }
+  test("a half-configured tombstone GC (lag without the op column) fails loudly") {
+    // ADVICE r14: gcTombstoneLag alone is inert (the fold over None
+    // never evaluates the lag branch) — the constructor now rejects
+    // the combination instead of silently retaining tombstones forever
+    val e = intercept[IllegalArgumentException] {
+      new CdcSnapshotStore(spark, tmpDir("cdc-halfgc") + "/snap",
+        Seq("user_id"), "ts", "event_id",
+        gcTombstonesOnCompact = None,
+        gcTombstoneLag = Some("INTERVAL 7 DAYS"))
+    }
+    assert(e.getMessage.contains("gcTombstonesOnCompact"),
+      s"wrong failure: ${e.getMessage}")
+  }
 }

@@ -173,13 +173,80 @@ class PrivacySpec extends SparkTestBase {
       .as[(String, Long, Long)].collect()
     Dedup.releaseSketchCaches()
     assert(rows.map(_._1).sorted.toSeq ==
-      Seq("distinct_view_state", "events_log", "postings_index"))
+      Seq("band_view_state", "distinct_view_state", "events_log",
+        "extreme_buffer_state", "postings_index"))
     rows.foreach { case (surface, before, after) =>
       assert(before > 0L,
         s"$surface: trivial certificate — the fixture erased nothing there")
       assert(after == 0L,
-        s"$surface: redacted store still retains $after erased rows")
+        s"$surface: redacted store still retains $after erased rows/influence")
     }
+  }
+
+  test("q226/q227: erasure negate rounds on the band and extreme-buffer stores equal from-scratch builds on the redacted log") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, sf)
+    val erased = Privacy.erasedRows(spark, sf)
+    val redacted = ev.join(erased.select("event_id"), Seq("event_id"), "left_anti")
+    assert(erased.filter(col("value").isNotNull).count() > 0L,
+      "fixture should erase value-carrying rows")
+
+    // band store: full build + negate round == redacted build, both as
+    // raw state and through the served quantile/extreme views
+    val bPath = tmpDir("erase-band") + "/state"
+    val bst = new BandViewStore(spark, bPath)
+    bst.appendRound(ev, round = 0L)
+    bst.appendRound(erased, round = 1L, negate = true)
+    def bandSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_type"), col("band"), col("n"))
+        .as[(String, Long, Long)].collect().toSet
+    assert(bandSet(bst.state()) == bandSet(MatView.bandState(redacted)),
+      "retraction-applied band state diverged from the redacted build")
+    def qSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_type"), col("n_events"), col("p50_band"), col("p90_band"))
+        .as[(String, Long, Long, Long)].collect().toSet
+    assert(qSet(MatView.bandQuantileView(bst.state())) ==
+      qSet(MatView.bandQuantileView(MatView.bandState(redacted))),
+      "served quantiles diverged after the erasure round")
+
+    // extreme-buffer store: the served view after the negate round
+    // equals the redacted recompute EXACTLY (the erased values inside
+    // the kept buffer annihilate; survivors above the bound promote)
+    val xPath = tmpDir("erase-ext") + "/state"
+    val xst = new ExtremeBufferStore(spark, xPath)
+    xst.appendRound(ev, round = 0L)
+    xst.appendRound(erased, round = 1L, negate = true)
+    def xSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_type"), col("min_cents"), col("max_cents"))
+        .as[(String, Long, Long)].collect().toSet
+    val cents = "cast(cast(value as decimal(18,2)) * 100 as bigint)"
+    assert(xSet(MatView.extremesExactView(xst.state())) ==
+      xSet(redacted.filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(expr(s"min($cents)").as("min_cents"),
+          expr(s"max($cents)").as("max_cents"))),
+      "served extremes diverged after the erasure round")
+
+    // the honest wrinkle, driven: an erasure wave deeper than the
+    // buffer (erase EVERY owner of a group's top values) raises the
+    // q220 rescan declaration instead of serving the erased extreme
+    val deepPath = tmpDir("erase-deep") + "/state"
+    val dst = new ExtremeBufferStore(spark, deepPath)
+    dst.appendRound(ev, round = 0L)
+    val oneType = ev.filter(col("value").isNotNull)
+      .select(col("event_type")).limit(1).as[String].head()
+    val topVals = ev.filter(col("value").isNotNull && col("event_type") === oneType)
+      .select(expr(cents).as("c")).orderBy(col("c").desc)
+      .limit(MatView.extremeDepth + 4).as[Long].collect().toSet
+    val deepWave = ev.filter(col("event_type") === oneType &&
+      expr(cents).isin(topVals.toSeq: _*))
+    dst.appendRound(deepWave, round = 1L, negate = true)
+    val err = intercept[Exception] {
+      MatView.extremesExactView(dst.state()).collect()
+    }
+    assert(String.valueOf(err.getMessage).contains("RESCAN") ||
+      String.valueOf(String.valueOf(err.getCause)).contains("RESCAN"),
+      s"deep erasure wave did not raise the rescan declaration: $err")
   }
 
   test("q219 incremental ladder equals the one-shot rollup; retraction equals the redacted recompute; replay idempotent") {

@@ -113,6 +113,44 @@ class StreamingPostingsSpec extends SparkTestBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("the index-as-data audit is marker-bounded too: a torn round's postings never shift audit df") {
+    // VERDICT r14 #3: q217/q218/q223 used to read post.state()
+    // unbounded, so an audit racing StreamingPostings could count one
+    // torn round of postings the paired stats commit hadn't matched.
+    // auditPostings bounds at the same completion marker BM25 serving
+    // uses, so audit df and serving agree under the race.
+    val docs = graft.Tables.documents(spark, sf)
+    val root = tmpDir("spost-audit")
+    val idx = s"$root/index"
+    val w0 = docs.filter(col("doc_id") % 2 === 0)
+    val w1 = docs.filter(col("doc_id") % 2 === 1)
+    StreamingPostings.processBatch(withOp(w0, "add"), 0L, idx)
+
+    def auditDf: Map[String, Long] =
+      PostingsIndex.auditPostings(spark, idx, docs.limit(0))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .as[(String, Long)].collect().toMap
+    def scanDf(of: DataFrame): Map[String, Long] =
+      PostingsIndex.postingsOf(of)
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .as[(String, Long)].collect().toMap
+
+    val df0 = auditDf
+    assert(df0 == scanDf(w0), "marker-bounded audit df diverged from the scan")
+
+    // the torn round: postings land, stats (and the marker) never do
+    new PostingsStore(spark, s"$idx/postings").appendSignedRound(
+      withOp(w1, "add").select(col("doc_id"), lit(1L).as("sign"), col("text")), 1L)
+    assert(auditDf == df0,
+      "audit read leaked a torn round: df counted postings without their stats")
+
+    // healed replay: the full pair lands, the marker advances, the
+    // audit sees the complete round
+    StreamingPostings.processBatch(withOp(w1, "add"), 1L, idx)
+    assert(auditDf == scanDf(docs),
+      "completed round not visible to the audit after the marker advanced")
+  }
+
   test("an unknown op fails the batch loudly") {
     val docs = graft.Tables.documents(spark, sf).limit(5)
     val root = tmpDir("spost-op")
