@@ -169,14 +169,29 @@ object Bench {
     // their committed time in one arm and their old time in every
     // other same-code arm. The min-of-3 already bounds single-run
     // stalls; this bounds WINDOW-length stalls: any query whose min
-    // exceeds 3x its committed prior-round min (read from the arm's
-    // own output file before it is overwritten) gets one fresh
-    // 3-run measurement at the END of the sweep — outside the noise
-    // window by construction — and the better (smaller-min) of the two
-    // measurements is kept. Every requeue is logged in the JSON
+    // exceeds 3x its committed prior-round min gets one fresh 3-run
+    // measurement at the END of the sweep — outside the noise window
+    // by construction — and the better (smaller-min) of the two
+    // measurements is kept. Since r15 the requeue is SYMMETRIC
+    // (ADVICE r14): a min anomalously BELOW prior (< prior/3) is
+    // re-measured too — not because noise can subtract time (it
+    // cannot; stalls are one-sided), but so a suspiciously-fast record
+    // carries a same-run validation instead of standing unexamined;
+    // the kept number is still the min over all runs (a genuine
+    // observation either way). Every requeue is logged in the JSON
     // (old/new min), so a mover that SURVIVES requeue is a real plan
     // change worth a diagnosis, not an artifact to re-adjudicate.
-    val priorMins: Map[String, Double] = try {
+    //
+    // Prior mins come from a FLAT SIDECAR (`<outFile>.min`, one
+    // "name value" line per query) written next to each arm's record —
+    // r14's string-split scrape of the JSON was brittle against any
+    // future key containing ':' or ',', and a parse failure silently
+    // disabled the requeue (VERDICT r14 "what's wrong" #3). The legacy
+    // JSON scrape stays as a fallback for the first run after this
+    // change; EITHER path failing now logs loudly instead of
+    // swallowing.
+    val minSidecar = outFile + ".min"
+    def legacyScrape(): Map[String, Double] = {
       val f = java.nio.file.Paths.get(outFile)
       if (!java.nio.file.Files.exists(f)) Map.empty
       else {
@@ -194,17 +209,35 @@ object Bench {
           }.toMap
         }
       }
-    } catch { case _: Throwable => Map.empty }
+    }
+    val priorMins: Map[String, Double] = try {
+      val sc = java.nio.file.Paths.get(minSidecar)
+      if (java.nio.file.Files.exists(sc))
+        new String(java.nio.file.Files.readAllBytes(sc), "UTF-8")
+          .linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
+            val sep = line.lastIndexOf(' ')
+            require(sep > 0, s"malformed sidecar line: '$line'")
+            line.take(sep) -> line.drop(sep + 1).toDouble
+          }.toMap
+      else legacyScrape()
+    } catch { case e: Throwable =>
+      System.err.println("[bench] WARNING: could not read prior-min record " +
+        s"($minSidecar / $outFile): ${e.getMessage} — outlier requeue DISABLED this run")
+      Map.empty
+    }
     val requeued = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = swept.map { case r @ (name, cold, warm, wmin) =>
       priorMins.get(name) match {
-        case Some(prior) if wmin >= 0 && prior > 0.05 && wmin > 3 * prior =>
+        case Some(prior) if wmin >= 0 && prior > 0.05 &&
+            (wmin > 3 * prior || wmin < prior / 3) =>
+          val direction = if (wmin > 3 * prior) "slow" else "fast"
           val runs = Array.fill(3)(once(name, SparkEntry.queries(name)))
           if (runs.exists(_ < 0)) r
           else {
             java.util.Arrays.sort(runs)
-            System.err.println(f"[bench] requeued $name: swept min $wmin%.3f s " +
-              f"(prior ${prior}%.3f s), re-measured min ${runs(0)}%.3f s")
+            System.err.println(f"[bench] requeued $name ($direction outlier): " +
+              f"swept min $wmin%.3f s (prior ${prior}%.3f s), " +
+              f"re-measured min ${runs(0)}%.3f s")
             requeued += name -> (wmin, runs(0))
             if (runs(0) < wmin) (name, cold, runs(1), runs(0)) else r
           }
@@ -237,6 +270,13 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // the flat prior-min sidecar the NEXT run's requeue reads — same
+    // writer/reader pair, no JSON scraping (VERDICT r14 #3)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(minSidecar),
+      results.filter(_._4 >= 0).map { case (k, _, _, m) => s"$k $m\n" }
+        .mkString.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $minSidecar: ${e.getMessage}") }
     spark.stop()
   }
 }

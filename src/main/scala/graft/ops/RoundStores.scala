@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
   * `beforeRound` replay bound is only meaningful ABOVE the compaction
   * point — compact only rounds the streaming low-watermark has passed.
   */
-private[ops] trait CompactableRoundStore {
+private[graft] trait CompactableRoundStore {
   protected def storeSpark: SparkSession
   def path: String
 
@@ -259,7 +259,7 @@ private[ops] trait CompactableRoundStore {
   }
 }
 
-private[ops] object CompactableRoundStore {
+private[graft] object CompactableRoundStore {
   /** Default cadence: folded-round partitions tolerated below the
     * replay bound before an append triggers compaction. High enough
     * that short-lived jobs (and the specs' 2-3 round lifecycles)

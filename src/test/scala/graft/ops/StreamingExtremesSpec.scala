@@ -66,6 +66,57 @@ class StreamingExtremesSpec extends SparkTestBase {
       "mixed batch did not fold to the net extremes")
   }
 
+  test("rescan recovery end-to-end: a deeper-than-buffer wave raises, a rebuild at a fresh path resumes exact serving") {
+    // VERDICT r14 #4: the raise and the rebuild contract were each
+    // spec-pinned separately; this drives the full operational loop
+    // through the PIPELINE — stream into exhaustion, recover by the
+    // documented rebuild (fresh path, bootstrap round from the
+    // surviving raw slice), and keep streaming into the rebuilt store.
+    val root = tmpDir("sext-recover")
+    val evDir = s"$root/events"
+    val store = s"$root/state"
+    def batch(vals: Seq[Long], op: String) =
+      vals.map(v => (v, "sensor", v.toDouble, op))
+        .toDF("event_id", "event_type", "value", "op")
+    def served(p: String): Set[(String, Long, Long)] =
+      MatView.extremesExactView(new ExtremeBufferStore(spark, p).state())
+        .select(col("event_type"), col("min_cents"), col("max_cents"))
+        .as[(String, Long, Long)].collect().toSet
+
+    batch(1L to 40L, "add").write.parquet(evDir)
+    StreamingExtremes.start(spark, evDir, store, s"$root/ckpt").awaitTermination()
+    assert(served(store) == Set(("sensor", 100L, 4000L)))
+
+    // the wave: retract the top 20 distinct values — deeper than the
+    // 16-deep buffer can absorb. The pipeline itself keeps committing
+    // (state stays consistent); the SERVED view declares the rescan.
+    batch(21L to 40L, "retract").write.mode("append").parquet(evDir)
+    StreamingExtremes.start(spark, evDir, store, s"$root/ckpt").awaitTermination()
+    val err = intercept[Exception] { served(store) }
+    assert(String.valueOf(err.getMessage).contains("RESCAN") ||
+      String.valueOf(String.valueOf(err.getCause)).contains("RESCAN"),
+      s"exhausted buffer did not declare a rescan: $err")
+
+    // recovery, per the documented contract (an in-place re-bootstrap
+    // round cannot clear the bound and would double-count): REBUILD at
+    // a fresh path — bootstrap round 0 from the surviving raw slice —
+    // and serving resumes EXACT immediately
+    val store2 = s"$root/state2"
+    new ExtremeBufferStore(spark, store2).appendRound(
+      batch(1L to 20L, "add").drop("op"), round = 0L)
+    assert(served(store2) == Set(("sensor", 100L, 2000L)),
+      "rebuilt store did not serve the exact surviving extremes")
+
+    // ...and the stream CONTINUES into the rebuilt store: fresh
+    // checkpoint, roundOffset past the bootstrap round
+    val evDir2 = s"$root/events2"
+    batch(Seq(50L), "add").write.parquet(evDir2)
+    StreamingExtremes.start(spark, evDir2, store2, s"$root/ckpt2",
+      roundOffset = 1L).awaitTermination()
+    assert(served(store2) == Set(("sensor", 100L, 5000L)),
+      "post-recovery stream did not resume exact serving")
+  }
+
   test("an unknown op fails the batch loudly") {
     val ev = graft.Tables.events(spark, sf).limit(5)
     val err = intercept[Exception] {
