@@ -495,16 +495,34 @@ object Assembly {
     * per ingest round in a real pipeline, so the steady-state cost is
     * O(eval) — only the eval side scans the corpus; the train side is
     * a parquet read of int64 hashes. */
-  private[ops] def bigramHashes(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val toks = TextAnalysis.tokens(text)
-    val idx = sequence(lit(1), greatest(size(toks) - 1, lit(1)))
-    transform(idx, i => xxhash64(array_join(slice(toks, i, lit(2)), " ")))
+  private[ops] def bigramPairs(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // r15 (the q62 rewrite, same argument): lambda-free bigram pairs —
+    // arrays_zip of two slices + the two-argument xxhash64 replaces an
+    // interpreted transform/array_join/string-hash per element. Hash
+    // VALUES relabel within the same 2^-64 collision budget (tokens
+    // are \s+-split, so the old " "-join was injective); they only
+    // ever meet values hashed by THIS function (the train-set store is
+    // per-JVM scratch), and the q72 outputs are bigram COUNTS,
+    // invariant under the relabeling. Null text keeps its single
+    // sentinel element via the coalesce (xxhash64 of an all-null
+    // pair = the seed, exactly the old xxhash64(NULL)).
+    val toks0 = TextAnalysis.tokens(text)
+    val toks = coalesce(toks0, array(lit(null).cast("string")))
+    val g = greatest(size(toks) - 1, lit(1))
+    arrays_zip(slice(toks, lit(1), g), slice(toks, lit(2), g))
   }
+
+  /** The hash of one exploded [[bigramHashes]] pair — consumers
+    * explode the pair array and hash AFTER the explode, so no
+    * higher-order function (CodegenFallback) ever runs. */
+  private[ops] def bigramHashOf(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    xxhash64(p.getField("0"), p.getField("1"))
 
   /** Score every non-train doc against a GIVEN known-bigram set. */
   private def scoreNonTrain(docs: DataFrame, trainSet: DataFrame): DataFrame =
     docs.select(col("doc_id"), splitColumn(col("doc_id")).as("split"),
-        explode(bigramHashes(col("text"))).as("bg"))
+        explode(bigramPairs(col("text"))).as("_bp"))
+      .select(col("doc_id"), col("split"), bigramHashOf(col("_bp")).as("bg"))
       .filter(col("split") =!= "train")
       .join(trainSet.withColumn("_known", lit(1L)), Seq("bg"), "left")
       .groupBy(col("doc_id"), col("split"))
@@ -518,8 +536,9 @@ object Assembly {
     * anchor the spec compares the store-backed q72 against. */
   def novelBigramScores(docs: DataFrame): DataFrame = {
     val trainSet = docs.select(splitColumn(col("doc_id")).as("split"),
-        explode(bigramHashes(col("text"))).as("bg"))
-      .filter(col("split") === "train").select(col("bg")).distinct()
+        explode(bigramPairs(col("text"))).as("_bp"))
+      .filter(col("split") === "train")
+      .select(bigramHashOf(col("_bp")).as("bg")).distinct()
     scoreNonTrain(docs, trainSet)
   }
 
@@ -1075,7 +1094,7 @@ class TrainBigramStore(spark: org.apache.spark.sql.SparkSession, val path: Strin
   def appendRound(docs: DataFrame, round: Long): Unit =
     commitRound(
       docs.select(Assembly.splitColumn(col("doc_id")).as("split"),
-          explode(Assembly.bigramHashes(col("text"))).as("bg"))
+          explode(Assembly.bigramPairs(col("text"))).as("_bp"))
         .filter(col("split") === "train")
-        .select(col("bg")).distinct(), round)
+        .select(Assembly.bigramHashOf(col("_bp")).as("bg")).distinct(), round)
 }

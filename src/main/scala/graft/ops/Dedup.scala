@@ -248,18 +248,24 @@ object Dedup {
     * xxhash64: h_i(x) = a_i * h(x) + b_i over Z/2^64 (odd a_i => a
     * bijection, so min-stability is preserved). Hashing each shingle
     * ONCE and deriving the family with long arithmetic is ~50x cheaper
-    * than k string hashes per shingle. */
-  private val affine: Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(1234567L)
-    Array.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
-  }
+    * than k string hashes per shingle. Table lives in
+    * [[graft.functions.HashOpsUtil.affine]] (r15), shared with the
+    * codegen'd kernel. */
+  private def affine: Array[(Long, Long)] = graft.functions.HashOpsUtil.affine
 
-  /** MinHash signature from per-shingle base hashes (one string hash
-    * per shingle, k affine variants, all inside codegen). */
+  /** MinHash signature from per-shingle base hashes. r15: the
+    * `array(array_min(transform(...)) × 48)` spelling walked the
+    * shingle array once per family member THROUGH an interpreted
+    * lambda (HOFs are CodegenFallback); [[graft.functions.HashOps
+    * .minhash_sig]] computes the identical 48 minima in one JIT'd
+    * pass (HashOpsSpec pins value equality against the HOF form). */
   def minhashSignature(baseHashes: Column): Column =
-    array(affine.map { case (a, b) =>
-      array_min(transform(baseHashes, h => h * lit(a) + lit(b)))
-    }.toIndexedSeq: _*)
+    // coalesce ≡ the HOF form's null semantics: array(array_min(
+    // transform(NULL, …)) × 48) was an array of 48 NULLs (array() of
+    // null members is itself non-null) — the kernel's empty-array
+    // output.
+    graft.functions.HashOps.minhash_sig(
+      coalesce(baseHashes, array().cast("array<bigint>")))
 
   /** Hashed n-gram shingles from a PRE-PROJECTED token-hash array
     * column: hash n-tuples of token hashes by index. The input must be
@@ -276,15 +282,20 @@ object Dedup {
     * array_min fold, band keys derive from the signature, and the
     * decontamination grams explode — so sorting changes no output
     * anywhere, including the hash-seeded rows-only tiers. */
-  def shinglesFromTokenHashes(th: Column, n: Int = 3): Column = {
-    val idx = sequence(lit(1), greatest(size(th) - (n - 1), lit(1)))
-    array_sort(array_distinct(transform(idx, i =>
-      xxhash64((0 until n).map(o =>
-        coalesce(element_at(th, i + o), lit(0L))): _*))))
-  }
+  def shinglesFromTokenHashes(th: Column, n: Int = 3): Column =
+    // r15: codegen'd kernel, value-identical to the HOF spelling
+    // array_sort(array_distinct(transform(idx, xxhash64(n-window))))
+    // it replaces (HashOpsSpec) — one JIT'd pass instead of an
+    // interpreted lambda per shingle. The coalesce preserves the HOF
+    // form's null-array semantics exactly: sequence(1, greatest(…,1))
+    // made a null th yield ONE all-zero-window sentinel shingle, which
+    // is precisely the kernel's output on an EMPTY array.
+    graft.functions.HashOps.shingle_hashes(
+      coalesce(th, array().cast("array<bigint>")), n)
 
   def tokenHashes(text: Column): Column =
-    transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
+    // r15: codegen'd kernel ≡ transform(split(...), t => xxhash64(t))
+    graft.functions.HashOps.xxhash64_elements(split(lower(trim(text)), "\\s+"))
 
   /** The exploded (doc_id, thash, band, bhash) view of a rep corpus's
     * minhash signatures, plus the persisted sketch frame it came from.
@@ -1131,12 +1142,30 @@ object Dedup {
 
   /** Keeper assignment over the DETERMINISTIC blocked n-gram Jaccard
     * graph (>= 0.5), so DuckDB can replay the whole thing — pair
-    * generation AND transitive closure — with a recursive CTE. */
+    * generation AND transitive closure — with a recursive CTE.
+    *
+    * The closure is built ONCE per (JVM, corpus) and parqueted to a
+    * scratch store (r15, the [[Graphs]] trade-edges discipline /
+    * VERDICT r8 #2): EIGHT registered queries consume this exact
+    * (doc_id, keeper) relation — q36b itself, the q103/q104/q140/q149
+    * audits, and [[Curation.corpusFilter]]'s q54/q54b/q65 family —
+    * and each used to re-run the full pair generation + iterative
+    * label propagation (a corpus scan, a blocked self-join, and one
+    * checkpointed job per propagation round, per call). The store is
+    * keyed on the corpus content fingerprint ([[ScratchStores
+    * .corpusKey]]), so the first consumer of a session pays the build
+    * and every later one reads the id-only parquet — the same standing
+    * relation a production deployment would maintain incrementally
+    * (q61's NearDupIndexStore is exactly that store's delta form). */
   val ngramDupKeepers: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val pairs = ngramJaccardBlocked(s, d).filter(col("jaccard") >= 0.5)
-    dupKeepers(docs.select(col("doc_id")), pairs)
-      .orderBy(col("doc_id"))
+    val (key, _) = ScratchStores.corpusKey(docs, d)
+    val path = ScratchStores.pathFor(key, "graft-ngram-keepers") { p =>
+      val pairs = ngramJaccardBlocked(s, d).filter(col("jaccard") >= 0.5)
+      dupKeepers(docs.select(col("doc_id")), pairs)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path).orderBy(col("doc_id"))
   }
 
   /** q103 — dedup cluster-size histogram: the distribution of
@@ -1341,16 +1370,17 @@ object Dedup {
     * twice. The DuckDB twin replays pair generation, the recursive
     * closure, both split assignments, and the audit verbatim. */
   val clusterSplit: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    // persisted: the closure's edge cut and the leakage audit both
-    // read the pair list (dupKeepers runs its loop eagerly at
-    // construction, so the cache is populated before the audit plan
-    // executes)
-    val pairs = persistSketch(
+    // r15: the keeper labels come from the shared [[ngramDupKeepers]]
+    // scratch store (identical relation by definition — it IS
+    // dupKeepers over these pairs) instead of re-running the closure
+    // loop per call; the pair list is still derived here for the
+    // leakage audit (the store holds labels only).
+    // materialized (two-consumer rule): the audit's two join arms
+    // read the pair list concurrently
+    val pairs = materializedSketch(
       ngramJaccardBlocked(s, d).filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b")))
-    val keepers = materializedSketch(
-      dupKeepers(docs.select(col("doc_id")), pairs))
+    val keepers = ngramDupKeepers(s, d)
     val withSplit = materializedSketch(keepers
       .withColumn("split", Assembly.splitColumn(col("keeper")))
       .withColumn("naive_split", Assembly.splitColumn(col("doc_id"))))

@@ -507,25 +507,35 @@ object EventTime {
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"), Qx.dsum(col("value")).as("sum_value"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-    def fillAt(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column = struct(
-      timestamp_micros(unix_micros(col("prev_hour")) + i * lit(hourUs)).as("hour"),
-      lit(0).as("observed"), lit(0L).as("n_events"),
-      col("prev_value").as("filled_value"))
+    // r15 (guide §1.2): the per-gap struct used to be built by a
+    // `transform` lambda over sequence(1, n_fill) — higher-order
+    // functions are CodegenFallback, so every FILLER row (the output
+    // majority on a sparse series) paid an interpreted struct build
+    // before the explode. This form explodes the bare offset sequence
+    // (0 = the observed row, 1..n_fill = its preceding gap hours — a
+    // plain codegen'd expression) and derives the emitted columns
+    // AFTER the explode with ordinary when() arithmetic. Same row
+    // set: offset o >= 1 emits (prev_hour + o, 0, 0, prev_value),
+    // offset 0 emits the observed row; emission order is irrelevant
+    // under the output's own orderBy.
     hourly
       .withColumn("prev_hour", lag(col("hour"), 1).over(w))
       .withColumn("prev_value", lag(col("sum_value"), 1).over(w))
       .withColumn("n_fill", coalesce(
         (unix_micros(col("hour")) - unix_micros(col("prev_hour"))).cast(DoubleType)
           .divide(lit(hourUs.toDouble)).cast(LongType) - 1L, lit(0L)))
-      .select(col("user_id"), explode(concat(
-        when(col("n_fill") >= 1, transform(sequence(lit(1L), col("n_fill")), fillAt(_)))
-          .otherwise(array_repeat(fillAt(lit(1L)), 0)),
-        array(struct(col("hour"), lit(1).as("observed"), col("n_events"),
-          col("sum_value").as("filled_value"))))).as("p"))
+      .select(col("user_id"), col("hour"), col("n_events"), col("sum_value"),
+        col("prev_hour"), col("prev_value"),
+        explode(sequence(lit(0L), col("n_fill"))).as("_off"))
       .select(col("user_id"),
-        date_format(col("p.hour"), tsFmt).as("hour_start"),
-        col("p.observed").as("observed"), col("p.n_events").as("n_events"),
-        col("p.filled_value").as("filled_value"))
+        date_format(when(col("_off") === 0L, col("hour"))
+          .otherwise(timestamp_micros(
+            unix_micros(col("prev_hour")) + col("_off") * lit(hourUs))), tsFmt)
+          .as("hour_start"),
+        when(col("_off") === 0L, lit(1)).otherwise(lit(0)).as("observed"),
+        when(col("_off") === 0L, col("n_events")).otherwise(lit(0L)).as("n_events"),
+        when(col("_off") === 0L, col("sum_value")).otherwise(col("prev_value"))
+          .as("filled_value"))
       .orderBy(col("user_id"), col("hour_start"))
   }
 

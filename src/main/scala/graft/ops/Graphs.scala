@@ -109,8 +109,15 @@ object Graphs {
     // is empty through the node-frame joins either way
     val baseU = if (n == 0) 0L else massU / n
     val teleportU = baseU * 15L / 100L
-    var ranks = Dedup.materializedSketch(
-      nodes.select(col("node"), col("deg"), lit(baseU).as("rank_u")))
+    // r15 (guide §1.2): each iteration's rank vector has exactly ONE
+    // consumer (the next iteration's share projection; the last one
+    // feeds the output), so the per-iteration persist+count barriers
+    // bought nothing — the chain now executes as one job. Plan depth
+    // is bounded by the FIXED iteration count (5 joins + aggs), well
+    // inside planner comfort; the iteration-invariant big side (the
+    // cached src-partitioned edge list) and the twice-consumed nodes
+    // frame keep their materialization.
+    var ranks = nodes.select(col("node"), col("deg"), lit(baseU).as("rank_u"))
     for (_ <- 1 to iterations) {
       // scatter: [[scatter]] broadcasts the nodes-sized share vector
       // onto the cached edges while it fits the session threshold and
@@ -121,10 +128,10 @@ object Graphs {
         expr("rank_u div deg").as("share"))
       val contribs = scatter(edges, share, n)
         .groupBy(col("dst")).agg(sum(col("share")).as("c"))
-      ranks = Dedup.materializedSketch(nodes
+      ranks = nodes
         .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"), col("deg"),
-          (lit(teleportU) + expr("(85 * coalesce(c, 0L)) div 100")).as("rank_u")))
+          (lit(teleportU) + expr("(85 * coalesce(c, 0L)) div 100")).as("rank_u"))
     }
     ranks
       .select(
@@ -164,22 +171,32 @@ object Graphs {
     val seeds = edges.filter(col("src") % 2 === 0)
       .select(col("src").as("node")).distinct()
       .filter(expr("(node div 2) % 10 = 0"))
-    var reached = Dedup.materializedSketch(
-      seeds.withColumn("hop", lit(0)))
+    // r15 (guide §2.3 "shuffle/cache fewer bytes"): persist only the
+    // per-hop FRONTIER instead of re-materializing the whole cumulative
+    // reached set every hop. `reached` is algebraically the union of
+    // the cached frontiers — same anti-join input, same final census —
+    // but the per-hop action caches O(|frontier|) new rows instead of
+    // re-copying O(|V|) rows three more times, and drops one
+    // O(|V|)-sized count job per hop. The per-hop materialization
+    // itself stays: each frontier is read by every later hop's
+    // anti-join, and cutting it keeps plan depth O(1) per hop.
+    var frontiers = List(Dedup.materializedSketch(
+      seeds.withColumn("hop", lit(0))))
     for (h <- 1 to bfsMaxHops) {
-      val frontier = reached.filter(col("hop") === h - 1)
-        .select(col("node").as("src"))
+      val reached = frontiers.map(_.select(col("node")))
+        .reduce(_ unionByName _)
+      val frontier = frontiers.head.select(col("node").as("src"))
       // no broadcast hint: a BFS frontier is graph-sized by hop 2 on
       // a dense graph (unlike pageRank's nodes-sized share vector) —
       // AQE broadcasts the small early frontiers on its own, and the
       // src-partitioned cached edges co-locate the big ones
       val next = edges.join(frontier, Seq("src"))
         .select(col("dst").as("node")).distinct()
-        .join(reached.select(col("node")), Seq("node"), "left_anti")
+        .join(reached, Seq("node"), "left_anti")
         .withColumn("hop", lit(h))
-      reached = Dedup.materializedSketch(reached.unionByName(next))
+      frontiers = Dedup.materializedSketch(next) :: frontiers
     }
-    reached
+    frontiers.reverse.reduce(_ unionByName _)
       .groupBy(col("hop"),
         when(col("node") % 2 === 0, "supplier").otherwise("customer").as("entity"))
       .agg(count(lit(1)).as("n_nodes"),

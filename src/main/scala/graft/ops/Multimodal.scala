@@ -170,8 +170,27 @@ object Multimodal {
     * same mapPartitions shape the decode uses. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
+    // r15: the synthetic media corpus is FIXTURE GENERATION (text →
+    // encoded PNG/JPEG/WAV bytes), not the codec operator any q38*
+    // query audits — yet all six of them re-encoded the whole corpus
+    // per call. Build it once per (JVM, corpus) into a scratch store
+    // (the trade-edges/keeper-closure sharing discipline); every
+    // consumer's real work — decode, thumbnail, perceptual hash —
+    // still runs from the stored bytes per call. Rows are
+    // deterministic in (doc_id, text), so the store is
+    // content-equivalent to the inline generation it replaces.
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val (key, _) = ScratchStores.corpusKey(docs, dir)
+    val path = ScratchStores.pathFor(key, "graft-media-table") { p =>
+      mediaRowsOf(docs).write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path).as[MediaRow]
+  }
+
+  private def mediaRowsOf(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>

@@ -434,7 +434,28 @@ object Privacy {
     // surface 4: the band-histogram state — residual value influence:
     // (type, band, n) rows that differ from the redacted recompute
     val redactedLog = ev.join(broadcast(del), Seq("user_id"), "left_anti")
-    val redactedBands = Dedup.materializedSketch(MatView.bandState(redactedLog))
+    // r15 (guide §2.6): the two redacted-recompute sketches (bands
+    // here, extremes below) are independent driver-blocking jobs —
+    // overlap them on a 2-thread pool (the q34c pattern; each future
+    // touches only its own frames, and the scratch stores they read
+    // were built above under ScratchStores' lock).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (redactedBands, redactedExtremes) =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val cents0 = expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+        val bandsF = scala.concurrent.Future(
+          Dedup.materializedSketch(MatView.bandState(redactedLog)))
+        val extremesF = scala.concurrent.Future(Dedup.materializedSketch(
+          redactedLog.filter(col("value").isNotNull)
+            .groupBy(col("event_type"))
+            .agg(min(cents0).as("rmin"), max(cents0).as("rmax"))))
+        (scala.concurrent.Await.result(bandsF,
+          scala.concurrent.duration.Duration.Inf),
+          scala.concurrent.Await.result(extremesF,
+            scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
     val (rbs, bwm) = redactedBandStore(s, d)
     val s4 = cert("band_view_state",
       MatView.bandLiveState(s, d).join(redactedBands,
@@ -446,11 +467,6 @@ object Privacy {
     // and retraction residue by design, so the served extremes are the
     // contract surface): groups whose (min, max) differ from the
     // redacted recompute
-    val cents = expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
-    val redactedExtremes = Dedup.materializedSketch(
-      redactedLog.filter(col("value").isNotNull)
-        .groupBy(col("event_type"))
-        .agg(min(cents).as("rmin"), max(cents).as("rmax")))
     def extremeDiff(served: DataFrame): DataFrame =
       served.join(redactedExtremes, Seq("event_type"), "full_outer")
         .filter(!(col("min_cents") <=> col("rmin") &&

@@ -297,18 +297,27 @@ object TextAnalysis {
     * docs shorter than 8 bigrams exempt) mirrors the published
     * repetition-filter family. */
   val repetitionScores: Q = (s, d) => {
-    val toks = tokens(col("text"))
-    val idx = sequence(lit(1), greatest(size(toks) - 1, lit(1)))
-    // hash each bigram to a long BEFORE the explode: the shuffle then
-    // carries (doc_id, int64) instead of strings — same counts (the
-    // q36 hashed-shingle argument; xxhash64 collisions are 2^-64).
-    // Local sf0.1 timing is within noise (explode row count dominates
-    // there); the narrower shuffle row is for cluster scale, where
-    // bigram strings would be the payload.
-    val bigrams = transform(idx,
-      i => xxhash64(array_join(slice(toks, i, lit(2)), " ")))
+    // r15 (guide §1.2 "per-task work"): the old spelling built each
+    // bigram with a `transform` lambda (slice + array_join + string
+    // hash per element) — higher-order functions are CodegenFallback,
+    // so every bigram paid an interpreted-eval round trip before the
+    // explode. This form is lambda-free: two slices + arrays_zip give
+    // the (token, next-token) pairs as one codegen'd expression chain,
+    // and the two-argument xxhash64 hashes the pair directly (no
+    // intermediate string). The hash VALUES relabel (same 2^-64
+    // collision budget — tokens are \s+-split so the old " "-join was
+    // injective too), but no hash value reaches the output: the query
+    // emits per-doc COUNTS of equal bigrams, which are invariant under
+    // the relabeling. The null-text doc keeps its single sentinel row
+    // via the coalesce (xxhash64 of an all-null pair = the seed, as
+    // before). Downstream aggregation is unchanged.
+    val toks0 = tokens(col("text"))
+    val toks = coalesce(toks0, array(lit(null).cast("string")))
+    val g = greatest(size(toks) - 1, lit(1))
+    val pairs = arrays_zip(slice(toks, lit(1), g), slice(toks, lit(2), g))
     val exploded = Tables.documents(s, d)
-      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), xxhash64(col("p.0"), col("p.1")).as("bg"))
     exploded.groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
@@ -503,23 +512,25 @@ object TextAnalysis {
   def duplicatedPassagesOf(
       docs: DataFrame,
       maxBroadcastWinners: Long = Skew.vocabBroadcastMaxRows): DataFrame = {
-    // toks/th must be attributes before lambdas consume them —
-    // expressions inlined into lambda bodies re-evaluate per element
+    // r15 (guide §1.2/§4): gram hashing runs through the codegen'd
+    // [[graft.functions.HashOps.gram_hashes]] kernel (positional
+    // windows over the token-hash array — HashOpsSpec pins value
+    // equality with the old transform/ghash lambda on >= n arrays,
+    // which the size gate guarantees here), and the string pass below
+    // no longer materializes a gram STRING per corpus position.
     // materialized (two-consumer rule): freq pass + string pass
     val withTh = Dedup.materializedSketch(docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= passageN)
       .select(col("doc_id"), col("toks"),
-        transform(col("toks"), t => xxhash64(t)).as("th")))
-    val idx = sequence(lit(1), size(col("th")) - (passageN - 1))
-    val ghash = (i: Column) =>
-      xxhash64((0 until passageN).map(o => element_at(col("th"), i + o)): _*)
+        graft.functions.HashOps.xxhash64_elements(col("toks")).as("th")))
+    val grams = graft.functions.HashOps.gram_hashes(col("th"), passageN)
 
     // pass 1: id-only frequency table of cross-doc duplicated grams
     // materialized (two-consumer rule): threshold scan + winners filter
     val freq = Dedup.materializedSketch(withTh
-      .select(col("doc_id"), explode(transform(idx, ghash)).as("g"))
+      .select(col("doc_id"), explode(grams).as("g"))
       .groupBy(col("g"), col("doc_id"))
       .agg(count(lit(1)).as("n_in_doc"))
       .groupBy(col("g"))
@@ -545,16 +556,22 @@ object TextAnalysis {
     val winners = freq.join(broadcast(thr), boundary >= col("thr")).drop("thr")
 
     // pass 2: strings built in the scan, filtered to winners via the
-    // adaptive lookup join. The salt must be INDEPENDENT of the join
-    // key or a hot gram still serializes one reducer — the gram string
-    // is 1:1 with g, so the salt derives from doc_id (carried through
-    // the projection; q63/q91's convention), spreading a boilerplate
-    // gram's occurrences across reducers by originating document.
+    // adaptive lookup join (broadcast under the ceiling, salted
+    // shuffle above it — the boundary-tie blowup arm). The gram
+    // HASHES come from the codegen'd kernel; only the gram-string
+    // join remains a lambda (no builtin makes sliding-window strings),
+    // halving the old lambda's per-element work. The salt stays
+    // INDEPENDENT of the join key (doc_id — q63/q91's convention) so
+    // a hot gram's occurrences spread across reducers. A join-back
+    // form (derive strings only for winner positions) was tried and
+    // REJECTED: it puts a corpus-sized frame on a broadcast build
+    // side (the round-6 scale-killer the plan spec guards against).
+    val gramStrs = transform(
+      sequence(lit(1), size(col("toks")) - (passageN - 1)),
+      i => array_join(slice(col("toks"), i, lit(passageN)), " "))
     val strings = withTh
-      .select(col("doc_id"), explode(transform(idx, i =>
-        struct(ghash(i).as("g"),
-          array_join(slice(col("toks"), i, lit(passageN)), " ").as("gram")))).as("p"))
-      .select(col("doc_id"), col("p.g").as("g"), col("p.gram").as("gram"))
+      .select(col("doc_id"), explode(arrays_zip(grams, gramStrs)).as("p"))
+      .select(col("doc_id"), col("p.0").as("g"), col("p.1").as("gram"))
     Skew.vocabLookupJoin(strings, winners, key = "g",
         saltSource = col("doc_id"), maxBroadcastRows = maxBroadcastWinners)
       .groupBy(col("g"), col("n_docs"), col("n_occurrences"))

@@ -59,9 +59,10 @@ class AssemblySpec extends SparkTestBase {
     store.appendRound(r1, 1L)
     val direct = r0.unionByName(r1)
       .select(Assembly.splitColumn(col("doc_id")).as("split"),
-        explode(Assembly.bigramHashes(col("text"))).as("bg"))
+        explode(Assembly.bigramPairs(col("text"))).as("_bp"))
       .filter(col("split") === "train")
-      .select("bg").distinct().as[Long].collect().toSet
+      .select(Assembly.bigramHashOf(col("_bp")).as("bg"))
+      .distinct().as[Long].collect().toSet
     assert(direct.nonEmpty, "fixture ids must land in the train split")
     def known = store.knownSet().as[Long].collect().toSet
     assert(known == direct, "summed round sets differ from the batch set")
