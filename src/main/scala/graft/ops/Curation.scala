@@ -38,7 +38,7 @@ object Curation {
         TextAnalysis.langPredColumn(col("text")).as("lang_pred"))
     val exactKeeper = base.groupBy(col("h")).agg(min("doc_id").as("exact_keeper"))
       .withColumnRenamed("h", "hk")
-    val nearKeeper = Dedup.ngramDupKeepers(s, d)
+    val nearKeeper = Dedup.ngramKeeperStore(s, d)
       .withColumnRenamed("keeper", "near_keeper")
     base
       // null-safe on the hash: md5(NULL text) is NULL, and DuckDB's

@@ -662,19 +662,19 @@ object EventTime {
       .cast(DecimalType(18, 0)).cast(LongType)
     val delta = when(col("event_type").isin("purchase", "signup"), cents)
       .otherwise(-cents)
+    // r16 (guide §4, the HashOps kernel discipline): the
+    // array_sort + `aggregate` HOF replay — both interpreted per
+    // element — is now ONE codegen sort+fold kernel over the collected
+    // structs (identical recurrence, spec-pinned against the HOF
+    // spelling in EventTimeSpec; the DuckDB recursive-CTE twin is the
+    // independent cross-check).
     Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), delta.as("delta"))
       .groupBy(col("user_id"))
-      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("delta"))))
+      .agg(collect_list(struct(col("ts"), col("event_id"), col("delta")))
         .as("evs"))
       .select(col("user_id"),
-        expr("""aggregate(evs,
-            named_struct('bal', CAST(0 AS BIGINT), 'floors', CAST(0 AS BIGINT)),
-            (st, e) -> named_struct(
-              'bal', greatest(st.bal + e.delta, CAST(0 AS BIGINT)),
-              'floors', st.floors + CASE WHEN st.bal + e.delta < 0
-                                         THEN CAST(1 AS BIGINT)
-                                         ELSE CAST(0 AS BIGINT) END))""").as("st"),
+        graft.functions.FoldOps.wallet_fold(col("evs")).as("st"),
         size(col("evs")).as("n_events"))
       .select(col("user_id"), col("st.bal").as("final_balance_cents"),
         col("st.floors").as("n_floor_hits"), col("n_events"))
@@ -702,24 +702,16 @@ object EventTime {
     * chunk by epoch with carry-over state — the documented q147
     * escape, not needed at tested SFs. */
   val debounce: Q = (s, d) => {
+    // r16 (guide §4): interpreted array_sort + `aggregate` HOF -> one
+    // codegen sort+fold kernel (see [[graft.functions.DebounceFold]];
+    // recurrence spec-pinned, DuckDB twin unchanged).
     Tables.events(s, d)
       .select(col("user_id"),
         unix_micros(col("ts")).as("tsm"), col("event_id"))
       .groupBy(col("user_id"))
-      .agg(array_sort(collect_list(struct(col("tsm"), col("event_id"))))
-        .as("evs"))
+      .agg(collect_list(struct(col("tsm"), col("event_id"))).as("evs"))
       .select(col("user_id"), size(col("evs")).as("n_events"),
-        expr(s"""aggregate(evs,
-            named_struct('last_kept', CAST(0 AS BIGINT),
-                         'n_kept', CAST(0 AS BIGINT),
-                         'first_kept', CAST(0 AS BIGINT)),
-            (st, e) -> CASE
-              WHEN st.n_kept = 0 OR e.tsm - st.last_kept >= ${debounceGapUs}L
-              THEN named_struct('last_kept', e.tsm,
-                'n_kept', st.n_kept + 1L,
-                'first_kept', CASE WHEN st.n_kept = 0 THEN e.tsm
-                                   ELSE st.first_kept END)
-              ELSE st END)""").as("st"))
+        graft.functions.FoldOps.debounce_fold(col("evs"), debounceGapUs).as("st"))
       .select(col("user_id"), col("n_events"), col("st.n_kept").as("n_kept"),
         col("st.first_kept").as("first_kept_us"),
         col("st.last_kept").as("last_kept_us"))
@@ -993,19 +985,15 @@ object EventTime {
         col("event_id"), delta.as("delta"))
     // scalar capped fold — exactly q147's recurrence: remaining
     // balance + shortfall count, one user-keyed exchange
+    // r16 (guide §4): same codegen sort+fold kernel as q147 — it IS
+    // q147's recurrence (bal = final balance, floors = shortfalls)
     val folded = evs.groupBy(col("user_id"))
-      .agg(array_sort(collect_list(struct(col("tsm"), col("event_id"),
-        col("delta")))).as("evs"))
+      .agg(collect_list(struct(col("tsm"), col("event_id"),
+        col("delta"))).as("evs"))
       .select(col("user_id"),
-        expr("""aggregate(evs,
-            named_struct('bal', CAST(0 AS BIGINT), 'short', CAST(0 AS BIGINT)),
-            (st, e) -> named_struct(
-              'bal', greatest(st.bal + e.delta, CAST(0 AS BIGINT)),
-              'short', st.short + CASE WHEN st.bal + e.delta < 0
-                                       THEN CAST(1 AS BIGINT)
-                                       ELSE CAST(0 AS BIGINT) END))""").as("st"))
+        graft.functions.FoldOps.wallet_fold(col("evs")).as("st"))
       .select(col("user_id"), col("st.bal").as("remaining_cents"),
-        col("st.short").as("n_shortfalls"))
+        col("st.floors").as("n_shortfalls"))
     // grant lots in FIFO (= grant) order with their running cumsum;
     // same user key as the fold, so the join below adds no exchange
     val wOrd = Window.partitionBy(col("user_id"))

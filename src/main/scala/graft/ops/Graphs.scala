@@ -171,32 +171,35 @@ object Graphs {
     val seeds = edges.filter(col("src") % 2 === 0)
       .select(col("src").as("node")).distinct()
       .filter(expr("(node div 2) % 10 = 0"))
-    // r15 (guide §2.3 "shuffle/cache fewer bytes"): persist only the
-    // per-hop FRONTIER instead of re-materializing the whole cumulative
-    // reached set every hop. `reached` is algebraically the union of
-    // the cached frontiers — same anti-join input, same final census —
-    // but the per-hop action caches O(|frontier|) new rows instead of
-    // re-copying O(|V|) rows three more times, and drops one
-    // O(|V|)-sized count job per hop. The per-hop materialization
-    // itself stays: each frontier is read by every later hop's
-    // anti-join, and cutting it keeps plan depth O(1) per hop.
-    var frontiers = List(Dedup.materializedSketch(
-      seeds.withColumn("hop", lit(0))))
+    // r16 (VERDICT r15 #2, guide §2/§5): ONE incrementally-extended
+    // `reached` frame — (node, hop), localCheckpoint'd per hop — in
+    // place of r15's per-hop frontier cache list. The r15 shape made
+    // hop h's anti-join union h cached leaves, so plan complexity
+    // (and the committed explain dump: 25k lines) grew quadratically
+    // in hops; here every hop's anti-join and the final census read
+    // exactly one lineage-truncated leaf, at the cost of re-copying
+    // O(|reached|) id rows per hop (bounded by 4·|V| over the fixed
+    // hop count — the checkpoint IS the hop's one action, no extra
+    // count job). The frontier is recovered from the same frame by a
+    // hop filter, so no second materialization exists.
+    var reached = seeds.withColumn("hop", lit(0)).localCheckpoint()
     for (h <- 1 to bfsMaxHops) {
-      val reached = frontiers.map(_.select(col("node")))
-        .reduce(_ unionByName _)
-      val frontier = frontiers.head.select(col("node").as("src"))
+      val frontier = reached.filter(col("hop") === h - 1)
+        .select(col("node").as("src"))
       // no broadcast hint: a BFS frontier is graph-sized by hop 2 on
       // a dense graph (unlike pageRank's nodes-sized share vector) —
       // AQE broadcasts the small early frontiers on its own, and the
       // src-partitioned cached edges co-locate the big ones
       val next = edges.join(frontier, Seq("src"))
         .select(col("dst").as("node")).distinct()
-        .join(reached, Seq("node"), "left_anti")
+        .join(reached.select(col("node")), Seq("node"), "left_anti")
         .withColumn("hop", lit(h))
-      frontiers = Dedup.materializedSketch(next) :: frontiers
+      // the superseded snapshot's blocks are reaped by the context
+      // cleaner once this reassignment drops the last reference (the
+      // dupKeepers retention discipline, minus the durable-dir case)
+      reached = reached.unionByName(next).localCheckpoint()
     }
-    frontiers.reverse.reduce(_ unionByName _)
+    reached
       .groupBy(col("hop"),
         when(col("node") % 2 === 0, "supplier").otherwise("customer").as("entity"))
       .agg(count(lit(1)).as("n_nodes"),
@@ -323,9 +326,12 @@ object Graphs {
   val copurchaseComponents: Q = (s, d) => {
     val pairs = coOrderPairs(s, d)
       .select(col("part_a").as("doc_a"), col("part_b").as("doc_b"))
-    val nodes = pairs.select(col("doc_a").as("doc_id"))
-      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val labels = Dedup.dupKeepers(nodes, pairs)
+    // r16: nodes are the edge endpoints by definition, so the fused
+    // union-find path of [[Dedup.keeperLabels]] applies — the
+    // support-2 graph is ~constant-sized in SF (class doc above), so
+    // at ANY scale this is one collect instead of the propagation
+    // loop; the distributed fallback guards the cap regardless.
+    val labels = Dedup.keeperLabels(None, pairs)
     labels.groupBy(col("keeper"))
       .agg(count(lit(1)).as("comp_size"))
       .groupBy(col("comp_size"))
@@ -365,15 +371,18 @@ object Graphs {
     val lab = Dedup.materializedSketch(baseLabels) // two consumers: map + relabel
     val la = lab.select(col("doc_id").as("doc_a"), col("keeper").as("la"))
     val lb = lab.select(col("doc_id").as("doc_b"), col("keeper").as("lb"))
-    // materialized (two-consumer rule): node derivation + the edge cut
-    // inside dupKeepers both consume it
-    val quotientEdges = Dedup.materializedSketch(newEdges
+    val quotientEdges = newEdges
       .join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
       .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
-        coalesce(col("lb"), col("doc_b")).as("doc_b")))
-    val qNodes = quotientEdges.select(col("doc_a").as("doc_id"))
-      .unionByName(quotientEdges.select(col("doc_b").as("doc_id"))).distinct()
-    val q = Dedup.dupKeepers(qNodes, quotientEdges)
+        coalesce(col("lb"), col("doc_b")).as("doc_b"))
+    // r16 (VERDICT r15 #3): the quotient graph is delta-bounded, so
+    // propagation takes [[Dedup.keeperLabels]]' fused path while it
+    // fits the driver — one collect + in-memory union-find instead of
+    // one localCheckpoint job per propagation round (the distributed
+    // loop remains the automatic fallback past the edge cap). Quotient
+    // nodes are edge endpoints BY CONSTRUCTION, so the docs=None form
+    // also drops the separate distinct-endpoints job.
+    val q = Dedup.keeperLabels(None, quotientEdges)
     // relabel the standing labels (untouched components pass through);
     // quotient nodes absent from the base labels are NEW nodes and
     // carry their final label directly
@@ -420,16 +429,32 @@ object Graphs {
     val labelPath = ScratchStores.pathFor(key, "graft-cc-labels") { p =>
       val baseEdges = store.state().filter(col("n_ab") >= 2)
         .select(col("part_a").as("doc_a"), col("part_b").as("doc_b"))
-      val nodes = baseEdges.select(col("doc_a").as("doc_id"))
-        .unionByName(baseEdges.select(col("doc_b").as("doc_id"))).distinct()
-      Dedup.dupKeepers(nodes, baseEdges)
+      Dedup.keeperLabels(None, baseEdges)
         .write.mode("overwrite").parquet(p)
     }
-    val deltaCounts = pairCounts(li.filter(col("l_orderkey") > wm))
+    // r16 (guide §3.2 "reduce the big side before shuffling it"): the
+    // delta's pair counts gate which STORE rows can matter — a store
+    // pair absent from the delta can never cross the support-2
+    // threshold this round — so while the delta-pair key set fits the
+    // broadcast threshold, the merge-on-read aggregation of the
+    // support-1 pair UNIVERSE (linear in facts — q211's documented
+    // honest cost) shrinks to a broadcast-semi-joined subset: the
+    // store parquet is scanned but never shuffled or aggregated in
+    // full. Past the gate the full-state join runs as before.
+    val deltaCounts = Dedup.persistSketch(
+      pairCounts(li.filter(col("l_orderkey") > wm)))
+    val nDelta = deltaCounts.count()
+    val threshold = bytesConf(s.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    val baseState =
+      if (threshold > 0 && nDelta * 32L <= threshold)
+        store.stateFor(broadcast(
+          deltaCounts.select(col("part_a"), col("part_b"))))
+      else store.state()
     // support-2 crossings: pairs the delta pushes to >= 2 for the
     // first time — the only edges propagation ever has to see
     val newEdges = deltaCounts
-      .join(store.state().withColumnRenamed("n_ab", "n_base"),
+      .join(baseState.withColumnRenamed("n_ab", "n_base"),
         Seq("part_a", "part_b"), "left")
       .filter(coalesce(col("n_base"), lit(0L)) < 2 &&
         coalesce(col("n_base"), lit(0L)) + col("n_ab") >= 2)
@@ -712,6 +737,16 @@ class CoPairStore(spark: SparkSession, val path: String)
     mergeRounds(
       beforeRound.foldLeft(readAll)((df, r) =>
         df.filter(col("ingest_round") < r)))
+
+  /** The merged support table RESTRICTED to `keys` (a (part_a, part_b)
+    * frame, typically broadcast-hinted by the caller): the restriction
+    * commutes with the per-pair additive merge, so a consumer that
+    * only needs the counts of a known key set — q211's threshold
+    * crossing check — never aggregates the full support universe
+    * (r16, guide §3.2). */
+  def stateFor(keys: DataFrame): DataFrame =
+    mergeRounds(readAll.join(keys.select(col("part_a"), col("part_b")),
+      Seq("part_a", "part_b"), "left_semi"))
 
   /** Count `items`' order-local pairs and commit as round `round` —
     * rounds must be order-disjoint (counts are per-order, so an order

@@ -278,8 +278,15 @@ object Privacy {
   /** The surviving (non-erased) delta above `wm` — the un-committed
     * tail every redacted-store read folds. */
   private def survivingEventsDelta(s: SparkSession, d: String, wm: Long): DataFrame =
+    survivingEventsDeltaFrom(deletionList(s, d), s, d, wm)
+
+  /** Same, against a caller-supplied (typically cached) deletion list —
+    * q223 fans its surfaces out as independent jobs, which would
+    * otherwise recompute the deletion-list window once per job. */
+  private def survivingEventsDeltaFrom(del: DataFrame, s: SparkSession,
+      d: String, wm: Long): DataFrame =
     Tables.events(s, d).filter(col("event_id") > wm)
-      .join(broadcast(deletionList(s, d)), Seq("user_id"), "left_anti")
+      .join(broadcast(del), Seq("user_id"), "left_anti")
 
   // Per-(JVM, events+changelog CONTENT) redacted-band lifecycle:
   // round 0 histograms the base slice, round 1 retracts the erased
@@ -406,78 +413,120 @@ object Privacy {
     * zero. Before-reads on the matview/index surfaces are audit-class
     * scans by design (q217's class); serving paths stay pruned. */
   val erasureCertificate: Q = (s, d) => {
-    val del = deletionList(s, d)
     val ev = Tables.events(s, d)
-    def cert(name: String, before: DataFrame, after: DataFrame): DataFrame =
-      before.agg(count(lit(1)).as("rows_before"))
-        .crossJoin(after.agg(count(lit(1)).as("rows_after")))
-        .select(lit(name).as("surface"), col("rows_before"), col("rows_after"))
-    // surface 1: the event log — the after-count reads the PERSISTED
-    // redacted artifact (ADVICE r14: the old in-memory semi-of-anti
-    // was zero by algebra; this measures what actually landed on disk)
-    val s1 = cert("events_log",
-      ev.join(broadcast(del), Seq("user_id"), "left_semi"),
-      s.read.parquet(redactedEventsPath(s, d))
-        .join(broadcast(del), Seq("user_id"), "left_semi"))
-    // surface 2: the q209 distinct-view state (standing vs redacted)
-    val (rdv, rwm) = redactedDvStore(s, d)
-    val s2 = cert("distinct_view_state",
-      MatView.distinctLiveState(s, d)
-        .join(broadcast(del), Seq("user_id"), "left_semi"),
-      rdv.mergedWith(survivingEventsDelta(s, d, rwm))
-        .join(broadcast(del), Seq("user_id"), "left_semi"))
-    // surface 3: the retrieval index (standing vs q221's erased stores)
-    val erasedIds = broadcast(erasedDocs(s, d).select(col("doc_id")))
-    val s3 = cert("postings_index",
-      PostingsIndex.liveIndex(s, d).join(erasedIds, Seq("doc_id"), "left_semi"),
-      PostingsIndex.erasedLiveIndex(s, d).join(erasedIds, Seq("doc_id"), "left_semi"))
-    // surface 4: the band-histogram state — residual value influence:
-    // (type, band, n) rows that differ from the redacted recompute
+    // the deletion list feeds every surface's plan and, with the
+    // surfaces now split into independent jobs, its window would
+    // otherwise recompute per job — materialize it once (the
+    // two-consumer discipline, here a ten-consumer one)
+    val del = Dedup.materializedSketch(deletionList(s, d))
     val redactedLog = ev.join(broadcast(del), Seq("user_id"), "left_anti")
-    // r15 (guide §2.6): the two redacted-recompute sketches (bands
-    // here, extremes below) are independent driver-blocking jobs —
-    // overlap them on a 2-thread pool (the q34c pattern; each future
-    // touches only its own frames, and the scratch stores they read
-    // were built above under ScratchStores' lock).
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    val (redactedBands, redactedExtremes) =
+    // r16 (VERDICT r15 #1, guide §2.6 "overlap independent jobs"): the
+    // certificate's ten surface counts are independent jobs that the
+    // r15 spelling evaluated as ONE union action — each surface's
+    // stage tail left the pool idle, and the four redacted-store
+    // builds plus the two redacted-recompute sketches all ran
+    // serially before it. Now every count runs as its own driver-pool
+    // job (the q31g pattern), each future resolves its OWN store
+    // dependencies (ScratchStores' per-key latches — ADVICE r15 —
+    // make concurrent builds of different stores safe and concurrent
+    // consults of the same store converge on one build), and the
+    // certificate row set — value-identical, the same ten counts — is
+    // assembled from the scalars. Submission order puts the two
+    // sketches first so the s4/s5 futures that await them can never
+    // starve the pool.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val counted =
       try {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration.Inf
         val cents0 = expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
-        val bandsF = scala.concurrent.Future(
+        val bandsF = Future(
           Dedup.materializedSketch(MatView.bandState(redactedLog)))
-        val extremesF = scala.concurrent.Future(Dedup.materializedSketch(
+        val extremesF = Future(Dedup.materializedSketch(
           redactedLog.filter(col("value").isNotNull)
             .groupBy(col("event_type"))
             .agg(min(cents0).as("rmin"), max(cents0).as("rmax"))))
-        (scala.concurrent.Await.result(bandsF,
-          scala.concurrent.duration.Duration.Inf),
-          scala.concurrent.Await.result(extremesF,
-            scala.concurrent.duration.Duration.Inf))
+        def cnt(name: String, which: String)(mk: => DataFrame): Future[Long] =
+          Future {
+            s.sparkContext.setJobDescription(s"q223 $name $which")
+            mk.count()
+          }
+        // surface 1: the event log — the after-count reads the
+        // PERSISTED redacted artifact (ADVICE r14: the old in-memory
+        // semi-of-anti was zero by algebra; this measures what
+        // actually landed on disk)
+        val s1b = cnt("events_log", "before")(
+          ev.join(broadcast(del), Seq("user_id"), "left_semi"))
+        val s1a = cnt("events_log", "after")(
+          s.read.parquet(redactedEventsPath(s, d))
+            .join(broadcast(del), Seq("user_id"), "left_semi"))
+        // surface 2: the q209 distinct-view state (standing vs redacted)
+        val s2b = cnt("distinct_view_state", "before")(
+          MatView.distinctLiveState(s, d)
+            .join(broadcast(del), Seq("user_id"), "left_semi"))
+        val s2a = cnt("distinct_view_state", "after") {
+          val (rdv, rwm) = redactedDvStore(s, d)
+          rdv.mergedWith(survivingEventsDeltaFrom(del, s, d, rwm))
+            .join(broadcast(del), Seq("user_id"), "left_semi")
+        }
+        // surface 3: the retrieval index (standing vs q221's erased)
+        val erasedIds = broadcast(erasedDocs(s, d).select(col("doc_id")))
+        val s3b = cnt("postings_index", "before")(
+          PostingsIndex.liveIndex(s, d).join(erasedIds, Seq("doc_id"), "left_semi"))
+        val s3a = cnt("postings_index", "after")(
+          PostingsIndex.erasedLiveIndex(s, d)
+            .join(erasedIds, Seq("doc_id"), "left_semi"))
+        // surface 4: the band-histogram state — residual value
+        // influence: (type, band, n) rows differing from the redacted
+        // recompute
+        val s4b = cnt("band_view_state", "before") {
+          val redactedBands = Await.result(bandsF, Inf)
+          MatView.bandLiveState(s, d).join(redactedBands,
+            Seq("event_type", "band", "n"), "left_anti")
+        }
+        val s4a = cnt("band_view_state", "after") {
+          val redactedBands = Await.result(bandsF, Inf)
+          val (rbs, bwm) = redactedBandStore(s, d)
+          rbs.mergedWith(survivingEventsDeltaFrom(del, s, d, bwm))
+            .join(redactedBands, Seq("event_type", "band", "n"), "left_anti")
+        }
+        // surface 5: the extreme-buffer state — residual influence on
+        // the SERVED view (the buffer's physical rows carry truncation
+        // bounds and retraction residue by design): groups whose
+        // (min, max) differ from the redacted recompute
+        def extremeDiff(redactedExtremes: DataFrame)(served: DataFrame): DataFrame =
+          served.join(redactedExtremes, Seq("event_type"), "full_outer")
+            .filter(!(col("min_cents") <=> col("rmin") &&
+              col("max_cents") <=> col("rmax")))
+        val s5b = cnt("extreme_buffer_state", "before")(
+          extremeDiff(Await.result(extremesF, Inf))(
+            MatView.rawExtremesLiveView(s, d)))
+        val s5a = cnt("extreme_buffer_state", "after") {
+          val redactedExtremes = Await.result(extremesF, Inf)
+          val (rxs, xwm) = redactedExtremeStore(s, d)
+          extremeDiff(redactedExtremes)(MatView.extremesExactView(
+            rxs.mergedWith(survivingEventsDeltaFrom(del, s, d, xwm))))
+        }
+        Seq(("events_log", s1b, s1a),
+          ("distinct_view_state", s2b, s2a),
+          ("postings_index", s3b, s3a),
+          ("band_view_state", s4b, s4a),
+          ("extreme_buffer_state", s5b, s5a)).map { case (name, fb, fa) =>
+          (name, Await.result(fb, Inf), Await.result(fa, Inf)) }
       } finally pool.shutdown()
-    val (rbs, bwm) = redactedBandStore(s, d)
-    val s4 = cert("band_view_state",
-      MatView.bandLiveState(s, d).join(redactedBands,
-        Seq("event_type", "band", "n"), "left_anti"),
-      rbs.mergedWith(survivingEventsDelta(s, d, bwm)).join(redactedBands,
-        Seq("event_type", "band", "n"), "left_anti"))
-    // surface 5: the extreme-buffer state — residual influence on the
-    // SERVED view (the buffer's physical rows carry truncation bounds
-    // and retraction residue by design, so the served extremes are the
-    // contract surface): groups whose (min, max) differ from the
-    // redacted recompute
-    def extremeDiff(served: DataFrame): DataFrame =
-      served.join(redactedExtremes, Seq("event_type"), "full_outer")
-        .filter(!(col("min_cents") <=> col("rmin") &&
-          col("max_cents") <=> col("rmax")))
-    val (rxs, xwm) = redactedExtremeStore(s, d)
-    val s5 = cert("extreme_buffer_state",
-      extremeDiff(MatView.rawExtremesLiveView(s, d)),
-      extremeDiff(MatView.extremesExactView(
-        rxs.mergedWith(survivingEventsDelta(s, d, xwm)))))
-    s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
-      .orderBy(col("surface"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("surface",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("rows_before",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rows_after",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](counted.size)
+    counted.foreach { case (n, b, a) =>
+      rows.add(org.apache.spark.sql.Row(n, b, a)) }
+    s.createDataFrame(rows, schema).orderBy(col("surface"))
   }
 
   /** Classes with fewer distinct sensitive values than this are

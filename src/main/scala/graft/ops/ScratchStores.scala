@@ -34,15 +34,25 @@ private[ops] object ScratchStores {
     * never memo-hit). */
   def corpusKey(docs: DataFrame, dir: String): (String, Long) = {
     val snap = snapshot(docs)
-    lock.synchronized {
-      keyMemo.get(dir) match {
+    // r16 (ADVICE r15): per-DIR memo entries instead of one global
+    // monitor around the fingerprint Spark job — two unrelated corpora
+    // (or a driver-pool future consulting a different dir) no longer
+    // serialize on each other's full-column scans. Each dir's entry is
+    // computed at most once per snapshot via its own latch.
+    val cell = keyMemo.computeIfAbsent(dir, _ => new KeyCell)
+    cell.synchronized {
+      cell.value match {
         case Some((s0, cached)) if snap.nonEmpty && s0 == snap => cached
         case _ =>
           val computed = fingerprint(docs, dir)
-          keyMemo += dir -> (snap, computed)
+          cell.value = Some((snap, computed))
           computed
       }
     }
+  }
+
+  private final class KeyCell {
+    var value: Option[(Seq[(String, Long, Long)], (String, Long))] = None
   }
 
   private def fingerprint(docs: DataFrame, dir: String): (String, Long) = {
@@ -109,37 +119,58 @@ private[ops] object ScratchStores {
     }
   }
 
-  @volatile private var keyMemo =
-    Map.empty[String, (Seq[(String, Long, Long)], (String, Long))]
+  private val keyMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, KeyCell]()
   /** Number of fingerprint aggs actually run — read by the memo spec. */
   @volatile private[ops] var fingerprintScans = 0L
 
-  private val lock = new Object
-  @volatile private var roots = Map.empty[String, String]
+  private val roots =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.CompletableFuture[String]]()
   private lazy val reaper: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      roots.values.foreach { p =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(p).getParentFile)
-      }))
+      roots.forEachValue(Long.MaxValue, f =>
+        if (f.isDone && !f.isCompletedExceptionally) {
+          val p = f.join()
+          def rm(fl: java.io.File): Unit = {
+            Option(fl.listFiles).foreach(_.foreach(rm)); fl.delete(); ()
+          }
+          rm(new java.io.File(p).getParentFile)
+        })))
 
   /** The scratch path registered under (key, tmpPrefix), building the
     * artifact via `build(path)` exactly once per (JVM, key, kind) —
     * tmpPrefix doubles as the artifact KIND, so the near-dup index
     * and the boilerplate frequency table of the same corpus never
-    * share a path. */
-  def pathFor(key: String, tmpPrefix: String)(build: String => Unit): String =
-    lock.synchronized {
-      reaper
-      val k = s"$tmpPrefix#$key"
-      roots.getOrElse(k, {
+    * share a path.
+    *
+    * r16 (ADVICE r15): one completion latch PER (kind, key) instead of
+    * a single global monitor for every build — a multi-minute store
+    * build no longer blocks unrelated stores (or the driver-pool
+    * futures of q223/q31g consulting a different key); concurrent
+    * callers of the SAME key still see exactly one build. A failed
+    * build is evicted so a retry can rebuild (the prior behavior). */
+  def pathFor(key: String, tmpPrefix: String)(build: String => Unit): String = {
+    reaper
+    val k = s"$tmpPrefix#$key"
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val prior = roots.putIfAbsent(k, fresh)
+    if (prior != null)
+      try prior.join()
+      catch { case e: java.util.concurrent.CompletionException =>
+        throw e.getCause }
+    else {
+      try {
         val p = java.nio.file.Files
           .createTempDirectory(tmpPrefix).toString + "/store"
         build(p)
-        roots += k -> p
+        fresh.complete(p)
         p
-      })
+      } catch { case t: Throwable =>
+        roots.remove(k, fresh)
+        fresh.completeExceptionally(t)
+        throw t
+      }
     }
+  }
 }

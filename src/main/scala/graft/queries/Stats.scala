@@ -293,19 +293,67 @@ object Stats {
     * whose cumulative count reaches the rank) — no second sort, no
     * self-join. */
   private val q122: Q = (s, d) => {
-    val grp = Window.partitionBy(col("l_returnflag"))
     val hist = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
       .agg(count(lit(1)).as("cnt"))
-    val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(grp.orderBy(col("price"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", max(col("cum")).over(grp))
+    // r16 (VERDICT r15 #7): the 3-group partitionBy window made 3
+    // reducers each fold |distinct prices| histogram rows; the
+    // per-(group, shard) offset form below bounds every reducer at
+    // its range shard regardless of group cardinality.
+    val cum = groupedCumCounts(hist, "l_returnflag", "price", "cnt")
     def pick(pct: Int) =
       min(when(expr(s"cum >= ($pct * n + 99) div 100"), col("price"))).as(s"p$pct")
     cum.groupBy(col("l_returnflag"))
       .agg(max(col("n")).as("n_items"), pick(25), pick(50), pick(75), pick(90))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Per-GROUP cumulative counts over a value histogram without the
+    * low-cardinality partitionBy window (r16, VERDICT r15 #7 — the
+    * q113/q115/q146 rangeShards discipline extended to grouped
+    * prefixes): range-exchange the histogram on (group, value),
+    * collect one (shard, group, subtotal) row per pair — bounded by
+    * partitions × |groups|, both cluster/domain-sized — and run each
+    * shard's cumulative window LOCALLY, seeded by its group's
+    * exclusive prefix offset; the group total `n` rides the same
+    * driver table. Range partitioning on (group, value) puts every
+    * smaller value of a group in an earlier-or-equal shard, so
+    * offset + local prefix IS the group prefix — exact integer
+    * arithmetic, boundary placement only moves which shard
+    * contributes what (the rangeShards argument verbatim). At 100 TB
+    * the reducer bound is |distinct values| / shards instead of
+    * |distinct values| per group. */
+  private def groupedCumCounts(hist: DataFrame, grp: String,
+      value: String, cnt: String): DataFrame = {
+    val spark = hist.sparkSession
+    val ranged = graft.ops.Dedup.materializedSketch(
+      hist.repartitionByRange(col(grp), col(value))
+        .withColumn("_pid", spark_partition_id()))
+    val shards = ranged.groupBy(col("_pid"), col(grp))
+      .agg(sum(col(cnt)).as("_c")).collect()
+    val acc = scala.collection.mutable.Map.empty[Any, Long]
+    val offRows = new java.util.ArrayList[org.apache.spark.sql.Row](shards.length)
+    shards.sortBy(_.getInt(0)).foreach { r =>
+      val g = r.get(1)
+      offRows.add(org.apache.spark.sql.Row(r.getInt(0), g, acc.getOrElse(g, 0L)))
+      acc(g) = acc.getOrElse(g, 0L) + r.getLong(2)
+    }
+    val totRows = new java.util.ArrayList[org.apache.spark.sql.Row](acc.size)
+    acc.foreach { case (g, n) => totRows.add(org.apache.spark.sql.Row(g, n)) }
+    val gType = hist.schema(grp).dataType
+    val offDf = spark.createDataFrame(offRows, StructType(Seq(
+      StructField("_pid", IntegerType, nullable = false),
+      StructField(grp, gType, nullable = true),
+      StructField("_off", LongType, nullable = false))))
+    val totDf = spark.createDataFrame(totRows, StructType(Seq(
+      StructField(grp, gType, nullable = true),
+      StructField("n", LongType, nullable = false))))
+    val w = Window.partitionBy(col("_pid"), col(grp)).orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), Seq("_pid", grp))
+      .withColumn("cum", col("_off") + sum(col(cnt)).over(w))
+      .join(broadcast(totDf), Seq(grp))
+      .drop("_pid", "_off")
   }
 
   /** q146 — skyline (Pareto front) of the price/quantity trade-off:
@@ -385,6 +433,16 @@ object Stats {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), cents.as("cents"))
         .agg(count(lit(1)).as("cnt")))
+    // r16 A/B (VERDICT r15 #7): the sharded grouped-prefix form
+    // ([[groupedCumCounts]], kept for q122) was measured HERE at
+    // sf0.1/local[32]: warm 3.02 s -> 5.40 s — q139 runs the pick
+    // TWICE (value histogram, then deviation histogram), and two
+    // extra range-sample + persist + collect passes cost more than
+    // the 3-reducer window saves on these |distinct cents| histograms.
+    // Kept the window form; at a scale where the per-flag histogram
+    // no longer fits a reducer, q122's groupedCumCounts is the
+    // drop-in (one-line swap, recorded here per the VERDICT's
+    // "A/B recorded either way").
     val grp = Window.partitionBy(col("l_returnflag"))
     def nearestRankMedian(h: DataFrame, valueCol: String, out: String): DataFrame =
       h.withColumn("cum", sum(col("cnt")).over(grp.orderBy(col(valueCol))
@@ -583,15 +641,34 @@ object Stats {
         count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(D6)).cast(DecimalType(18, 2)).as("spend_d")))
     val n = cust.count()
-    def quintile(df: DataFrame, orderC: Seq[String], rank: String, q: String) = {
-      globalRank(df, orderC, rank)
-        .withColumn(q, ntileOfRank(col(rank), n, 5)).drop(rank)
-    }
-    val scored = quintile(
-      quintile(
-        quintile(cust, Seq("last_day", "o_custkey"), "_rr", "r_q"),
-        Seq("n_orders", "o_custkey"), "_rf", "f_q"),
-      Seq("spend_d", "o_custkey"), "_rm", "m_q")
+    // r16 (guide §2.6): the three quintile rankings are INDEPENDENT
+    // functions of the same cached frame — the r15 chain ran their
+    // rangeShards persist/collect barriers serially (3 sequential
+    // job pairs). Each ranking now builds on a 3-thread driver pool
+    // (the q31g pattern) and emits a skinny (o_custkey, quintile)
+    // map; the roll-up joins the maps back on the unique customer
+    // key. Ranks are functions of (order cols, custkey) only, so the
+    // labels — and the (r,f,m) cube — are bit-identical to the
+    // chained spelling (oracle re-checked).
+    def quintileLabels(orderC: Seq[String], rank: String, q: String) =
+      globalRank(cust, orderC, rank)
+        .withColumn(q, ntileOfRank(col(rank), n, 5))
+        .select(col("o_custkey"), col(q))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val (rq, fq, mq) =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration.Inf
+        val rf = Future(quintileLabels(Seq("last_day", "o_custkey"), "_rr", "r_q"))
+        val ff = Future(quintileLabels(Seq("n_orders", "o_custkey"), "_rf", "f_q"))
+        val mf = Future(quintileLabels(Seq("spend_d", "o_custkey"), "_rm", "m_q"))
+        (Await.result(rf, Inf), Await.result(ff, Inf), Await.result(mf, Inf))
+      } finally pool.shutdown()
+    val scored = cust.select(col("o_custkey"), col("spend_d"))
+      .join(rq, Seq("o_custkey")).join(fq, Seq("o_custkey"))
+      .join(mq, Seq("o_custkey"))
     scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_customers"),
         (sum(col("spend_d")).cast(DecimalType(18, 2)).cast(DoubleType) /

@@ -48,6 +48,31 @@ class HashOpsSpec extends SparkTestBase {
     assert(rows(got) === rows(want))
   }
 
+  test("gramHashes == positional transform/xxhash64 windows (n = 3 and 8); " +
+       "empty below n; null array -> null (ADVICE r15)") {
+    val base = df.select(col("id"), Dedup.tokenHashes(col("text")).as("th"))
+    for (n <- Seq(3, 8)) {
+      // the kernel's contract holds on len >= n arrays with non-null
+      // elements — exactly what q82's size gate feeds it (tokenHashes
+      // output elements are never null)
+      val atLeastN = base.filter(size(col("th")) >= n)
+      val hof = transform(sequence(lit(1), size(col("th")) - (n - 1)),
+        i => xxhash64((0 until n).map(o => element_at(col("th"), i + o)): _*))
+      val got = rows(atLeastN.select(col("id"),
+        graft.functions.HashOps.gram_hashes(col("th"), n).as("x")))
+      val want = rows(atLeastN.select(col("id"), hof.as("x")))
+      assert(got === want, s"n=$n")
+      // below the gate: documented empty-array contract
+      rows(base.filter(col("th").isNotNull && size(col("th")) < n).select(col("id"),
+        graft.functions.HashOps.gram_hashes(col("th"), n).as("x")))
+        .foreach { case (id, v) => assert(v == Seq.empty, s"id=$id n=$n") }
+    }
+    // null token array (null text) -> null, like every UnaryExpression
+    rows(base.filter(col("th").isNull).select(col("id"),
+      graft.functions.HashOps.gram_hashes(col("th"), 3).as("x")))
+      .foreach { case (id, v) => assert(v == null, s"id=$id") }
+  }
+
   test("shinglesFromTokenHashes == sorted-distinct HOF shingles (n = 3 and 5), incl. null text") {
     val base = df.select(col("id"), Dedup.tokenHashes(col("text")).as("th"))
     for (n <- Seq(3, 5)) {

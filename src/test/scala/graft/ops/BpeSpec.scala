@@ -26,6 +26,34 @@ class BpeSpec extends SparkTestBase {
     assert(encodeOne("a⟨b⟩c") == "⟨a⟩⟨b⟩⟨c⟩")
   }
 
+  test("r16 kernel == replace-chain spelling on the corpus and adversarial inputs") {
+    // the corpus at sf0.001: every document byte-identical under the
+    // single-pass kernel vs the pre-r16 regexp+47-replace chain
+    val docs = graft.Tables.documents(spark, sf)
+    val mismatch = docs.select(
+        Bpe.encode(col("text")).as("k"),
+        Bpe.encodeReplaceChain(col("text")).as("c"))
+      .filter(!(col("k") <=> col("c"))).count()
+    assert(mismatch == 0L, "kernel diverged from the replace chain on the corpus")
+    // adversarial shapes: null, empty, whitespace classes (Java \s =
+    // [ \t\n\x0B\f\r] — U+00A0 NBSP is NOT \s, so it brackets as a unit),
+    // reserved brackets, supplementary-plane codepoints, merge-chain
+    // edge "aaa" under (a, ...) orderings, leading/trailing runs
+    val hard = Seq(null, "", "   ", " \t\r\n\u000B\f ", "a\u00A0b",
+      "⟨⟩⟨⟩", "a⟨b⟩c", "er er erer", "vector vectors", "aaa", "owow",
+      "😀 er 😀", "join JOIN jOiN", "x", "cust omer",
+      "  padded   runs  ")
+    val got = hard.toDF("text").select(
+        Bpe.encode(col("text")).as("k"),
+        Bpe.encodeReplaceChain(col("text")).as("c"))
+      .collect()
+    got.zip(hard).foreach { case (r, in) =>
+      val (k, c) = (if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1))
+      assert(k == c, s"input=${Option(in).map(_.take(30))}: kernel=$k chain=$c")
+    }
+  }
+
   test("encoding is lossless: stripping brackets recovers the normalized text") {
     val bad = graft.Tables.documents(spark, sf)
       .select(Bpe.encode(col("text")).as("enc"), lower(trim(col("text"))).as("norm"))

@@ -287,6 +287,59 @@ class EventTimeSpec extends SparkTestBase {
     } finally spark.conf.set(thresholdKey, saved)
   }
 
+  test("r16 fold kernels == the r15 HOF spellings (wallet, debounce), per user") {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, sf)
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(18, 0)).cast(LongType)
+    val delta = when(col("event_type").isin("purchase", "signup"), cents)
+      .otherwise(-cents)
+    // wallet: kernel over the UNSORTED collect vs the verbatim r15
+    // aggregate-over-array_sort spelling
+    val base = evs
+      .select(col("user_id"), col("ts"), col("event_id"), delta.as("delta"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("ts"), col("event_id"), col("delta"))).as("raw"))
+      .withColumn("sorted", array_sort(col("raw")))
+    val hof = expr("""aggregate(sorted,
+        named_struct('bal', CAST(0 AS BIGINT), 'floors', CAST(0 AS BIGINT)),
+        (st, e) -> named_struct(
+          'bal', greatest(st.bal + e.delta, CAST(0 AS BIGINT)),
+          'floors', st.floors + CASE WHEN st.bal + e.delta < 0
+                                     THEN CAST(1 AS BIGINT)
+                                     ELSE CAST(0 AS BIGINT) END))""")
+    val bad = base.select(
+        graft.functions.FoldOps.wallet_fold(col("raw")).as("k"), hof.as("h"))
+      .filter(!(col("k.bal") <=> col("h.bal") &&
+        col("k.floors") <=> col("h.floors"))).count()
+    assert(bad == 0L, "wallet_fold diverged from the HOF spelling")
+    // debounce: same comparison for the refractory chain
+    val dbase = evs
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("tsm"), col("event_id"))).as("raw"))
+      .withColumn("sorted", array_sort(col("raw")))
+    val dhof = expr(s"""aggregate(sorted,
+        named_struct('last_kept', CAST(0 AS BIGINT),
+                     'n_kept', CAST(0 AS BIGINT),
+                     'first_kept', CAST(0 AS BIGINT)),
+        (st, e) -> CASE
+          WHEN st.n_kept = 0 OR e.tsm - st.last_kept >= ${EventTime.debounceGapUs}L
+          THEN named_struct('last_kept', e.tsm,
+            'n_kept', st.n_kept + 1L,
+            'first_kept', CASE WHEN st.n_kept = 0 THEN e.tsm
+                               ELSE st.first_kept END)
+          ELSE st END)""")
+    val dbad = dbase.select(
+        graft.functions.FoldOps.debounce_fold(col("raw"),
+          EventTime.debounceGapUs).as("k"), dhof.as("h"))
+      .filter(!(col("k.last_kept") <=> col("h.last_kept") &&
+        col("k.n_kept") <=> col("h.n_kept") &&
+        col("k.first_kept") <=> col("h.first_kept"))).count()
+    assert(dbad == 0L, "debounce_fold diverged from the HOF spelling")
+  }
+
   test("q147 capped wallet equals a driver-side sequential replay") {
     import org.apache.spark.sql.functions._
     val sfd = "/root/testdata/sf0.001"

@@ -284,6 +284,10 @@ class GraphsSpec extends SparkTestBase {
 
   test("steady-state q211 edge detection scans lineitem ONCE (the delta) plus the pair store") {
     graft.SparkEntry.queries("q211_cc_incremental")(spark, sf).collect() // warm: stores built
+    // r16: q211 persists its delta-pair sketch; drop it like Bench/
+    // Verify do between queries, so the reconstructed subplan below
+    // shows its SCANS rather than an InMemoryTableScan cache hit
+    graft.ops.Dedup.releaseSketchCaches()
     // reconstruct the steady-state new-edge subplan exactly as q211
     // builds it (the propagation phase runs eagerly, so the final
     // census plan cannot carry these scans — this subplan is where

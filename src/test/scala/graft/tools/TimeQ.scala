@@ -71,7 +71,8 @@ object TimeQ {
       java.util.Arrays.sort(runs)
       println(f"[timeq] $n%-34s cold=$cold%8.3f warm=${runs(1)}%8.3f min=${runs(0)}%8.3f max=${runs(2)}%8.3f")
       planTag.foreach { tag =>
-        val dir = java.nio.file.Paths.get("plans/r15")
+        val dir = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r16"))
         java.nio.file.Files.createDirectories(dir)
         val txt = SparkEntry.queries(n)(spark, sfDir)
           .queryExecution.explainString(
