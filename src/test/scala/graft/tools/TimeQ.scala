@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   * shuffle partitions = cpus, CBO + catalog stats, star warehouse
   * warm, JIT pre-pass at sf0.001) so single-query numbers line up with
   * the committed sweep, and optionally dumps `explain("formatted")`
-  * for each to `plans/r15/<q>_<tag>.txt`.
+  * for each to `$SPARK_GRAFT_PLANS_DIR/<q>_<tag>.txt` (default
+  * plans/r16).
   *
   * Run: sbt "Test/runMain graft.tools.TimeQ [--plans tag] <q...>"
   * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
