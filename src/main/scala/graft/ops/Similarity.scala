@@ -1148,7 +1148,11 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val pairs = semanticCellPairs(emb).filter(col("cosine") >= 0.9)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    Dedup.dupKeepers(emb.select(col("vec_id").as("doc_id")), pairs)
+    // r16: the closure takes [[Dedup.keeperLabels]]' adaptive path —
+    // one collect + union-find while the thresholded pair graph fits
+    // the driver (it is dup-density-bounded), the distributed loop
+    // past the cap; labels identical (the q36b/q179/q211 discipline)
+    Dedup.keeperLabels(Some(emb.select(col("vec_id").as("doc_id"))), pairs)
       .select(col("doc_id").as("vec_id"), col("keeper"),
         (col("doc_id") === col("keeper")).as("is_kept"))
       .orderBy(col("vec_id"))

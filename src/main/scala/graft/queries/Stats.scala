@@ -252,16 +252,23 @@ object Stats {
     val sortExprs = Seq(col("rev_d").desc, col("l_suppkey"))
     val (ranged, shards) = rangeShards(perSupp, sortExprs,
       count(lit(1)).as("c"), sum(col("rev_d")).as("sm"))
-    val (offDf, _) = exclusiveOffsets(s, shards, Seq("_coff", "_soff"),
+    val (offDf, totals) = exclusiveOffsets(s, shards, Seq("_coff", "_soff"),
       Seq(0L, java.math.BigDecimal.ZERO))
+    // r16 (guide §1.2 "don't compute things you already have"): the
+    // grand revenue total IS the shard sums' exact-decimal fold that
+    // exclusiveOffsets already returns — the r15 spelling re-ran the
+    // whole lineitem scan + supplier aggregation a second time just to
+    // crossJoin one scalar. Exact-decimal addition is associative, so
+    // the literal equals the re-aggregated value bit for bit (q115
+    // already used its totals this way; oracle re-checked).
+    val totalD = totals(1).asInstanceOf[java.math.BigDecimal]
     val w = Window.partitionBy(col("_pid")).orderBy(sortExprs: _*)
     ranged.join(broadcast(offDf), Seq("_pid"))
       .withColumn("cum_d", col("_soff").cast(DecimalType(18, 4)) +
         sum(col("rev_d")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("rank",
         (col("_coff") + row_number().over(w)).cast(IntegerType))
-      .crossJoin(broadcast(perSupp.agg(
-        sum(col("rev_d")).cast(DecimalType(18, 4)).as("total_d"))))
+      .withColumn("total_d", lit(totalD).cast(DecimalType(18, 4)))
       .filter((col("cum_d") - col("rev_d")).cast(DecimalType(18, 4)) <
         col("total_d") * lit(new java.math.BigDecimal("0.8")))
       .select(col("rank"), col("l_suppkey"),
